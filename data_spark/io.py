@@ -1,0 +1,137 @@
+"""Readers and validated writers (SURVEY §2.1 S3/S4).
+
+The reference loads pipe-delimited unquoted ``.txt`` and quoted-header
+``.csv`` FEC bulk files with explicit per-table schemas
+(``federal_fec_ingest_import_bigquery/main.py:26-41,44-363``), then
+archives the old table, compares row counts, and rolls back on shrink
+(``:367-403``). Spark-side: explicit-schema CSV readers plus a
+staging-write → count-validate → atomic-swap writer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table (TESTDATA.md).
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark only reads as a long behind the legacy flag — set the flag at
+    read time (the driver owns the session, so we can't rely on builder
+    config) and convert nanos → TimestampType by truncation to micros
+    (exactly what DuckDB's nanos→micros read does, so oracles agree).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def read_pipe_delimited(
+    spark: SparkSession, path: str, schema: StructType, header: bool = False
+) -> DataFrame:
+    """FEC bulk ``.txt`` reader: pipe-delimited, unquoted, explicit schema.
+
+    Mirrors the reference's load config (``import_bigquery/main.py:26-33``):
+    ``field_delimiter='|'``, ``quote_character=''``. Empty strings load as
+    NULL to match BigQuery CSV-load semantics the downstream SQL relies on.
+    """
+    return spark.read.csv(
+        path,
+        sep="|",
+        quote="\u0000",  # effectively "no quoting", like quote_character=""
+        header=header,
+        schema=schema,
+        nullValue="",
+        mode="PERMISSIVE",
+    )
+
+
+def read_headed_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """FEC ``.csv`` reader: header row + standard quoting
+    (``import_bigquery/main.py:34-41``: skip_leading_rows=1, quote='\"')."""
+    return spark.read.csv(
+        path,
+        header=True,
+        quote='"',
+        escape='"',
+        schema=schema,
+        nullValue="",
+        mode="PERMISSIVE",
+    )
+
+
+def validated_overwrite(
+    df: DataFrame,
+    path: str,
+    min_rows: int | None = None,
+    allow_shrink: bool = False,
+) -> int:
+    """Staging-write + count-validate + atomic swap (SURVEY S4).
+
+    The reference archives the current table, loads the new one, and rolls
+    back if ``new.num_rows < archived.num_rows``
+    (``import_bigquery/main.py:367-403``). Here: write to a staging dir,
+    count, compare against the existing table (or ``min_rows``), then swap
+    directories. Raises ``ValueError`` on a shrinking load, leaving the
+    existing data untouched.
+
+    Scale note: the count is a metadata-cheap action over the staged
+    parquet; the swap is a filesystem rename, so the validation adds no
+    extra shuffle.
+    """
+    spark = df.sparkSession
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    new_rows = spark.read.parquet(staging).count()
+
+    old_rows = 0
+    if os.path.exists(path):
+        try:
+            old_rows = spark.read.parquet(path).count()
+        except Exception:
+            old_rows = 0
+    threshold = min_rows if min_rows is not None else old_rows
+    if not allow_shrink and new_rows < threshold:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"validated_overwrite rollback: new rows {new_rows} < expected {threshold}"
+        )
+    backup = f"{path}__archive_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return new_rows

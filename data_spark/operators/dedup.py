@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four tiers, cheapest to fuzziest:
+  1. exact content-hash dedup (hash groupBy — SURVEY A1's DISTINCT, but
+     shuffling a 32-byte hash instead of the document body);
+  2. exact n-gram Jaccard via inverted-index self-join (no cross join);
+  3. MinHash + LSH banding (near-dup at 100 TB scale: candidate pairs
+     only for band-bucket collisions);
+  4. SimHash with chunk banding (the reference's ad-text identity,
+     facebook_compute_load_graph/main.py:150-154, scaled into a
+     banded similarity join as SURVEY §4 prescribes).
+
+All shuffle keys are fixed-width hashes; nothing ever cross-joins the
+corpus against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_spark.functions.hashing import hamming64, simhash64
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, keeper_id,
+    n_copies) for every hash with >1 copy. Keeper = smallest id."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _words(text: Column) -> Column:
+    """Tokenization shared with the DuckDB oracle: lowercase, non-alnum →
+    space, trim, split on whitespace runs."""
+    return F.split(F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9 ]+", " ")), r"\s+")
+
+
+def ngrams_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-materialized token-array
+    column; empty array for docs with <n words. (Same performance
+    contract as functions.hashing.char_shingles: the argument must be an
+    attribute, not the tokenization expression, or Spark re-runs the
+    tokenizer once per gram inside the lambda.)"""
+    size = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of raw text (convenience form — hot paths
+    materialize the token array first, see ngram_jaccard_pairs)."""
+    return ngrams_from_words(_words(text), n)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram sets, computed with an
+    inverted index: explode grams → self-join on gram (docs sharing at
+    least one gram) → count shared → |A∪B| = |A|+|B|−shared.
+
+    Scale: the self-join shuffles on the gram string; hot grams are the
+    skew risk, which AQE skew-join splitting handles. Candidate pair
+    count is bounded by gram co-occurrence, never n².
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.repartition(parallelism)
+        .select(F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("__words"))
+        .select("doc_id", F.explode(ngrams_from_words(F.col("__words"), n)).alias("gram"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_width: int = 4,
+) -> DataFrame:
+    """MinHash signature table: (doc_id, sig array<bigint>[num_hashes]).
+
+    Built the scale-friendly way: explode shingles → one codegen'd
+    xxhash64(shingle, seed) per permutation → groupBy(doc) MIN per
+    permutation. Every stage is whole-stage-codegen'd and the groupBy
+    gets map-side partial aggregation, unlike a nested higher-order-
+    function signature expression (which Spark interprets row-at-a-time
+    and cannot partial-agg). Input is repartitioned first so a
+    single-file corpus still uses every core.
+    """
+    from data_spark.functions.hashing import _normalize, char_shingles
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        df.repartition(parallelism)
+        .select(F.col(id_col).alias("doc_id"), _normalize(F.col(text_col)).alias("__norm"))
+        .select(
+            "doc_id",
+            F.explode(char_shingles(F.col("__norm"), shingle_width)).alias("shingle"),
+        )
+    )
+    mins = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_width: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates.
+
+    shingle → MinHash signature (minhash_signatures) → split into
+    ``bands`` bands → hash each band → docs colliding in ≥1 band become
+    candidates. est_jaccard = matching-minhash fraction.
+
+    The signature table is tiny (id + 64 longs) relative to the corpus,
+    so it is cached before the self-join — otherwise both join branches
+    would recompute the shingle scan.
+
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width).cache()
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicates via chunk banding.
+
+    A 64-bit simhash pair within Hamming distance ≤3 must agree on at
+    least one of four 16-bit chunks (pigeonhole), so candidates are an
+    equi-join on (chunk_index, chunk_value) — never a cross join.
+    Returns (doc_a, doc_b, hamming).
+    """
+    sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    chunks = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sh", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )

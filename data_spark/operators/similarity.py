@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Queries are broadcast (k query vectors ≪ corpus); the corpus is
+  scanned once, dot products run inside codegen via zip_with/aggregate,
+  and per-query top-k is a window over a corpus-partitioned shuffle.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane signatures
+  bucket the corpus; each query probes only its bucket (plus
+  multi-probe neighbors), turning O(|Q|·|C|) into O(|Q|·bucket).
+
+No Python touches a vector: all math is Column algebra in doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (qid, neighbor_id, rank). Rank ties broken by neighbor id so
+    results are engine-deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    sims = c.join(F.broadcast(q)).select(
+        "qid", "cid", cosine_similarity(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("neighbor_id"), "rank")
+    )
+
+
+def _rh_signature(vec: Column, dim: int, num_planes: int) -> Column:
+    """Random-hyperplane signature as a bit-string.
+
+    "Hyperplanes" are a deterministic pseudo-random ±1 pattern derived
+    from xxhash64(plane, dim-index) — reproducible across runs/engines
+    with no stored model.
+    """
+    def bit(p: Column) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.when(
+                        F.xxhash64(F.concat_ws(":", p.cast("string"), i.cast("string"))) % 2
+                        == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(F.lit(p)) for p in range(num_planes)])
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket join with multi-probe
+    (each query also probes every bucket at Hamming distance 1 from its
+    own signature — standard multi-probe LSH, so recall doesn't collapse
+    when a neighbor straddles one hyperplane). Exact cosine rerank inside
+    the probed buckets. Returns (qid, neighbor_id, rank).
+
+    Scale: corpus is signed once (one scan); queries (small) are
+    broadcast with ``num_planes+1`` probe rows each. Per-query work is
+    O(probed-bucket sizes), not O(|corpus|).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("bucket", _rh_signature(F.col("cv"), dim, num_planes))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("sig", _rh_signature(F.col("qv"), dim, num_planes))
+
+    def _flip(sig: Column, i: int) -> Column:
+        flipped = F.when(F.substring(sig, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(F.substring(sig, 1, i), flipped, F.substr(sig, F.lit(i + 2)))
+
+    probes = F.array(F.col("sig"), *[_flip(F.col("sig"), i) for i in range(num_planes)])
+    q_probed = q.select("qid", "qv", F.explode(probes).alias("bucket"))
+    cand = (
+        c.join(F.broadcast(q_probed), "bucket")
+        .select("qid", "cid", "qv", "cv")
+        .dropDuplicates(["qid", "cid"])
+    )
+    sims = cand.select(
+        "qid", "cid", cosine_similarity(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("neighbor_id"), "rank")
+    )

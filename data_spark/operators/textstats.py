@@ -1,0 +1,82 @@
+"""Text-analysis operators for corpus curation: token accounting,
+quality scoring, language ID. All pure column algebra (no UDFs) so the
+hot path stays in whole-stage codegen.
+
+Tokenization is shared with the DuckDB oracles in
+data_spark.queries.documents — change one, change both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it", "that"]
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "fr": ["le", "la", "de", "et", "est", "un"],
+}
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace tokens of the raw text (token accounting unit)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def _count_in(words: Column, vocab: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-group token accounting: (n_docs, total_tokens, total_chars,
+    max_tokens)."""
+    n_tokens = F.size(_ws_tokens(F.col(text_col)))
+    return (
+        df.select(by, n_tokens.alias("n_tokens"), F.col("n_chars"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-filter features per document: word count, punctuation
+    ratio, stopword ratio."""
+    text = F.col(text_col)
+    n_words = F.size(_ws_tokens(text))
+    punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(F.length(text), F.lit(1))
+    low_words = _ws_tokens(F.lower(text))
+    stop_ratio = _count_in(low_words, EN_STOPWORDS).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language identification: count per-language marker
+    words, argmax with en ≥ es ≥ fr precedence, 'unknown' when no
+    markers hit."""
+    words = _ws_tokens(F.lower(F.col(text_col)))
+    scores = {lang: _count_in(words, markers) for lang, markers in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"]) & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] > 0), "es")
+        .when(scores["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return df.select(id_col, "lang", pred.alias("predicted_lang"))

@@ -1,0 +1,21 @@
+"""Driver-checked query inventory: name → callable(spark, sf_dir) →
+DataFrame, plus the matching DuckDB oracle SQL (absent for approximate
+operators, which are pytest-gated instead)."""
+
+from data_spark.queries import documents, events, relational, vectors
+
+QUERIES = {
+    **relational.QUERIES,
+    **events.QUERIES,
+    **documents.QUERIES,
+    **vectors.QUERIES,
+}
+
+ORACLE = {
+    **relational.ORACLE,
+    **events.ORACLE,
+    **documents.ORACLE,
+    **vectors.ORACLE,
+}
+
+__all__ = ["QUERIES", "ORACLE"]

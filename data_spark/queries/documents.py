@@ -1,0 +1,208 @@
+"""Training-data pipeline queries over the ``documents`` table:
+deduplication, text quality, language ID, token counting, fingerprints.
+
+These are first-class engine operators (see data_spark.operators.dedup /
+textstats); the entries here bind them to the driver's correctness gate.
+Approximate ops (MinHash-LSH, SimHash) have no exact SQL oracle — they
+are gated by exact-Jaccard pytest oracles instead, and exposed here as
+rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from data_spark.operators.textstats import language_id, text_quality, token_stats
+from data_spark.queries.common import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "d_dedup_exact",
+    """
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def d_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (hash, not raw text, is the
+    shuffle key — at 100 TB the hash is 32 bytes vs document bodies)."""
+    return exact_duplicate_groups(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\\s+') AS words
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM toks, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS r(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5
+    """,
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join
+    (no O(n²) cross join: pairs are generated only for docs sharing a
+    gram, grouped map-side first)."""
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q("d_minhash_lsh")  # approximate — pytest oracle (tests/test_dedup.py)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join).
+    Rows-only driver check; exact-Jaccard containment is pytest-gated."""
+    return minhash_lsh_candidates(t(spark, sf_dir, "documents"))
+
+
+@_q("d_simhash_near")  # approximate — pytest oracle (tests/test_dedup.py)
+def d_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (band-bucketed Hamming ≤ 3)."""
+    return simhash_near_duplicates(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_token_stats",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(str_split_regex(trim(text), '\\s+'))) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           MAX(len(str_split_regex(trim(text), '\\s+'))) AS max_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting rolled up per source (training-data
+    token accounting)."""
+    return token_stats(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_quality",
+    """
+    SELECT doc_id,
+           len(str_split_regex(trim(text), '\\s+')) AS n_words,
+           ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(str_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w IN ('the','a','an','of','to','and','in','is','it','that')))
+                 AS DOUBLE)
+                 / greatest(len(str_split_regex(trim(text), '\\s+')), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: word count, punctuation ratio,
+    stopword ratio — the filter features of a pretraining data pipeline."""
+    return text_quality(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(str_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ('the','and','of','to','is','in'))) AS en_score,
+             len(list_filter(str_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ('el','la','de','que','y','en'))) AS es_score,
+             len(list_filter(str_split_regex(trim(lower(text)), '\\s+'),
+                 w -> w IN ('le','la','de','et','est','un'))) AS fr_score
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_score >= es_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+                WHEN es_score >= fr_score AND es_score > 0 THEN 'es'
+                WHEN fr_score > 0 THEN 'fr'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """,
+)
+def d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic (n-gram language-ID stand-in;
+    pure column algebra, no UDF)."""
+    return language_id(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+)
+def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (whitespace/
+    punctuation-insensitive identity) + exact sha256 (SURVEY §2.8 hash —
+    the sha512+simhash Message-identity pattern)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", "")).alias("fingerprint"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+
+
+@_q(
+    "mm_binary_meta",
+    """
+    SELECT source,
+           COUNT(*) AS n_blobs,
+           SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+           MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing check: opaque binary payload column + typed
+    metadata rollup. Text bytes stand in for image/audio payloads; the
+    decode stage itself is the stubbed pandas-UDF in
+    data_spark.operators.multimodal (libs not in container)."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select("source", F.octet_length(payload).alias("nbytes")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.max("nbytes").alias("max_bytes"),
+    )

@@ -1,0 +1,237 @@
+"""Event-stream query inventory (SURVEY §2.9 batch analogues + §2.8
+scalar functions exercised with a DuckDB oracle).
+
+The reference's "streaming" is cron micro-batches over document stores;
+these queries express the same semantics (tumbling windows, sessionization,
+JSON payload extraction, watermark-style incremental splits) on the
+``events`` table. True Structured Streaming variants live in
+``data_spark.streaming`` (tested in tests/, not oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.functions import clean_zip, parse_amount, parse_date_multi
+from data_spark.queries.common import SQL_DSUM, dsum, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "e_tumbling_hourly",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {SQL_DSUM.format(expr='value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (SURVEY §2.9 "Windows": daily dedup
+    lookbacks / per-day Day nodes → window()/date_trunc). Batch form of
+    the streaming windowed agg in data_spark.streaming."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@_q(
+    "e_json_extract",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {SQL_DSUM.format(expr="CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON payload extraction (SURVEY §2.8 JSON:
+    json.loads glue everywhere; Spark side = get_json_object, JVM-native)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(k.cast("double")).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_q(
+    "e_sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           {SQL_DSUM.format(expr='value')} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (SURVEY §2.9
+    session/queue state — the batch equivalent of
+    applyInPandasWithState/session_window, expressed with lag + running
+    sum so it is pure window algebra: one shuffle on user_id)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+    )
+
+
+@_q(
+    "e_watermark_split",
+    """
+    SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events
+    WHERE ts > (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+    """,
+)
+def e_watermark_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental scan (SURVEY §2.9 incremental marker:
+    `context.last_indexed > now-1d`, news_articles_ingest_queue_duplicates/
+    main.py:29-33). The watermark is a scalar subquery ⇒ computed once,
+    then pushed as a scan filter."""
+    e = t(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts").alias("m")).select(
+        (F.col("m") - F.expr("INTERVAL 1 DAY")).alias("wm")
+    )
+    return (
+        e.join(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("wm"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@_q(
+    "e_day_expand",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(d AS DATE), '%Y-%m-%d') AS day
+    FROM orders, UNNEST(generate_series(o_orderdate, o_orderdate + INTERVAL 2 DAY,
+                                        INTERVAL 1 DAY)) AS s(d)
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def e_day_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-range expansion (SURVEY §2.8 date: facebook delivery_start..stop
+    → one row per day, facebook_compute_load_graph/main.py:138-147):
+    explode(sequence(...)) — a generator, not a join, so it scales
+    linearly with output rows."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    start = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.explode(F.sequence(start, F.date_add(start, 2))).alias("d"),
+    ).select("o_orderkey", F.date_format("d", "yyyy-MM-dd").alias("day"))
+
+
+@_q(
+    "f_scalar_repair",
+    """
+    SELECT o_orderkey,
+           CASE WHEN zip_raw IS NULL OR zip_raw = '' THEN ''
+                WHEN TRY_CAST(zip_raw AS BIGINT) = 0 THEN ''
+                WHEN TRY_CAST(zip_raw AS BIGINT) IS NOT NULL THEN
+                     CASE WHEN length(CAST(TRY_CAST(zip_raw AS BIGINT) AS VARCHAR)) >= 5
+                          THEN CAST(TRY_CAST(zip_raw AS BIGINT) AS VARCHAR)
+                          ELSE lpad(CAST(TRY_CAST(zip_raw AS BIGINT) AS VARCHAR), 5, '0') END
+                ELSE CASE WHEN length(zip_raw) >= 5 THEN zip_raw
+                          ELSE lpad(zip_raw, 5, '0') END END AS zip,
+           TRY_CAST(regexp_replace(amount_raw, '[$, ]', '', 'g') AS DOUBLE) AS amount,
+           strftime(COALESCE(strptime(date_raw, '%m/%d/%Y'), strptime(date_raw, '%d-%b-%y')),
+                    '%Y-%m-%d') AS fixed_date
+    FROM (
+      SELECT o_orderkey,
+             substr(CAST(o_orderkey AS VARCHAR), 1, 4) AS zip_raw,
+             '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS amount_raw,
+             strftime(o_orderdate, '%m/%d/%Y') AS date_raw
+      FROM orders
+    )
+    """,
+)
+def f_scalar_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar repair battery with a real oracle: clean_zip + money parse +
+    multi-format date fallback (SURVEY §2.8 — create_master_tables
+    date/zip repair, house…contributions amount parse). Raw strings are
+    synthesized from orders so both engines see identical inputs."""
+    o = t(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.substring(F.col("o_orderkey").cast("string"), 1, 4).alias("zip_raw"),
+        F.concat(
+            F.lit("$"), F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+        ).alias("amount_raw"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("date_raw"),
+    )
+    return raw.select(
+        "o_orderkey",
+        clean_zip(F.col("zip_raw")).alias("zip"),
+        parse_amount(F.col("amount_raw")).alias("amount"),
+        F.date_format(
+            parse_date_multi(F.col("date_raw"), ["M/d/yyyy", "d-MMM-yy"]), "yyyy-MM-dd"
+        ).alias("fixed_date"),
+    )

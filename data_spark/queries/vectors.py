@@ -1,0 +1,103 @@
+"""Similarity-search and containment-join query inventory.
+
+``v_cosine_topk`` is oracle-checked against DuckDB's
+list_cosine_similarity (similarity values are excluded from the output
+so float last-bit drift cannot flip the hash; ranking ties are broken
+by neighbor id). The LSH variant is approximate → rows-only check +
+recall pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_spark.operators.joins import suffix_containment_join
+from data_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from data_spark.queries.common import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "v_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10
+    ), sims AS (
+      SELECT qid, cid, list_cosine_similarity(qv, cv) AS sim FROM q, c
+    ), ranked AS (
+      SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      FROM sims
+    )
+    SELECT qid, cid AS neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5: first 10 vectors are queries, the
+    rest the corpus. Queries broadcast; dot products in codegen."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@_q("v_lsh_ann")  # approximate — recall gated in tests/test_similarity.py
+def v_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-bucketed approximate top-5 (the 100 TB path:
+    each query scans one bucket, not the corpus)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@_q(
+    "j_suffix_containment",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT CASE doc_id % 3
+               WHEN 0 THEN source || '.example.com'
+               WHEN 1 THEN 'news.' || source || '.example.com'
+               ELSE 'cdn.static.' || source || '.example.com' END AS host
+      FROM documents
+    ), domains AS (
+      SELECT DISTINCT source || '.example.com' AS domain FROM documents
+      UNION SELECT 'example.com'
+    )
+    SELECT h.host, d.domain
+    FROM hosts h JOIN domains d
+      ON h.host = d.domain OR suffix(h.host, '.' || d.domain)
+    """,
+)
+def j_suffix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join (SURVEY J6): host equals domain OR is a
+    subdomain of it. Oracle states the naive theta join; the engine runs
+    the suffix-explode equi-join rewrite (operators.joins) — hash join,
+    not nested loop."""
+    d = t(spark, sf_dir, "documents")
+    hosts = d.select(
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("source"), F.lit(".example.com")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("news."), F.col("source"), F.lit(".example.com")))
+        .otherwise(F.concat(F.lit("cdn.static."), F.col("source"), F.lit(".example.com")))
+        .alias("host")
+    ).distinct()
+    domains = (
+        d.select(F.concat(F.col("source"), F.lit(".example.com")).alias("domain"))
+        .union(d.sparkSession.range(1).select(F.lit("example.com").alias("domain")))
+        .distinct()
+    )
+    return suffix_containment_join(hosts, F.broadcast(domains)).select("host", "domain")

@@ -1,0 +1,161 @@
+"""Operator-level tests: dedup (with exact-Jaccard oracle for the
+approximate paths), merge/upsert, containment join, similarity recall."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from data_spark.operators.joins import suffix_containment_join
+from data_spark.operators.merge import delete_then_insert, merge_upsert
+from data_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("dog", "cat")),  # near dup
+        (4, "completely different text about query engines and shuffles in spark"),
+        (5, "another unrelated document mentioning benchmarks and parquet files only"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(spark):
+    got = exact_duplicate_groups(_docs(spark)).collect()
+    assert len(got) == 1
+    assert got[0]["keeper_id"] == 1
+    assert got[0]["n_copies"] == 2
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    df = _docs(spark)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+
+    # brute-force oracle in plain Python with identical tokenization
+    import itertools
+    import re
+
+    def grams(t):
+        words = re.sub(r"[^a-z0-9 ]+", " ", t.lower()).strip()
+        words = re.split(r"\s+", words)
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)} if len(words) >= 3 else set()
+
+    rows = {r["doc_id"]: grams(r["text"]) for r in df.collect()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        ga, gb = rows[a], rows[b]
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.3:
+            expected[(a, b)] = round(j, 6)
+    assert got == expected
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+
+
+def test_minhash_lsh_finds_true_pairs(spark):
+    df = _docs(spark)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs  # near dup should collide in ≥1 band
+    assert (4, 5) not in pairs  # unrelated docs shouldn't
+
+
+def test_simhash_near_duplicates(spark):
+    df = _docs(spark)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_duplicates(df, max_distance=16).collect()}
+    assert pairs.get((1, 2)) == 0  # identical text: distance 0, guaranteed hit
+    # beyond distance 3 the 4-chunk banding is probabilistic, so (1,3) at
+    # distance ~12 may or may not collide — only assert no false positives
+    for (a, b), d in pairs.items():
+        assert d <= 16
+
+
+def test_merge_upsert_last_write_wins(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["id", "name", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], ["id", "name", "v"]
+    )
+    got = {r["id"]: (r["name"], r["v"]) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30)}
+
+
+def test_merge_upsert_version_ordered(spark):
+    target = spark.createDataFrame([(1, "new", 5)], ["id", "name", "ver"])
+    updates = spark.createDataFrame([(1, "stale", 3)], ["id", "name", "ver"])
+    got = merge_upsert(target, updates, ["id"], order_col="ver").collect()
+    assert got[0]["name"] == "new"  # higher version in target wins
+
+
+def test_delete_then_insert_amendment(spark):
+    target = spark.createDataFrame(
+        [(100, 5000.0), (101, 6000.0)], ["file_num", "amount"]
+    )
+    amendments = spark.createDataFrame(
+        [(102, 5500.0, 100)], ["file_num", "amount", "prev_file_num"]
+    )
+    got = {r["file_num"]: r["amount"] for r in delete_then_insert(target, amendments).collect()}
+    assert got == {101: 6000.0, 102: 5500.0}  # 100 replaced by 102
+
+
+def test_suffix_containment_join(spark):
+    hosts = spark.createDataFrame(
+        [("news.example.com",), ("example.com",), ("cdn.static.other.org",), ("unrelated.net",)],
+        ["host"],
+    )
+    domains = spark.createDataFrame([("example.com",), ("other.org",)], ["domain"])
+    got = {(r["host"], r["domain"]) for r in suffix_containment_join(hosts, domains).collect()}
+    assert got == {
+        ("news.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("cdn.static.other.org", "other.org"),
+    }
+
+
+def _vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = i * 0.1
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * (i % 5), 1.0]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    got = cosine_topk(corpus, queries, k=3).collect()
+    assert len(got) == 6
+    # nearest neighbor of vec 0 should be a small-angle vector
+    nn = [r["neighbor_id"] for r in got if r["qid"] == 0 and r["rank"] == 1][0]
+    assert nn in (5, 10, 2, 3, 4, 20, 25)
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["qid"], r["neighbor_id"]) for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+    approx = {
+        (r["qid"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(corpus, queries, k=3, num_planes=4).collect()
+    }
+    # LSH with few planes on smooth data should recover a decent fraction
+    assert len(exact & approx) / len(exact) >= 0.4
