@@ -1,0 +1,102 @@
+"""Structured Streaming jobs (SURVEY §2.9 Spark mappings).
+
+- ``stream_windowed_counts``: readStream → watermark → tumbling-window
+  agg (the daily-dedup/day-node semantics as a real stream).
+- ``merge_upsert_sink``: foreachBatch MERGE — each micro-batch is
+  upserted into a keyed parquet target via operators.merge.merge_upsert
+  (ES doc_as_upsert semantics), with optional amendment
+  delete-then-insert (the FEC prev_file_num path).
+
+Tested with file sources/sinks in tests/test_streaming.py; on a
+cluster the same code runs against Kafka/object-store sources — only
+the ``format`` changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from data_spark.operators.merge import delete_then_insert, merge_upsert
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """File-source stream → watermarked tumbling-window counts.
+
+    The watermark bounds state (late rows beyond it are dropped), which
+    is the streaming analogue of the reference's `now-1d` lookback
+    windows.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "n",
+        )
+    )
+
+
+def merge_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+    prev_key: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch MERGE sink: micro-batch → upsert into a keyed
+    parquet table (rewrite-on-merge — at cluster scale the rewrite
+    becomes partition-scoped overwrite keyed by the merge key's
+    partition).
+
+    ``prev_key``: when set, rows carrying it first delete their
+    predecessor (amendment delete-then-insert,
+    load_graph_expenditures/cypher.py:40-75 semantics).
+    """
+    spark = stream.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        batch = batch.dropDuplicates(keys)
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            if prev_key is not None and prev_key in batch.columns:
+                target = delete_then_insert(
+                    target, batch.filter(F.col(prev_key).isNotNull()),
+                    key=keys[0], prev_key=prev_key,
+                )
+                batch = batch.filter(F.col(prev_key).isNull()).drop(prev_key)
+                target = target.drop(prev_key) if prev_key in target.columns else target
+            merged = merge_upsert(target, batch, keys, order_col=order_col)
+        else:
+            merged = batch.drop(prev_key) if prev_key and prev_key in batch.columns else batch
+        staging = f"{target_path}__batch{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        out = spark.read.parquet(staging)
+        out.write.mode("overwrite").parquet(target_path)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,78 @@
+"""Graph-layer tests: MERGE-semantics upserts (last-write-wins props,
+ON-CREATE-only columns, composite node keys), anti-pattern scans, and
+FEC contribution-graph extraction."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_spark.fec.master import build_contributions_master
+from data_spark.fec.views import contributions_elastic
+from data_spark.graph import contribution_graph, upsert_edges, upsert_nodes
+from data_spark.graph.tables import anti_pattern_scan
+from tests.fec_fixtures import write_fixtures
+
+
+def test_upsert_nodes_last_write_wins(spark):
+    existing = spark.createDataFrame(
+        [("Committee", "C001", "OLD NAME", "u-1")], ["label", "key", "name", "uuid"]
+    )
+    updates = spark.createDataFrame(
+        [("Committee", "C001", "NEW NAME", "u-2"), ("Committee", "C002", "OTHER", "u-3")],
+        ["label", "key", "name", "uuid"],
+    )
+    got = {
+        r["key"]: (r["name"], r["uuid"])
+        for r in upsert_nodes(existing, updates, ["label", "key"], on_create_only=["uuid"]).collect()
+    }
+    assert got["C001"] == ("NEW NAME", "u-1")  # props updated, uuid kept
+    assert got["C002"] == ("OTHER", "u-3")
+
+
+def test_upsert_nodes_composite_key(spark):
+    a = spark.createDataFrame(
+        [("Donor", "SMITH", "94105", 1), ("Donor", "SMITH", "10001", 2)],
+        ["label", "name", "zip", "v"],
+    )
+    b = spark.createDataFrame([("Donor", "SMITH", "94105", 9)], ["label", "name", "zip", "v"])
+    got = {(r["name"], r["zip"]): r["v"] for r in upsert_nodes(a, b, ["label", "name", "zip"]).collect()}
+    assert got == {("SMITH", "94105"): 9, ("SMITH", "10001"): 2}
+
+
+def test_anti_pattern_scan(spark):
+    nodes = spark.createDataFrame(
+        [("Link", "a.com/1"), ("Link", "b.com/2"), ("Domain", "a.com")], ["label", "key"]
+    )
+    edges = spark.createDataFrame(
+        [("Link", "a.com/1", "ASSOCIATED_WITH", "Domain", "a.com")],
+        ["src_label", "src_key", "rel", "dst_label", "dst_key"],
+    )
+    got = [r["key"] for r in anti_pattern_scan(nodes, edges, "Link", "ASSOCIATED_WITH").collect()]
+    assert got == ["b.com/2"]
+
+
+def test_contribution_graph(spark, tmp_path):
+    paths = write_fixtures(str(tmp_path))
+    t = {n: spark.read.parquet(p) for n, p in paths.items()}
+    master = build_contributions_master(t["oth"], t["indiv"])
+    elastic = contributions_elastic(master, t["cn"], t["cm"])
+    g = contribution_graph(elastic)
+    labels = {r["label"] for r in g.nodes.select("label").distinct().collect()}
+    assert labels >= {"Committee", "Donor", "Contribution", "Day"}
+    # node keys unique
+    assert g.nodes.count() == g.nodes.select("label", "key").distinct().count()
+    # every contribution node key appears in an edge to its target committee
+    contrib_edges = g.edges.filter(
+        (F.col("src_label") == "Contribution") & (F.col("rel") == "CONTRIBUTED_TO")
+    )
+    assert contrib_edges.count() > 0
+    # dated rows produce HAPPENED_ON edges to Day nodes; undated don't
+    n_dated = elastic.filter(
+        F.col("transaction_dt").try_cast("date").isNotNull()
+    ).count()
+    happened = g.edges.filter(F.col("rel") == "HAPPENED_ON")
+    assert happened.select("src_key").distinct().count() <= n_dated
+    assert happened.count() > 0
+    # donor composite key joins name and cleaned zip
+    donor_keys = [r["key"] for r in g.nodes.filter(F.col("label") == "Donor").collect()]
+    assert any("|" in k for k in donor_keys)

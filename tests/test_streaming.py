@@ -1,0 +1,124 @@
+"""Streaming-layer tests: anti-join incremental loader drains exactly
+once; Structured Streaming windowed agg and foreachBatch MERGE sink run
+end-to-end on file sources."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from data_spark.streaming import (
+    ProcessedLog,
+    incremental_batches,
+    load_unprocessed,
+    merge_upsert_sink,
+    stream_windowed_counts,
+)
+
+
+def test_incremental_batches_drain_exactly_once(spark, tmp_path):
+    src = spark.range(0, 95).select(F.col("id").alias("sub_id"), (F.col("id") * 2).alias("v"))
+    log = ProcessedLog(spark, str(tmp_path / "log"), key="sub_id")
+    # pre-populate the log with 10 already-processed keys (FIXTURES.md §3)
+    log.append(spark.range(0, 10).select(F.col("id").alias("sub_id")))
+
+    seen = []
+
+    def process(batch):
+        seen.extend(r["sub_id"] for r in batch.collect())
+
+    counts = list(incremental_batches(src, log, process, batch_size=40))
+    assert counts == [40, 40, 5]  # 85 remaining after the 10 pre-loaded
+    assert sorted(seen) == list(range(10, 95))
+    assert len(seen) == len(set(seen))  # exactly once
+    # drained: nothing left
+    assert load_unprocessed(src, log).count() == 0
+
+
+def _write_events(dirpath, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    p = os.path.join(dirpath, f"part{len(os.listdir(dirpath))}.json")
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    _write_events(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:40:00Z", "event_type": "click", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01T01:10:00Z", "event_type": "view", "value": 3.0},
+        ],
+    )
+    agg = stream_windowed_counts(spark, src, EVENT_SCHEMA)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_merge_upsert_sink_with_amendments(spark, tmp_path):
+    src = str(tmp_path / "merge_src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [
+            StructField("file_num", LongType()),
+            StructField("amount", DoubleType()),
+            StructField("prev_file_num", LongType()),
+        ]
+    )
+    _write_events(
+        src,
+        [
+            {"file_num": 100, "amount": 10.0, "prev_file_num": None},
+            {"file_num": 101, "amount": 20.0, "prev_file_num": None},
+        ],
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = merge_upsert_sink(stream, target, keys=["file_num"], checkpoint=ckpt, prev_key="prev_file_num")
+    q.awaitTermination(120)
+    got = {r["file_num"]: r["amount"] for r in spark.read.parquet(target).collect()}
+    assert got == {100: 10.0, 101: 20.0}
+
+    # second micro-batch: update 101, amend 100 → 102
+    _write_events(
+        src,
+        [
+            {"file_num": 101, "amount": 25.0, "prev_file_num": None},
+            {"file_num": 102, "amount": 11.0, "prev_file_num": 100},
+        ],
+    )
+    stream2 = spark.readStream.schema(schema).json(src)
+    q2 = merge_upsert_sink(stream2, target, keys=["file_num"], checkpoint=ckpt, prev_key="prev_file_num")
+    q2.awaitTermination(120)
+    got = {r["file_num"]: r["amount"] for r in spark.read.parquet(target).collect()}
+    assert got == {101: 25.0, 102: 11.0}  # 100 deleted by amendment
