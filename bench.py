@@ -28,6 +28,11 @@ HEADLINE = [
     "w_topk_global",
     "w_first_per_group",
     "m_upsert_latest",
+    "q4_order_priority",
+    "q16_brand_supplier_cnt",
+    "q18_large_orders",
+    "g_rollup_region",
+    "w_running_total",
     "e_tumbling_hourly",
     "e_sessionize",
     "d_dedup_exact",

@@ -2,10 +2,11 @@
 DataFrame, plus the matching DuckDB oracle SQL (absent for approximate
 operators, which are pytest-gated instead)."""
 
-from data_spark.queries import documents, events, relational, vectors
+from data_spark.queries import documents, events, relational, relational2, vectors
 
 QUERIES = {
     **relational.QUERIES,
+    **relational2.QUERIES,
     **events.QUERIES,
     **documents.QUERIES,
     **vectors.QUERIES,
@@ -13,6 +14,7 @@ QUERIES = {
 
 ORACLE = {
     **relational.ORACLE,
+    **relational2.ORACLE,
     **events.ORACLE,
     **documents.ORACLE,
     **vectors.ORACLE,

@@ -1,0 +1,363 @@
+"""Second relational battery: TPC-H-shaped subquery/conditional-agg
+patterns plus engine-completeness operators (rollup, intersect/except,
+pivot, rank/lag windows, correlated scalar subqueries). All
+oracle-checked; same determinism rules as queries.common.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.queries.common import SQL_DSUM, dsum, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_quantity > 30)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-correlated count (TPC-H Q4 shape) — planned as a left-semi
+    join, one shuffle on orderkey, tiny agg."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "q12_shipmode_case",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count aggregation (TPC-H Q12 shape)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q14_promo_share",
+    f"""
+    SELECT ROUND(100.0 * {SQL_DSUM.format(expr="CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+           / {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction-of-total conditional aggregate (TPC-H Q14 shape); part
+    dim broadcast."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct"))
+    )
+
+
+@_q(
+    "q16_brand_supplier_cnt",
+    """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20, 25)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT per group with pushed dim predicates (TPC-H Q16
+    shape) — partial distinct happens map-side before the shuffle."""
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25)
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q18_large_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_custkey, {SQL_DSUM.format(expr='l.l_quantity')} AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 150
+    )
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + IN-subquery (TPC-H Q18 shape) as agg → semi-join."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+@_q(
+    "q19_disjunctive",
+    f"""
+    SELECT {SQL_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive mixed join/scan predicates (TPC-H Q19 shape) —
+    Catalyst extracts the common p_partkey equi-key so this stays a hash
+    join with residual OR filter, not a nested loop."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 30))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & q.between(20, 50))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_q(
+    "w_rank_in_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def w_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via dense_rank (window battery beyond
+    row_number)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@_q(
+    "w_running_total",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per key — decimal accumulation keeps the
+    prefix sums bit-identical across engines."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@_q(
+    "w_lag_delta",
+    """
+    SELECT user_id, event_id,
+           CAST(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS DOUBLE) AS delta
+    FROM events
+    """,
+)
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() delta per key (cursor-walk semantics, SURVEY W6)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).cast("double").alias("delta"),
+    )
+
+
+@_q(
+    "g_rollup_region",
+    f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {SQL_DSUM.format(expr='c.c_acctbal')} AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def g_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine-completeness beyond the
+    reference; one shuffle, grouping-set expansion map-side)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum(F.col("c_acctbal")).alias("total_balance"))
+    )
+
+
+@_q(
+    "s_intersect_except",
+    """
+    SELECT 'both' AS bucket, c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'open_only' AS bucket, c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def s_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra (absent from the reference, part
+    of a complete engine; EXCEPT-semantics appear there only as
+    anti-joins)."""
+    o = t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    done_c = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    both = open_c.intersect(done_c).select(F.lit("both").alias("bucket"), "c_custkey")
+    only = open_c.subtract(done_c).select(F.lit("open_only").alias("bucket"), "c_custkey")
+    return both.unionByName(only)
+
+
+@_q(
+    "p_pivot_status",
+    f"""
+    SELECT o_custkey AS custkey,
+           {SQL_DSUM.format(expr="CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS open_amt,
+           {SQL_DSUM.format(expr="CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS done_amt,
+           {SQL_DSUM.format(expr="CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END")} AS partial_amt
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def p_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-to-columns (wide conditional aggregation — expressed as
+    CASE sums so the output schema is static and oracle-comparable)."""
+    o = t(spark, sf_dir, "orders")
+
+    def amt(status: str):
+        return dsum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(0.0)
+        )
+
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        amt("O").alias("open_amt"), amt("F").alias("done_amt"), amt("P").alias("partial_amt")
+    )
+
+
+@_q(
+    "sq_above_avg_price",
+    """
+    SELECT p.p_partkey, p.p_retailprice,
+           ROUND(p.p_retailprice / (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+                                           / COUNT(p_retailprice) FROM part), 6) AS price_ratio
+    FROM part p
+    WHERE p.p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+                                    / COUNT(p_retailprice) FROM part)
+    """,
+)
+def sq_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery comparison against a global aggregate (computed
+    once, broadcast as a 1-row join — no per-row recomputation)."""
+    p = t(spark, sf_dir, "part")
+    avg_df = p.agg(
+        (dsum(F.col("p_retailprice")) / F.count("p_retailprice")).alias("avg_price")
+    )
+    return (
+        p.join(F.broadcast(avg_df))
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.round(F.col("p_retailprice") / F.col("avg_price"), 6).alias("price_ratio"),
+        )
+    )
