@@ -62,6 +62,69 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into centroid
+    cells, probe only the ``nprobe`` nearest cells per query, exact
+    rerank inside them.
+
+    Centroids here are training-free and deterministic (the
+    ``num_centroids`` lowest-id corpus vectors) so results are
+    reproducible and oracle-checkable; swap in k-means centroids for
+    recall at production scale — the plan shape is identical. Cell
+    assignment is one broadcast join over the tiny centroid set; the
+    probe join shuffles on cell id, so per-query work is
+    O(probed-cell sizes), not O(|corpus|).
+
+    Returns (qid, neighbor_id, rank).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    cents = (
+        c.orderBy("cid")
+        .limit(num_centroids)
+        .select(F.col("cid").alias("cent_id"), F.col("cv").alias("cent_v"))
+    )
+
+    def nearest_cells(df: DataFrame, key: str, vec: str, n: int) -> DataFrame:
+        sims = df.join(F.broadcast(cents)).select(
+            key,
+            vec,
+            F.col("cent_id").alias("cell"),
+            cosine_similarity(F.col(vec), F.col("cent_v")).alias("csim"),
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("csim"), F.asc("cell"))
+        return (
+            sims.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn", "csim")
+        )
+
+    assigned = nearest_cells(c, "cid", "cv", 1)
+    probes = nearest_cells(q, "qid", "qv", nprobe).select("qid", "qv", "cell")
+    cand = probes.join(assigned, "cell").select("qid", "qv", "cid", "cv")
+    sims = cand.select(
+        "qid", "cid", cosine_similarity(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("neighbor_id"), "rank")
+    )
+
+
 def _rh_signature(vec: Column, dim: int, num_planes: int) -> Column:
     """Random-hyperplane signature as a bit-string.
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_spark.operators.dedup import (
     exact_duplicate_groups,
@@ -82,6 +83,24 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no O(n²) cross join: pairs are generated only for docs sharing a
     gram, grouped map-side first)."""
     return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q(
+    "d_dedup_resolve",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def d_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution: the kept corpus after exact dedup (keeper =
+    min doc_id per content hash) — the write-side companion of
+    d_dedup_exact."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.asc("doc_id"))
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("doc_id")
 
 
 @_q("d_minhash_lsh")  # approximate — pytest oracle (tests/test_dedup.py)

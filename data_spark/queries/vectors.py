@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_spark.operators.joins import suffix_containment_join
-from data_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from data_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucketed_topk
 from data_spark.queries.common import t
 
 QUERIES = {}
@@ -51,6 +51,48 @@ def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest the corpus. Queries broadcast; dot products in codegen."""
     emb = t(spark, sf_dir, "embeddings")
     return cosine_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@_q(
+    "v_ivf_topk",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), cents AS (
+      SELECT cid AS cent_id, cv AS cent_v FROM c ORDER BY cid LIMIT 8
+    ), assign AS (
+      SELECT cid, cell FROM (
+        SELECT c.cid, cents.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                 ORDER BY list_cosine_similarity(c.cv, cents.cent_v) DESC, cents.cent_id) AS rn
+        FROM c, cents) WHERE rn = 1
+    ), probes AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, cents.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, cents.cent_v) DESC, cents.cent_id) AS rn
+        FROM q, cents) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.qid, a.cid FROM probes p JOIN assign a ON p.cell = a.cell
+    ), ranked AS (
+      SELECT cand.qid, cand.cid,
+             ROW_NUMBER() OVER (PARTITION BY cand.qid
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, cand.cid) AS rank
+      FROM cand JOIN q ON cand.qid = q.qid JOIN c ON cand.cid = c.cid
+    )
+    SELECT qid, cid AS neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probed approximate top-5 with deterministic centroids —
+    oracle-checkable because cell assignment and rerank use identical
+    double cosines in both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
         emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
     )
 
