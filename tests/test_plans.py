@@ -1,0 +1,92 @@
+"""Physical-plan audits: assert the plans are the ones we designed for
+scale, not just plans that return correct rows (SURVEY §4 / BASELINE
+"design posture").
+
+Checked properties:
+- dim joins execute as BroadcastHashJoin (no shuffle of the fact side
+  beyond its own keys);
+- scan-level predicate pushdown reaches the parquet reader;
+- global top-K plans as TakeOrderedAndProject (never a full sort);
+- aggregations run partial (map-side) before the exchange;
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere in the
+  inventory (the containment join's suffix-explode rewrite is exactly
+  what prevents one).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from data_spark.queries import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_dim_join_broadcasts(spark, sf_small):
+    plan = plan_of(QUERIES["j_left_join_dim"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_single_shuffle(spark, sf_small):
+    plan = plan_of(QUERIES["q5_nation_revenue"](spark, sf_small))
+    # every dim side broadcast; the only exchanges are the fact-fact join
+    # keys and the final small agg
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    plan = plan_of(QUERIES["p_compound_filter"](spark, sf_small))
+    assert "PushedFilters: [" in plan
+    # at least the IsNotNull/equality conjuncts reach the reader
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:400]
+
+
+def test_topk_is_take_ordered(spark, sf_small):
+    plan = plan_of(QUERIES["w_topk_global"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_small):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_small))
+    # partial + final hash aggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_anti_join_not_cartesian(spark, sf_small):
+    plan = plan_of(QUERIES["j_anti_unloaded"](spark, sf_small))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
+    plan = plan_of(QUERIES[name](spark, sf_small), mode="simple")
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin is acceptable only for deliberate 1-row
+    # scalar-subquery broadcasts (watermark / global-average joins)
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in (
+            "e_watermark_split",  # 1-row watermark broadcast
+            "sq_above_avg_price",  # 1-row global-average broadcast
+            "v_cosine_topk",  # deliberate query-set × corpus broadcast
+            "v_lsh_ann",
+            "v_ivf_topk",  # tiny centroid-set broadcasts
+        ), (
+            f"{name} plans a nested-loop join:\n{plan}"
+        )
+
+
+def test_suffix_join_is_hash_join(spark, sf_small):
+    plan = plan_of(QUERIES["j_suffix_containment"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
