@@ -93,6 +93,19 @@ def read_headed_csv(spark: SparkSession, path: str, schema: StructType) -> DataF
     )
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet write (SURVEY §4 partitioning
+    discipline: facts by cycle/file_num, documents by source+date).
+    Reads that filter on ``partition_by`` columns prune directories —
+    verify with plans.report.plan_report()['partition_filters']."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
 def validated_overwrite(
     df: DataFrame,
     path: str,

@@ -1,0 +1,64 @@
+"""Skew mitigation (SURVEY §2 "Partitioning & shuffle" posture).
+
+AQE's skew-join splitting covers joins; these helpers cover the two
+cases AQE doesn't:
+
+- ``salted_agg``: heavy-hitter GROUP BY keys (one key ≫ one
+  partition's memory). Two-stage: salt the key → partial agg on
+  (key, salt) → final agg on key. Works for any algebraic aggregate
+  expressed as (partial_exprs, final_exprs).
+- ``salted_broadcast_left``: replicate-broadcast join for a skewed
+  build side when the small side fits in memory anyway — degenerate
+  case kept for completeness; prefer plain broadcast when possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` maps output column name → (partial_agg_expr,
+    final_agg_expr_over_partial). Example::
+
+        salted_agg(df, ["k"], {
+            "total": (F.sum("v"), F.sum("total")),
+            "n":     (F.count(F.lit(1)), F.sum("n")),
+        })
+
+    The salt spreads one hot key over ``salt_buckets`` reducers in
+    stage 1; stage 2 shuffles only ``salt_buckets`` rows per key.
+    """
+    # the salt must vary WITHIN a key: partition id spreads a hot key
+    # over however many input partitions carry it, deterministically
+    salted = df.withColumn("__salt", F.spark_partition_id() % salt_buckets)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    final = partial.groupBy(*keys).agg(
+        *[final_expr.alias(name) for name, (_, final_expr) in aggs.items()]
+    )
+    return final
+
+
+def explode_salt(small: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Replicate the small side of a join across salt buckets: each row
+    appears once per bucket with a ``__salt`` column, so a salted big
+    side can equi-join on (key, __salt)."""
+    return small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+
+
+def add_salt(big: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Random salt on the big side (pair with explode_salt on the small
+    side, then join on original keys + __salt)."""
+    return big.withColumn("__salt", F.spark_partition_id() % salt_buckets)

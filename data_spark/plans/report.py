@@ -1,0 +1,64 @@
+"""Structured physical-plan inspection.
+
+``plan_report`` parses ``df.explain`` output into the properties that
+matter for scale review (SURVEY §4 posture): join strategies chosen,
+whether scan-level pushdown happened, how many exchanges (shuffles) the
+plan performs, and whether whole-stage codegen covers the hot path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_text(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees.
+
+    AQE's pre-execution plan reports 0 subtrees (codegen is decided per
+    finalized stage), so probe a fresh plan of the same query with AQE
+    off — the count reflects the non-adaptive physical plan, which is
+    what the codegen-coverage question is about.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from pyspark.sql import functions as F
+
+        text = explain_text(df.where(F.lit(True)), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Summarize the physical plan into scale-relevant booleans/counts."""
+    text = explain_text(df, "formatted")
+    simple = explain_text(df, "simple")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    return {
+        # counts come from the simple tree (formatted mode prints each
+        # operator twice: once in the tree, once in the details section)
+        "broadcast_hash_joins": simple.count("BroadcastHashJoin"),
+        "sort_merge_joins": simple.count("SortMergeJoin"),
+        "nested_loop_joins": simple.count("BroadcastNestedLoopJoin")
+        + simple.count("CartesianProduct"),
+        "exchanges": len(re.findall(r"\bExchange\b", simple)),
+        "has_take_ordered": "TakeOrderedAndProject" in text,
+        "pushed_filters": [p for p in pushed if p.strip()],
+        "wholestage_codegen_spans": _codegen_spans(df),
+        "partition_filters": bool(pf and pf.group(1).strip()),
+    }

@@ -1,0 +1,98 @@
+"""SQL catalog surface, plan reporting, skew helpers, and partitioned
+write/pruning."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_spark.io import read_table, write_partitioned
+from data_spark.operators.skew import add_salt, explode_salt, salted_agg
+from data_spark.plans import plan_report, register_fec_views, register_testdata_views, sql
+from tests.fec_fixtures import write_fixtures
+
+
+def test_sql_surface_matches_dataframe(spark, sf_small):
+    register_testdata_views(spark, sf_small)
+    got = sql(
+        spark,
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag
+        """,
+    ).collect()
+    li = read_table(spark, sf_small, "lineitem")
+    want = li.filter(F.col("l_quantity") > 10).groupBy("l_returnflag").count().collect()
+    assert {(r["l_returnflag"], r["n"]) for r in got} == {
+        (r["l_returnflag"], r["count"]) for r in want
+    }
+
+
+def test_fec_view_cascade_via_sql(spark, tmp_path):
+    paths = write_fixtures(str(tmp_path))
+    t = {n: spark.read.parquet(p) for n, p in paths.items()}
+    names = register_fec_views(spark, t["oth"], t["indiv"], t["cn"], t["cm"])
+    assert "contributions_elastic" in names
+    counts = sql(
+        spark,
+        "SELECT classification, COUNT(*) AS n FROM contributions_elastic GROUP BY 1",
+    ).collect()
+    assert {r["classification"] for r in counts} >= {"individual", "committee"}
+    # view-on-view predicate still answers correctly
+    one = sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM contributions_from_committees WHERE source LIKE 'C%'",
+    ).collect()[0]["n"]
+    assert one > 0
+
+
+def test_plan_report_fields(spark, sf_small):
+    li = read_table(spark, sf_small, "lineitem").filter(F.col("l_quantity") > 10)
+    o = read_table(spark, sf_small, "orders")
+    joined = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    rep = plan_report(joined)
+    assert rep["broadcast_hash_joins"] == 1
+    assert rep["nested_loop_joins"] == 0
+    assert any("l_quantity" in p for p in rep["pushed_filters"])
+    assert rep["wholestage_codegen_spans"] >= 1
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    got = {
+        r["k"]: (round(r["total"], 6), r["n"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "total": (F.sum("v"), F.sum("total")),
+                "n": (F.count(F.lit(1)), F.sum("n")),
+            },
+        ).collect()
+    }
+    want = {
+        r["k"]: (round(r["total"], 6), r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain(spark):
+    big = spark.range(0, 5_000).select((F.col("id") % 4).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "name"])
+    plain = big.join(small, "k").count()
+    salted = add_salt(big, 8).join(explode_salt(small, 8), ["k", "__salt"]).count()
+    assert plain == salted
+
+
+def test_partitioned_write_prunes(spark, sf_small, tmp_path):
+    ev = read_table(spark, sf_small, "events")
+    out = str(tmp_path / "events_parted")
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    rep = plan_report(back)
+    assert rep["partition_filters"] is True
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
