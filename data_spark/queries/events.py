@@ -190,6 +190,40 @@ def e_day_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j_range_tier",
+    f"""
+    WITH tiers AS (
+      SELECT * FROM (VALUES ('bronze', 0.0, 25.0), ('silver', 25.0, 50.0),
+                            ('gold', 50.0, 75.0), ('platinum', 75.0, 1e9))
+             AS t(tier, lo, hi)
+    )
+    SELECT t.tier, COUNT(*) AS n_events,
+           {SQL_DSUM.format(expr='e.value')} AS tier_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def j_range_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join: events matched to value tiers by interval
+    containment. The tier table is tiny ⇒ broadcast; at scale with a
+    large band table the engine-level rewrite is bucket-explode (like
+    the suffix join): derive floor(value/step) keys on both sides and
+    equi-join. Here the broadcast nested-loop over 4 rows is the right
+    plan — the point is interval semantics, checked exactly."""
+    e = t(spark, sf_dir, "events")
+    tiers = e.sparkSession.createDataFrame(
+        [("bronze", 0.0, 25.0), ("silver", 25.0, 50.0), ("gold", 50.0, 75.0),
+         ("platinum", 75.0, 1e9)],
+        ["tier", "lo", "hi"],
+    )
+    return (
+        e.join(F.broadcast(tiers), (e.value >= tiers.lo) & (e.value < tiers.hi))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("tier_value"))
+    )
+
+
+@_q(
     "f_scalar_repair",
     """
     SELECT o_orderkey,

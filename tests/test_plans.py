@@ -81,6 +81,7 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "v_cosine_topk",  # deliberate query-set × corpus broadcast
             "v_lsh_ann",
             "v_ivf_topk",  # tiny centroid-set broadcasts
+            "j_range_tier",  # interval join against a 4-row broadcast
         ), (
             f"{name} plans a nested-loop join:\n{plan}"
         )
