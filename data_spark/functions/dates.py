@@ -70,6 +70,12 @@ def day_range(start: Column, stop: Column) -> Column:
     return F.sequence(s, e, F.expr("interval 1 day"))
 
 
+def election_cycle(year: Column) -> Column:
+    """Two-year election cycle containing ``year``: ceil(year/2)*2
+    (federal_fec_ingest_get_receipts/main.py:96)."""
+    return (F.ceil(year.cast("double") / 2) * 2).cast("int")
+
+
 def date_parts(ts: Column) -> list[Column]:
     """Decompose to the (year, month, day, hour, minute) component columns
     the graph layer keys Day nodes on (load_graph_contributions/main.py:31-38)."""

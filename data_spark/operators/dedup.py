@@ -83,6 +83,8 @@ def ngram_jaccard_pairs(
         df.repartition(parallelism)
         .select(F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("__words"))
         .select("doc_id", F.explode(ngrams_from_words(F.col("__words"), n)).alias("gram"))
+        .cache()  # read by both self-join branches + sizes: 3 consumers,
+        # and the cached table is (id, gram) — tiny next to the corpus
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")

@@ -189,6 +189,20 @@ def e_day_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", F.date_format("d", "yyyy-MM-dd").alias("day"))
 
 
+@_q("a_approx_distinct")  # sketch-based — engine HLLs differ, rows-only check
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++ with 1%
+    target error) next to the exact count — the cardinality-sketch path
+    for 100 TB scale where exact count-distinct shuffles too much.
+    Sketches are engine-specific, so this is a rows-only check; the
+    pytest gate bounds the relative error against the exact count."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 @_q(
     "j_range_tier",
     f"""

@@ -159,3 +159,23 @@ def test_lsh_recall_vs_bruteforce(spark):
     }
     # LSH with few planes on smooth data should recover a decent fraction
     assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_approx_distinct_error_bound(spark, sf_small):
+    from data_spark.queries import QUERIES
+
+    rows = QUERIES["a_approx_distinct"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel_err < 0.05
+
+
+def test_election_cycle(spark):
+    import pyspark.sql.functions as F
+
+    from data_spark.functions.dates import election_cycle
+
+    df = spark.createDataFrame([(2021,), (2022,), (2023,), (2024,)], ["y"])
+    got = [r["c"] for r in df.select(election_cycle(F.col("y")).alias("c")).collect()]
+    assert got == [2022, 2022, 2024, 2024]
