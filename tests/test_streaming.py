@@ -122,3 +122,48 @@ def test_merge_upsert_sink_with_amendments(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["file_num"]: r["amount"] for r in spark.read.parquet(target).collect()}
     assert got == {101: 25.0, 102: 11.0}  # 100 deleted by amendment
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    from data_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    sink = str(tmp_path / "dd_sink")
+    # two source files → two micro-batches within one availableNow run
+    # (maxFilesPerTrigger=1), so state persistence is exercised without
+    # paying two full query startups; 1 state partition keeps the
+    # state-store maintenance cost out of a 5-row test
+    _write_events(src, [{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 3}])
+    _write_events(src, [{"k": "a", "v": 9}, {"k": "c", "v": 4}])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = (
+            streaming_dedup(stream, "k", "k string, v long")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    # first occurrences only: 'a' once (from batch 1), 'b', and 'c';
+    # the batch-2 duplicate of 'a' is suppressed by the state store
+    assert {k for k, _ in got} == {"a", "b", "c"}
+    assert ("a", 9) not in got
+    assert ("c", 4) in got
+    assert len(got) == 3
