@@ -106,6 +106,24 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 16,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (SURVEY §2 "bucketing for co-located
+    joins"): two tables bucketed on the same keys with the same bucket
+    count join WITHOUT a shuffle on either side — verify with
+    plans.report (exchanges == 0 under AQE-off probe). Requires a
+    warehouse dir (any local path works; set spark.sql.warehouse.dir)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def validated_overwrite(
     df: DataFrame,
     path: str,

@@ -135,6 +135,31 @@ def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "d_bpe_tokens",
+    """
+    SELECT source,
+           SUM(len(regexp_extract_all(text,
+               '''[sdmt]|''ll|''ve|''re| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))) AS bpe_tokens,
+           SUM(len(str_split_regex(trim(text), '\\s+'))) AS ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def d_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer counting: contraction suffixes, letter
+    runs, digit runs, punctuation runs, space runs — the standard
+    BPE-input segmentation, next to plain whitespace tokens. Pure regex
+    both engines (Java and RE2 agree on this subset)."""
+    d = t(spark, sf_dir, "documents")
+    pattern = "'[sdmt]|'ll|'ve|'re| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0)))
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("source").agg(
+        F.sum(bpe).alias("bpe_tokens"), F.sum(ws).alias("ws_tokens")
+    )
+
+
+@_q(
     "d_quality",
     """
     SELECT doc_id,

@@ -96,3 +96,31 @@ def test_partitioned_write_prunes(spark, sf_small, tmp_path):
     rep = plan_report(back)
     assert rep["partition_filters"] is True
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_small):
+    from data_spark.io import write_bucketed
+    from data_spark.plans.report import explain_text
+
+    o = read_table(spark, sf_small, "orders")
+    l = read_table(spark, sf_small, "lineitem")
+    write_bucketed(o, "orders_b", ["o_orderkey"], num_buckets=8)
+    write_bucketed(l, "lineitem_b", ["l_orderkey"], num_buckets=8)
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = explain_text(joined, "simple")
+        # co-located bucketed join: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == l.join(o, l.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
