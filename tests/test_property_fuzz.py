@@ -1,0 +1,101 @@
+"""Property-based cross-engine fuzzing: generate small filter/project/
+aggregate queries over lineitem and require Spark and DuckDB to return
+identical results (the sqllogictest-style harness SURVEY §5 says the
+reference never had). Derandomized so CI is stable."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from data_spark.io import read_table
+from tools.check_correctness import frame_key
+
+SF = "/root/testdata/sf0.001"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+comparison = st.sampled_from(["<", "<=", ">", ">=", "=", "<>"])
+
+num_pred = st.builds(
+    lambda c, op, v: f"{c} {op} {v}",
+    st.sampled_from(NUM_COLS),
+    comparison,
+    st.floats(min_value=0.01, max_value=100000, allow_nan=False).map(lambda x: round(x, 2)),
+)
+str_pred = st.builds(
+    lambda c, op, v: f"{c} {op} '{v}'",
+    st.sampled_from(STR_COLS),
+    st.sampled_from(["=", "<>"]),
+    st.sampled_from(["A", "N", "R", "O", "F"]),
+)
+key_pred = st.builds(
+    lambda c, op, v: f"{c} {op} {v}",
+    st.sampled_from(KEY_COLS),
+    comparison,
+    st.integers(min_value=0, max_value=6000),
+)
+atom = st.one_of(num_pred, str_pred, key_pred)
+predicate = st.recursive(
+    atom,
+    lambda inner: st.builds(
+        lambda a, conj, b: f"({a} {conj} {b})", inner, st.sampled_from(["AND", "OR"]), inner
+    ),
+    max_leaves=4,
+)
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    read_table(spark, SF, "lineitem").createOrReplaceTempView("li_fuzz")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW li_fuzz AS SELECT * FROM '{SF}/lineitem.parquet'")
+    return spark, con
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate, cols=st.sets(st.sampled_from(KEY_COLS + STR_COLS), min_size=1, max_size=4))
+def test_filter_project_parity(engines, pred, cols):
+    spark, con = engines
+    collist = ", ".join(sorted(cols))
+    sql = f"SELECT {collist} FROM li_fuzz WHERE {pred}"
+    sdf = spark.sql(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    drows = res.fetchall()
+    sc, sk = frame_key(sdf.columns, srows)
+    dc, dk = frame_key([d[0] for d in res.description], drows)
+    assert sc == dc
+    assert sk == dk, f"mismatch for: {sql}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate, group=st.sampled_from(STR_COLS), agg_col=st.sampled_from(KEY_COLS))
+def test_aggregate_parity(engines, pred, group, agg_col):
+    spark, con = engines
+    # decimal-exact aggregates only (see queries.common determinism rules)
+    sql = (
+        f"SELECT {group}, COUNT(*) AS n, MIN({agg_col}) AS mn, MAX({agg_col}) AS mx, "
+        f"SUM({agg_col}) AS s FROM li_fuzz WHERE {pred} GROUP BY {group}"
+    )
+    sdf = spark.sql(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    drows = res.fetchall()
+    sc, sk = frame_key(sdf.columns, srows)
+    dc, dk = frame_key([d[0] for d in res.description], drows)
+    assert sc == dc
+    assert sk == dk, f"mismatch for: {sql}"
