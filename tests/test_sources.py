@@ -127,3 +127,55 @@ def test_multimodal_stub_pipeline(spark):
     # strict mode is the real-decoder hook: raises cleanly
     with pytest.raises(Exception):
         extract_features(media, decode_mode="strict").collect()
+
+
+def test_ingest_pages_end_to_end(spark, tmp_path):
+    from data_spark.sources.ingest import CursorStore, ingest_pages
+    from data_spark.sources.pagination import keyset_pages
+
+    data = [{"id": i, "v": i * 10} for i in range(95)]
+
+    def fetch(cursor):
+        last = cursor.get("last_key")
+        rows = [r for r in data if last is None or r["id"] > last][:20]
+        return rows, (rows[-1]["id"] if rows else last)
+
+    target = str(tmp_path / "ingested")
+    store = CursorStore(str(tmp_path / "cursor.json"))
+    n = ingest_pages(
+        spark,
+        keyset_pages(fetch),
+        target,
+        keys=["id"],
+        schema="id long, v long",
+        cursor_store=store,
+        pages_per_write=2,
+    )
+    assert n == 95
+    got = spark.read.parquet(target)
+    assert got.count() == 95
+    assert got.select("id").distinct().count() == 95
+    assert store.load() == {"last_key": 94}
+
+    # resume from the durable cursor: nothing new → no change
+    resumed = ingest_pages(
+        spark,
+        keyset_pages(fetch, cursor=store.load()),
+        target,
+        keys=["id"],
+        schema="id long, v long",
+        cursor_store=store,
+    )
+    assert resumed == 0
+    assert spark.read.parquet(target).count() == 95
+
+    # overlapping refetch (at-least-once fetch) stays idempotent via MERGE
+    again = ingest_pages(
+        spark,
+        keyset_pages(fetch, cursor={"last_key": 80}),
+        target,
+        keys=["id"],
+        schema="id long, v long",
+    )
+    assert again == 14
+    assert spark.read.parquet(target).count() == 95
