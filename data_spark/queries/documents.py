@@ -228,6 +228,39 @@ def d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "d_top_terms",
+    """
+    WITH words AS (
+      SELECT unnest(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')),
+                    '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS freq
+    FROM words WHERE term <> ''
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 100
+    """,
+)
+def d_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency top-100 (Zipf head): explode → count →
+    TakeOrdered with lexical tiebreak. The shuffle key is the term, the
+    partial count happens map-side, and top-K never sorts the tail."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " ")), r"\s+"
+    )
+    return (
+        d.select(F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(100)
+    )
+
+
+@_q(
     "mm_binary_meta",
     """
     SELECT source,

@@ -189,6 +189,29 @@ def e_day_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", F.date_format("d", "yyyy-MM-dd").alias("day"))
 
 
+@_q(
+    "f_epoch_roundtrip",
+    """
+    SELECT event_id,
+           strftime(to_timestamp(event_id * 3600 + 1000000000), '%Y-%m-%d %H:%M:%S') AS epoch_ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+    FROM events
+    """,
+)
+def f_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch↔timestamp conversion both directions (SURVEY §2.8: reddit
+    created_utc epoch→UTC; graph datetime assembly)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format(
+            F.timestamp_seconds(F.col("event_id") * 3600 + 1000000000),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("epoch_ts"),
+        F.unix_timestamp(F.col("ts")).alias("ts_epoch"),
+    )
+
+
 @_q("a_approx_distinct")  # sketch-based — engine HLLs differ, rows-only check
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++ with 1%
