@@ -47,7 +47,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark("bench")
+    # partition-to-data-size discipline: at bench scale (<1 GB) 16 initial
+    # shuffle partitions + AQE coalescing beats the 32 default tuned for
+    # bigger inputs; override with SPARK_GRAFT_SHUFFLE
+    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", 16)))
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
