@@ -164,6 +164,31 @@ def parse_tweets(docs: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def hydrate_references(
+    tweets: DataFrame,
+    users: DataFrame,
+    referenced: DataFrame,
+) -> DataFrame:
+    """Hydration join (SURVEY J5): resolve author_id against the
+    ``includes.users`` table and referenced tweet ids against the
+    ``includes.tweets`` table — the reference's nested-loop-over-
+    includes becomes two broadcast lookup joins.
+
+    tweets:     (tweet_id, author_id, referenced_tweet_id nullable)
+    users:      (user_id, username, name, verified)
+    referenced: (tweet_id, text, author_id) — the hydration pool
+    """
+    u = F.broadcast(users.withColumnsRenamed({"user_id": "author_id"}))
+    r = F.broadcast(
+        referenced.select(
+            F.col("tweet_id").alias("referenced_tweet_id"),
+            F.col("text").alias("referenced_text"),
+            F.col("author_id").alias("referenced_author_id"),
+        )
+    )
+    return tweets.join(u, "author_id", "left").join(r, "referenced_tweet_id", "left")
+
+
 def extract_domains(links: DataFrame, domain_edges: DataFrame | None = None) -> DataFrame:
     """Domain extraction for links lacking a Domain edge (SURVEY §3.2
     step 5 / J7): anti-join then get_domain."""

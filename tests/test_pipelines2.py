@@ -52,3 +52,67 @@ def test_irs_prepare_index_and_routing(spark):
     )
     routed = {r["object_id"]: r["index"] for r in route_filings(docs).collect()}
     assert routed == {"o1": "990", "o2": "990ez", "o3": "990pf"}
+
+
+def test_escalating_fetcher():
+    from data_spark.sources.retry import EscalatingFetcher
+
+    calls = []
+
+    def basic(req):
+        calls.append(("basic", req))
+        if "hard" in req:
+            raise RuntimeError("blocked")
+        return f"basic:{req}"
+
+    def proxy(req):
+        calls.append(("proxy", req))
+        if "impossible" in req:
+            raise RuntimeError("blocked")
+        return f"proxy:{req}"
+
+    def proxy_js(req):
+        calls.append(("proxy_js", req))
+        return f"proxy_js:{req}"
+
+    f = EscalatingFetcher([("basic", basic), ("proxy", proxy), ("proxy_js", proxy_js)],
+                          reprobe_after=2)
+    # easy site stays on the cheap tier
+    assert f.fetch("easy.com", "page1")[0] == "basic"
+    assert f.fetch("easy.com", "page2")[0] == "basic"
+    # hard site escalates once, then remembers the winning tier
+    assert f.fetch("hard.com", "hard-page1")[0] == "proxy"
+    calls.clear()
+    assert f.fetch("hard.com", "hard-page2")[0] == "proxy"
+    assert calls == [("proxy", "hard-page2")]  # basic not retried
+    # after reprobe_after successes, probe from tier 0 again
+    assert f.fetch("hard.com", "ok-now")[0] == "basic"
+    # impossible everywhere → last error surfaces
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        EscalatingFetcher([("basic", basic), ("proxy", proxy)]).fetch(
+            "x.com", "hard-impossible"
+        )
+
+
+def test_hydrate_references(spark):
+    from data_spark.pipelines.twitter import hydrate_references
+
+    tweets = spark.createDataFrame(
+        [("t1", "u1", "t9"), ("t2", "u2", None), ("t3", "u9", "t8")],
+        "tweet_id string, author_id string, referenced_tweet_id string",
+    )
+    users = spark.createDataFrame(
+        [("u1", "alice", "Alice", True), ("u2", "bob", "Bob", False)],
+        "user_id string, username string, name string, verified boolean",
+    )
+    pool = spark.createDataFrame(
+        [("t9", "quoted text", "u2")], "tweet_id string, text string, author_id string"
+    )
+    got = {r["tweet_id"]: r for r in hydrate_references(tweets, users, pool).collect()}
+    assert got["t1"]["username"] == "alice"
+    assert got["t1"]["referenced_text"] == "quoted text"
+    assert got["t2"]["username"] == "bob" and got["t2"]["referenced_text"] is None
+    # dangling refs survive as NULL arms (left joins)
+    assert got["t3"]["username"] is None and got["t3"]["referenced_text"] is None
