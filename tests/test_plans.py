@@ -78,6 +78,8 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
         assert name in (
             "e_watermark_split",  # 1-row watermark broadcast
             "sq_above_avg_price",  # 1-row global-average broadcast
+            "q15_top_supplier",  # 1-row max-revenue broadcast
+            "q22_idle_customers",  # 1-row average-balance broadcast
             "v_cosine_topk",  # deliberate query-set × corpus broadcast
             "v_lsh_ann",
             "v_ivf_topk",  # tiny centroid-set broadcasts
