@@ -154,6 +154,82 @@ def _rh_signature(vec: Column, dim: int, num_planes: int) -> Column:
     return F.concat(*[bit(F.lit(p)) for p in range(num_planes)])
 
 
+def embedding_near_duplicate_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bands: int | None = None,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """All-pairs embedding near-duplicates: (id_a, id_b) with
+    cosine(a, b) >= threshold and id_a < id_b.
+
+    Vectors are L2-normalized once up front (O(N·dim)) so the pairwise
+    test is a bare dot product — norms are never recomputed per pair.
+
+    - ``bands=None`` (exact): self-join over every id-ordered pair.
+      O(N²) is inherent for exact dense all-pairs; this is the
+      correctness baseline, not the 100 TB path.
+    - ``bands=b`` (LSH): random-hyperplane signatures are split into
+      ``b`` bands of ``rows_per_band`` planes; pairs colliding in any
+      band become candidates (equi-join on band bits — hash join, no
+      nested loop), then are verified with the exact dot product.
+      Output is a subset of the exact result (precision 1, recall < 1),
+      with per-pair work O(collisions), not O(N²).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    e = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        # norm materialized as a column: HOF lambdas re-evaluate argument
+        # expressions per element, so dividing by _norm(v) inline would
+        # recompute the aggregate dim times per row
+        .withColumn("n", _norm(F.col("v")))
+        .select("id", F.transform("v", lambda x: x / F.col("n")).alias("v"))
+    )
+
+    if bands is None:
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        # deliberate broadcast nested-loop: exact all-pairs is a tiled
+        # cross product however it is expressed; streaming the left side
+        # against a broadcast tile keeps task count = left partitions
+        pairs = a.join(F.broadcast(b), a.id_a < b.id_b)
+    else:
+        num_planes = bands * rows_per_band
+        sig = e.withColumn("sig", _rh_signature(F.col("v"), dim, num_planes))
+        banded = sig.select(
+            "id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{i}:"),
+                            F.substring("sig", i * rows_per_band + 1, rows_per_band),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        left = banded.select("band", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        right = banded.select("band", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = (
+            left.join(right, "band")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.filter(_dot(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_spark.operators.joins import suffix_containment_join
-from data_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucketed_topk
+from data_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicate_pairs,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from data_spark.queries.common import t
 
 QUERIES = {}
@@ -105,6 +110,34 @@ def v_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
     )
+
+
+@_q(
+    "d_embed_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def d_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact mode (cosine >= 0.4).
+    Similarity values are excluded from the output so float last-bit
+    drift cannot flip the hash; the pair set itself is drift-safe because
+    the testdata has no pair within float error of the threshold."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicate_pairs(emb, threshold=0.4)
+
+
+@_q("d_embed_near_dup_lsh")  # approximate — subset/recall gated in pytest
+def d_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH with
+    exact verification (the 100 TB path: equi-join on band bits instead
+    of the O(N²) pair join; every emitted pair is exactly verified, so
+    precision is 1 and only recall is approximate)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicate_pairs(emb, threshold=0.4, bands=8, rows_per_band=3)
 
 
 @_q(

@@ -161,6 +161,41 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert len(exact & approx) / len(exact) >= 0.4
 
 
+def test_embed_near_dup_exact_pairs(spark):
+    from data_spark.operators.similarity import embedding_near_duplicate_pairs
+
+    emb = _vectors(spark)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicate_pairs(emb, threshold=0.99).collect()
+    }
+    assert got, "smooth angular data must contain near-identical pairs"
+    for a, b in got:
+        assert a < b
+    # adjacent-angle vectors (0.1 rad apart, near-identical tail) are the
+    # closest pairs — spot-check one known near-dup survives
+    assert any(b - a == 1 for a, b in got)
+
+
+def test_embed_near_dup_lsh_subset_and_recall(spark):
+    from data_spark.operators.similarity import embedding_near_duplicate_pairs
+
+    emb = _vectors(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicate_pairs(emb, threshold=0.99).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicate_pairs(
+            emb, threshold=0.99, bands=8, rows_per_band=2
+        ).collect()
+    }
+    # exact verification inside the operator ⇒ precision 1 (subset)
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.5
+
+
 def test_approx_distinct_error_bound(spark, sf_small):
     from data_spark.queries import QUERIES
 

@@ -81,6 +81,7 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "q15_top_supplier",  # 1-row max-revenue broadcast
             "q22_idle_customers",  # 1-row average-balance broadcast
             "v_cosine_topk",  # deliberate query-set × corpus broadcast
+            "d_embed_near_dup",  # deliberate all-pairs baseline (LSH variant is the scale path)
             "v_lsh_ann",
             "v_ivf_topk",  # tiny centroid-set broadcasts
             "j_range_tier",  # interval join against a 4-row broadcast
