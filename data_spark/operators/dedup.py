@@ -70,36 +70,90 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard similarity over word n-gram sets, computed with an
-    inverted index: explode grams → self-join on gram (docs sharing at
-    least one gram) → count shared → |A∪B| = |A|+|B|−shared.
+    """Exact Jaccard similarity over word n-gram sets via a
+    prefix-filtered set-similarity join (the AllPairs/PPJoin family):
 
-    Scale: the self-join shuffles on the gram string; hot grams are the
-    skew risk, which AQE skew-join splitting handles. Candidate pair
-    count is bounded by gram co-occurrence, never n².
+    1. grams are hashed to 64-bit ints (joins/shuffles move longs, not
+       strings) and globally ordered rarest-first by document frequency;
+    2. only each doc's PREFIX — the first ``|d| − ceil(t·|d|) + 1``
+       tokens under that order — is exploded into the candidate
+       self-join: two sets with Jaccard ≥ t must share a prefix token,
+       so the join is exact-complete while hot (frequent) grams sit at
+       the END of the order and almost never enter a prefix — the skew
+       that kills a naive inverted-index join is filtered out by
+       construction;
+    3. candidates are verified exactly with ``array_intersect`` on the
+       full hashed-gram arrays.
+
+    Scale: shuffles are gram-frequency agg + per-doc token sort +
+    candidate join on rare tokens; candidate count is bounded by prefix
+    co-occurrence (≪ full gram co-occurrence), never n².
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    grams = (
+    # tokenized frame cached as a materialization BARRIER, not just for
+    # reuse: a pure-Project pipeline is pushed below the round-robin
+    # exchange into the scan stage (Generate/explode is not, but arrays
+    # kept as columns are), serializing the expensive gram build when the
+    # input is a single split. The cache pins 32 real partitions so the
+    # gram build actually runs parallel.
+    toks = (
         df.repartition(parallelism)
         .select(F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("__words"))
-        .select("doc_id", F.explode(ngrams_from_words(F.col("__words"), n)).alias("gram"))
-        .cache()  # read by both self-join branches + sizes: 3 consumers,
-        # and the cached table is (id, gram) — tiny next to the corpus
+        .cache()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    docs = (
+        toks.select("doc_id", ngrams_from_words(F.col("__words"), n).alias("__grams"))
+        .select(
+            "doc_id",
+            F.transform("__grams", lambda g: F.xxhash64(g)).alias("grams"),
+            F.size("__grams").alias("sz"),
+        )
+        .filter(F.col("sz") > 0)
+        .cache()  # consumed by the frequency agg, the prefix build, and
+        # both verify branches; (id, hashed grams) is tiny next to text
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    g = docs.select("doc_id", "sz", F.explode("grams").alias("gram"))
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # rare-first total order (df, gram); prefix length |d| − ceil(t·|d|) + 1
+    prefix = (
+        g.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "gram"))).alias("toks"),
+            F.first("sz").alias("sz"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.slice(
+                    F.col("toks"),
+                    F.lit(1),
+                    (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+                )
+            ).alias("tok"),
+        )
+        .cache()  # both sides of the candidate self-join read it
+    )
+    cand = (
+        prefix.alias("x")
+        .join(
+            prefix.alias("y"),
+            (F.col("x.tok") == F.col("y.tok")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("sz").alias("na")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("sz").alias("nb")
+    )
+    shared = F.size(F.array_intersect("ga", "gb"))
+    jac = shared.cast("double") / (F.col("na") + F.col("nb") - shared)
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
