@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 EN_STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it", "that"]
 LANG_MARKERS = {
@@ -61,6 +62,71 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         n_words.alias("n_words"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition features (Gopher/RefinedWeb-style
+    quality rules): duplicate-word fraction and the fraction of words
+    covered by the most frequent word bigram.
+
+    Bigram counting runs explode → groupBy(doc, bigram) → groupBy(doc)
+    MAX so partial aggregation stays map-side; all expressions are
+    column algebra inside codegen. Words are materialized in a prior
+    projection (HOF lambdas re-evaluate argument expressions per
+    element).
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), _ws_tokens(F.col(text_col)).alias("__w"))
+    n_words = F.size(F.col("__w"))
+    bigrams = F.transform(
+        F.when(n_words >= 2, F.sequence(F.lit(1), n_words - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("__w"), i), F.element_at(F.col("__w"), i + 1)
+        ),
+    )
+    top = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    stats = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            1 - F.size(F.array_distinct(F.col("__w"))).cast("double") / n_words, 6
+        ).alias("dup_word_frac"),
+    )
+    return stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias("top_bigram_count"),
+        F.round(
+            F.coalesce(
+                2.0 * F.col("top_bigram_count") / F.col("n_words"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def per_source_quota(
+    df: DataFrame, k: int, by: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-source document cap (corpus curation quota): keep the first
+    ``k`` docs per source in deterministic ``id_col`` order. One window
+    over a ``by``-partitioned shuffle; no global sort."""
+    w = Window.partitionBy(by).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

@@ -20,7 +20,13 @@ from data_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
-from data_spark.operators.textstats import language_id, text_quality, token_stats
+from data_spark.operators.textstats import (
+    language_id,
+    per_source_quota,
+    repetition_stats,
+    text_quality,
+    token_stats,
+)
 from data_spark.queries.common import t
 
 QUERIES = {}
@@ -177,6 +183,50 @@ def d_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: word count, punctuation ratio,
     stopword ratio — the filter features of a pretraining data pipeline."""
     return text_quality(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+      FROM w, UNNEST(range(1, len(ws))) AS r(i)
+    ), cnt AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count FROM cnt GROUP BY doc_id
+    )
+    SELECT w.doc_id, len(ws) AS n_words,
+           ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_frac,
+           COALESCE(top_bigram_count, 0) AS top_bigram_count,
+           ROUND(COALESCE(2.0 * top_bigram_count / len(ws), 0.0), 6) AS top_bigram_frac
+    FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+    """,
+)
+def d_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition features (Gopher/RefinedWeb-style
+    rules): duplicate-word fraction + share of words covered by the most
+    frequent bigram — the standard boilerplate/spam signals of a
+    pretraining curation pipeline."""
+    return repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_source_quota",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def d_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (corpus curation quota): deterministic
+    first-40-per-source, one windowed shuffle, no global sort."""
+    return per_source_quota(t(spark, sf_dir, "documents"), k=40).select("doc_id", "source")
 
 
 @_q(

@@ -196,6 +196,43 @@ def test_embed_near_dup_lsh_subset_and_recall(spark):
     assert len(approx) / len(exact) >= 0.5
 
 
+def test_repetition_stats_known_values(spark):
+    from data_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # 6 words, 2 distinct, top bigram "a b" x3
+            (2, "x y z w"),  # no repetition, every bigram unique
+            (3, "solo"),  # single word: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_words"] == 6
+    assert abs(got[1]["dup_word_frac"] - (1 - 2 / 6)) < 1e-6
+    assert got[1]["top_bigram_count"] == 3
+    assert abs(got[1]["top_bigram_frac"] - 1.0) < 1e-6
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_count"] == 1
+    assert got[3]["top_bigram_count"] == 0
+    assert got[3]["top_bigram_frac"] == 0.0
+
+
+def test_per_source_quota_cap_and_determinism(spark):
+    from data_spark.operators.textstats import per_source_quota
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(30)], ["doc_id", "source"]
+    )
+    got = per_source_quota(df, k=4).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 4 for v in by_src.values())
+    # deterministic: lowest doc_ids kept per source
+    assert sorted(by_src["s0"]) == [0, 3, 6, 9]
+
+
 def test_approx_distinct_error_bound(spark, sf_small):
     from data_spark.queries import QUERIES
 
