@@ -19,6 +19,7 @@ from data_spark.streaming.incremental import (
 )
 from data_spark.streaming.jobs import (
     merge_upsert_sink,
+    stream_event_time_join,
     stream_windowed_counts,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "incremental_batches",
     "load_unprocessed",
     "merge_upsert_sink",
+    "stream_event_time_join",
     "stream_windowed_counts",
 ]

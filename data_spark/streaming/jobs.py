@@ -51,6 +51,40 @@ def stream_windowed_counts(
     )
 
 
+def stream_event_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+    max_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream event-time join: right-side rows match a
+    left row with the same ``key`` when they land inside
+    ``[left_ts, left_ts + max_delay]`` (attribution-join shape: click
+    within an hour of its impression).
+
+    Both watermarks AND the time-range bound are load-bearing at scale:
+    together they let Spark evict buffered join state once the watermark
+    passes ``left_ts + max_delay`` — without the range condition the
+    join state grows without bound. ``how='leftOuter'`` emits unmatched
+    left rows after their state expires (requires the same bounds).
+
+    Column names other than ``key`` must be disjoint between the sides.
+    """
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how).drop(r[key])
+
+
 def merge_upsert_sink(
     stream: DataFrame,
     target_path: str,

@@ -167,3 +167,67 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert ("a", 9) not in got
     assert ("c", 4) in got
     assert len(got) == 3
+
+
+def test_stream_event_time_join_attribution(spark, tmp_path):
+    from data_spark.streaming import stream_event_time_join
+
+    imp_dir = str(tmp_path / "impressions")
+    clk_dir = str(tmp_path / "clicks")
+    _write_events(
+        imp_dir,
+        [
+            {"imp_id": 1, "user_id": "u1", "imp_ts": "2024-01-01T00:00:00Z"},
+            {"imp_id": 2, "user_id": "u2", "imp_ts": "2024-01-01T00:05:00Z"},
+            {"imp_id": 3, "user_id": "u3", "imp_ts": "2024-01-01T00:10:00Z"},
+        ],
+    )
+    _write_events(
+        clk_dir,
+        [
+            # in-window click for u1 (20 min after impression)
+            {"click_id": 10, "user_id": "u1", "click_ts": "2024-01-01T00:20:00Z"},
+            # too-late click for u2 (2 h after impression, outside 30 min)
+            {"click_id": 11, "user_id": "u2", "click_ts": "2024-01-01T02:05:00Z"},
+            # click before the impression for u3 — must not match
+            {"click_id": 12, "user_id": "u3", "click_ts": "2024-01-01T00:01:00Z"},
+        ],
+    )
+    imp_schema = StructType(
+        [
+            StructField("imp_id", LongType()),
+            StructField("user_id", StringType()),
+            StructField("imp_ts", TimestampType()),
+        ]
+    )
+    clk_schema = StructType(
+        [
+            StructField("click_id", LongType()),
+            StructField("user_id", StringType()),
+            StructField("click_ts", TimestampType()),
+        ]
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        imps = spark.readStream.schema(imp_schema).json(imp_dir)
+        clks = spark.readStream.schema(clk_schema).json(clk_dir)
+        joined = stream_event_time_join(
+            imps, clks, key="user_id", left_ts="imp_ts", right_ts="click_ts",
+            max_delay="30 minutes",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attrib")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {
+        (r["imp_id"], r["click_id"])
+        for r in spark.sql("select * from attrib").collect()
+    }
+    assert got == {(1, 10)}
