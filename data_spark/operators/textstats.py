@@ -130,6 +130,60 @@ def per_source_quota(
     )
 
 
+# PII-shaped patterns (curation scrub): email, NANP-style phone, 16-digit
+# card-like number runs. Deliberately conservative — high precision over
+# recall, the standard trade-off for pretraining scrubbing.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"),
+    ("number_run", r"\d{16}"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Regex PII redaction: replace each pattern class with a
+    ``<CLASS>`` token and count the hits per class. Chained
+    ``regexp_replace`` stays inside codegen — one pass per pattern, no
+    UDFs, trivially data-parallel at any scale."""
+    text = F.col(text_col)
+    hit_counts = []
+    scrubbed = text
+    for name, pat in PII_PATTERNS:
+        hit_counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(id_col, scrubbed.alias("scrubbed_text"), *hit_counts)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash: stable across
+    runs, engines, and partitionings (no RNG — pure function of the id
+    and the seed string), so a document never migrates between splits
+    when the corpus grows. Bucket = first 32 md5 bits mod 100 (md5, not
+    xxhash64, so any engine reproduces the exact same assignment)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(100))
+    split = (
+        F.when(bucket < val_pct, "val")
+        .when(bucket < val_pct + test_pct, "test")
+        .otherwise("train")
+    )
+    return df.select(id_col, bucket.alias("bucket"), split.alias("split"))
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language identification: count per-language marker
     words, argmax with en ≥ es ≥ fr precedence, 'unknown' when no

@@ -23,7 +23,9 @@ from data_spark.operators.dedup import (
 from data_spark.operators.textstats import (
     language_id,
     per_source_quota,
+    redact_pii,
     repetition_stats,
+    split_assign,
     text_quality,
     token_stats,
 )
@@ -227,6 +229,68 @@ def d_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (corpus curation quota): deterministic
     first-40-per-source, one windowed shuffle, no global sort."""
     return per_source_quota(t(spark, sf_dir, "documents"), k=40).select("doc_id", "source")
+
+
+@_q(
+    "d_pii_redact",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact ' || source || '@example.com or (555) 123-4567 ref 4111111111111111'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g'),
+             '\\d{16}', '<NUMBER_RUN>', 'g') AS scrubbed_text,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}')) AS n_phone,
+           len(regexp_extract_all(text, '\\d{16}')) AS n_number_run
+    FROM aug
+    """,
+)
+def d_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (curation): every 7th doc gets a deterministic
+    email/phone/card-number tail injected, then the redaction operator
+    replaces each class with a token and counts hits. Chained
+    regexp_replace, all codegen."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact "),
+                F.col("source"),
+                F.lit("@example.com or (555) 123-4567 ref 4111111111111111"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(aug)
+
+
+@_q(
+    "d_split_assign",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5 THEN 'val'
+                WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def d_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — engine-
+    portable (md5 prefix mod 100), so the split never shifts between
+    runs or engines and needs no stored state."""
+    return split_assign(t(spark, sf_dir, "documents"))
 
 
 @_q(

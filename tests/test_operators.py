@@ -251,3 +251,45 @@ def test_election_cycle(spark):
     df = spark.createDataFrame([(2021,), (2022,), (2023,), (2024,)], ["y"])
     got = [r["c"] for r in df.select(election_cycle(F.col("y")).alias("c")).collect()]
     assert got == [2022, 2022, 2024, 2024]
+
+
+def test_redact_pii_known_values(spark):
+    from data_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@mail.example.org today"),
+            (2, "call (555) 123-4567 or 555-987-6543 now"),
+            (3, "card 4111111111111111 on file"),
+            (4, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["scrubbed_text"]
+    assert "jo.doe" not in got[1]["scrubbed_text"]
+    assert got[2]["n_phone"] == 2 and got[2]["scrubbed_text"].count("<PHONE>") == 2
+    assert got[3]["n_number_run"] == 1 and "<NUMBER_RUN>" in got[3]["scrubbed_text"]
+    assert got[4]["scrubbed_text"] == "nothing sensitive here"
+    assert got[4]["n_email"] == got[4]["n_phone"] == got[4]["n_number_run"] == 0
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    from data_spark.operators.textstats import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in split_assign(df).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in split_assign(df).collect()}
+    assert a == b  # no RNG anywhere
+    splits = {}
+    for _, (bk, sp) in a.items():
+        assert 0 <= bk < 100
+        splits[sp] = splits.get(sp, 0) + 1
+    # 5/5/90 within generous tolerance at n=2000
+    assert 0.03 < splits["val"] / 2000 < 0.08
+    assert 0.03 < splits["test"] / 2000 < 0.08
+    assert splits["train"] / 2000 > 0.85
+    # growing the corpus never reassigns existing docs
+    bigger = split_assign(spark.range(0, 4000).withColumnRenamed("id", "doc_id"))
+    c = {r["doc_id"]: (r["bucket"], r["split"]) for r in bigger.collect() if r["doc_id"] < 2000}
+    assert c == a
