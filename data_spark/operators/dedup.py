@@ -159,6 +159,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination check: per benchmark document, the fraction of its
+    word n-grams that appear ANYWHERE in the training corpus.
+
+    Inverted-index shape: corpus grams are deduplicated (distinct gram
+    set, the only corpus-sized shuffle) and semi-joined against benchmark
+    grams — per-benchmark work scales with |benchmark|·grams, not
+    |corpus|·|benchmark|. Returns (doc_id, n_grams, n_contaminated,
+    contaminated_frac).
+    """
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("__w")
+        ).select("doc_id", F.explode(ngrams_from_words(F.col("__w"), n)).alias("gram"))
+
+    corpus_grams = grams_of(corpus).select("gram").distinct()
+    bench_grams = grams_of(benchmark)
+    hits = (
+        bench_grams.join(corpus_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sizes = bench_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double") / F.col("n_grams"), 6
+        ).alias("contaminated_frac"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -184,6 +184,38 @@ def split_assign(
     return df.select(id_col, bucket.alias("bucket"), split.alias("split"))
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training prep: assign each document to a
+    token-budget bin by running prefix-sum fill in deterministic
+    ``id_col`` order WITHIN each shard.
+
+    Sharding is the scale decision: a single global packing order would
+    funnel the prefix sum through one partition; per-shard windows keep
+    it an ordinary partitioned shuffle, and training readers consume
+    (shard, bin) pairs. Bin ids are ``floor(tokens_before / budget)`` —
+    contiguous fill, so every bin except a shard's last holds ≥ budget
+    tokens once its first overflowing doc lands.
+    """
+    n_tokens = F.size(_ws_tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(id_col, shard_col, n_tokens.alias("n_tokens"))
+        .withColumn("bin", F.floor((cum - F.col("n_tokens")) / budget))
+        .select(id_col, shard_col, "n_tokens", "bin")
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language identification: count per-language marker
     words, argmax with en ≥ es ≥ fr precedence, 'unknown' when no

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_spark.operators.dedup import (
+    benchmark_contamination,
     exact_duplicate_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -22,6 +23,7 @@ from data_spark.operators.dedup import (
 )
 from data_spark.operators.textstats import (
     language_id,
+    pack_sequences,
     per_source_quota,
     redact_pii,
     repetition_stats,
@@ -232,6 +234,44 @@ def d_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "d_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\\s+') AS words
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM toks, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS r(i)
+      WHERE len(words) >= 3
+    ), corpus AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 50 <> 0
+    ), bench AS (
+      SELECT doc_id, gram FROM grams WHERE doc_id % 50 = 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM bench GROUP BY doc_id
+    ), hits AS (
+      SELECT b.doc_id, COUNT(*) AS n_contaminated
+      FROM bench b WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.gram = b.gram)
+      GROUP BY b.doc_id
+    )
+    SELECT s.doc_id, s.n_grams,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_grams, 6) AS contaminated_frac
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc plays the held-out
+    benchmark; for each, the fraction of its 3-grams present anywhere in
+    the rest of the corpus (semi-join against the distinct corpus gram
+    set — the standard eval-leakage audit of a pretraining pipeline)."""
+    d = t(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        d.filter(F.col("doc_id") % 50 != 0), d.filter(F.col("doc_id") % 50 == 0)
+    )
+
+
+@_q(
     "d_pii_redact",
     """
     WITH aug AS (
@@ -291,6 +331,28 @@ def d_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable (md5 prefix mod 100), so the split never shifts between
     runs or engines and needs no stored state."""
     return split_assign(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_pack_sequences",
+    """
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin
+    FROM (
+      SELECT doc_id, source,
+             len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+             SUM(len(str_split_regex(trim(text), '\\s+')))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    """,
+)
+def d_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous prefix-sum fill into 512-token bins,
+    windowed per source shard (no global sort — see
+    operators.textstats.pack_sequences)."""
+    return pack_sequences(t(spark, sf_dir, "documents"), budget=512)
 
 
 @_q(

@@ -293,3 +293,38 @@ def test_split_assign_deterministic_and_proportional(spark):
     bigger = split_assign(spark.range(0, 4000).withColumnRenamed("id", "doc_id"))
     c = {r["doc_id"]: (r["bucket"], r["split"]) for r in bigger.collect() if r["doc_id"] < 2000}
     assert c == a
+
+
+def test_benchmark_contamination_containment(spark):
+    from data_spark.operators.dedup import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta"),  # fully inside corpus doc 1
+            (101, "totally novel words never seen anywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in benchmark_contamination(corpus, bench).collect()}
+    assert got[100]["contaminated_frac"] == 1.0
+    assert got[100]["n_grams"] == 2  # "alpha beta gamma", "beta gamma delta"
+    assert got[101]["contaminated_frac"] == 0.0
+    assert got[101]["n_contaminated"] == 0
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    from data_spark.operators.textstats import pack_sequences
+
+    # one shard, 5 docs of 3 tokens each, budget 6 → bins [0,0,1,1,2]
+    df = spark.createDataFrame(
+        [(i, "s", "w w w") for i in range(5)], ["doc_id", "source", "text"]
+    )
+    got = {r["doc_id"]: r["bin"] for r in pack_sequences(df, budget=6).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
