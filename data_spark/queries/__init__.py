@@ -2,7 +2,7 @@
 DataFrame, plus the matching DuckDB oracle SQL (absent for approximate
 operators, which are pytest-gated instead)."""
 
-from data_spark.queries import documents, events, relational, relational2, vectors
+from data_spark.queries import documents, events, graphq, relational, relational2, vectors
 
 QUERIES = {
     **relational.QUERIES,
@@ -10,6 +10,7 @@ QUERIES = {
     **events.QUERIES,
     **documents.QUERIES,
     **vectors.QUERIES,
+    **graphq.QUERIES,
 }
 
 ORACLE = {
@@ -18,6 +19,7 @@ ORACLE = {
     **events.ORACLE,
     **documents.ORACLE,
     **vectors.ORACLE,
+    **graphq.ORACLE,
 }
 
 __all__ = ["QUERIES", "ORACLE"]

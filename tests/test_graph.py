@@ -76,3 +76,39 @@ def test_contribution_graph(spark, tmp_path):
     # donor composite key joins name and cleaned zip
     donor_keys = [r["key"] for r in g.nodes.filter(F.col("label") == "Donor").collect()]
     assert any("|" in k for k in donor_keys)
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    from data_spark.graph.algorithms import pagerank
+
+    # 4-node graph: 0→1, 0→2, 1→2, 2→0, 3→2 (no dangling nodes except 3's
+    # target chain; every node has out-degree ≥ 1 here except none)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)], ["src", "dst"]
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+
+    # plain-python mirror of the same simplified recurrence
+    out_deg = {0: 2, 1: 1, 2: 1, 3: 1}
+    links = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    ranks = {v: 0.25 for v in range(4)}
+    for _ in range(8):
+        inflow = {v: 0.0 for v in range(4)}
+        for s, d in links:
+            inflow[d] += ranks[s] / out_deg[s]
+        ranks = {v: 0.15 / 4 + 0.85 * inflow[v] for v in range(4)}
+    for v in range(4):
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    # sink-heavy node 2 must outrank everything
+    assert got[2] == max(got.values())
+
+
+def test_connected_components_two_islands(spark):
+    from data_spark.graph.algorithms import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], ["src", "dst"]
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert {got[1], got[2], got[3], got[4]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
