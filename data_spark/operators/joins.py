@@ -52,3 +52,66 @@ def anti_join(df: DataFrame, done: DataFrame, on: str | list[str]) -> DataFrame:
 def semi_join(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
     """Key-set membership (SURVEY J8: es.exists probes, batched)."""
     return df.join(keys, on=on, how="left_semi")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: each left row picks the LATEST right row with the same
+    ``on`` key whose ``right_ts`` <= ``left_ts`` (inclusive); left rows
+    with no prior right row are dropped (inner as-of).
+
+    Scale shape: instead of a time-range theta join (which explodes into
+    a nested loop or an interval cross product), both sides are unioned
+    and a single window pass over (key, time) carries the most recent
+    right payload forward — one shuffle on the key, linear in
+    |left|+|right|. Right rows sort before left rows at equal
+    timestamps, which is what makes the match inclusive.
+    """
+    from pyspark.sql.window import Window
+
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+                ).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("__r"),
+        F.lit(1).alias("__side"),
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(None).cast(l.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
+        F.lit(0).alias("__side"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__t"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = carried.filter((F.col("__side") == 1) & F.col("__match").isNotNull())
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        F.col("__match.__rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -306,3 +306,38 @@ def f_scalar_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_date_multi(F.col("date_raw"), ["M/d/yyyy", "d-MMM-yy"]), "yyyy-MM-dd"
         ).alias("fixed_date"),
     )
+
+
+@_q(
+    "e_asof_latest_view",
+    """
+    SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def e_asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click is attributed to the user's latest view
+    at-or-before it. The engine runs the union+window formulation
+    (operators.joins.as_of_join) — one shuffle on user_id, linear in
+    |clicks|+|views|, no time-range theta join; the oracle states the
+    same semantics with DuckDB's native ASOF JOIN. gap is exact integer
+    microseconds so no float drift can enter the hash."""
+    from data_spark.operators.joins import as_of_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = as_of_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts", right_cols=["event_id"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("view_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+    )

@@ -328,3 +328,38 @@ def test_pack_sequences_contiguous_fill(spark):
     )
     got = {r["doc_id"]: r["bin"] for r in pack_sequences(df, budget=6).collect()}
     assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_as_of_join_semantics(spark):
+    from datetime import datetime
+
+    from data_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", datetime(2024, 1, 1, 10, 0, 0)),
+            (2, "u1", datetime(2024, 1, 1, 12, 0, 0)),
+            (3, "u2", datetime(2024, 1, 1, 9, 0, 0)),  # before any right row
+            (4, "u3", datetime(2024, 1, 1, 11, 0, 0)),  # exact-tie timestamp
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", datetime(2024, 1, 1, 9, 30, 0)),
+            (101, "u1", datetime(2024, 1, 1, 11, 0, 0)),
+            (102, "u2", datetime(2024, 1, 1, 9, 30, 0)),
+            (103, "u3", datetime(2024, 1, 1, 11, 0, 0)),
+        ],
+        ["rid", "user_id", "rts"],
+    )
+    got = {
+        r["event_id"]: r["rid_right"]
+        for r in as_of_join(
+            left, right, on="user_id", left_ts="ts", right_ts="rts", right_cols=["rid"]
+        ).collect()
+    }
+    assert got[1] == 100  # latest at-or-before 10:00 is 9:30
+    assert got[2] == 101  # 11:00 beats 9:30 for the noon click
+    assert 3 not in got  # no prior right row → dropped (inner as-of)
+    assert got[4] == 103  # equal timestamps match (inclusive)
