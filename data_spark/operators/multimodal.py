@@ -108,3 +108,96 @@ def extract_features(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
             )
 
     return df.repartition(parallelism).mapInPandas(batches, _FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decode_mode: str = "fake"
+) -> DataFrame:
+    """payload → resized payload at (width, height) via mapInPandas.
+
+    ``strict`` raises at the decode hook (no codec libs here); ``fake``
+    emits a deterministic stand-in payload derived from (content bytes,
+    target dims) so downstream plumbing — schema, dedup on resized
+    bytes, write — is exercised for real. One Arrow batch in, one out;
+    output payload size is bounded by the target dims, so batch memory
+    is predictable regardless of input skew.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payloads = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out_payloads.append(None)
+                    continue
+                decoded = _decode(bytes(p), decode_mode)
+                seed = hashlib.sha256(decoded + f":{width}x{height}".encode()).digest()
+                # fake "pixels": repeat the seed to the target byte budget
+                budget = width * height  # 1 byte/px stand-in
+                out_payloads.append((seed * (budget // len(seed) + 1))[:budget])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": out_payloads,
+                }
+            )
+
+    return df.repartition(parallelism).mapInPandas(batches, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_interval_ms: int = 40, decode_mode: str = "fake"
+) -> DataFrame:
+    """Video payload → one row per sampled frame (1:N mapInPandas
+    expansion — the batch-shape case the scalar ops don't cover).
+
+    Frame count is a deterministic function of payload size
+    (``2 + nbytes % 3`` in fake mode — stands in for duration/interval),
+    timestamps are ``frame_idx * frame_interval_ms``, frame bytes are
+    content-derived. The (media_id, frame_idx, frame_ts_ms) skeleton is
+    therefore exactly oracle-checkable even though payloads are stubs.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                raw = bytes(p)
+                decoded = _decode(raw, decode_mode)
+                n_frames = 2 + len(raw) % 3
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * frame_interval_ms)
+                    frames.append(hashlib.sha256(decoded + bytes([i])).digest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return df.repartition(parallelism).mapInPandas(batches, _FRAME_SCHEMA)

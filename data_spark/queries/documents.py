@@ -459,3 +459,26 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nbytes").alias("total_bytes"),
         F.max("nbytes").alias("max_bytes"),
     )
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 40 AS BIGINT) AS frame_ts_ms
+    FROM documents, UNNEST(range(0, 2 + octet_length(CAST(text AS BLOB)) % 3)) AS r(i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: 1:N mapInPandas expansion of each binary
+    payload into per-frame rows. Frame bytes are stubbed
+    (content-derived), but the (media_id, frame_idx, frame_ts_ms)
+    skeleton is deterministic — nbytes-driven frame count — so the
+    expansion itself is exactly oracle-checked."""
+    from data_spark.operators.multimodal import sample_frames, wrap_binary
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    media = wrap_binary(d, "blob", "doc_id", "source", "text/plain")
+    return sample_frames(media).select("media_id", "frame_idx", "frame_ts_ms")

@@ -179,3 +179,35 @@ def test_ingest_pages_end_to_end(spark, tmp_path):
     )
     assert again == 14
     assert spark.read.parquet(target).count() == 95
+
+
+def test_multimodal_resize_and_frames(spark):
+    from data_spark.operators.multimodal import resize_images, sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, b"payload-one", "src0"), (2, b"pp", "src1"), (3, None, "src0")],
+        "doc_id long, blob binary, source string",
+    )
+    media = wrap_binary(docs, "blob", "doc_id", "source", mime="video/fake")
+
+    resized = {r["media_id"]: r for r in resize_images(media, 8, 4).collect()}
+    assert resized[1]["width"] == 8 and resized[1]["height"] == 4
+    assert len(bytes(resized[1]["payload"])) == 8 * 4  # bounded by target dims
+    assert resized[3]["payload"] is None
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 4).collect() if r["payload"] is not None}
+    assert again[2] == bytes(resized[2]["payload"])  # deterministic
+
+    frames = sample_frames(media).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # n_frames = 2 + nbytes % 3: "payload-one" (11) → 2+2=4, "pp" (2) → 2+2=4
+    assert len(by_id[1]) == 4 and len(by_id[2]) == 4
+    assert 3 not in by_id  # null payload → no frames
+    idxs = sorted(r["frame_idx"] for r in by_id[1])
+    assert idxs == [0, 1, 2, 3]
+    assert all(r["frame_ts_ms"] == r["frame_idx"] * 40 for r in frames)
+    # frames differ from each other but are stable across runs
+    assert len({bytes(r["frame"]) for r in by_id[1]}) == 4
+    with pytest.raises(Exception):
+        sample_frames(media, decode_mode="strict").collect()
