@@ -39,6 +39,11 @@ HEADLINE = [
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "d_token_stats",
+    "d_repetition",
+    "d_contamination",
+    "d_split_assign",
+    "d_embed_near_dup",
+    "e_asof_latest_view",
     "v_cosine_topk",
     "j_suffix_containment",
 ]

@@ -125,25 +125,38 @@ def ivf_topk(
     )
 
 
+def _hyperplane_signs(dim: int, num_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplane patterns, computed ONCE
+    in Python (sha256 of (plane, dim-index)) — reproducible across
+    runs/engines with no stored model."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.sha256(f"{p}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def _rh_signature(vec: Column, dim: int, num_planes: int) -> Column:
     """Random-hyperplane signature as a bit-string.
 
-    "Hyperplanes" are a deterministic pseudo-random ±1 pattern derived
-    from xxhash64(plane, dim-index) — reproducible across runs/engines
-    with no stored model.
+    The sign patterns are embedded as LITERAL arrays: they depend only
+    on (plane, index), and an earlier per-row formulation (xxhash64
+    inside a transform lambda) was rebuilt for every row because
+    constant folding does not reach inside higher-order-function
+    lambdas — turning an O(rows·dim) signature into
+    O(rows·planes·dim) hash calls.
     """
-    def bit(p: Column) -> Column:
+    planes = _hyperplane_signs(dim, num_planes)
+
+    def bit(signs: list[float]) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.when(
-                        F.xxhash64(F.concat_ws(":", p.cast("string"), i.cast("string"))) % 2
-                        == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.array(*[F.lit(s) for s in signs]),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -151,7 +164,7 @@ def _rh_signature(vec: Column, dim: int, num_planes: int) -> Column:
         )
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[bit(F.lit(p)) for p in range(num_planes)])
+    return F.concat(*[bit(p) for p in planes])
 
 
 def embedding_near_duplicate_pairs(
@@ -181,8 +194,11 @@ def embedding_near_duplicate_pairs(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    par = df.sparkSession.sparkContext.defaultParallelism
     e = (
-        df.select(
+        df.repartition(par)  # single-split inputs otherwise pin the
+        # all-pairs / signature work to one task
+        .select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
         # norm materialized as a column: HOF lambdas re-evaluate argument
@@ -190,6 +206,7 @@ def embedding_near_duplicate_pairs(
         # recompute the aggregate dim times per row
         .withColumn("n", _norm(F.col("v")))
         .select("id", F.transform("v", lambda x: x / F.col("n")).alias("v"))
+        .cache()  # read by the signature build and both verify join-backs
     )
 
     if bands is None:
@@ -204,7 +221,6 @@ def embedding_near_duplicate_pairs(
         sig = e.withColumn("sig", _rh_signature(F.col("v"), dim, num_planes))
         banded = sig.select(
             "id",
-            "v",
             F.explode(
                 F.array(
                     *[
@@ -216,14 +232,22 @@ def embedding_near_duplicate_pairs(
                     ]
                 )
             ).alias("band"),
-        )
-        left = banded.select("band", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        right = banded.select("band", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        pairs = (
+        ).cache()  # both candidate-join branches read it; without the
+        # cache each branch recomputes every signature
+        # candidates stay SKINNY (two ids) through the band join and the
+        # dedup shuffle; vectors are joined back only for the survivors —
+        # carrying both dim-length arrays through dropDuplicates was the
+        # dominant shuffle cost
+        left = banded.select("band", F.col("id").alias("id_a"))
+        right = banded.select("band", F.col("id").alias("id_b"))
+        cand_ids = (
             left.join(right, "band")
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        pairs = cand_ids.join(
+            e.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        ).join(e.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     return (
         pairs.filter(_dot(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
