@@ -487,3 +487,37 @@ def sq_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p_retailprice") / F.col("avg_price"), 6).alias("price_ratio"),
         )
     )
+
+
+@_q("a_approx_percentiles")  # sketch-based — engine digests differ, rows-only
+def a_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (``percentile_approx`` — the
+    sketch path that replaces a_percentiles' exact sort-based selection
+    at 100 TB: bounded-memory mergeable digests, one partial-agg pass).
+    Error bound vs the exact values is pytest-gated."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("median_price"),
+        F.expr("percentile_approx(l_extendedprice, 0.9, 1000)").alias("p90_price"),
+    )
+
+
+@_q(
+    "w_stratified_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5('strat-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+    """,
+)
+def w_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample: the hash-threshold rule is
+    applied per row, so each stratum (source) is sampled proportionally
+    with NO shuffle at all — a pure filter, unlike sort- or
+    rand()-based sampling, and stable across engines and reruns."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("strat-v1"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return d.filter(F.pmod(h, F.lit(100)) < 20).select("doc_id", "source")

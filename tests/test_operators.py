@@ -363,3 +363,20 @@ def test_as_of_join_semantics(spark):
     assert got[2] == 101  # 11:00 beats 9:30 for the noon click
     assert 3 not in got  # no prior right row → dropped (inner as-of)
     assert got[4] == 103  # equal timestamps match (inclusive)
+
+
+def test_approx_percentiles_error_bound(spark, sf_small):
+    from data_spark.queries import QUERIES
+
+    approx = {
+        r["l_returnflag"]: (r["median_price"], r["p90_price"])
+        for r in QUERIES["a_approx_percentiles"](spark, sf_small).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["median_price"], r["p90_price"])
+        for r in QUERIES["a_percentiles"](spark, sf_small).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / max(abs(e), 1.0) < 0.02, (k, a, e)
