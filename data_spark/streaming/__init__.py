@@ -20,6 +20,7 @@ from data_spark.streaming.incremental import (
 from data_spark.streaming.jobs import (
     merge_upsert_sink,
     stream_event_time_join,
+    stream_session_windows,
     stream_windowed_counts,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "load_unprocessed",
     "merge_upsert_sink",
     "stream_event_time_join",
+    "stream_session_windows",
     "stream_windowed_counts",
 ]

@@ -51,6 +51,38 @@ def stream_windowed_counts(
     )
 
 
+def stream_session_windows(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked session-window aggregation: events from the same key
+    within ``gap`` of each other merge into one session row (start, end,
+    n_events).
+
+    This is the native stateful operator behind the batch sessionization
+    query (e_sessionize's lag-based island detection): state holds one
+    open session per key, sessions merge as late rows arrive, and the
+    watermark both emits closed sessions and bounds state.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_event_time_join(
     left: DataFrame,
     right: DataFrame,

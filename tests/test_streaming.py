@@ -231,3 +231,50 @@ def test_stream_event_time_join_attribution(spark, tmp_path):
         for r in spark.sql("select * from attrib").collect()
     }
     assert got == {(1, 10)}
+
+
+def test_stream_session_windows(spark, tmp_path):
+    from data_spark.streaming import stream_session_windows
+
+    src = str(tmp_path / "sess_src")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+        ]
+    )
+    _write_events(
+        src,
+        [
+            # u1: two events 10 min apart (one session), then a third
+            # 2 h later (a second session)
+            {"event_id": 1, "ts": "2024-01-01T08:00:00Z", "user_id": "u1"},
+            {"event_id": 2, "ts": "2024-01-01T08:10:00Z", "user_id": "u1"},
+            {"event_id": 3, "ts": "2024-01-01T10:30:00Z", "user_id": "u1"},
+            # u2: single event
+            {"event_id": 4, "ts": "2024-01-01T09:00:00Z", "user_id": "u2"},
+        ],
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        q = (
+            stream_session_windows(spark, src, schema)
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {
+        (r["user_id"], r["session_start"].isoformat(), r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert ("u1", "2024-01-01T08:00:00", 2) in got
+    assert ("u1", "2024-01-01T10:30:00", 1) in got
+    assert ("u2", "2024-01-01T09:00:00", 1) in got
+    assert len(got) == 3
