@@ -521,3 +521,34 @@ def w_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     return d.filter(F.pmod(h, F.lit(100)) < 20).select("doc_id", "source")
+
+
+@_q(
+    "q19_disjunctive_join",
+    f"""
+    SELECT {SQL_DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive OR-of-ANDs join predicate (TPC-H Q19 shape). The
+    single-table conjuncts common to every arm are factored so Catalyst
+    pushes a part-side filter (brand IN, size >= 1) below the broadcast
+    join and evaluates only the residual disjunction on joined rows —
+    one join, no union-of-three-joins blowup."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = arm("Brand#1", 15, 1, 20) | arm("Brand#2", 25, 10, 30) | arm("Brand#3", 35, 20, 40)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
