@@ -341,3 +341,35 @@ def e_asof_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_right").alias("view_event_id"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
     )
+
+
+@_q(
+    "e_range_frame_7d",
+    f"""
+    SELECT event_id, user_id,
+           {'{0}'.format('CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)')} AS rolling_7d_value,
+           COUNT(*) OVER w AS rolling_7d_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def e_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the rolling 7-day sum and
+    count ending at each event — a frame defined by event-time distance,
+    not row offsets (rows frames can't express it when activity is
+    uneven). Decimal sum keeps the engines bit-identical."""
+    e = t(spark, sf_dir, "events")
+    # frame math in MICROseconds: casting ts to long truncates to seconds
+    # and can flip membership for events within 1 s of the 7-day boundary
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("rolling_7d_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_7d_events"),
+    )
