@@ -618,3 +618,61 @@ def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
     ).agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+
+
+@_q(
+    "w_ntile_decile",
+    f"""
+    WITH ranked AS (
+        SELECT c_custkey, c_acctbal,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    SELECT decile, COUNT(*) AS n_customers,
+           {SQL_DSUM.format(expr='c_acctbal')} AS sum_bal,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM ranked GROUP BY decile
+    """,
+)
+def w_ntile_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-height bucketing with NTILE: customers split into 10
+    account-balance deciles, then per-decile stats. The ORDER BY carries
+    c_custkey as a unique tiebreaker so both engines assign identical
+    buckets. Scale note: a global NTILE is a single-partition sort; at
+    100 TB use a_percentiles/sketch cut-points instead — this query is
+    the exact-semantics member of that family."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("sum_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@_q(
+    "u_unpivot_metrics",
+    """
+    SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    )
+    """,
+)
+def u_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): each part's numeric metrics become
+    (metric, value) rows via the native ``unpivot`` operator — a
+    narrow, shuffle-free Expand, not a self-union that rescans the
+    input once per metric."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double"),
+        F.col("p_size").cast("double"),
+    ).unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
