@@ -131,8 +131,8 @@ def d_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(str_split_regex(trim(text), '\\s+'))) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(len(str_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MAX(len(str_split_regex(trim(text), '\\s+'))) AS max_tokens
     FROM documents
     GROUP BY source
@@ -148,9 +148,9 @@ def d_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_bpe_tokens",
     """
     SELECT source,
-           SUM(len(regexp_extract_all(text,
-               '''[sdmt]|''ll|''ve|''re| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))) AS bpe_tokens,
-           SUM(len(str_split_regex(trim(text), '\\s+'))) AS ws_tokens
+           CAST(SUM(len(regexp_extract_all(text,
+               '''[sdmt]|''ll|''ve|''re| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(str_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens
     FROM documents
     GROUP BY source
     """,
@@ -441,7 +441,7 @@ def d_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS n_blobs,
-           SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
            MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
     FROM documents
     GROUP BY source

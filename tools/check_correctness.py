@@ -66,12 +66,30 @@ def main():
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        # Driver-divergence guard: the driver canonicalizes via pandas,
+        # where DuckDB HUGEINT/DECIMAL become float64 while Spark emits
+        # int64/Decimal — a silent hash mismatch fetchall() masks. Our
+        # output convention is BIGINT/DOUBLE only; enforce it here so
+        # local green predicts driver green.
+        risky = [
+            f"{c}:{ty}" for c, ty in zip(dcols, dtypes)
+            if ty == "HUGEINT" or ty.startswith("DECIMAL")
+        ]
+        risky += [
+            f"{f.name}:{f.dataType.simpleString()}" for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith("decimal")
+        ]
+        if risky:
+            failures.append(name)
+            print(f"FAIL {name}: driver-unsafe output types {risky} — cast to BIGINT/DOUBLE")
             continue
         sc, sk = frame_key(scols, srows)
         dc, dk = frame_key(dcols, drows)
