@@ -94,7 +94,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + top-K (SURVEY J1 + W1; TPC-H Q3 shape).
 
-    customer is a dim ⇒ broadcast; lineitem⋈orders shuffles on orderkey.
+    The selective join runs FIRST: orders⋈(BUILDING customers) cuts the
+    orders side ~5× before the expensive fact-fact shuffle with
+    lineitem. No broadcast hint on customer — it is a fact at scale
+    (a hard hint would override AQE's size check and OOM at 100×);
+    AQE auto-broadcasts the filtered side when it is actually small.
     Final top-10 is TakeOrderedAndProject with a unique tiebreak
     (o_orderkey) so the selected set is deterministic. Revenue is a
     decimal sum ⇒ exact, so the ORDER BY boundary matches the oracle.
@@ -103,8 +107,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -135,22 +139,28 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (SURVEY J1/J2 at depth; TPC-H Q5 shape).
 
-    One fact-fact shuffle join (lineitem⋈orders on orderkey); every
-    other join side (customer, supplier, nation, region) is a broadcast
-    ⇒ exactly one shuffle before the final tiny agg.
+    Selectivity flows outward-in: region(filtered)→nation→customer
+    prunes customers to one region BEFORE the fact joins, so the
+    orders⋈customer shuffle carries ~1/5 of orders into the
+    lineitem⋈orders shuffle. Broadcast hints only on the genuinely
+    bounded dims (nation 25 rows, region 5); customer and supplier are
+    facts at scale — AQE decides their join strategy from runtime
+    sizes instead of a hard hint that would OOM at 100×.
     """
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -216,12 +226,14 @@ def p_compound_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j_left_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact→dim LEFT joins (SURVEY J1/J2: the cn22/cm22 enrichment).
-    Both dims broadcast ⇒ zero shuffles."""
+    nation (25 rows) is hint-broadcast; customer gets NO hint — it is a
+    fact at scale, so AQE chooses broadcast vs shuffle from runtime
+    size."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment", F.col("n_name").alias("nation"))
     )

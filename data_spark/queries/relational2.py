@@ -574,24 +574,35 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping volume between a nation pair by year (TPC-H Q7 shape):
     the fact table reaches nation through BOTH the supplier and the
-    customer dimension — every dim side broadcast, so the only shuffle
-    is the final group-by."""
+    customer dimension. The nation-pair predicate is pushed INTO the
+    dims first (nation filtered to 2 rows, broadcast onto supplier and
+    customer), so both dim sides shrink to ~2/25 before any fact join.
+    Customer/supplier carry no broadcast hints — they are facts at
+    scale; AQE picks broadcast when the filtered side is actually
+    small."""
     l = t(spark, sf_dir, "lineitem")
-    s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair_names = ("NATION_0", "NATION_1")
+    n1 = n.filter(F.col("n_name").isin(*pair_names)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair_names)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
     pair = (F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1") | (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0")
     )
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))

@@ -33,14 +33,44 @@ def plan_of(df, mode: str = "formatted") -> str:
 def test_dim_join_broadcasts(spark, sf_small):
     plan = plan_of(QUERIES["j_left_join_dim"](spark, sf_small))
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
 
 
 def test_star_join_single_shuffle(spark, sf_small):
     plan = plan_of(QUERIES["q5_nation_revenue"](spark, sf_small))
-    # every dim side broadcast; the only exchanges are the fact-fact join
-    # keys and the final small agg
-    assert plan.count("BroadcastHashJoin") >= 4
+    # the bounded dims (nation, region) are hint-broadcast in the static
+    # plan; customer/supplier are left to AQE
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# Tables that are facts at 100× scale: a hard broadcast hint on any of
+# them would override AQE's size check and OOM instead of degrading to a
+# shuffle join. Identified by their column prefixes in the hint subtree.
+_FACT_MARKERS = ("c_custkey", "s_suppkey", "o_orderkey", "l_orderkey")
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_top_orders", "q5_nation_revenue", "q7_nation_volume", "j_left_join_dim"]
+)
+def test_no_broadcast_hints_on_facts(spark, sf_small, name):
+    plan = plan_of(QUERIES[name](spark, sf_small), mode="extended")
+    lines = plan.splitlines()
+
+    def node_col(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-"))
+
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        depth = line.index("ResolvedHint")
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if node_col(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        blob = " ".join(subtree)
+        assert not any(m in blob for m in _FACT_MARKERS), (
+            f"{name}: broadcast hint sits on a fact table:\n{line}\n{blob}"
+        )
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_small):
