@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
 
 from data_spark.operators.merge import delete_then_insert, merge_upsert
 
@@ -117,6 +118,112 @@ def stream_event_time_join(
     return l.join(r, cond, how).drop(r[key])
 
 
+# Key-bucket partition column for the merge sink's target layout. The
+# target is hive-partitioned on it so a micro-batch rewrites only the
+# buckets its keys hash into — O(|batch| + touched buckets), never
+# O(|table|).
+BUCKET_COL = "__kb"
+
+
+def _key_bucket(keys: list[str], num_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast("int")
+
+
+def merge_batch_into_bucketed(
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str | None = None,
+    prev_key: str | None = None,
+    num_buckets: int = 16,
+) -> None:
+    """One micro-batch MERGE into a key-bucket-partitioned parquet target.
+
+    Scale posture: the batch's keys hash to a set of ``__kb`` buckets;
+    only those partition directories are read (partition-pruned scan)
+    and rewritten. Each rewritten bucket is swapped in by rename
+    (staging dir → backup → promote), so a crash leaves every bucket
+    either old or new, never half-written — and because the merge is
+    idempotent last-write-wins, the foreachBatch retry converges the
+    remaining buckets. This replaces a full-table overwrite that was
+    both O(|table|) per batch and destructive on crash.
+
+    ``prev_key``: amendment delete-then-insert
+    (load_graph_expenditures/cypher.py:40-75 semantics) — requires a
+    single merge key, since the predecessor's bucket is derived by
+    hashing the ``prev_key`` value as that key.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if prev_key is not None and len(keys) != 1:
+        raise ValueError("prev_key amendment routing requires a single merge key")
+
+    spark = batch.sparkSession
+    if order_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        batch = batch.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        ).drop("__rn")
+    else:
+        batch = batch.dropDuplicates(keys)
+    batch = batch.withColumn(BUCKET_COL, _key_bucket(keys, num_buckets))
+
+    if not os.path.exists(target_path):
+        out = batch.drop(prev_key) if prev_key and prev_key in batch.columns else batch
+        staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        os.rename(staging, target_path)
+        return
+
+    # Touched buckets: the batch's own keys plus (amendment path) the
+    # predecessors referenced by prev_key. Bounded by num_buckets, so
+    # the collect is a tiny driver-side list, not data.
+    touched_df = batch.select(BUCKET_COL)
+    if prev_key is not None and prev_key in batch.columns:
+        touched_df = touched_df.unionByName(
+            batch.filter(F.col(prev_key).isNotNull())
+            .select(F.col(prev_key).alias(keys[0]))
+            .select(_key_bucket(keys, num_buckets).alias(BUCKET_COL))
+        )
+    touched = sorted(r[0] for r in touched_df.distinct().collect())
+
+    target = (
+        spark.read.option("basePath", target_path)
+        .parquet(target_path)
+        .filter(F.col(BUCKET_COL).isin(touched))
+        .withColumn(BUCKET_COL, F.col(BUCKET_COL).cast("int"))
+    )
+    if prev_key is not None and prev_key in batch.columns:
+        target = delete_then_insert(
+            target,
+            batch.filter(F.col(prev_key).isNotNull()),
+            key=keys[0],
+            prev_key=prev_key,
+        )
+        batch = batch.filter(F.col(prev_key).isNull()).drop(prev_key)
+        target = target.drop(prev_key) if prev_key in target.columns else target
+    merged = merge_upsert(target, batch, keys, order_col=order_col)
+    # Amendments may move a row between buckets (delete_then_insert
+    # re-inserts the amendment row with its own key) — recompute.
+    merged = merged.withColumn(BUCKET_COL, _key_bucket(keys, num_buckets))
+
+    staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    for kb in touched:
+        part = f"{BUCKET_COL}={kb}"
+        new_dir = os.path.join(staging, part)
+        cur_dir = os.path.join(target_path, part)
+        backup = f"{cur_dir}__bak"
+        if os.path.exists(cur_dir):
+            os.rename(cur_dir, backup)
+        if os.path.exists(new_dir):
+            os.rename(new_dir, cur_dir)
+        shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def merge_upsert_sink(
     stream: DataFrame,
     target_path: str,
@@ -124,41 +231,31 @@ def merge_upsert_sink(
     checkpoint: str,
     order_col: str | None = None,
     prev_key: str | None = None,
+    num_buckets: int = 16,
 ) -> StreamingQuery:
-    """foreachBatch MERGE sink: micro-batch → upsert into a keyed
-    parquet table (rewrite-on-merge — at cluster scale the rewrite
-    becomes partition-scoped overwrite keyed by the merge key's
-    partition).
+    """foreachBatch MERGE sink: micro-batch → upsert into a key-bucket-
+    partitioned parquet target via :func:`merge_batch_into_bucketed`
+    (ES doc_as_upsert semantics; only touched buckets rewritten, each
+    promoted by atomic rename).
+
+    ``order_col``: last-write-wins version column — the batch itself is
+    deduped by it (row_number desc, not arbitrary dropDuplicates) so a
+    micro-batch holding several versions of a key keeps the newest.
 
     ``prev_key``: when set, rows carrying it first delete their
     predecessor (amendment delete-then-insert,
     load_graph_expenditures/cypher.py:40-75 semantics).
     """
-    spark = stream.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        import os
-
-        batch = batch.dropDuplicates(keys)
-        if os.path.exists(target_path):
-            target = spark.read.parquet(target_path)
-            if prev_key is not None and prev_key in batch.columns:
-                target = delete_then_insert(
-                    target, batch.filter(F.col(prev_key).isNotNull()),
-                    key=keys[0], prev_key=prev_key,
-                )
-                batch = batch.filter(F.col(prev_key).isNull()).drop(prev_key)
-                target = target.drop(prev_key) if prev_key in target.columns else target
-            merged = merge_upsert(target, batch, keys, order_col=order_col)
-        else:
-            merged = batch.drop(prev_key) if prev_key and prev_key in batch.columns else batch
-        staging = f"{target_path}__batch{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        out = spark.read.parquet(staging)
-        out.write.mode("overwrite").parquet(target_path)
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
+        merge_batch_into_bucketed(
+            batch,
+            target_path,
+            keys,
+            order_col=order_col,
+            prev_key=prev_key,
+            num_buckets=num_buckets,
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)

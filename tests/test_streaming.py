@@ -124,6 +124,74 @@ def test_merge_upsert_sink_with_amendments(spark, tmp_path):
     assert got == {101: 25.0, 102: 11.0}  # 100 deleted by amendment
 
 
+def test_merge_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale property: a micro-batch whose keys hash into K buckets
+    must leave every other bucket's files untouched (same inode set,
+    same mtimes) — the sink is O(batch), not O(table)."""
+    from data_spark.streaming.jobs import BUCKET_COL, merge_batch_into_bucketed
+
+    target = str(tmp_path / "bucketed_target")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    merge_batch_into_bucketed(base, target, keys=["k"], num_buckets=8)
+    kb_dirs = sorted(d for d in os.listdir(target) if d.startswith(BUCKET_COL))
+    assert len(kb_dirs) == 8
+
+    def snapshot():
+        out = {}
+        for d in kb_dirs:
+            p = os.path.join(target, d)
+            out[d] = sorted(
+                (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before = snapshot()
+    upd = spark.createDataFrame([(7, 700.0), (7, 699.0)], "k bigint, v double")
+    merge_batch_into_bucketed(upd, target, keys=["k"], num_buckets=8)
+    after = snapshot()
+
+    touched = [r[0] for r in upd.select(
+        F.pmod(F.xxhash64("k"), F.lit(8)).cast("int")
+    ).distinct().collect()]
+    assert len(touched) == 1
+    for d in kb_dirs:
+        kb = int(d.split("=")[1])
+        if kb in touched:
+            assert before[d] != after[d], "touched bucket must be rewritten"
+        else:
+            assert before[d] == after[d], f"untouched bucket {d} was rewritten"
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert len(got) == 200
+    assert got[7] in (700.0, 699.0)  # no order_col: arbitrary single survivor
+    assert got[8] == 8.0
+
+
+def test_merge_sink_order_col_keeps_newest_within_batch(spark, tmp_path):
+    """A micro-batch holding several versions of one key must keep the
+    highest order_col version (row_number dedup, not dropDuplicates)."""
+    from data_spark.streaming.jobs import merge_batch_into_bucketed
+
+    target = str(tmp_path / "ver_target")
+    b1 = spark.createDataFrame(
+        [(1, 1, "old"), (1, 3, "newest"), (1, 2, "mid"), (2, 1, "base")],
+        "k bigint, ver bigint, payload string",
+    )
+    merge_batch_into_bucketed(b1, target, keys=["k"], order_col="ver", num_buckets=4)
+    got = {r["k"]: (r["ver"], r["payload"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (3, "newest"), 2: (1, "base")}
+
+    # stale update must lose against the stored newer version
+    b2 = spark.createDataFrame([(1, 2, "stale")], "k bigint, ver bigint, payload string")
+    merge_batch_into_bucketed(b2, target, keys=["k"], order_col="ver", num_buckets=4)
+    got = {r["k"]: (r["ver"], r["payload"]) for r in spark.read.parquet(target).collect()}
+    assert got[1] == (3, "newest")
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     from data_spark.streaming.stateful import streaming_dedup
 
