@@ -61,6 +61,32 @@ def build_contributions_master(oth: DataFrame, indiv: DataFrame) -> DataFrame:
     ).select(_CONTRIB_COLS).distinct()
 
 
+_PAS_COLS = [
+    "cmte_id", "other_id", "cand_id", "amndt_ind", "rpt_tp", "transaction_pgi",
+    "transaction_tp", "entity_tp", "name", "state", "zip_code", "employer",
+    "occupation", "transaction_dt", "transaction_amt", "memo_text", "image_num",
+    "file_num", "tran_id", "sub_id",
+]
+
+
+def build_pas_master(pas: DataFrame) -> DataFrame:
+    """pas master (committee→candidate contributions,
+    import_bigquery/main.py:210-234 layout): same repair discipline as
+    the contributions master — memo_cd IS NULL filter, DISTINCT, zip
+    truncated to 5, MMDDYYYY date rebuilt — keeping the cand_id edge
+    key the other transaction files lack."""
+    return (
+        pas.filter(F.col("memo_cd").isNull())
+        .select(
+            *[c for c in _PAS_COLS if c not in ("zip_code", "transaction_dt")],
+            F.substring("zip_code", 1, 5).alias("zip_code"),
+            _rebuild_mmddyyyy(F.col("transaction_dt")).alias("transaction_dt"),
+        )
+        .select(_PAS_COLS)
+        .distinct()
+    )
+
+
 _EXP_COLS = [
     "id", "type", "cmte_id", "cmte_nm", "cmte_zip", "cmte_dsgn", "cmte_tp",
     "cmte_pty_affiliation", "cmte_filing_freq", "org_tp", "connected_org_nm",

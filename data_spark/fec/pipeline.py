@@ -23,8 +23,12 @@ from pyspark.sql import functions as F
 
 from data_spark.fec import schemas
 from data_spark.fec.docs import contribution_documents, linkage_documents
-from data_spark.fec.master import build_contributions_master, build_expenditures_master
-from data_spark.fec.views import contributions_elastic
+from data_spark.fec.master import (
+    build_contributions_master,
+    build_expenditures_master,
+    build_pas_master,
+)
+from data_spark.fec.views import contributions_elastic, pas_elastic
 from data_spark.graph.fec import contribution_graph
 from data_spark.io import read_pipe_delimited, validated_overwrite
 from data_spark.streaming.incremental import ProcessedLog, incremental_batches
@@ -78,6 +82,16 @@ def run_derivations(spark: SparkSession, out_dir: str) -> dict[str, int]:
     counts["contributions_elastic"] = validated_overwrite(
         elastic, os.path.join(out_dir, "contributions_elastic")
     )
+
+    if os.path.exists(os.path.join(out_dir, "pas")):
+        pas_master = build_pas_master(_read(spark, out_dir, "pas"))
+        counts["pas_master"] = validated_overwrite(
+            pas_master, os.path.join(out_dir, "pas_master")
+        )
+        counts["pas_elastic"] = validated_overwrite(
+            pas_elastic(_read(spark, out_dir, "pas_master"), cn, cm),
+            os.path.join(out_dir, "pas_elastic"),
+        )
 
     if os.path.exists(os.path.join(out_dir, "ccl")):
         linkages = linkage_documents(_read(spark, out_dir, "ccl"))

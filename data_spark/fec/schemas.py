@@ -51,6 +51,13 @@ _TXN_COLS = (
 INDIV = _schema(*_TXN_COLS)
 OTH = _schema(*_TXN_COLS)
 
+# pas (committee→candidate contributions): the transaction layout with
+# cand_id inserted between other_id and tran_id
+# (import_bigquery/main.py:210-234).
+PAS = _schema(
+    *_TXN_COLS[:16], ("cand_id", "s"), *_TXN_COLS[16:],
+)
+
 OPPEXP = _schema(
     ("cmte_id", "s"), ("amndt_ind", "s"), ("rpt_yr", "l"), ("rpt_tp", "s"),
     ("image_num", "s"), ("line_num", "s"), ("form_tp_cd", "s"), ("sched_tp_cd", "s"),
@@ -106,17 +113,48 @@ WEBK = _schema(
     ("cvg_end_dt", "s"),
 )
 
+# ElectioneeringComm / CommunicationCosts CSVs
+# (import_bigquery/main.py:314-363).
+ELECTIONEERING_COMM = _schema(
+    ("candidate_id", "s"), ("candidate_name", "s"), ("candidate_office", "s"),
+    ("candidate_state", "s"), ("candidate_office_district", "s"),
+    ("committee_id", "s"), ("committee_name", "s"), ("sb_image_num", "s"),
+    ("payee_name", "s"), ("payee_street", "s"), ("payee_city", "s"),
+    ("payee_state", "s"), ("disbursement_description", "s"),
+    ("disbursement_date", "s"), ("communication_date", "s"),
+    ("public_distribution_date", "s"), ("reported_disbursement_amount", "d"),
+    ("number_of_candidates", "l"), ("calculated_candidate_share", "d"),
+)
+
+COMMUNICATION_COSTS = _schema(
+    ("cmte_id", "s"), ("cmte_name", "s"), ("candidate_id", "s"),
+    ("candidate_name", "s"), ("candidate_office", "s"),
+    ("candidate_office_state", "s"), ("candidate_office_district", "s"),
+    ("cand_pty_affiliation", "s"), ("transaction_dt", "s"),
+    ("transaction_amt", "d"), ("transaction_tp", "s"),
+    ("communication_tp", "s"), ("communication_class", "s"),
+    ("support_oppose_ind", "s"), ("image_num", "s"), ("line_num", "l"),
+    ("form_tp_cd", "s"), ("sched_tp_cd", "s"), ("tran_id", "s"),
+    ("sub_id", "l"), ("file_num", "l"), ("rpt_yr", "l"),
+    ("cand_state_description", "s"), ("cand_pty_affiliation_description", "s"),
+    ("purpose", "s"),
+)
+
 #: file-prefix → schema, mirroring the per-prefix dispatch in the
-#: reference's import step.
+#: reference's import step (all 13 prefixes,
+#: import_bigquery/main.py:44-363).
 BY_PREFIX = {
     "cn": CN,
     "cm": CM,
     "ccl": CCL,
     "indiv": INDIV,
     "oth": OTH,
+    "pas": PAS,
     "oppexp": OPPEXP,
     "independent_expenditure": INDEPENDENT_EXPENDITURE,
     "weball": WEBALL,
     "webl": WEBL,
     "webk": WEBK,
+    "ElectioneeringComm": ELECTIONEERING_COMM,
+    "CommunicationCosts": COMMUNICATION_COSTS,
 }

@@ -145,6 +145,33 @@ def _nulls(names: list[str], prefix: str, types: dict[str, str] | None = None):
     ]
 
 
+def pas_elastic(pas_master: DataFrame, cn: DataFrame, cm: DataFrame) -> DataFrame:
+    """Committee→candidate support edges from the pas master: the
+    spending committee enriched with the committee dim, the supported
+    candidate with the candidate dim (same broadcast-dim discipline as
+    contributions_elastic). Source key is cmte_id, target key cand_id —
+    the one edge type the oth/indiv files cannot express."""
+    cnb = F.broadcast(cn.select("cand_id", *_CAND_DIM))
+    cmb = F.broadcast(cm.select("cmte_id", *_CMTE_DIM))
+    return (
+        pas_master.alias("a")
+        .filter(F.col("a.cmte_id").isNotNull() & F.col("a.cand_id").isNotNull())
+        .join(cmb.alias("s"), F.col("a.cmte_id") == F.col("s.cmte_id"), "left")
+        .join(cnb.alias("t"), F.col("a.cand_id") == F.col("t.cand_id"), "left")
+        .select(
+            F.lit("committee_candidate").alias("classification"),
+            F.col("a.cmte_id").alias("source"),
+            *[F.col(f"s.{n}").alias(f"source_{n}") for n in _CMTE_DIM],
+            F.col("a.cand_id").alias("target"),
+            *[F.col(f"t.{n}").alias(f"target_{n}") for n in _CAND_DIM],
+            F.col("a.entity_tp").alias("donor_entity_tp"),
+            F.col("a.name").alias("donor_name"),
+            F.col("a.state").alias("donor_state"),
+            *[F.col(f"a.{c}").alias(c) for c in _EDGE_COLS],
+        )
+    )
+
+
 def contributions_elastic(master: DataFrame, cn: DataFrame, cm: DataFrame) -> DataFrame:
     """contributions.sql:81-129: 4-arm classified, dim-enriched union
     feeding the document sink. cn/cm are broadcast on every arm."""

@@ -124,6 +124,135 @@ def _transactions(kind: str, start_sub_id: int, n: int) -> pd.DataFrame:
     return df
 
 
+def _pas(start_sub_id: int, n: int) -> pd.DataFrame:
+    """pas layout = transaction layout + cand_id between other_id and
+    tran_id; exercises memo_cd filter, dangling cand FKs, dup rows."""
+    base = _transactions("oth", start_sub_id, n)
+    cand_ids = [
+        f"H{(i % 6) + 1:03d}" if i % 5 else ("S001" if i % 2 else None)
+        for i in range(n)
+    ]
+    base.insert(base.columns.get_loc("tran_id"), "cand_id", cand_ids)
+    # exact duplicate pair for DISTINCT coverage
+    return pd.concat([base, base.iloc[:2]], ignore_index=True)
+
+
+def _weballs() -> pd.DataFrame:
+    money = [
+        "ttl_receipts", "trans_from_auth", "ttl_disb", "trans_to_auth", "coh_bop",
+        "coh_cop", "cand_contrib", "cand_loans", "other_loans", "cand_loan_repay",
+        "other_loan_repay", "debts_owed_by", "ttl_indiv_contrib",
+    ]
+    rows = []
+    for i in range(8):
+        rows.append(
+            {
+                "cand_id": f"H{(i % 6) + 1:03d}",
+                "cand_name": f"CAND {i}",
+                "cand_ici": "I" if i % 2 else "C",
+                "pty_cd": "1",
+                "cand_pty_affiliation": "DEM" if i % 2 else "REP",
+                **{m: round(1000.0 * (i + 1) + j, 2) for j, m in enumerate(money)},
+                "cand_office_st": "CA",
+                "cand_office_district": "01",
+                "spec_election": None,
+                "prim_election": "W" if i % 3 else None,
+                "run_election": None,
+                "gen_election": "W" if i % 2 else "L",
+                "gen_election_precent": round(40.0 + i, 2),
+                "other_pol_cmte_contrib": round(10.0 + i, 2),
+                "pol_pty_contrib": round(5.0 + i, 2),
+                "cvg_end_dt": "12/31/2022",
+                "indiv_refunds": round(1.0 + i, 2),
+                "cmte_refunds": round(0.5 + i, 2),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _webk() -> pd.DataFrame:
+    money = [
+        "ttl_receipts", "trans_from_aff", "indv_contrib", "other_pol_cmte_contrib",
+        "cand_contrib", "cand_loans", "ttl_loans_received", "ttl_disb",
+        "tranf_to_aff", "indv_refunds", "other_pol_cmte_refunds",
+        "cand_loan_repay", "loan_repay", "coh_bop", "coh_cop", "debts_owed_by",
+        "nonfed_trans_received", "contrib_to_other_cmtes", "ind_exp",
+        "pty_coord_exp",
+    ]
+    rows = []
+    for i in range(6):
+        rows.append(
+            {
+                "cmte_id": f"C{i + 1:03d}",
+                "cmte_nm": f"COMMITTEE {i + 1}",
+                "cmte_tp": "H" if i % 2 else "S",
+                "cmte_dsgn": "B",
+                "cmte_filing_freq": "Q",
+                **{m: round(2000.0 * (i + 1) + j, 2) for j, m in enumerate(money)},
+                "nonfed_share_exp": round(3.0 + i, 2),
+                "cvg_end_dt": "12/31/2022",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _electioneering() -> pd.DataFrame:
+    rows = []
+    for i in range(7):
+        rows.append(
+            (
+                f"H{(i % 6) + 1:03d}", f"CAND {i}", "H", "CA", "01",
+                f"C{(i % 10) + 1:03d}", f"COMMITTEE {(i % 10) + 1}", f"SB{i}",
+                f"PAYEE {i}", "1 MAIN ST", "CITY", "CA", "TV ADS",
+                f"{(i % 12) + 1}/{(i % 27) + 1}/2022", f"{(i % 12) + 1}/{(i % 27) + 2}/2022",
+                None if i % 3 == 0 else f"{(i % 12) + 1}/{(i % 27) + 3}/2022",
+                round(10_000.0 + i, 2), (i % 3) + 1,
+                round((10_000.0 + i) / ((i % 3) + 1), 2),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "candidate_id", "candidate_name", "candidate_office", "candidate_state",
+            "candidate_office_district", "committee_id", "committee_name",
+            "sb_image_num", "payee_name", "payee_street", "payee_city",
+            "payee_state", "disbursement_description", "disbursement_date",
+            "communication_date", "public_distribution_date",
+            "reported_disbursement_amount", "number_of_candidates",
+            "calculated_candidate_share",
+        ],
+    )
+
+
+def _communication_costs() -> pd.DataFrame:
+    rows = []
+    for i in range(9):
+        rows.append(
+            (
+                f"C{(i % 10) + 1:03d}", f"COMMITTEE {(i % 10) + 1}",
+                f"H{(i % 6) + 1:03d}", f"CAND {i}", "H", "CA", "01",
+                "DEM" if i % 2 else "REP", "11072022", round(500.0 + i, 2),
+                "24F", "DM" if i % 2 else "TV", "C", "S" if i % 3 else "O",
+                f"IMG{i}", (i % 4) + 1, "F7", "SF", f"T{i}", 40_000 + i,
+                850_000 + i, 2022, "CALIFORNIA",
+                "DEMOCRATIC PARTY" if i % 2 else "REPUBLICAN PARTY", "MAILER",
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "cmte_id", "cmte_name", "candidate_id", "candidate_name",
+            "candidate_office", "candidate_office_state",
+            "candidate_office_district", "cand_pty_affiliation", "transaction_dt",
+            "transaction_amt", "transaction_tp", "communication_tp",
+            "communication_class", "support_oppose_ind", "image_num", "line_num",
+            "form_tp_cd", "sched_tp_cd", "tran_id", "sub_id", "file_num",
+            "rpt_yr", "cand_state_description",
+            "cand_pty_affiliation_description", "purpose",
+        ],
+    )
+
+
 def fixtures() -> dict[str, pd.DataFrame]:
     indiv = _transactions("indiv", 10_000, 60)
     oth = _transactions("oth", 20_000, 60)
@@ -182,14 +311,21 @@ def fixtures() -> dict[str, pd.DataFrame]:
     )
     independent["prev_file_num"] = independent["prev_file_num"].astype("Int64")
 
+    weball = _weballs()
     return {
         "cn": _candidates(),
         "cm": _committees(),
         "ccl": _linkages(),
         "indiv": indiv,
         "oth": oth,
+        "pas": _pas(40_000, 30),
         "oppexp": oppexp,
         "independent_expenditure": independent,
+        "weball": weball,
+        "webl": weball.copy(),
+        "webk": _webk(),
+        "ElectioneeringComm": _electioneering(),
+        "CommunicationCosts": _communication_costs(),
     }
 
 

@@ -32,13 +32,21 @@ def test_fec_end_to_end(spark, landing, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("fec_out"))
     counts = run_bulk_import(spark, landing, out)
     fx = fixtures()
-    assert counts["indiv"] == len(fx["indiv"])
-    assert counts["oth"] == len(fx["oth"])
-    assert counts["cn"] == len(fx["cn"])
+    # every one of the reference's 13 bulk prefixes lands with its schema
+    assert set(counts) == set(fx) and len(counts) == 13
+    for name in fx:
+        assert counts[name] == len(fx[name]), name
 
     derived = run_derivations(spark, out)
     assert derived["contributions_master"] > 0
     assert derived["contributions_elastic"] > 0
+    # pas arm: master drops memo_cd rows + dedups; view keeps only rows
+    # with both edge keys
+    pas = fx["pas"]
+    assert derived["pas_master"] == len(
+        pas[pas.memo_cd.isna()].drop_duplicates()
+    )
+    assert 0 < derived["pas_elastic"] <= derived["pas_master"]
     assert derived["expenditures_master"] == len(fx["oppexp"]) - len(
         fx["oppexp"][fx["oppexp"].memo_cd.notna()]
     ) + len(fx["independent_expenditure"])
