@@ -99,6 +99,108 @@ def contribution_documents(elastic: DataFrame) -> DataFrame:
     )
 
 
+_SPENDER_COLS = [
+    "cmte_nm", "cmte_zip", "cmte_dsgn", "cmte_tp", "cmte_pty_affiliation",
+    "cmte_filing_freq", "org_tp", "connected_org_nm",
+]
+_CONTENT_COLS = [
+    "sup_opp", "cand_id", "cand_name", "cand_pty_affiliation",
+    "cand_election_yr", "cand_office_st", "cand_office",
+    "cand_office_district", "cand_ici", "cand_pcc", "cand_zip",
+]
+
+
+def expenditure_documents(master: DataFrame) -> DataFrame:
+    """Expenditure envelope per master row
+    (load_elastic_expenditures/main.py:88-166): spender committee
+    sub-struct, payee sub-struct, flat transaction fields, and a
+    ``content`` candidate sub-struct present ONLY when the row carries
+    any of sup_opp/cand_id/cand_name (the independent arm); processed
+    names via process_name. One struct projection — no pandas loop."""
+    has_content = (
+        F.col("sup_opp").isNotNull()
+        | F.col("cand_id").isNotNull()
+        | F.col("cand_name").isNotNull()
+    )
+    spender = F.struct(
+        F.col("cmte_id"), *[F.col(c) for c in _SPENDER_COLS]
+    )
+    payee = F.struct(
+        F.col("payee").alias("name"),
+        F.col("entity_tp"),
+        F.col("state"),
+        F.col("zip_code"),
+    )
+    content = F.struct(*[F.col(c) for c in _CONTENT_COLS])
+    row = F.struct(
+        F.col("type"),
+        spender.alias("spender"),
+        payee.alias("payee"),
+        F.col("transaction_dt"),
+        F.col("transaction_amt"),
+        F.col("purpose"),
+        F.col("category"),
+        F.col("category_desc"),
+        F.when(has_content, content).alias("content"),
+        F.col("transaction_pgi"),
+        F.col("amndt_ind"),
+        F.col("image_num"),
+        F.col("file_num"),
+        F.col("tran_id"),
+        F.col("line_num"),
+        F.col("rpt_yr"),
+        F.col("rpt_tp"),
+        F.col("form_tp_cd"),
+        F.col("sched_tp_cd"),
+        F.col("rec_dt"),
+        F.col("prev_file_num"),
+        F.col("back_ref_tran_id"),
+        F.col("sub_id").cast("string").alias("sub_id"),
+    )
+    norm_cand = F.when(has_content, process_name(F.col("cand_name")))
+    processed = F.struct(
+        F.struct(process_name(F.col("payee")).alias("name")).alias("payee"),
+        F.when(
+            norm_cand.isNotNull(), F.struct(norm_cand.alias("cand_name"))
+        ).alias("content"),
+    )
+    return master.select(
+        F.col("id").alias("_id"), row.alias("row"), processed.alias("processed")
+    )
+
+
+_CN_COLS = [
+    "cand_id", "cand_name", "cand_pty_affiliation", "cand_election_yr",
+    "cand_office_st", "cand_office", "cand_office_district", "cand_ici",
+    "cand_status", "cand_pcc", "cand_st1", "cand_st2", "cand_city", "cand_st",
+    "cand_zip",
+]
+
+
+def candidate_documents(cn: DataFrame) -> DataFrame:
+    """Candidate envelope (load_elastic_candidates/main.py:35-96): the
+    full cn row plus processed.cand_name."""
+    row = F.struct(*[F.col(c) for c in _CN_COLS])
+    processed = F.struct(process_name(F.col("cand_name")).alias("cand_name"))
+    return cn.select(
+        F.col("cand_id").alias("_id"), row.alias("row"), processed.alias("processed")
+    )
+
+
+_CM_COLS = [
+    "cmte_id", "cmte_nm", "tres_nm", "cmte_st1", "cmte_st2", "cmte_city",
+    "cmte_st", "cmte_zip", "cmte_dsgn", "cmte_tp", "cmte_pty_affiliation",
+    "cmte_filing_freq", "org_tp", "connected_org_nm", "cand_id",
+]
+
+
+def committee_documents(cm: DataFrame) -> DataFrame:
+    """Committee envelope (load_elastic_committees/main.py:34-90): the
+    full cm row; no processed section in the reference."""
+    row = F.struct(*[F.col(c) for c in _CM_COLS])
+    return cm.select(F.col("cmte_id").alias("_id"), row.alias("row"))
+
+
 def linkage_documents(ccl: DataFrame) -> DataFrame:
     """Two document sets from candidate-committee linkages, union-tagged:
     ('candidate', cand_id, committees[]) and ('committee', cmte_id,

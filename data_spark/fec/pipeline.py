@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_spark.fec import schemas
-from data_spark.fec.docs import contribution_documents, linkage_documents
+from data_spark.fec.docs import (
+    candidate_documents,
+    committee_documents,
+    contribution_documents,
+    expenditure_documents,
+    linkage_documents,
+)
 from data_spark.fec.master import (
     build_contributions_master,
     build_expenditures_master,
@@ -97,6 +103,16 @@ def run_derivations(spark: SparkSession, out_dir: str) -> dict[str, int]:
         linkages = linkage_documents(_read(spark, out_dir, "ccl"))
         counts["linkages"] = validated_overwrite(linkages, os.path.join(out_dir, "linkages"))
 
+    # candidate/committee envelopes are full loads each run (the
+    # reference reindexes cn22/cm22 wholesale; only contributions and
+    # expenditures drain through loaded_* logs)
+    counts["candidate_docs"] = validated_overwrite(
+        candidate_documents(cn), os.path.join(out_dir, "candidate_docs")
+    )
+    counts["committee_docs"] = validated_overwrite(
+        committee_documents(cm), os.path.join(out_dir, "committee_docs")
+    )
+
     g = contribution_graph(_read(spark, out_dir, "contributions_elastic"))
     counts["graph_nodes"] = validated_overwrite(g.nodes, os.path.join(out_dir, "graph_nodes"))
     counts["graph_edges"] = validated_overwrite(g.edges, os.path.join(out_dir, "graph_edges"))
@@ -122,5 +138,28 @@ def run_incremental_docs(
 
     total = 0
     for n in incremental_batches(elastic, log, process, batch_size, max_batches):
+        total += n
+    return total
+
+
+def run_incremental_expenditure_docs(
+    spark: SparkSession, out_dir: str, batch_size: int = 1000, max_batches: int | None = None
+) -> int:
+    """Drain the expenditures master through the expenditure-envelope
+    sink exactly once per id (the reference's loaded_expenditures22
+    anti-join loop, load_elastic_expenditures/main.py:73-80)."""
+    master = _read(spark, out_dir, "expenditures_master")
+    log = ProcessedLog(spark, os.path.join(out_dir, "loaded_expenditures"), key="id")
+    docs_path = os.path.join(out_dir, "expenditure_docs")
+
+    def process(batch: DataFrame) -> None:
+        docs = expenditure_documents(batch).withColumn(
+            "context",
+            F.struct(F.current_timestamp().alias("last_indexed")),
+        )
+        docs.write.mode("append").parquet(docs_path)
+
+    total = 0
+    for n in incremental_batches(master, log, process, batch_size, max_batches):
         total += n
     return total

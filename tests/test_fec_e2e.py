@@ -8,7 +8,12 @@ import os
 
 import pytest
 
-from data_spark.fec.pipeline import run_bulk_import, run_derivations, run_incremental_docs
+from data_spark.fec.pipeline import (
+    run_bulk_import,
+    run_derivations,
+    run_incremental_docs,
+    run_incremental_expenditure_docs,
+)
 from data_spark.io import validated_overwrite
 from tests.fec_fixtures import fixtures
 
@@ -63,6 +68,21 @@ def test_fec_end_to_end(spark, landing, tmp_path_factory):
     assert docs.select("_id").distinct().count() == docs.count()
     # re-run: nothing left
     assert run_incremental_docs(spark, out, batch_size=30) == 0
+
+    # candidate/committee envelopes are full loads
+    assert derived["candidate_docs"] == len(fx["cn"])
+    assert derived["committee_docs"] == len(fx["cm"])
+
+    # expenditure envelope drain: exactly once per id, resumable
+    exp_total = derived["expenditures_master"]
+    e1 = run_incremental_expenditure_docs(spark, out, batch_size=10, max_batches=1)
+    assert e1 == min(10, exp_total)
+    e2 = run_incremental_expenditure_docs(spark, out, batch_size=10)
+    assert e1 + e2 == exp_total
+    edocs = spark.read.parquet(os.path.join(out, "expenditure_docs"))
+    assert edocs.count() == exp_total
+    assert edocs.select("_id").distinct().count() == exp_total
+    assert run_incremental_expenditure_docs(spark, out, batch_size=10) == 0
 
 
 def test_validated_overwrite_rolls_back(spark, tmp_path):

@@ -9,13 +9,24 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from data_spark.fec.docs import contribution_documents, linkage_documents
-from data_spark.fec.master import build_contributions_master, build_expenditures_master
+from data_spark.fec.docs import (
+    candidate_documents,
+    committee_documents,
+    contribution_documents,
+    expenditure_documents,
+    linkage_documents,
+)
+from data_spark.fec.master import (
+    build_contributions_master,
+    build_expenditures_master,
+    build_pas_master,
+)
 from data_spark.fec.views import (
     contributions_elastic,
     contributions_from_candidates,
     contributions_from_committees,
     contributions_from_ind_donors,
+    pas_elastic,
 )
 from tests.fec_fixtures import write_fixtures
 from tools.check_correctness import frame_key
@@ -239,6 +250,121 @@ def test_contribution_documents_variants(fec):
     ]
     assert named
     assert named[0]["processed"]["source"]["donor"]["name"] == "JANE DOE"
+
+
+PAS_MASTER_SQL = """
+SELECT DISTINCT cmte_id, other_id, cand_id, amndt_ind, rpt_tp, transaction_pgi,
+       transaction_tp, entity_tp, name, state,
+       substr(zip_code, 1, 5) AS zip_code, employer, occupation,
+       substr(transaction_dt, 5, 4) || '-' || substr(transaction_dt, 1, 2)
+         || '-' || substr(transaction_dt, 3, 2) AS transaction_dt,
+       transaction_amt, memo_text, image_num, file_num, tran_id, sub_id
+FROM pas WHERE memo_cd IS NULL
+"""
+
+
+def test_pas_master_matches_reference_sql(fec):
+    tables, con = fec
+    master = build_pas_master(tables["pas"])
+    _assert_match(master, con, PAS_MASTER_SQL)
+
+
+def test_pas_elastic_matches_oracle_sql(fec):
+    tables, con = fec
+    view = pas_elastic(build_pas_master(tables["pas"]), tables["cn"], tables["cm"])
+    _assert_match(
+        view,
+        con,
+        f"""
+        WITH m AS ({PAS_MASTER_SQL})
+        SELECT 'committee_candidate' AS classification,
+               m.cmte_id AS source,
+               s.cmte_nm AS source_cmte_nm, s.cmte_zip AS source_cmte_zip,
+               s.cmte_dsgn AS source_cmte_dsgn, s.cmte_tp AS source_cmte_tp,
+               s.cmte_pty_affiliation AS source_cmte_pty_affiliation,
+               s.cmte_filing_freq AS source_cmte_filing_freq,
+               s.org_tp AS source_org_tp,
+               s.connected_org_nm AS source_connected_org_nm,
+               m.cand_id AS target,
+               t.cand_name AS target_cand_name,
+               t.cand_pty_affiliation AS target_cand_pty_affiliation,
+               t.cand_election_yr AS target_cand_election_yr,
+               t.cand_office_st AS target_cand_office_st,
+               t.cand_office AS target_cand_office,
+               t.cand_office_district AS target_cand_office_district,
+               t.cand_ici AS target_cand_ici, t.cand_pcc AS target_cand_pcc,
+               t.cand_zip AS target_cand_zip,
+               m.entity_tp AS donor_entity_tp, m.name AS donor_name,
+               m.state AS donor_state,
+               m.transaction_dt, m.transaction_amt, m.amndt_ind, m.rpt_tp,
+               m.transaction_pgi, m.transaction_tp, m.image_num, m.file_num,
+               m.tran_id, m.sub_id
+        FROM m
+        LEFT JOIN cm s ON m.cmte_id = s.cmte_id
+        LEFT JOIN cn t ON m.cand_id = t.cand_id
+        WHERE m.cmte_id IS NOT NULL AND m.cand_id IS NOT NULL
+        """,
+    )
+
+
+def test_expenditure_documents_envelope(fec):
+    tables, con = fec
+    master = build_expenditures_master(
+        tables["oppexp"], tables["independent_expenditure"], tables["cm"], tables["cn"]
+    )
+    docs = expenditure_documents(master)
+    rows = {r["_id"]: r for r in docs.collect()}
+    assert len(rows) == master.count()
+
+    # content presence matches the reference's OR-condition exactly
+    # (load_elastic_expenditures/main.py:129-142), cross-checked in SQL
+    con.execute("CREATE OR REPLACE VIEW exp_m AS " + EXP_MASTER_SQL)
+    with_content = {
+        r[0]
+        for r in con.execute(
+            "SELECT id FROM exp_m WHERE sup_opp IS NOT NULL OR cand_id IS NOT NULL"
+            " OR cand_name IS NOT NULL"
+        ).fetchall()
+    }
+    got_content = {k for k, r in rows.items() if r["row"]["content"] is not None}
+    assert got_content == with_content
+    assert with_content and with_content != set(rows)  # both branches exercised
+
+    for mr in master.collect():
+        doc = rows[mr["id"]]["row"]
+        assert doc["type"] == mr["type"]
+        assert doc["spender"]["cmte_id"] == mr["cmte_id"]
+        assert doc["spender"]["cmte_nm"] == mr["cmte_nm"]
+        assert doc["payee"]["name"] == mr["payee"]
+        assert doc["sub_id"] == (str(mr["sub_id"]) if mr["sub_id"] is not None else None)
+        if doc["content"] is not None:
+            assert doc["content"]["cand_id"] == mr["cand_id"]
+            assert doc["content"]["sup_opp"] == mr["sup_opp"]
+    # processed payee name is process_name'd
+    any_payee = next(r for r in rows.values() if r["row"]["payee"]["name"])
+    assert any_payee["processed"]["payee"]["name"] is not None
+
+
+def test_candidate_and_committee_documents(fec):
+    tables, _ = fec
+    cn, cm = tables["cn"], tables["cm"]
+    cand = {r["_id"]: r for r in candidate_documents(cn).collect()}
+    assert set(cand) == {r["cand_id"] for r in cn.collect()}
+    for src in cn.collect():
+        doc = cand[src["cand_id"]]
+        for c in ["cand_name", "cand_pty_affiliation", "cand_election_yr",
+                  "cand_status", "cand_zip"]:
+            assert doc["row"][c] == src[c], c
+    # process_name: "SMITH, JOHN MR" → comma-reordered, suffix stripped
+    assert cand["H001"]["processed"]["cand_name"] == "JOHN SMITH"
+
+    com = {r["_id"]: r for r in committee_documents(cm).collect()}
+    assert set(com) == {r["cmte_id"] for r in cm.collect()}
+    for src in cm.collect():
+        doc = com[src["cmte_id"]]
+        for c in ["cmte_nm", "tres_nm", "cmte_tp", "cand_id"]:
+            assert doc["row"][c] == src[c], c
+    assert "processed" not in com["C001"].asDict()  # reference has none
 
 
 def test_linkage_documents_last_write_wins(fec):
