@@ -43,6 +43,7 @@ HEADLINE = [
     "d_contamination",
     "d_split_assign",
     "d_embed_near_dup",
+    "d_embed_near_dup_lsh",  # the 100TB scale path next to the exact baseline
     "e_asof_latest_view",
     "v_cosine_topk",
     "j_suffix_containment",

@@ -102,6 +102,7 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.a == labels.id)
@@ -127,4 +128,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Hitting the cap with labels still moving means components on
+        # graphs with diameter > max_iterations would be silently split.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise max_iterations"
+        )
     return labels

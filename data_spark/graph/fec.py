@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from data_spark.functions.text import clean_zip
 from data_spark.graph.tables import GraphTables, upsert_edges, upsert_nodes
+from data_spark.operators.merge import delete_then_insert
 
 
 def _props(*cols: str) -> F.Column:
@@ -117,4 +118,235 @@ def contribution_graph(elastic: DataFrame) -> GraphTables:
     e4 = edge(F.lit("Contribution"), F.col("sub_id"), "HAPPENED_ON",
               F.lit("Day"), F.concat_ws("-", "year", "month", "day"), df=dated)
     edges = upsert_edges(None, e1.unionByName(e2).unionByName(e3).unionByName(e4))
+    return GraphTables(nodes=nodes, edges=edges)
+
+
+def _node(df: DataFrame, label: str, key, props=None) -> DataFrame:
+    out = df.filter(key.isNotNull() & (key != "")).select(
+        F.lit(label).alias("label"),
+        key.alias("key"),
+        (props if props is not None else F.create_map().cast("map<string,string>")).alias(
+            "props"
+        ),
+    )
+    return out
+
+
+def _edge(df: DataFrame, src_label, src_key, rel: str, dst_label, dst_key) -> DataFrame:
+    return df.filter(
+        src_key.isNotNull() & (src_key != "") & dst_key.isNotNull() & (dst_key != "")
+    ).select(
+        F.lit(src_label).alias("src_label"), src_key.alias("src_key"),
+        F.lit(rel).alias("rel"),
+        F.lit(dst_label).alias("dst_label"), dst_key.alias("dst_key"),
+    )
+
+
+def race_key() -> F.Column:
+    """Race composite NODE KEY (type, election_yr, office, office_st,
+    office_district) — load_graph_candidates/cypher.py:5 — flattened to
+    one string key with a fixed field order."""
+    return F.concat_ws(
+        "|",
+        F.lit("federal"),
+        F.col("cand_election_yr").cast("string"),
+        F.col("cand_office_st"),
+        F.col("cand_office"),
+        F.col("cand_office_district"),
+    )
+
+
+def candidate_graph(cn: DataFrame, ccl: DataFrame) -> GraphTables:
+    """Candidate graph build (load_graph_candidates/cypher.py:7-43):
+    Candidate nodes with SET props, State/Party nodes, the Race 5-tuple
+    composite-key node, and RUNNING_IN / ASSOCIATED_WITH / RUNNING_FOR
+    edges; ccl linkages become Committee-ASSOCIATED_WITH->Candidate
+    edges keyed by linkage_id."""
+    cand_props = _props(
+        "cand_name", "cand_pty_affiliation", "cand_election_yr", "cand_office_st",
+        "cand_office", "cand_office_district", "cand_ici",
+    )
+    nodes = upsert_nodes(
+        None,
+        _node(cn, "Candidate", F.col("cand_id"), cand_props)
+        .unionByName(_node(cn, "State", F.col("cand_office_st")))
+        .unionByName(_node(cn, "Party", F.col("cand_pty_affiliation")))
+        .unionByName(
+            _node(
+                cn.filter(F.col("cand_election_yr").isNotNull()),
+                "Race",
+                race_key(),
+                _props(
+                    "cand_election_yr", "cand_office_st", "cand_office",
+                    "cand_office_district",
+                ),
+            )
+        ),
+        ["label", "key"],
+    )
+    raced = cn.filter(F.col("cand_election_yr").isNotNull())
+    plain_edges = (
+        _edge(cn, "Candidate", F.col("cand_id"), "RUNNING_IN", "State",
+              F.col("cand_office_st"))
+        .unionByName(_edge(cn, "Candidate", F.col("cand_id"), "ASSOCIATED_WITH",
+                           "Party", F.col("cand_pty_affiliation")))
+        .unionByName(_edge(raced, "Candidate", F.col("cand_id"), "RUNNING_FOR",
+                           "Race", race_key()))
+        .unionByName(_edge(raced, "Race", race_key(), "ASSOCIATED_WITH", "State",
+                           F.col("cand_office_st")))
+    )
+    # edge identity includes linkage_id (MERGE {subtype:'linkage',
+    # linkage_id})
+    linkage_edges = ccl.filter(
+        F.col("cmte_id").isNotNull() & F.col("cand_id").isNotNull()
+    ).select(
+        F.lit("Committee").alias("src_label"), F.col("cmte_id").alias("src_key"),
+        F.lit("ASSOCIATED_WITH").alias("rel"),
+        F.lit("Candidate").alias("dst_label"), F.col("cand_id").alias("dst_key"),
+        F.col("linkage_id").cast("string").alias("linkage_id"),
+    )
+    edges = upsert_edges(None, plain_edges).withColumn(
+        "linkage_id", F.lit(None).cast("string")
+    ).unionByName(
+        upsert_edges(
+            None, linkage_edges,
+            ["src_label", "src_key", "rel", "dst_label", "dst_key", "linkage_id"],
+        )
+    )
+    return GraphTables(nodes=nodes, edges=edges)
+
+
+def committee_graph(cm: DataFrame, ccl: DataFrame) -> GraphTables:
+    """Committee graph build (load_graph_committees/cypher.py:7-37):
+    Committee nodes with SET props, Party and Employer
+    (connected_org_nm) nodes, ASSOCIATED_WITH edges, plus ccl linkage
+    edges to candidates keyed by linkage_id."""
+    cmte_props = _props(
+        "cmte_nm", "cmte_dsgn", "cmte_tp", "cmte_pty_affiliation", "org_tp",
+        "connected_org_nm",
+    )
+    nodes = upsert_nodes(
+        None,
+        _node(cm, "Committee", F.col("cmte_id"), cmte_props)
+        .unionByName(_node(cm, "Party", F.col("cmte_pty_affiliation")))
+        .unionByName(_node(cm, "Employer", F.col("connected_org_nm"))),
+        ["label", "key"],
+    )
+    plain_edges = _edge(
+        cm, "Committee", F.col("cmte_id"), "ASSOCIATED_WITH", "Party",
+        F.col("cmte_pty_affiliation"),
+    ).unionByName(
+        _edge(cm, "Committee", F.col("cmte_id"), "ASSOCIATED_WITH", "Employer",
+              F.col("connected_org_nm"))
+    )
+    linkage_edges = ccl.filter(
+        F.col("cmte_id").isNotNull() & F.col("cand_id").isNotNull()
+    ).select(
+        F.lit("Committee").alias("src_label"), F.col("cmte_id").alias("src_key"),
+        F.lit("ASSOCIATED_WITH").alias("rel"),
+        F.lit("Candidate").alias("dst_label"), F.col("cand_id").alias("dst_key"),
+        F.col("linkage_id").cast("string").alias("linkage_id"),
+    )
+    edges = upsert_edges(None, plain_edges).withColumn(
+        "linkage_id", F.lit(None).cast("string")
+    ).unionByName(
+        upsert_edges(
+            None, linkage_edges,
+            ["src_label", "src_key", "rel", "dst_label", "dst_key", "linkage_id"],
+        )
+    )
+    return GraphTables(nodes=nodes, edges=edges)
+
+
+def _exp_key(file_num_col: str = "file_num") -> F.Column:
+    """Expenditure composite NODE KEY (type, file_num, tran_id) —
+    load_graph_expenditures/cypher.py:4 — flattened."""
+    return F.concat_ws(
+        "|", F.lit("independent"), F.col(file_num_col).cast("string"), F.col("tran_id")
+    )
+
+
+def expenditure_graph(
+    exp_master: DataFrame, existing: GraphTables | None = None
+) -> GraphTables:
+    """Independent-expenditure graph build with amendment routing
+    (load_graph_expenditures/cypher.py:40-75): rows carrying
+    prev_file_num first DETACH DELETE their predecessor Expenditure
+    node (same type+tran_id, prior file_num) — node removal routed
+    through merge.delete_then_insert, edge detach as anti-joins on both
+    endpoints — then everything MERGEs as usual: Committee-SPENT->
+    Expenditure-IDENTIFIES->Candidate, PAID->Payee, HAPPENED_ON->Day,
+    Committee-TARGETS->Candidate."""
+    ind = exp_master.filter(
+        (F.col("type") == "independent")
+        & F.col("cand_id").isNotNull()
+        & F.col("cmte_id").isNotNull()
+    )
+    dt = F.col("transaction_dt").try_cast("date")
+    base = ind.select(
+        "cmte_id", "cand_id", "payee", "transaction_amt", "sup_opp", "purpose",
+        "amndt_ind", "image_num",
+        _exp_key().alias("exp_key"),
+        F.when(
+            F.col("prev_file_num").isNotNull(), _exp_key("prev_file_num")
+        ).alias("prev_exp_key"),
+        dt.alias("d"),
+        F.year(dt).alias("year"), F.month(dt).alias("month"),
+        F.dayofmonth(dt).alias("day"),
+    )
+    exp_props = _props(
+        "transaction_amt", "sup_opp", "purpose", "amndt_ind", "image_num",
+    )
+    exp_nodes = base.select(
+        F.lit("Expenditure").alias("label"),
+        F.col("exp_key").alias("key"),
+        exp_props.alias("props"),
+        F.col("prev_exp_key"),
+    )
+    dated = base.filter(F.col("d").isNotNull())
+    day_key = F.concat_ws("-", "year", "month", "day")
+    other_nodes = (
+        _node(base, "Committee", F.col("cmte_id"))
+        .unionByName(_node(base, "Candidate", F.col("cand_id")))
+        .unionByName(_node(base, "Payee", F.col("payee")))
+        .unionByName(_node(dated, "Day", day_key))
+    )
+    new_edges = (
+        _edge(base, "Committee", F.col("cmte_id"), "SPENT", "Expenditure",
+              F.col("exp_key"))
+        .unionByName(_edge(base, "Expenditure", F.col("exp_key"), "IDENTIFIES",
+                           "Candidate", F.col("cand_id")))
+        .unionByName(_edge(base, "Expenditure", F.col("exp_key"), "PAID", "Payee",
+                           F.col("payee")))
+        .unionByName(_edge(dated, "Expenditure", F.col("exp_key"), "HAPPENED_ON",
+                           "Day", day_key))
+        .unionByName(_edge(base, "Committee", F.col("cmte_id"), "TARGETS",
+                           "Candidate", F.col("cand_id")))
+    )
+
+    if existing is None:
+        nodes = upsert_nodes(
+            None,
+            exp_nodes.drop("prev_exp_key").unionByName(other_nodes),
+            ["label", "key"],
+        )
+        edges = upsert_edges(None, new_edges)
+        return GraphTables(nodes=nodes, edges=edges)
+
+    # DETACH DELETE predecessors: the Expenditure keys referenced by
+    # amendments vanish from the node table (delete_then_insert also
+    # inserts the amendment nodes) and every edge touching them goes.
+    nodes = delete_then_insert(
+        existing.nodes, exp_nodes, key="key", prev_key="prev_exp_key"
+    )
+    prev_keys = exp_nodes.select(F.col("prev_exp_key").alias("k")).where(
+        F.col("k").isNotNull()
+    ).distinct()
+    edges = (
+        existing.edges
+        .join(prev_keys, existing.edges.src_key == F.col("k"), "left_anti")
+        .join(prev_keys, F.col("dst_key") == F.col("k"), "left_anti")
+    )
+    nodes = upsert_nodes(nodes, other_nodes, ["label", "key"])
+    edges = upsert_edges(edges, new_edges)
     return GraphTables(nodes=nodes, edges=edges)

@@ -293,7 +293,11 @@ def fixtures() -> dict[str, pd.DataFrame]:
                 round(1000.0 + i, 2),
                 "" if i % 5 == 0 else f"{(i % 27) + 1}-{months[i % 6]}-21",
                 round(5000.0 + i, 2), "S" if i % 2 else "O", "ADS", f"PAYEE {i}",
-                900_000 + i, "N", f"TR{i}", f"IMG{i}",
+                900_000 + i, "N",
+                # amendments (i%5==4) keep the predecessor's tran_id: the
+                # reference matches {file_num: prev_file_num, tran_id}
+                f"TR{i - 3}" if i % 5 == 4 else f"TR{i}",
+                f"IMG{i}",
                 "" if i % 6 == 0 else f"{(i % 27) + 1}-{months[(i + 1) % 6]}-21",
                 2022,
                 900_000 + i - 3 if i % 5 == 4 else None,  # amendment chain

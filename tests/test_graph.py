@@ -78,6 +78,125 @@ def test_contribution_graph(spark, tmp_path):
     assert any("|" in k for k in donor_keys)
 
 
+def test_candidate_graph_race_5tuple(spark, tmp_path):
+    from data_spark.graph.fec import candidate_graph
+
+    paths = write_fixtures(str(tmp_path))
+    t = {n: spark.read.parquet(p) for n, p in paths.items()}
+    g = candidate_graph(t["cn"], t["ccl"])
+    nodes = {(r["label"], r["key"]) for r in g.nodes.collect()}
+    # Race composite NODE KEY: (type, election_yr, office_st, office,
+    # district) flattened in fixed order — H001 is CA/H/01 in 2022
+    assert ("Race", "federal|2022|CA|H|01") in nodes
+    assert ("Candidate", "H001") in nodes
+    assert ("State", "CA") in nodes and ("Party", "DEM") in nodes
+    assert g.nodes.count() == g.nodes.select("label", "key").distinct().count()
+
+    edges = g.edges.collect()
+    running_for = {
+        (e["src_key"], e["dst_key"]) for e in edges if e["rel"] == "RUNNING_FOR"
+    }
+    assert ("H001", "federal|2022|CA|H|01") in running_for
+    # race → state association
+    assert any(
+        e["src_label"] == "Race" and e["dst_label"] == "State" for e in edges
+    )
+    # ccl linkage edges keyed by linkage_id: duplicate linkage 1003
+    # collapses, distinct linkages between same endpoints both survive
+    link = [
+        e for e in edges
+        if e["rel"] == "ASSOCIATED_WITH" and e["dst_label"] == "Candidate"
+    ]
+    h001 = sorted(e["linkage_id"] for e in link if e["dst_key"] == "H001")
+    assert h001 == ["1001", "1002"]
+    h002 = [e["linkage_id"] for e in link if e["dst_key"] == "H002"]
+    assert h002 == ["1003"]
+
+
+def test_committee_graph_build(spark, tmp_path):
+    from data_spark.graph.fec import committee_graph
+
+    paths = write_fixtures(str(tmp_path))
+    t = {n: spark.read.parquet(p) for n, p in paths.items()}
+    g = committee_graph(t["cm"], t["ccl"])
+    labels = {r["label"] for r in g.nodes.select("label").distinct().collect()}
+    assert labels == {"Committee", "Party", "Employer"}
+    # committee props carried via SET
+    c1 = g.nodes.filter((F.col("label") == "Committee") & (F.col("key") == "C001")).collect()[0]
+    assert c1["props"]["cmte_nm"] == "COMMITTEE 1"
+    rels = {
+        (e["src_label"], e["dst_label"])
+        for e in g.edges.filter(F.col("rel") == "ASSOCIATED_WITH").collect()
+    }
+    assert ("Committee", "Party") in rels
+    assert ("Committee", "Employer") in rels
+    assert ("Committee", "Candidate") in rels  # ccl linkages
+
+
+def test_expenditure_graph_amendment_detach_delete(spark, tmp_path):
+    from data_spark.fec.master import build_expenditures_master
+    from data_spark.graph.fec import expenditure_graph
+
+    paths = write_fixtures(str(tmp_path))
+    t = {n: spark.read.parquet(p) for n, p in paths.items()}
+    master = build_expenditures_master(
+        t["oppexp"], t["independent_expenditure"], t["cm"], t["cn"]
+    )
+    # split: originals first, amendments (prev_file_num set) second
+    originals = master.filter(F.col("prev_file_num").isNull())
+    amendments = master.filter(F.col("prev_file_num").isNotNull())
+    assert amendments.count() > 0
+
+    g1 = expenditure_graph(originals)
+    keys1 = {
+        r["key"] for r in g1.nodes.filter(F.col("label") == "Expenditure").collect()
+    }
+    # composite key (type, file_num, tran_id)
+    assert all(k.startswith("independent|") and k.count("|") == 2 for k in keys1)
+
+    g2 = expenditure_graph(amendments, existing=g1)
+    keys2 = {
+        r["key"] for r in g2.nodes.filter(F.col("label") == "Expenditure").collect()
+    }
+    # only amendments the build ingests (both edge endpoints present)
+    prev_keys = {
+        f"independent|{r['prev_file_num']}|{r['tran_id']}"
+        for r in amendments.collect()
+        if r["cand_id"] is not None and r["cmte_id"] is not None
+    }
+    amended_present = prev_keys & keys1
+    assert amended_present  # fixture chains reference real predecessors
+    # DETACH DELETE: predecessors gone from nodes AND edges
+    assert not (keys2 & prev_keys)
+    for k in amended_present:
+        assert g2.edges.filter(
+            (F.col("src_key") == k) | (F.col("dst_key") == k)
+        ).count() == 0
+    # amendment nodes merged in
+    new_keys = {
+        f"independent|{r['file_num']}|{r['tran_id']}"
+        for r in amendments.collect()
+        if r["cand_id"] is not None and r["cmte_id"] is not None
+    }
+    assert new_keys and new_keys <= keys2
+
+
+def test_connected_components_raises_when_capped(spark):
+    import pytest
+
+    from data_spark.graph.algorithms import connected_components
+
+    # a path graph of diameter 6 cannot converge in 2 iterations
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+    # and converges fine with the default cap
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+
+
 def test_pagerank_matches_reference_iteration(spark):
     from data_spark.graph.algorithms import pagerank
 
