@@ -11,11 +11,20 @@ queries whose plans were rewritten — and proven-green relational shapes
 rotate to the tail.
 """
 
-from data_spark.queries import documents, events, graphq, relational, relational2, vectors
+from data_spark.queries import (
+    documents,
+    events,
+    graphq,
+    relational,
+    relational2,
+    relational3,
+    vectors,
+)
 
 _ALL_QUERIES = {
     **relational.QUERIES,
     **relational2.QUERIES,
+    **relational3.QUERIES,
     **events.QUERIES,
     **documents.QUERIES,
     **vectors.QUERIES,
@@ -25,6 +34,7 @@ _ALL_QUERIES = {
 ORACLE = {
     **relational.ORACLE,
     **relational2.ORACLE,
+    **relational3.ORACLE,
     **events.ORACLE,
     **documents.ORACLE,
     **vectors.ORACLE,
@@ -70,6 +80,13 @@ _PRIORITY = [
     "q3_top_orders",
     "q5_nation_revenue",
     "q7_nation_volume",
+    # new in round 2
+    "q11_important_parts",
+    "q20_heavy_suppliers",
+    "q21_lone_returned_supplier",
+    "w_distinct_over_window",
+    "f_array_battery",
+    "e_session_window_native",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

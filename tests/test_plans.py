@@ -110,6 +110,7 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "sq_above_avg_price",  # 1-row global-average broadcast
             "q15_top_supplier",  # 1-row max-revenue broadcast
             "q22_idle_customers",  # 1-row average-balance broadcast
+            "q11_important_parts",  # 1-row global-threshold broadcast
             "v_cosine_topk",  # deliberate query-set × corpus broadcast
             "d_embed_near_dup",  # deliberate all-pairs baseline (LSH variant is the scale path)
             "v_lsh_ann",
