@@ -140,6 +140,55 @@ def _hyperplane_signs(dim: int, num_planes: int) -> list[list[float]]:
     ]
 
 
+def _rh_signature_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+) -> DataFrame:
+    """(id, sig) random-hyperplane signatures as a DATAFRAME:
+    posexplode the vectors, broadcast-join the (plane, index, sign)
+    matrix, hash-aggregate the projections, then fold the sign bits
+    into the bit-string with per-plane conditional aggs.
+
+    This replaces a per-plane zip_with/aggregate expression tree that
+    Spark executed interpreted (lambda machinery per element): for 64
+    planes the expression version took seconds on 2 000 rows; the join
+    formulation is plain columnar multiply + two-level hash agg with
+    map-side partials, and scales as O(rows · dim · planes) actual
+    work. Projections accumulate in DECIMAL(38,18), so the bit is
+    deterministic regardless of aggregation order (a double sum near 0
+    could flip sign between runs).
+    """
+    spark = df.sparkSession
+    signs = _hyperplane_signs(dim, num_planes)
+    pm = spark.createDataFrame(
+        [(p, i, s) for p, plane in enumerate(signs) for i, s in enumerate(plane)],
+        "p int, i int, s double",
+    )
+    elems = df.select(F.col(id_col).alias("__sid"), F.posexplode(vec_col).alias("i", "x"))
+    proj = (
+        elems.join(F.broadcast(pm), "i")
+        .groupBy("__sid", "p")
+        .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,18)")).alias("proj"))
+    )
+    bit = F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        proj.groupBy("__sid")
+        .agg(
+            *[
+                F.max(F.when(F.col("p") == k, bit)).alias(f"__b{k}")
+                for k in range(num_planes)
+            ]
+        )
+        .select(
+            F.col("__sid").alias(id_col),
+            F.concat(*[F.col(f"__b{k}") for k in range(num_planes)]).alias("sig"),
+        )
+    )
+
+
 def _rh_signature(vec: Column, dim: int, num_planes: int) -> Column:
     """Random-hyperplane signature as a bit-string.
 
@@ -218,7 +267,7 @@ def embedding_near_duplicate_pairs(
         pairs = a.join(F.broadcast(b), a.id_a < b.id_b)
     else:
         num_planes = bands * rows_per_band
-        sig = e.withColumn("sig", _rh_signature(F.col("v"), dim, num_planes))
+        sig = e.join(_rh_signature_table(e, "id", "v", dim, num_planes), "id")
         banded = sig.select(
             "id",
             F.explode(
@@ -277,10 +326,19 @@ def lsh_bucketed_topk(
         dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("bucket", _rh_signature(F.col("cv"), dim, num_planes))
+    )
+    c = c.join(
+        _rh_signature_table(c, "cid", "cv", dim, num_planes).withColumnRenamed(
+            "sig", "bucket"
+        ),
+        "cid",
+    )
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("sig", _rh_signature(F.col("qv"), dim, num_planes))
+    )
+    # same signature path as the corpus: a near-zero projection must
+    # round to the same bit on both sides or the bucket join misses
+    q = q.join(_rh_signature_table(q, "qid", "qv", dim, num_planes), "qid")
 
     def _flip(sig: Column, i: int) -> Column:
         flipped = F.when(F.substring(sig, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))

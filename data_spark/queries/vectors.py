@@ -137,7 +137,7 @@ def d_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the O(N²) pair join; every emitted pair is exactly verified, so
     precision is 1 and only recall is approximate)."""
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicate_pairs(emb, threshold=0.4, bands=8, rows_per_band=3)
+    return embedding_near_duplicate_pairs(emb, threshold=0.4, bands=8, rows_per_band=6)
 
 
 @_q(
