@@ -86,6 +86,7 @@ _PRIORITY = [
     "q21_lone_returned_supplier",
     "w_distinct_over_window",
     "f_array_battery",
+    "f_map_struct_json",
     "e_session_window_native",
 ]
 

@@ -178,6 +178,59 @@ def w_distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "f_map_struct_json",
+    """
+    WITH per AS (
+      SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt,
+             MIN(CAST(json_object('k', o_orderkey, 'p', o_orderpriority) AS VARCHAR))
+               AS min_js
+      FROM orders GROUP BY o_custkey, o_orderpriority
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_priorities,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN cnt END), 0)
+                AS BIGINT) AS urgent,
+           list_sort(list(o_orderpriority)) AS priorities,
+           MIN(min_js) AS sample_json,
+           json_extract_string(MIN(min_js), '$.p') AS p_back
+    FROM per
+    GROUP BY o_custkey
+    """,
+)
+def f_map_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct/JSON function battery (SURVEY §2.8 semi-structured
+    glue): per-customer priority→count MAP built with
+    map_from_entries(collect_list(struct)), probed with element_at /
+    map_keys; struct→JSON via to_json and back via get_json_object.
+    The oracle computes the same facts relationally — maps stay an
+    engine-internal representation, outputs are flat columns."""
+    o = t(spark, sf_dir, "orders")
+    js = F.to_json(
+        F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p"))
+    )
+    per = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(js).alias("min_js")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("o_orderpriority"), F.col("cnt")))
+    )
+    return (
+        per.groupBy("o_custkey")
+        .agg(m.alias("m"), F.min("min_js").alias("sample_json"))
+        .select(
+            "o_custkey",
+            F.size("m").cast("bigint").alias("n_priorities"),
+            F.coalesce(F.element_at(F.col("m"), F.lit("1-URGENT")), F.lit(0))
+            .cast("bigint")
+            .alias("urgent"),
+            F.array_sort(F.map_keys("m")).alias("priorities"),
+            "sample_json",
+            F.get_json_object("sample_json", "$.p").alias("p_back"),
+        )
+    )
+
+
+@_q(
     "f_array_battery",
     """
     SELECT o_orderkey,

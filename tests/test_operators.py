@@ -111,6 +111,51 @@ def test_delete_then_insert_amendment(spark):
     assert got == {101: 6000.0, 102: 5500.0}  # 100 replaced by 102
 
 
+def test_merge_upsert_idempotent(spark):
+    """Delta-MERGE-style idempotence: applying the same update batch
+    twice (at-least-once delivery replay) leaves the table bit-identical
+    — the property the streaming sink's crash-retry story rests on."""
+    from data_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "k bigint, ver bigint, v string"
+    )
+    batch = spark.createDataFrame(
+        [(2, 2, "b2"), (4, 1, "d")], "k bigint, ver bigint, v string"
+    )
+    once = merge_upsert(target, batch, ["k"], order_col="ver")
+    twice = merge_upsert(once, batch, ["k"], order_col="ver")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == 4
+
+
+def test_bucketed_merge_sink_idempotent_replay(spark, tmp_path):
+    """Replaying an already-applied micro-batch against the bucketed
+    sink (foreachBatch retry after a mid-write crash) converges to the
+    same table state."""
+    from data_spark.streaming.jobs import merge_batch_into_bucketed
+
+    target = str(tmp_path / "idem_target")
+    base = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(50)], "k bigint, ver bigint, v double"
+    )
+    merge_batch_into_bucketed(base, target, keys=["k"], order_col="ver", num_buckets=4)
+    batch = spark.createDataFrame(
+        [(7, 2, 700.0), (51, 1, 51.0)], "k bigint, ver bigint, v double"
+    )
+    merge_batch_into_bucketed(batch, target, keys=["k"], order_col="ver", num_buckets=4)
+    snap1 = sorted(
+        (r["k"], r["ver"], r["v"]) for r in spark.read.parquet(target).collect()
+    )
+    merge_batch_into_bucketed(batch, target, keys=["k"], order_col="ver", num_buckets=4)
+    snap2 = sorted(
+        (r["k"], r["ver"], r["v"]) for r in spark.read.parquet(target).collect()
+    )
+    assert snap1 == snap2
+    assert (7, 2, 700.0) in snap1 and (51, 1, 51.0) in snap1
+    assert len(snap1) == 51
+
+
 def test_suffix_containment_join(spark):
     hosts = spark.createDataFrame(
         [("news.example.com",), ("example.com",), ("cdn.static.other.org",), ("unrelated.net",)],

@@ -121,6 +121,47 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
         )
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_small):
+    """With runtime bloom filters enabled, a selective-dim ⋈ fact
+    shuffle join must inject bloom_filter_agg on the build side and a
+    might_contain probe on the fact scan — rows that cannot match are
+    dropped before the shuffle. Results must equal the plain join."""
+    import pyspark.sql.functions as F
+
+    from data_spark.io import read_table
+    from data_spark.plans.runtime_filters import (
+        enable_runtime_bloom_filters,
+        restore_conf,
+    )
+
+    o = read_table(spark, sf_small, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = read_table(spark, sf_small, "lineitem")
+    plain = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev = enable_runtime_bloom_filters(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized[:2000]
+        assert "might_contain" in optimized
+        filtered = (
+            j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+    finally:
+        restore_conf(spark, prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    assert sorted(map(tuple, filtered)) == sorted(map(tuple, plain))
+
+
 def test_suffix_join_is_hash_join(spark, sf_small):
     plan = plan_of(QUERIES["j_suffix_containment"](spark, sf_small))
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
