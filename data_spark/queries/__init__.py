@@ -88,6 +88,7 @@ _PRIORITY = [
     "f_array_battery",
     "f_map_struct_json",
     "e_session_window_native",
+    "e_gap_fill_ffill",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

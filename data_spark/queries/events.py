@@ -187,6 +187,63 @@ def e_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "e_gap_fill_ffill",
+    """
+    WITH bounds AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events WHERE user_id % 20 = 0 GROUP BY user_id
+    ), days AS (
+      SELECT user_id, CAST(d AS DATE) AS day
+      FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS s(d)
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             {dsum} AS day_value
+      FROM events WHERE user_id % 20 = 0 GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT days.user_id, strftime(days.day, '%Y-%m-%d') AS day,
+           daily.day_value,
+           LAST_VALUE(daily.day_value IGNORE NULLS) OVER (
+             PARTITION BY days.user_id ORDER BY days.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CASE WHEN daily.day_value IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.day = daily.day
+    """.format(dsum=SQL_DSUM.format(expr="value")),
+)
+def e_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill: densify each user's daily
+    series over its own [min, max] span (explode(sequence) — generated,
+    not joined), left-join the real daily aggregates, and carry the
+    last observation forward with last(ignorenulls) over an ordered
+    frame. The standard resample→ffill primitive for feature pipelines;
+    one shuffle on user_id, generation is linear in output rows."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(dsum(F.col("value")).alias("day_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.when(F.col("day_value").isNull(), 1).otherwise(0).alias("was_gap"),
+        )
+    )
+
+
+@_q(
     "e_watermark_split",
     """
     SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
