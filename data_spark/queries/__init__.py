@@ -89,6 +89,7 @@ _PRIORITY = [
     "f_map_struct_json",
     "e_session_window_native",
     "e_gap_fill_ffill",
+    "a_salted_skew_agg",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

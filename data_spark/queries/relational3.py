@@ -178,6 +178,44 @@ def w_distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a_salted_skew_agg",
+    f"""
+    SELECT l_returnflag,
+           {SQL_DSUM.format(expr='l_quantity')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a pathologically skewed key
+    (l_returnflag has 3 values — every key is a heavy hitter). The
+    salt spreads each hot key across reducers for the wide partial
+    agg; the final shuffle moves only salt_buckets rows per key. The
+    oracle is the plain GROUP BY — salting must be result-invisible.
+    Decimal partials keep the double sum order-independent across the
+    two stages."""
+    from data_spark.operators.skew import salted_agg
+
+    l = t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l,
+        ["l_returnflag"],
+        {
+            "sum_qty": (
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")),
+                F.sum("sum_qty"),
+            ),
+            "n": (F.count(F.lit(1)), F.sum("n")),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag", F.col("sum_qty").cast("double").alias("sum_qty"), "n"
+    )
+
+
+@_q(
     "f_map_struct_json",
     """
     WITH per AS (
