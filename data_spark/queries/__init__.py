@@ -90,6 +90,7 @@ _PRIORITY = [
     "e_session_window_native",
     "e_gap_fill_ffill",
     "a_salted_skew_agg",
+    "d_curation_e2e",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -437,6 +437,42 @@ def d_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "d_curation_e2e",
+    """
+    WITH keepers AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+      FROM documents
+    ), survivors AS (
+      SELECT doc_id, source, text,
+             len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             ROUND(CAST(len(list_filter(str_split_regex(trim(lower(text)), '\\s+'),
+                       w -> w IN ('the','a','an','of','to','and','in','is','it','that')))
+                   AS DOUBLE)
+                   / greatest(len(str_split_regex(trim(text), '\\s+')), 1), 6)
+               AS stopword_ratio
+      FROM keepers WHERE keeper = doc_id
+    )
+    SELECT doc_id, source, n_tokens, stopword_ratio,
+           CASE WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5 THEN 'val'
+                WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10 THEN 'test'
+                ELSE 'train' END AS split
+    FROM survivors
+    WHERE n_tokens >= 20 AND punct_ratio <= 0.2
+    """,
+)
+def d_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (operators.curation.curate_corpus):
+    exact dedup keeper → quality gate → deterministic split → token
+    accounting, in one shuffle. The whole nightly pretraining-data pass
+    checked exactly against its relational restatement."""
+    from data_spark.operators.curation import curate_corpus
+
+    return curate_corpus(t(spark, sf_dir, "documents"))
+
+
+@_q(
     "mm_binary_meta",
     """
     SELECT source,

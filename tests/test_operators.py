@@ -111,6 +111,40 @@ def test_delete_then_insert_amendment(spark):
     assert got == {101: 6000.0, 102: 5500.0}  # 100 replaced by 102
 
 
+def test_curate_corpus_stages(spark):
+    """Composed curation: duplicate texts collapse to the smallest-id
+    keeper, short docs fail the quality gate, split assignment matches
+    split_assign exactly, and token counts are whitespace words."""
+    from data_spark.operators.curation import curate_corpus
+    from data_spark.operators.textstats import split_assign
+
+    long_text = "the quick brown fox jumps over the lazy dog " * 4  # 36 words
+    rows = [
+        (1, "a", long_text),
+        (5, "a", long_text),          # exact dup of 1 → dropped (keeper=1)
+        (2, "b", "too short"),        # fails min_words → dropped
+        (3, "b", long_text + "extra tail words here now"),
+        (4, "c", "!!!" * 50 + " " + "word " * 30),  # punct-heavy → dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {r["doc_id"]: r for r in curate_corpus(df).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n_tokens"] == 36
+    splits = {
+        r["doc_id"]: r["split"] for r in split_assign(df.select("doc_id")).collect()
+    }
+    for k, r in got.items():
+        assert r["split"] == splits[k]
+    # plan: exactly one exchange (the dedup window on the content hash)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curate_corpus(df).explain("simple")
+    assert buf.getvalue().count("Exchange") == 1
+
+
 def test_merge_upsert_idempotent(spark):
     """Delta-MERGE-style idempotence: applying the same update batch
     twice (at-least-once delivery replay) leaves the table bit-identical
