@@ -24,6 +24,56 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
+def streaming_running_totals(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key running (count, sum) across micro-batches via Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (typed value state in the state store, RocksDB-backed on a
+    cluster). Emits one updated (key, n, total) row per key per batch
+    it appears in; state is two numbers per key regardless of traffic.
+
+    The batch-mode oracle for this operator is a plain groupBy
+    count/sum over everything ingested so far — asserted in
+    tests/test_streaming.py across multiple availableNow drains.
+
+    Environment note: the transformWithState protocol speaks protobuf
+    to the state server; containers without ``google.protobuf`` cannot
+    run it (the test skips there). ``streaming_dedup``'s
+    applyInPandasWithState path has no such dependency and covers the
+    same stateful-operator surface.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get()
+            n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=f"{key_col} string, n bigint, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     key_col: str,

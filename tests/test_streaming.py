@@ -237,6 +237,63 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-key running (count, sum)
+    survives across micro-batches AND across separate availableNow
+    runs (checkpointed state store); the final totals equal the batch
+    groupBy oracle over everything ingested."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState speaks protobuf to the state server",
+    )
+    from data_spark.streaming.stateful import streaming_running_totals
+
+    src = str(tmp_path / "rt_src")
+    ckpt = str(tmp_path / "rt_ckpt")
+    sink = str(tmp_path / "rt_sink")
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", LongType())]
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = (
+            streaming_running_totals(stream, "k", "v")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        _write_events(src, [{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 5}])
+        _write_events(src, [{"k": "a", "v": 4}])
+        drain()
+        # second query run: state must resume from the checkpoint
+        _write_events(src, [{"k": "a", "v": 10}, {"k": "b", "v": 1}])
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    out = spark.read.parquet(sink)
+    # the LAST emitted row per key is the running total to date
+    latest = {
+        r["k"]: (r["n"], r["total"])
+        for r in out.orderBy("n").collect()  # n is monotone per key
+    }
+    assert latest["a"] == (4, 17.0)
+    assert latest["b"] == (2, 6.0)
+
+
 def test_stream_event_time_join_attribution(spark, tmp_path):
     from data_spark.streaming import stream_event_time_join
 
