@@ -51,9 +51,22 @@ predicate = st.recursive(
 @pytest.fixture(scope="module")
 def engines(spark):
     read_table(spark, SF, "lineitem").createOrReplaceTempView("li_fuzz")
+    read_table(spark, SF, "orders").createOrReplaceTempView("ord_fuzz")
     con = duckdb.connect()
     con.execute(f"CREATE VIEW li_fuzz AS SELECT * FROM '{SF}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW ord_fuzz AS SELECT * FROM '{SF}/orders.parquet'")
     return spark, con
+
+
+def _parity(spark, con, sql):
+    sdf = spark.sql(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    drows = res.fetchall()
+    sc, sk = frame_key(sdf.columns, srows)
+    dc, dk = frame_key([d[0] for d in res.description], drows)
+    assert sc == dc, f"columns for: {sql}"
+    assert sk == dk, f"mismatch for: {sql}"
 
 
 @settings(
@@ -91,11 +104,67 @@ def test_aggregate_parity(engines, pred, group, agg_col):
         f"SELECT {group}, COUNT(*) AS n, MIN({agg_col}) AS mn, MAX({agg_col}) AS mx, "
         f"SUM({agg_col}) AS s FROM li_fuzz WHERE {pred} GROUP BY {group}"
     )
-    sdf = spark.sql(sql)
-    srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(sql)
-    drows = res.fetchall()
-    sc, sk = frame_key(sdf.columns, srows)
-    dc, dk = frame_key([d[0] for d in res.description], drows)
-    assert sc == dc
-    assert sk == dk, f"mismatch for: {sql}"
+    _parity(spark, con, sql)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicate,
+    how=st.sampled_from(["JOIN", "LEFT JOIN", "SEMI JOIN", "ANTI JOIN"]),
+    ocol=st.sampled_from(["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+)
+def test_join_parity(engines, pred, how, ocol):
+    """Fuzzed join shapes over lineitem ⋈ orders: inner/left/semi/anti
+    with a generated lineitem-side predicate."""
+    spark, con = engines
+    if how in ("SEMI JOIN", "ANTI JOIN"):
+        # semi/anti expose only the left side; DuckDB's SEMI/ANTI syntax
+        # matches Spark's
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, l_returnflag FROM li_fuzz "
+            f"{how} ord_fuzz ON l_orderkey = o_orderkey WHERE {pred}"
+        )
+    else:
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, {ocol} FROM li_fuzz "
+            f"{how} ord_fuzz ON l_orderkey = o_orderkey WHERE {pred}"
+        )
+    _parity(spark, con, sql)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicate,
+    part=st.sampled_from(STR_COLS),
+    order=st.sampled_from(KEY_COLS),
+    fn=st.sampled_from(
+        ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "COUNT(*)", "MIN(l_orderkey)"]
+    ),
+)
+def test_window_parity(engines, pred, part, order, fn):
+    """Fuzzed window functions: ranking and running aggregates over a
+    deterministic (unique-key-completed) ORDER BY."""
+    spark, con = engines
+    # complete the order with all key cols so ties are impossible and
+    # running aggregates are engine-deterministic
+    order_cols = ", ".join([order] + [k for k in KEY_COLS if k != order])
+    frame = (
+        "" if fn.endswith("()") and "COUNT" not in fn
+        else " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {fn} OVER "
+        f"(PARTITION BY {part} ORDER BY {order_cols}{frame}) AS w "
+        f"FROM li_fuzz WHERE {pred}"
+    )
+    _parity(spark, con, sql)
