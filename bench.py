@@ -29,8 +29,11 @@ HEADLINE = [
     "w_first_per_group",
     "m_upsert_latest",
     "q4_order_priority",
+    "q7_nation_volume",
+    "q11_important_parts",
     "q16_brand_supplier_cnt",
     "q18_large_orders",
+    "q21_lone_returned_supplier",
     "g_rollup_region",
     "w_running_total",
     "e_tumbling_hourly",
@@ -42,6 +45,7 @@ HEADLINE = [
     "d_repetition",
     "d_contamination",
     "d_split_assign",
+    "d_curation_e2e",
     "d_embed_near_dup",
     "d_embed_near_dup_lsh",  # the 100TB scale path next to the exact baseline
     "e_asof_latest_view",
