@@ -18,6 +18,7 @@ from data_spark.queries import (
     relational,
     relational2,
     relational3,
+    relational4,
     vectors,
 )
 
@@ -25,6 +26,7 @@ _ALL_QUERIES = {
     **relational.QUERIES,
     **relational2.QUERIES,
     **relational3.QUERIES,
+    **relational4.QUERIES,
     **events.QUERIES,
     **documents.QUERIES,
     **vectors.QUERIES,
@@ -35,6 +37,7 @@ ORACLE = {
     **relational.ORACLE,
     **relational2.ORACLE,
     **relational3.ORACLE,
+    **relational4.ORACLE,
     **events.ORACLE,
     **documents.ORACLE,
     **vectors.ORACLE,
@@ -91,6 +94,14 @@ _PRIORITY = [
     "e_gap_fill_ffill",
     "a_salted_skew_agg",
     "d_curation_e2e",
+    # new in round 2, second wave: the six TPC-H shapes completing
+    # full Q1-Q22 coverage (adapted to testdata, queries/relational4.py)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -1,0 +1,327 @@
+"""Fourth relational battery (round 2): the six TPC-H shapes the
+inventory still lacked — Q2/Q6/Q8/Q9/Q10/Q13 — adapted to the testdata
+columns (no partsupp table: Q2/Q9 derive per-(part,supplier) unit cost
+from lineitem instead). Completes full TPC-H-22 query-shape coverage.
+
+Same determinism + dsum conventions as queries.common; every query
+carries a DuckDB oracle. Scale posture per query in each docstring:
+broadcast hints only on genuinely bounded tables (nation, region,
+filtered part); customer/supplier/orders are left to AQE (VERDICT r1
+"What's wrong" #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.queries.common import SQL_DSUM, dsum, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {SQL_DSUM.format(expr='l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate, zero joins.
+
+    Scale: the whole query is a single parquet scan with every predicate
+    pushed to the reader (shipdate range prunes row groups via footer
+    stats) and a map-side partial sum — the shuffle moves one partial
+    row per task. This is the canonical "scan speed" probe.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           n.n_name AS supp_nation, c.unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier via correlated MIN subquery),
+    adapted: testdata has no partsupp, so per-(part, supplier) unit cost
+    is MIN(l_extendedprice / l_quantity) from lineitem.
+
+    Scale: the p_size filter (1/50 of part) broadcasts into the lineitem
+    scan FIRST, so the (partkey, suppkey) aggregate only shuffles ~2% of
+    lines. The correlated "= MIN per part" becomes a window MIN over the
+    already-skinny cost table (one extra skinny shuffle, no join back).
+    MIN of identically computed doubles is exact on both engines, so the
+    equality predicate is engine-stable.
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    l = t(spark, sf_dir, "lineitem")
+
+    cost = (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")),
+               l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_partkey", "p_brand")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("best_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best_cost")
+    )
+    return (
+        best.join(s, best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            "unit_cost",
+        )
+    )
+
+
+@_q(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           {SQL_DSUM.format(expr="CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END")}
+             / {SQL_DSUM.format(expr='volume')} AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+    ) shares
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share = conditional share of revenue
+    volume per year, over a 7-table star join.
+
+    Scale: the part filter (1/6 selectivity) broadcasts into the
+    lineitem scan first, shrinking the fact before the orders shuffle;
+    nation/region broadcast always; customer and supplier joins are left
+    to AQE to pick broadcast vs shuffle by actual size (they are facts
+    at 100×). The share division happens on two decimal-summed doubles,
+    so it is order-independent cross-engine.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+
+    n1 = n.alias("n1")
+    n2 = n.alias("n2")
+    joined = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            dsum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+            / dsum(F.col("volume"))
+        ).alias("mkt_share")
+    )
+
+
+@_q(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year, {SQL_DSUM.format(expr='amount')} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.2 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted:
+    supply cost is modeled as 0.2 × p_retailprice per unit (testdata has
+    no partsupp.ps_supplycost).
+
+    Scale: the p_name LIKE filter broadcasts into the lineitem scan
+    first; supplier join left to AQE; nation broadcast; then ONE
+    fact-fact shuffle against orders and a skinny (nation, year) agg
+    with map-side partials.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.2 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+               l.l_partkey == F.col("p_partkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+    )
+
+
+@_q(
+    "q10_returned_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {SQL_DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in
+    one half-year window.
+
+    Scale: orderdate range and returnflag filters push to the scans
+    before the lineitem⋈orders shuffle; customer join left to AQE;
+    nation broadcast. The final ORDER BY + LIMIT is
+    TakeOrderedAndProject (per-partition heap + driver merge of 20 rows,
+    no global sort). c_custkey tiebreak keeps the selected set
+    engine-stable (queries.common rule 4).
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, with a
+    non-key predicate inside the LEFT JOIN condition (customers with
+    only urgent orders still appear, with c_count = 0).
+
+    Scale: one shuffle joins customer⋈orders on custkey; the per-key
+    COUNT reuses that partitioning (no second exchange under AQE), and
+    the outer histogram agg moves one row per distinct count. COUNT is
+    BIGINT on both engines — no HUGEINT canonicalization trap (ADVICE
+    r1 #1).
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -49,7 +49,18 @@ _FACT_MARKERS = ("c_custkey", "s_suppkey", "o_orderkey", "l_orderkey")
 
 
 @pytest.mark.parametrize(
-    "name", ["q3_top_orders", "q5_nation_revenue", "q7_nation_volume", "j_left_join_dim"]
+    "name",
+    [
+        "q3_top_orders",
+        "q5_nation_revenue",
+        "q7_nation_volume",
+        "j_left_join_dim",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_revenue",
+        "q13_customer_distribution",
+    ],
 )
 def test_no_broadcast_hints_on_facts(spark, sf_small, name):
     plan = plan_of(QUERIES[name](spark, sf_small), mode="extended")
