@@ -29,7 +29,9 @@ HEADLINE = [
     "w_first_per_group",
     "m_upsert_latest",
     "q4_order_priority",
+    "q6_forecast_revenue",
     "q7_nation_volume",
+    "q9_product_profit",
     "q11_important_parts",
     "q16_brand_supplier_cnt",
     "q18_large_orders",
@@ -51,6 +53,12 @@ HEADLINE = [
     "e_asof_latest_view",
     "v_cosine_topk",
     "j_suffix_containment",
+    "d_bigram_lm",
+    "m_scd2_history",
+    # g_triangles / d_kmeans / d_semantic_dedup are gate-checked at
+    # sf0.01 but not benched: triangle wedge volume and Lloyd-iteration
+    # counts are graph/cluster-shape properties, not scan-throughput
+    # signals, and would drown the headline in one query
 ]
 
 

@@ -12,6 +12,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+
+def _dsum(col: Column) -> Column:
+    """Order-independent SUM over doubles (exact decimal accumulation —
+    same convention as queries.common.dsum, inlined to keep the
+    operator layer free of query-layer imports)."""
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
 EN_STOPWORDS = ["the", "a", "an", "of", "to", "and", "in", "is", "it", "that"]
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "in"],
@@ -213,6 +220,55 @@ def pack_sequences(
         df.select(id_col, shard_col, n_tokens.alias("n_tokens"))
         .withColumn("bin", F.floor((cum - F.col("n_tokens")) / budget))
         .select(id_col, shard_col, "n_tokens", "bin")
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    CCNet/Gopher-style "perplexity filter" shape: train token statistics
+    on the corpus itself, score every document against them, filter the
+    tail. Returns (doc_id, n_bigrams, avg_prob) for every document with
+    ≥ 2 tokens, where avg_prob is the mean add-one-smoothed conditional
+    bigram probability (c(w1,w2)+1)/(c(w1)+|V|).
+
+    Cross-engine determinism: scored in probability space, not
+    log-space — ln() is libm-dependent and could differ between engines
+    in the last ulp, while counts are integers and one division is
+    IEEE-exact; the mean uses the decimal-sum convention
+    (queries.common). A production pipeline would use log-space to
+    avoid underflow on long documents; the plan shape is identical.
+
+    Scale: tokens explode once (O(corpus tokens)); bigram/unigram count
+    tables aggregate with map-side partials and are Zipf-bounded
+    (≪ corpus size); the score join shuffles on (w1, w2) — or
+    broadcasts when the model fits — and |V| rides along as a 1-row
+    broadcast. No UDFs anywhere.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_ws_tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w1", F.lag("w").over(w_ord))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", "w1", F.col("w").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = tok.agg(F.countDistinct("w").alias("vs"))
+    p = (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vs"))
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (_dsum(p) / F.count(F.lit(1))).alias("avg_prob"),
+        )
     )
 
 

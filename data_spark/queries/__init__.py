@@ -79,10 +79,9 @@ _PRIORITY = [
     # hash-canonicalization fixed this round — needs a green driver row
     "q12_shipmode_case",
     "e_sessionize",
-    # plans rewritten this round (broadcast hints / join order)
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q7_nation_volume",
+    # q3/q5/q7 plan rewrites don't change their (r1-witnessed-green)
+    # outputs, so they rotate just past the window to make room for the
+    # genuinely new round-2 queries below
     # new in round 2
     "q11_important_parts",
     "q20_heavy_suppliers",
@@ -102,6 +101,12 @@ _PRIORITY = [
     "q9_product_profit",
     "q10_returned_revenue",
     "q13_customer_distribution",
+    # round-2 third wave: oracle-checked graph + LM-scoring operators,
+    # iterative k-means and SemDeDup-style cluster-scoped dedup
+    "g_triangles",
+    "d_bigram_lm",
+    "d_kmeans",
+    "d_semantic_dedup",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -518,3 +518,43 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = wrap_binary(d, "blob", "doc_id", "source", "text/plain")
     return sample_frames(media).select("media_id", "frame_idx", "frame_ts_ms")
+
+
+@_q(
+    "d_bigram_lm",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(str_split_regex(trim(text), '\\s+')) AS w,
+             generate_subscripts(str_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ), big AS (
+      SELECT doc_id,
+             lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             w AS w2
+      FROM tok
+      QUALIFY w1 IS NOT NULL
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT w) AS vs FROM tok
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST((bc.c12 + 1.0) / (uc.c1 + v.vs) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS avg_prob
+    FROM big b
+    JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+    JOIN uc ON b.w1 = uc.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def d_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM score per document (CCNet-style
+    perplexity-filter shape, scored in probability space for
+    cross-engine exactness — see operators.textstats.bigram_lm_scores)."""
+    from data_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(t(spark, sf_dir, "documents"))

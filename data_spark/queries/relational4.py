@@ -325,3 +325,55 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "m_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_attr,
+             lag(o_orderdate) OVER w AS prev_ts
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev_ts IS NULL OR o_orderpriority <> prev_attr
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(o_orderdate) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def m_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (operators.scd.scd2_history): compress each
+    customer's order-priority change log into versioned validity
+    intervals — the warehouse-side completion of the reference's
+    amendment delete-then-replace semantics (which keeps only the latest
+    version; SCD2 keeps them all, enabling point-in-time joins).
+
+    Scale: one key-partitioned shuffle carries the change-detection lag,
+    run-compression filter, and valid_to lead (shared window
+    partitioning — single Exchange in the plan).
+    """
+    from data_spark.operators.scd import scd2_history
+    from data_spark.queries.common import ts_str
+
+    o = t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        o,
+        keys=["o_custkey"],
+        attrs=["o_orderpriority"],
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        ts_str(F.col("valid_from")).alias("valid_from"),
+        ts_str(F.col("valid_to")).alias("valid_to"),
+        "is_current",
+    )

@@ -176,3 +176,36 @@ def j_suffix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return suffix_containment_join(hosts, F.broadcast(domains)).select("host", "domain")
+
+
+@_q("d_kmeans")  # iterative (Lloyd's) — exactness pytest-gated vs a
+# plain-Python mirror in tests/test_operators.py
+def d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embeddings table, summarized as
+    per-cluster member counts (k=8, 3 Lloyd rounds). Fully reproducible
+    (lowest-id init, decimal-mean updates, tie-broken argmin) — the
+    rows-only driver check sees a stable row set; exact assignments are
+    pytest-gated."""
+    from data_spark.operators.clustering import kmeans_fit, kmeans_predict
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=8, iterations=3)
+    return (
+        kmeans_predict(emb, model)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+@_q("d_semantic_dedup")  # cluster-scoped — recall vs the exact pair set
+# is pytest-gated (near-dups split across clusters are missed by design)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means partitions the corpus,
+    near-dup pairs (cosine >= 0.4) are found within clusters only, the
+    larger id of each pair is dropped. Returns the kept/dropped verdict
+    per vector — the scale path for embedding dedup (sum of per-cluster
+    pair joins, never the global O(N^2))."""
+    from data_spark.operators.clustering import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, k=8, iterations=3)

@@ -231,3 +231,24 @@ def test_connected_components_two_islands(spark):
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert {got[1], got[2], got[3], got[4]} == {1}
     assert {got[10], got[11], got[12]} == {10}
+
+
+def test_triangle_count_known_graphs(spark):
+    from data_spark.graph.algorithms import triangle_count
+
+    # K4 has 4 triangles; edges given in mixed directions with a dup
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3), (2, 1)], ["src", "dst"]
+    )
+    assert triangle_count(k4).collect()[0]["triangles"] == 4
+
+    # triangle + pendant edge + disconnected edge = exactly 1
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    assert triangle_count(g).collect()[0]["triangles"] == 1
+
+    # a star (hub with 5 leaves) has none — degree orientation points
+    # every edge at the hub, so the wedge join is provably empty
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    assert triangle_count(star).collect()[0]["triangles"] == 0

@@ -459,3 +459,152 @@ def test_approx_percentiles_error_bound(spark, sf_small):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / max(abs(e), 1.0) < 0.02, (k, a, e)
+
+
+def test_bigram_lm_scores_known_values(spark):
+    from data_spark.operators.textstats import bigram_lm_scores
+
+    # corpus: "a b a b" and "a b c"; vocab = {a,b,c} (V=3)
+    # bigrams: d1: (a,b),(b,a),(a,b)  d2: (a,b),(b,c)
+    # c(a,b)=3 c(b,a)=1 c(b,c)=1; c1(a)=3 c1(b)=2
+    # p(a,b)=(3+1)/(3+3)=2/3  p(b,a)=(1+1)/(2+3)=0.4  p(b,c)=(1+1)/(2+3)=0.4
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b c")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 2
+    # decimal(38,6) accumulation: per-term rounding to 1e-6 before the sum
+    assert abs(got[1]["avg_prob"] - (0.666667 + 0.4 + 0.666667) / 3) < 1e-6
+    assert abs(got[2]["avg_prob"] - (0.666667 + 0.4) / 2) < 1e-6
+    # single-token docs produce no bigrams and are absent
+    lone = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    assert bigram_lm_scores(lone).count() == 0
+
+
+def test_kmeans_matches_python_mirror(spark):
+    from data_spark.operators.clustering import kmeans_fit, kmeans_predict
+
+    # two tight groups in 2-D; k=2, init = two lowest-id vectors (one
+    # lands in each group is NOT true here — ids 0,1 are both group A,
+    # so the test also proves Lloyd's re-separates them)
+    pts = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]), (4, [11.0, 10.0]), (5, [10.0, 11.0]),
+    ]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    model = kmeans_fit(df, k=2, iterations=4)
+    got = {r["id"]: r["cluster"] for r in kmeans_predict(df, model).collect()}
+
+    # plain-python Lloyd mirror: same init (vec_id 0,1), same tie rule
+    import itertools
+
+    cents = {0: [0.0, 0.0], 1: [1.0, 0.0]}
+    vecs = dict((i, v) for i, v in pts)
+    for _ in range(4):
+        assign = {}
+        for i, v in vecs.items():
+            d = {c: sum((a - b) ** 2 for a, b in zip(v, cv)) for c, cv in cents.items()}
+            assign[i] = min(d, key=lambda c: (d[c], c))
+        for c in cents:
+            members = [vecs[i] for i in assign if assign[i] == c]
+            if members:
+                cents[c] = [sum(col) / len(members) for col in zip(*members)]
+    assert got == assign
+    # the two groups ended up separated
+    assert len({got[0], got[3]}) == 2
+    assert got[0] == got[1] == got[2] and got[3] == got[4] == got[5]
+
+
+def test_kmeans_empty_cluster_keeps_centroid_count(spark):
+    from data_spark.operators.clustering import kmeans_fit
+
+    # k=3 over 2 distinct points: one cluster must go empty yet the
+    # model still returns 3 rows (empty keeps its previous centroid)
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0])],
+        ["vec_id", "embedding"],
+    )
+    assert kmeans_fit(df, k=3, iterations=2).count() == 3
+
+
+def test_semantic_dedup_single_cluster_matches_exact_rule(spark):
+    from data_spark.operators.clustering import semantic_dedup
+    from data_spark.operators.similarity import embedding_near_duplicate_pairs
+
+    import math
+
+    # 8 unit-ish vectors, some near-identical pairs
+    pts = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),   # dup pair
+        (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.995, 0.05]),   # dup pair
+        (4, [0.0, 0.0, 1.0]), (5, [0.7, 0.7, 0.0]),
+        (6, [1.0, 0.001, 0.0]),                           # dup of 0 and 1
+        (7, [0.0, 0.0, -1.0]),
+    ]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    # k=1 → within-cluster search IS the global search: dropped set must
+    # equal {larger id of every exact pair >= t}
+    got = semantic_dedup(df, threshold=0.99, k=1, iterations=1)
+    dropped = {r["id"] for r in got.filter("NOT keep").collect()}
+    exact = embedding_near_duplicate_pairs(df, threshold=0.99).collect()
+    assert dropped == {r["id_b"] for r in exact}
+    # cos(0,1)≈0.99995, cos(0,6)≈1, cos(2,3)≈0.9987 — larger ids drop,
+    # 0 and 2 survive as min-id representatives
+    assert dropped == {1, 3, 6}
+
+    # with k=4 the dropped set is a subset (cluster-split pairs missed)
+    got4 = semantic_dedup(df, threshold=0.99, k=4, iterations=2)
+    dropped4 = {r["id"] for r in got4.filter("NOT keep").collect()}
+    assert dropped4 <= dropped
+
+
+def test_scd2_history_compresses_runs_null_safe(spark):
+    from data_spark.operators.scd import asof_against_history, scd2_history
+
+    log = spark.createDataFrame(
+        [
+            # key A: gold → gold (no change) → silver → NULL → NULL → gold
+            ("A", 1, "gold"), ("A", 2, "gold"), ("A", 3, "silver"),
+            ("A", 4, None), ("A", 5, None), ("A", 6, "gold"),
+            # key B: single version
+            ("B", 1, "bronze"),
+        ],
+        ["k", "ver", "tier"],
+    )
+    hist = scd2_history(log, keys=["k"], attrs=["tier"], order_cols=["ver"]).collect()
+    rows = {(r["k"], r["valid_from"]): r for r in hist}
+    assert len(hist) == 5  # A: 4 runs, B: 1
+    assert rows[("A", 1)]["tier"] == "gold" and rows[("A", 1)]["valid_to"] == 3
+    assert rows[("A", 3)]["tier"] == "silver" and rows[("A", 3)]["valid_to"] == 4
+    # NULL run is one version (NULL→NULL is "no change")
+    assert rows[("A", 4)]["tier"] is None and rows[("A", 4)]["valid_to"] == 6
+    assert rows[("A", 6)]["is_current"] and rows[("A", 6)]["valid_to"] is None
+    assert rows[("B", 1)]["is_current"]
+
+    # point-in-time join picks the version covering each fact ts
+    facts = spark.createDataFrame(
+        [("A", 2), ("A", 3), ("A", 5), ("A", 99)], ["k", "ts"]
+    )
+    got = {
+        r["ts"]: r["tier"]
+        for r in asof_against_history(facts, spark.createDataFrame(hist), ["k"], "ts").collect()
+    }
+    assert got == {2: "gold", 3: "silver", 5: None, 99: "gold"}
+
+
+def test_scd2_single_exchange_plan(spark, sf_small):
+    """Both windows and the filter must share ONE key-partitioned
+    Exchange — the single-shuffle claim in the operator docstring."""
+    from data_spark.operators.scd import scd2_history
+    from data_spark.io import read_table
+
+    o = read_table(spark, sf_small, "orders")
+    hist = scd2_history(
+        o, keys=["o_custkey"], attrs=["o_orderpriority"],
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hist.explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1, plan

@@ -122,10 +122,13 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "q15_top_supplier",  # 1-row max-revenue broadcast
             "q22_idle_customers",  # 1-row average-balance broadcast
             "q11_important_parts",  # 1-row global-threshold broadcast
+            "d_bigram_lm",  # 1-row vocabulary-size broadcast
             "v_cosine_topk",  # deliberate query-set × corpus broadcast
             "d_embed_near_dup",  # deliberate all-pairs baseline (LSH variant is the scale path)
             "v_lsh_ann",
             "v_ivf_topk",  # tiny centroid-set broadcasts
+            "d_kmeans",  # k-row centroid-model broadcast per Lloyd round
+            "d_semantic_dedup",  # same centroid broadcast inside the fit
             "j_range_tier",  # interval join against a 4-row broadcast
         ), (
             f"{name} plans a nested-loop join:\n{plan}"
