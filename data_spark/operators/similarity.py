@@ -70,18 +70,20 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into centroid
     cells, probe only the ``nprobe`` nearest cells per query, exact
     rerank inside them.
 
-    Centroids here are training-free and deterministic (the
+    Default centroids are training-free and deterministic (the
     ``num_centroids`` lowest-id corpus vectors) so results are
-    reproducible and oracle-checkable; swap in k-means centroids for
-    recall at production scale — the plan shape is identical. Cell
-    assignment is one broadcast join over the tiny centroid set; the
-    probe join shuffles on cell id, so per-query work is
-    O(probed-cell sizes), not O(|corpus|).
+    reproducible and oracle-checkable. Pass ``centroids`` — e.g.
+    ``clustering.kmeans_fit``'s (cluster, cent) model — for trained
+    cells with balanced occupancy at production scale; the plan shape
+    is identical either way. Cell assignment is one broadcast join over
+    the tiny centroid set; the probe join shuffles on cell id, so
+    per-query work is O(probed-cell sizes), not O(|corpus|).
 
     Returns (qid, neighbor_id, rank).
     """
@@ -91,11 +93,17 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    cents = (
-        c.orderBy("cid")
-        .limit(num_centroids)
-        .select(F.col("cid").alias("cent_id"), F.col("cv").alias("cent_v"))
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(centroids.columns[0]).alias("cent_id"),
+            F.col(centroids.columns[1]).cast("array<double>").alias("cent_v"),
+        )
+    else:
+        cents = (
+            c.orderBy("cid")
+            .limit(num_centroids)
+            .select(F.col("cid").alias("cent_id"), F.col("cv").alias("cent_v"))
+        )
 
     def nearest_cells(df: DataFrame, key: str, vec: str, n: int) -> DataFrame:
         sims = df.join(F.broadcast(cents)).select(

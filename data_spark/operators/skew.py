@@ -62,3 +62,30 @@ def add_salt(big: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Random salt on the big side (pair with explode_salt on the small
     side, then join on original keys + __salt)."""
     return big.withColumn("__salt", F.spark_partition_id() % salt_buckets)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big (skewed) side, replicate
+    the small side once per salt bucket, join on keys + salt.
+
+    A hot key that would land its entire volume on ONE reducer in a
+    plain shuffle join is spread over ``salt_buckets`` reducers; the
+    price is a ``salt_buckets``× replication of the small side through
+    the shuffle — the right trade whenever |small| · buckets ≪ the hot
+    key's row count. Result is row-identical to the plain join
+    (salting never appears in the output), so oracles can't see it.
+
+    ``how`` supports the row-preserving joins (inner / left); use AQE
+    skew splitting for the others.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    b = add_salt(big, salt_buckets)
+    s = explode_salt(small, salt_buckets)
+    return b.join(s, [*keys, "__salt"], how).drop("__salt")

@@ -558,3 +558,33 @@ def d_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_spark.operators.textstats import bigram_lm_scores
 
     return bigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d_inverted_index",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df, list_sort(list(doc_id)) AS postings
+    FROM tok GROUP BY term
+    """,
+)
+def d_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (search-side companion of the dedup stack):
+    term → document frequency + sorted posting list. explode → DISTINCT
+    (dedup within doc) → one term-partitioned agg; posting lists are
+    collect_list + array_sort so the output is set-deterministic. At
+    scale the only wide row is the posting list itself — exactly the
+    artifact being built (shard hot terms by df if a term's postings
+    outgrow a partition)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).distinct()
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )

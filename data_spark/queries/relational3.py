@@ -323,3 +323,40 @@ def f_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("qtys"), lambda x: x > 25.0)).cast("bigint").alias("n_big"),
         F.element_at(sorted_q, 1).alias("smallest"),
     )
+
+
+@_q(
+    "j_salted_skew_join",
+    f"""
+    SELECT l.l_returnflag, d.flag_label,
+           {SQL_DSUM.format(expr='l.l_quantity')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l
+    JOIN (
+      SELECT 'A' AS flag, 'returned-accepted' AS flag_label
+      UNION ALL SELECT 'R', 'returned-rejected'
+      UNION ALL SELECT 'N', 'not-returned'
+    ) d ON d.flag = l.l_returnflag
+    GROUP BY l.l_returnflag, d.flag_label
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators.skew.salted_join): the join key
+    l_returnflag has 3 values, so a plain shuffle join would funnel
+    ~200k rows/key (at sf0.1) through 3 reducers while the rest idle.
+    Salting spreads each hot key over 16 reducers; the 3-row dim is
+    replicated 16× — the right trade by ~4 orders of magnitude. The
+    oracle is the plain join: salting must be result-invisible.
+    """
+    from data_spark.operators.skew import salted_join
+
+    l = t(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "returned-accepted"), ("R", "returned-rejected"), ("N", "not-returned")],
+        ["flag", "flag_label"],
+    ).withColumnRenamed("flag", "l_returnflag")
+    return (
+        salted_join(l, dim, ["l_returnflag"], salt_buckets=16)
+        .groupBy("l_returnflag", "flag_label")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )

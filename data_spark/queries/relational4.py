@@ -377,3 +377,41 @@ def m_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.col("valid_to")).alias("valid_to"),
         "is_current",
     )
+
+
+@_q(
+    "w_analytic_battery",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(o_orderkey) OVER wf AS first_k,
+           last_value(o_orderkey) OVER wf AS last_k,
+           nth_value(o_orderkey, 2) OVER wf AS second_k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function battery (SURVEY §2.5 depth beyond the
+    reference's operational windows): percent_rank / cume_dist (rank
+    arithmetic — exact integer-derived divisions, engine-stable) and
+    first/last/nth_value over the full-partition ROWS frame (explicit
+    frame, since the default RANGE frame would make last/nth
+    row-dependent). All windows share ONE custkey-partitioned shuffle.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(wf).alias("first_k"),
+        F.last("o_orderkey").over(wf).alias("last_k"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_k"),
+    )

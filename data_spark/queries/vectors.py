@@ -209,3 +209,22 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4, k=8, iterations=3)
+
+
+@_q("v_ivf_kmeans_topk")  # trained centroids — recall pytest-gated
+def v_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over TRAINED (k-means) cells instead of the
+    deterministic-seed cells of v_ivf_topk: fit 8 centroids with 3
+    Lloyd rounds on the corpus, assign + probe 2 cells per query, exact
+    rerank inside. Same plan shape as v_ivf_topk; trained cells balance
+    occupancy so per-query probed volume concentrates where the data
+    is. Deterministic end-to-end (deterministic fit), rows-only gate +
+    recall pytest."""
+    from data_spark.operators.clustering import kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    model = kmeans_fit(corpus, k=8, iterations=3)
+    return ivf_topk(
+        corpus, emb.filter(F.col("vec_id") < 10), k=5, centroids=model, nprobe=2
+    )

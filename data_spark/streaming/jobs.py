@@ -52,6 +52,30 @@ def stream_windowed_counts(
     )
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """File-source stream → native exactly-once-per-key emission within
+    the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The native complement of stateful.streaming_dedup
+    (applyInPandasWithState): no Python state function, and — the scale
+    property — state for a key is dropped once the watermark passes its
+    last-seen event time, so state size tracks the horizon, not the
+    key cardinality of the whole stream. Duplicate delivery within the
+    horizon (at-least-once sources, retried producers) collapses to one
+    row; a re-delivery AFTER the horizon is emitted again — the
+    documented trade against the unbounded-state exact dedup.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_session_windows(
     spark: SparkSession,
     source_dir: str,

@@ -608,3 +608,50 @@ def test_scd2_single_exchange_plan(spark, sf_small):
         hist.explain("simple")
     plan = buf.getvalue()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    from data_spark.operators.skew import salted_join
+
+    import pytest as _pytest
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "hot", "warm")]
+        + [(None, -1), ("orphan", -2)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("warm", 2), ("unused", 3)], "k string, dim int"
+    )
+    from collections import Counter
+
+    for how in ("inner", "left"):
+        got = Counter(map(tuple, salted_join(big, small, ["k"], how).collect()))
+        want = Counter(map(tuple, big.join(small, ["k"], how).collect()))
+        assert got == want, how
+    with _pytest.raises(ValueError):
+        salted_join(big, small, ["k"], "full")
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    from data_spark.operators.clustering import kmeans_fit
+    from data_spark.operators.similarity import ivf_topk
+
+    emb = _vectors(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["qid"], r["neighbor_id"]) for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+    model = kmeans_fit(corpus, k=4, iterations=3)
+    got = ivf_topk(corpus, queries, k=3, centroids=model, nprobe=2).collect()
+    approx = {(r["qid"], r["neighbor_id"]) for r in got}
+    # trained cells on smooth angular data: probing half the cells must
+    # recover most true neighbors (neighbors share cells by construction)
+    assert len(exact & approx) / len(exact) >= 0.6
+    # deterministic: a second run returns the identical set
+    again = {
+        (r["qid"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, k=3, centroids=model, nprobe=2).collect()
+    }
+    assert approx == again

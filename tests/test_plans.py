@@ -127,6 +127,7 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "d_embed_near_dup",  # deliberate all-pairs baseline (LSH variant is the scale path)
             "v_lsh_ann",
             "v_ivf_topk",  # tiny centroid-set broadcasts
+            "v_ivf_kmeans_topk",  # same, with trained centroids
             "d_kmeans",  # k-row centroid-model broadcast per Lloyd round
             "d_semantic_dedup",  # same centroid broadcast inside the fit
             "j_range_tier",  # interval join against a 4-row broadcast

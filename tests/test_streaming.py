@@ -403,3 +403,49 @@ def test_stream_session_windows(spark, tmp_path):
     assert ("u1", "2024-01-01T10:30:00", 1) in got
     assert ("u2", "2024-01-01T09:00:00", 1) in got
     assert len(got) == 3
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from data_spark.streaming.jobs import stream_dedup_within_watermark
+
+    src = str(tmp_path / "ddw_src")
+    ckpt = str(tmp_path / "ddw_ckpt")
+    sink = str(tmp_path / "ddw_sink")
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("v", LongType()),
+        ]
+    )
+    # duplicate deliveries of key 'a' within the horizon, distinct 'b'
+    _write_events(
+        src,
+        [
+            {"k": "a", "ts": "2024-01-01T10:00:00Z", "v": 1},
+            {"k": "a", "ts": "2024-01-01T10:05:00Z", "v": 2},
+            {"k": "b", "ts": "2024-01-01T10:10:00Z", "v": 3},
+        ],
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        q = (
+            stream_dedup_within_watermark(
+                spark, src, schema, keys=["k"], watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(sink).collect())
+    # one row per key within the watermark horizon; the first arrival wins
+    assert [k for k, _ in got] == ["a", "b"]
+    assert ("a", 1) in got or ("a", 2) in got
+    assert len(got) == 2
