@@ -52,8 +52,9 @@ _PRIORITY = [
     "d_dedup_exact",
     "d_ngram_jaccard",
     "d_dedup_resolve",
-    "d_minhash_lsh",
-    "d_simhash_near",
+    # d_minhash_lsh / d_simhash_near rotate just past the window:
+    # rows-only checks with strong pytest oracles — exact-oracle
+    # witnesses are worth more per slot
     "d_token_stats",
     "d_bpe_tokens",
     "d_quality",
@@ -110,6 +111,9 @@ _PRIORITY = [
     "d_semantic_dedup",
     "m_scd2_history",
     "j_salted_skew_join",
+    "w_analytic_battery",
+    "d_inverted_index",
+    "e_rollup_hierarchy",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

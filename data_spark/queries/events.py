@@ -479,3 +479,44 @@ def e_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("rolling_7d_value"),
         F.count(F.lit(1)).over(w).alias("rolling_7d_events"),
     )
+
+
+@_q(
+    "e_rollup_hierarchy",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_day,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM.format(expr='value')} AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('hour', ts), date_trunc('day', ts), event_type),
+      (date_trunc('day', ts), event_type),
+      (event_type)
+    )
+    """,
+)
+def e_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution continuous-aggregate rollup:
+    hour, day, and all-time totals per event type out of ONE scan via
+    GROUPING SETS — the batch shape of a TimescaleDB/Druid rollup
+    hierarchy. Spark expands the sets with a single Expand + one
+    aggregate exchange (map-side partials apply per set), so adding a
+    resolution never adds a scan. Coarser rows carry NULL bucket keys,
+    exactly as the SQL standard specifies."""
+    e = t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        e.select(
+            hour.alias("bucket_hour"), day.alias("bucket_day"), "event_type", "value"
+        )
+        .groupingSets(
+            [["bucket_hour", "bucket_day", "event_type"],
+             ["bucket_day", "event_type"],
+             ["event_type"]],
+            "bucket_hour", "bucket_day", "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+    )

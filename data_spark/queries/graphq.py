@@ -94,3 +94,52 @@ def g_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
+
+
+@_q(
+    "g_clustering_coeff",
+    """
+    WITH und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+      GROUP BY id
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), per_node AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      GROUP BY id
+    )
+    SELECT d.id, d.degree,
+           COALESCE(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN 2.0 * COALESCE(p.n_triangles, 0) / (d.degree * (d.degree - 1))
+                ELSE 0.0 END AS coeff
+    FROM deg d LEFT JOIN per_node p ON d.id = p.id
+    """,
+)
+def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient over the part
+    co-occurrence graph (graph/algorithms.local_clustering). The oracle
+    counts id-ordered triangles and attributes each to its three
+    corners; the engine's degree-ordered orientation yields the same
+    per-node counts with O(m^1.5) wedge work."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    from data_spark.graph.algorithms import local_clustering
+
+    return local_clustering(edges)

@@ -252,3 +252,18 @@ def test_triangle_count_known_graphs(spark):
     # every edge at the hub, so the wedge join is provably empty
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
     assert triangle_count(star).collect()[0]["triangles"] == 0
+
+
+def test_local_clustering_known_graph(spark):
+    from data_spark.graph.algorithms import local_clustering
+
+    # triangle 1-2-3 plus pendant 3-4: coeffs 1, 1, 1/3, 0
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    got = {r["id"]: r for r in local_clustering(g).collect()}
+    assert got[1]["n_triangles"] == 1 and got[1]["coeff"] == 1.0
+    assert got[2]["n_triangles"] == 1 and got[2]["coeff"] == 1.0
+    assert got[3]["n_triangles"] == 1 and abs(got[3]["coeff"] - 1 / 3) < 1e-12
+    assert got[4]["n_triangles"] == 0 and got[4]["coeff"] == 0.0
+    assert got[3]["degree"] == 3 and got[4]["degree"] == 1

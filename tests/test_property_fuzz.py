@@ -168,3 +168,56 @@ def test_window_parity(engines, pred, part, order, fn):
         f"FROM li_fuzz WHERE {pred}"
     )
     _parity(spark, con, sql)
+
+
+str_expr = st.sampled_from(
+    [
+        "upper(l_returnflag)",
+        "lower(l_linestatus)",
+        "trim(l_returnflag || '  ')",
+        "substr(l_returnflag || l_linestatus, 1, 2)",
+        "l_returnflag || '_' || l_linestatus",
+        "length(l_returnflag || l_linestatus)",
+        "replace(l_returnflag, 'A', 'Z')",
+        "coalesce(nullif(l_returnflag, 'N'), 'none')",
+    ]
+)
+date_expr = st.sampled_from(
+    [
+        "year(l_shipdate)",
+        "month(l_shipdate)",
+        "day(l_shipdate)",
+        # date_trunc: DATE in DuckDB, TIMESTAMP in Spark — cast to compare
+        "CAST(date_trunc('month', l_shipdate) AS DATE)",
+        "CAST(date_trunc('day', l_shipdate) AS DATE)",
+    ]
+)
+num_expr = st.sampled_from(
+    [
+        "abs(l_quantity - 25)",
+        # floor/ceil: DOUBLE in DuckDB, BIGINT in Spark — cast to compare
+        "CAST(floor(l_extendedprice / 100) AS BIGINT)",
+        "CAST(ceil(l_discount * 100) AS BIGINT)",
+        "greatest(l_quantity, l_tax * 10)",
+        "least(l_quantity, 10.0)",
+    ]
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate, e1=str_expr, e2=date_expr, e3=num_expr)
+def test_scalar_function_parity(engines, pred, e1, e2, e3):
+    """Fuzzed scalar string/date/numeric expressions (the §2.8 function
+    surface both engines share, dialect-identical subset): projected
+    over a fuzzed filter, full-row parity."""
+    spark, con = engines
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {e1} AS s, {e2} AS d, {e3} AS n "
+        f"FROM li_fuzz WHERE {pred}"
+    )
+    _parity(spark, con, sql)
