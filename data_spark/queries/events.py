@@ -520,3 +520,171 @@ def e_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
     )
+
+
+@_q(
+    "e_funnel_3step",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL SELECT 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def e_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): a user counts
+    toward a stage only if the event happened STRICTLY AFTER their
+    earliest previous-stage event — the canonical product-analytics
+    funnel, which a naive per-type MIN cannot express.
+
+    Scale: each stage is a type-pruned scan (predicate reaches the
+    parquet reader) aggregated to one row per user, then an equi-join on
+    user_id with the time condition as a residual filter; every shuffle
+    is user-keyed and skinny, and stages shrink monotonically.
+    """
+    e = t(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == event_type).select("user_id", "ts")
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view").alias("stage"), "n_users"),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view>click").alias("stage"), "n_users"),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view>click>purchase").alias("stage"), "n_users"),
+    ]
+    out = counts[0]
+    for x in counts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@_q(
+    "e_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort, a.day - f.cohort
+    """,
+)
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by first-seen day, counted
+    on each later active day as an offset from their cohort day — the
+    standard growth-analytics triangle.
+
+    Scale: two user-keyed aggregations off one scan lineage (first-seen
+    and distinct active days), one equi-join on user_id, then a skinny
+    (cohort, offset) agg with map-side partials.
+    """
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    activity = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_q(
+    "e_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+             ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           strftime(MIN(s), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(MAX(e), '%Y-%m-%d %H:%M:%S') AS end_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, CAST(island AS BIGINT)
+    """,
+)
+def e_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each event opens an interval
+    [ts, ts + 60·value seconds]; overlapping/touching intervals per user
+    coalesce into islands (running MAX over the 1-PRECEDING frame
+    detects overlap, a conditional running SUM numbers the islands) and
+    each island reports its span — the classic warehouse pattern for
+    merging sessions/outages/coverage windows.
+
+    Scale: both windows and the final agg share one user-keyed shuffle;
+    the duration uses floor() before the cast because double→BIGINT
+    rounds in DuckDB but truncates in Spark."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + F.make_interval(secs=F.floor(F.col("value") * 60).cast("bigint"))
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e",
+        F.sum("new_island").over(w_run).cast("bigint").alias("island")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.date_format(F.min("s"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format(F.max("e"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
