@@ -120,6 +120,8 @@ _PRIORITY = [
     "e_funnel_3step",
     "e_retention_cohorts",
     "e_interval_merge",
+    "a_histogram_fixed_bins",
+    "a_median_per_group",
     "v_ivf_kmeans_topk",
     "q3_top_orders",
     "q5_nation_revenue",

@@ -415,3 +415,62 @@ def w_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wf).alias("last_k"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_k"),
     )
+
+
+@_q(
+    "a_histogram_fixed_bins",
+    """
+    WITH b AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem
+    )
+    SELECT CAST(LEAST(floor((l_extendedprice - mn) / ((mx - mn) / 20)), 19) AS BIGINT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def a_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of l_extendedprice: min/max come
+    from a 1-row scalar broadcast, bin assignment is pure column
+    arithmetic, and the bin agg moves 20 partial rows per task — the
+    distribution-profiling primitive (value histograms for data
+    quality / skew diagnosis) at full scan throughput."""
+    l = t(spark, sf_dir, "lineitem")
+    b = l.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    bin_col = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 20)
+        ),
+        F.lit(19),
+    ).cast("bigint")
+    return (
+        l.join(F.broadcast(b))
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "a_median_per_group",
+    """
+    SELECT l_returnflag,
+           MEDIAN(l_extendedprice) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median and interpolated p90 (sort-based
+    percentile agg — the exact companion of the approx_percentile
+    sketch in a_approx_percentiles). Interpolation between the two
+    middle values is the same linear rule in both engines over
+    identical doubles, so the result is hash-stable."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
