@@ -122,6 +122,7 @@ _PRIORITY = [
     "e_interval_merge",
     "a_histogram_fixed_bins",
     "a_median_per_group",
+    "s_relational_division",
     "v_ivf_kmeans_topk",
     "q3_top_orders",
     "q5_nation_revenue",

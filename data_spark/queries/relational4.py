@@ -474,3 +474,53 @@ def a_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
     )
+
+
+@_q(
+    "s_relational_division",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS suppkey, n.n_regionkey AS regionkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), total AS (
+      SELECT COUNT(DISTINCT r_regionkey) AS nr FROM region
+    )
+    SELECT suppkey FROM pairs, total
+    GROUP BY suppkey, nr
+    HAVING COUNT(*) = nr
+    """,
+)
+def s_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all" quantification): suppliers whose
+    shipments reach customers in EVERY region — the set-containment
+    query shape (division) the TPC-H suite itself lacks.
+
+    Scale: the distinct (supplier, region) pair table is the only wide
+    shuffle and is bounded by |suppliers| × |regions|; the universe
+    count rides along as a 1-row broadcast and the HAVING closes the
+    division with one skinny agg. No double-negation anti-join chain —
+    the count formulation is a single pass.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("l_suppkey").alias("suppkey"), F.col("n_regionkey").alias("regionkey"))
+        .distinct()
+    )
+    total = r.agg(F.countDistinct("r_regionkey").alias("nr"))
+    return (
+        pairs.join(F.broadcast(total))
+        .groupBy("suppkey", "nr")
+        .agg(F.count(F.lit(1)).alias("covered"))
+        .filter(F.col("covered") == F.col("nr"))
+        .select("suppkey")
+    )

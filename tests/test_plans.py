@@ -124,6 +124,7 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "q11_important_parts",  # 1-row global-threshold broadcast
             "d_bigram_lm",  # 1-row vocabulary-size broadcast
             "a_histogram_fixed_bins",  # 1-row min/max broadcast
+            "s_relational_division",  # 1-row universe-count broadcast
             "v_cosine_topk",  # deliberate query-set × corpus broadcast
             "d_embed_near_dup",  # deliberate all-pairs baseline (LSH variant is the scale path)
             "v_lsh_ann",
