@@ -567,7 +567,8 @@ def d_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, unnest(str_split_regex(trim(text), '\\s+')) AS term
       FROM documents
     )
-    SELECT term, CAST(COUNT(*) AS BIGINT) AS df, list_sort(list(doc_id)) AS postings
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(to_json(list_sort(list(doc_id))) AS VARCHAR) AS postings
     FROM tok GROUP BY term
     """,
 )
@@ -584,7 +585,9 @@ def d_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
     ).distinct()
+    # Posting list serialized via to_json: the driver's pandas
+    # canonicalizer cannot hash raw array cells (r2 driver-red).
     return tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
-        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        F.to_json(F.array_sort(F.collect_list("doc_id"))).alias("postings"),
     )

@@ -228,7 +228,7 @@ def a_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_priorities,
            CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN cnt END), 0)
                 AS BIGINT) AS urgent,
-           list_sort(list(o_orderpriority)) AS priorities,
+           CAST(to_json(list_sort(list(o_orderpriority))) AS VARCHAR) AS priorities,
            MIN(min_js) AS sample_json,
            json_extract_string(MIN(min_js), '$.p') AS p_back
     FROM per
@@ -261,7 +261,9 @@ def f_map_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.element_at(F.col("m"), F.lit("1-URGENT")), F.lit(0))
             .cast("bigint")
             .alias("urgent"),
-            F.array_sort(F.map_keys("m")).alias("priorities"),
+            # Serialized to a canonical JSON string: the driver's pandas
+            # canonicalizer cannot hash raw array cells (r2 driver-red).
+            F.to_json(F.array_sort(F.map_keys("m"))).alias("priorities"),
             "sample_json",
             F.get_json_object("sample_json", "$.p").alias("p_back"),
         )
@@ -272,12 +274,14 @@ def f_map_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_array_battery",
     """
     SELECT o_orderkey,
-           qtys,
-           list_sort(qtys) AS qtys_sorted,
+           CAST(to_json(qtys) AS VARCHAR) AS qtys,
+           CAST(to_json(list_sort(qtys)) AS VARCHAR) AS qtys_sorted,
            len(qtys) AS n,
            CAST(list_aggregate(qtys, 'sum') AS DOUBLE) AS qty_sum,
-           list_transform(list_sort(qtys), x -> x * 2.0) AS doubled,
-           list_filter(list_sort(qtys), x -> x > 25.0) AS big,
+           CAST(to_json(list_transform(list_sort(qtys), x -> x * 2.0)) AS VARCHAR)
+             AS doubled,
+           CAST(to_json(list_filter(list_sort(qtys), x -> x > 25.0)) AS VARCHAR)
+             AS big,
            CAST(len(list_filter(qtys, x -> x > 25.0)) AS BIGINT) AS n_big,
            list_sort(qtys)[1] AS smallest
     FROM (
@@ -310,16 +314,20 @@ def f_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sorted_q = F.array_sort(F.col("qtys"))
+    # Array outputs serialized via to_json: the driver's pandas
+    # canonicalizer cannot hash raw array cells (r2 driver-red), and
+    # Spark/DuckDB agree on compact JSON rendering of double/string
+    # arrays ([17.0,2.5] / ["a","b"]).
     return grouped.select(
         "o_orderkey",
-        "qtys",
-        sorted_q.alias("qtys_sorted"),
+        F.to_json("qtys").alias("qtys"),
+        F.to_json(sorted_q).alias("qtys_sorted"),
         F.size("qtys").cast("bigint").alias("n"),
         F.aggregate(
             F.col("qtys"), F.lit(0.0), lambda acc, x: acc + x
         ).alias("qty_sum"),
-        F.transform(sorted_q, lambda x: x * 2.0).alias("doubled"),
-        F.filter(sorted_q, lambda x: x > 25.0).alias("big"),
+        F.to_json(F.transform(sorted_q, lambda x: x * 2.0)).alias("doubled"),
+        F.to_json(F.filter(sorted_q, lambda x: x > 25.0)).alias("big"),
         F.size(F.filter(F.col("qtys"), lambda x: x > 25.0)).cast("bigint").alias("n_big"),
         F.element_at(sorted_q, 1).alias("smallest"),
     )

@@ -76,16 +76,24 @@ def main():
             continue
         # Driver-divergence guard: the driver canonicalizes via pandas,
         # where DuckDB HUGEINT/DECIMAL become float64 while Spark emits
-        # int64/Decimal — a silent hash mismatch fetchall() masks. Our
-        # output convention is BIGINT/DOUBLE only; enforce it here so
-        # local green predicts driver green.
+        # int64/Decimal — a silent hash mismatch fetchall() masks — and
+        # array/map/struct cells crash pandas sort_values outright
+        # ("unhashable type: 'list'", the r2 driver-red class). Our
+        # output convention is flat BIGINT/DOUBLE/VARCHAR only; enforce
+        # it here so local green predicts driver green. Serialize
+        # nested outputs with to_json in BOTH engines.
         risky = [
             f"{c}:{ty}" for c, ty in zip(dcols, dtypes)
-            if ty == "HUGEINT" or ty.startswith("DECIMAL")
+            if ty == "HUGEINT"
+            or ty.startswith("DECIMAL")
+            or "[]" in ty
+            or ty.startswith(("STRUCT", "MAP", "LIST", "JSON", "UNION"))
         ]
         risky += [
             f"{f.name}:{f.dataType.simpleString()}" for f in sdf.schema.fields
-            if f.dataType.simpleString().startswith("decimal")
+            if f.dataType.simpleString().startswith(
+                ("decimal", "array", "map", "struct")
+            )
         ]
         if risky:
             failures.append(name)
