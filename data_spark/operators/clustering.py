@@ -108,6 +108,9 @@ def kmeans_fit(
             .select("cluster", F.coalesce("cent", "prev").alias("cent"))
             .localCheckpoint(eager=True)
         )
+    # centroids is already materialized; free the cached corpus so
+    # blocks don't accumulate across queries in a long-lived session.
+    vecs.unpersist()
     return centroids
 
 

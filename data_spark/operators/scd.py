@@ -79,11 +79,25 @@ def asof_against_history(
     picks the history version whose [valid_from, valid_to) interval
     contains its timestamp. Versions partition time, so the equi-join on
     the business key plus the range predicate matches at most one row —
-    a plain hash join with a residual filter, never a nested loop."""
+    a plain hash join with a residual filter, never a nested loop.
+
+    The range predicate lives INSIDE the join condition (not a
+    post-filter): a fact whose key exists in history but whose ts
+    predates the earliest valid_from must survive with NULL history
+    columns, exactly like a keyless fact — a left join followed by an
+    interval filter would silently drop it."""
     keys = list(keys)
-    cond = (F.col(ts_col) >= F.col("valid_from")) & (
-        F.col("valid_to").isNull() | (F.col(ts_col) < F.col("valid_to"))
+    f, h = facts.alias("__f"), history.alias("__h")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"__f.{k}") == F.col(f"__h.{k}"))
+    cond = (
+        cond
+        & (F.col(ts_col) >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col(ts_col) < F.col("valid_to")))
     )
-    return facts.join(history, keys, "left").filter(
-        cond | F.col("valid_from").isNull()
+    hist_cols = [c for c in history.columns if c not in keys]
+    return f.join(h, cond, "left").select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        *[F.col(f"__h.{c}") for c in hist_cols],
     )

@@ -44,93 +44,84 @@ ORACLE = {
     **graphq.ORACLE,
 }
 
-# Round-2 window: 27 round-1-unwitnessed operators, the 2 hash-fixed
-# queries, and the 3 plan-rewritten TPC-H shapes, then new round-2
-# queries. Everything listed here must exist in _ALL_QUERIES.
+# Round-3 window (the driver records the first 50 entries; see
+# WITNESS.md for the per-query ledger this ordering is derived from):
+#   1-15: the 12 never-driver-witnessed queries (r1+r2 both missed
+#         them) plus the 3 r2 driver-red queries whose array outputs
+#         are now JSON-serialized — these need a green row most.
+#  16-50: regression re-witness of the oldest r1-only-witnessed
+#         queries (35 of 48 fit; the 13 spilled lead the tail for r4).
+# r2-witnessed greens rotate fully out of the window this round.
 _PRIORITY = [
-    # unwitnessed in CORRECTNESS_r01 (registry positions 51-77)
-    "d_dedup_exact",
-    "d_ngram_jaccard",
-    "d_dedup_resolve",
-    # d_minhash_lsh / d_simhash_near rotate just past the window:
-    # rows-only checks with strong pytest oracles — exact-oracle
-    # witnesses are worth more per slot
-    "d_token_stats",
-    "d_bpe_tokens",
-    "d_quality",
-    "d_repetition",
-    "d_source_quota",
-    "d_contamination",
-    "d_pii_redact",
-    "d_split_assign",
-    "d_pack_sequences",
-    "d_lang_id",
-    "d_fingerprint",
-    "d_top_terms",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "v_cosine_topk",
-    "v_ivf_topk",
-    "d_embed_near_dup",
-    "d_embed_near_dup_lsh",
-    "j_suffix_containment",
-    # g_pagerank/g_components rotate just past the window: rows-only
-    # checks (their exactness is pytest-gated), so an exact-oracle
-    # witness is worth more per slot
-    # hash-canonicalization fixed this round — needs a green driver row
-    "q12_shipmode_case",
-    "e_sessionize",
-    # q3/q5/q7 plan rewrites don't change their (r1-witnessed-green)
-    # outputs, so they rotate just past the window to make room for the
-    # genuinely new round-2 queries below
-    # new in round 2
-    "q11_important_parts",
-    "q20_heavy_suppliers",
-    "q21_lone_returned_supplier",
-    "w_distinct_over_window",
-    "f_array_battery",
-    "f_map_struct_json",
-    "e_session_window_native",
-    "e_gap_fill_ffill",
-    "a_salted_skew_agg",
-    "d_curation_e2e",
-    # new in round 2, second wave: the six TPC-H shapes completing
-    # full Q1-Q22 coverage (adapted to testdata, queries/relational4.py)
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    # round-2 third wave: oracle-checked graph + LM-scoring operators,
-    # iterative k-means and SemDeDup-style cluster-scoped dedup
-    "g_triangles",
-    "d_bigram_lm",
-    "d_kmeans",
-    "d_semantic_dedup",
-    "m_scd2_history",
-    "j_salted_skew_join",
-    "w_analytic_battery",
-    "d_inverted_index",
-    "e_rollup_hierarchy",
-    "g_clustering_coeff",
-    # entries past 50 still lead the tail: witnessed iff the driver's
-    # window is larger than the 50 observed in round 1
-    "v_lsh_ann",
+    # --- never witnessed in r1 or r2 ---
     "e_funnel_3step",
     "e_retention_cohorts",
     "e_interval_merge",
     "a_histogram_fixed_bins",
     "a_median_per_group",
     "s_relational_division",
+    "v_lsh_ann",
     "v_ivf_kmeans_topk",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "q7_nation_volume",
     "d_minhash_lsh",
     "d_simhash_near",
     "g_pagerank",
     "g_components",
+    # --- r2 driver-red, fixed this round (arrays → to_json strings) ---
+    "f_array_battery",
+    "f_map_struct_json",
+    "d_inverted_index",
+    # --- r1-only witnessed: oldest hard signal, re-witness for
+    #     regression coverage (the first 35 make the window) ---
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q7_nation_volume",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_brand_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q19_disjunctive_join",
+    "q22_idle_customers",
+    "u_distinct_master",
+    "u_union_pad_distinct",
+    "u_unpivot_metrics",
+    "p_compound_filter",
+    "p_pivot_status",
+    "j_anti_unloaded",
+    "j_left_join_dim",
+    "j_outer_coalesce",
+    "j_range_tier",
+    "j_semi_active",
+    "m_upsert_latest",
+    "w_first_per_group",
+    "w_lag_delta",
+    "w_ntile_decile",
+    "w_rank_in_group",
+    "w_running_total",
+    "w_sample_deterministic",
+    "w_stratified_sample",
+    "w_topk_global",
+    "a_collect_group_array",
+    "a_percentiles",
+    "a_approx_distinct",
+    "a_approx_percentiles",
+    "e_asof_latest_view",
+    "e_day_expand",
+    "e_json_extract",
+    "e_range_frame_7d",
+    "e_tumbling_hourly",
+    "e_watermark_split",
+    "f_epoch_roundtrip",
+    "f_scalar_repair",
+    "g_grouping_sets",
+    # --- tail: r1-only spill-over (lead the r4 window), then
+    #     everything else (r2-witnessed greens) in module order ---
+    "g_rollup_region",
+    "s_intersect_except",
+    "sq_above_avg_price",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

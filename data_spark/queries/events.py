@@ -619,7 +619,7 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
       FROM events
     ), flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        >= s
@@ -627,7 +627,7 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM iv
     ), islands AS (
       SELECT user_id, s, e,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS island
       FROM flagged
@@ -668,15 +668,19 @@ def e_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0))
         .otherwise(F.lit(1))
         .alias("new_island"),
     )
+    # event_id tiebreak: rows tied on (s, e) must get the same island
+    # number in both engines, so the running sum shares w_prev's total
+    # order (ADVICE r2).
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.select(

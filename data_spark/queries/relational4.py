@@ -421,9 +421,12 @@ def w_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_histogram_fixed_bins",
     """
     WITH b AS (
-      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem
+      SELECT MIN(l_extendedprice) AS mn,
+             GREATEST((MAX(l_extendedprice) - MIN(l_extendedprice)) / 20, 1e-12)
+               AS width
+      FROM lineitem
     )
-    SELECT CAST(LEAST(floor((l_extendedprice - mn) / ((mx - mn) / 20)), 19) AS BIGINT)
+    SELECT CAST(LEAST(floor((l_extendedprice - mn) / width), 19) AS BIGINT)
              AS bin,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem, b
@@ -435,15 +438,21 @@ def a_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a 1-row scalar broadcast, bin assignment is pure column
     arithmetic, and the bin agg moves 20 partial rows per task — the
     distribution-profiling primitive (value histograms for data
-    quality / skew diagnosis) at full scan throughput."""
+    quality / skew diagnosis) at full scan throughput.
+
+    The bin width is floored at 1e-12 so a degenerate input (all values
+    equal ⇒ mx == mn) yields bin 0 in both engines instead of a 0/0
+    NULL/NaN bin with engine-dependent grouping (ADVICE r2)."""
     l = t(spark, sf_dir, "lineitem")
     b = l.agg(
-        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+        F.min("l_extendedprice").alias("mn"),
+        F.greatest(
+            (F.max("l_extendedprice") - F.min("l_extendedprice")) / 20,
+            F.lit(1e-12),
+        ).alias("width"),
     )
     bin_col = F.least(
-        F.floor(
-            (F.col("l_extendedprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 20)
-        ),
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("width")),
         F.lit(19),
     ).cast("bigint")
     return (

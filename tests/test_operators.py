@@ -579,15 +579,25 @@ def test_scd2_history_compresses_runs_null_safe(spark):
     assert rows[("A", 6)]["is_current"] and rows[("A", 6)]["valid_to"] is None
     assert rows[("B", 1)]["is_current"]
 
-    # point-in-time join picks the version covering each fact ts
+    # point-in-time join picks the version covering each fact ts;
+    # facts with no covering interval (pre-history ('A', 0) and keyless
+    # ('Z', 1)) survive with NULL history columns — left-join semantics
+    # must not depend on WHY the interval probe missed
     facts = spark.createDataFrame(
-        [("A", 2), ("A", 3), ("A", 5), ("A", 99)], ["k", "ts"]
+        [("A", 0), ("A", 2), ("A", 3), ("A", 5), ("A", 99), ("Z", 1)],
+        ["k", "ts"],
     )
-    got = {
-        r["ts"]: r["tier"]
-        for r in asof_against_history(facts, spark.createDataFrame(hist), ["k"], "ts").collect()
-    }
-    assert got == {2: "gold", 3: "silver", 5: None, 99: "gold"}
+    out = asof_against_history(
+        facts, spark.createDataFrame(hist), ["k"], "ts"
+    ).collect()
+    assert len(out) == 6
+    got = {(r["k"], r["ts"]): (r["tier"], r["valid_from"]) for r in out}
+    assert got[("A", 2)] == ("gold", 1)
+    assert got[("A", 3)] == ("silver", 3)
+    assert got[("A", 5)] == (None, 4)
+    assert got[("A", 99)] == ("gold", 6)
+    assert got[("A", 0)] == (None, None)  # pre-history: NULL-padded
+    assert got[("Z", 1)] == (None, None)  # keyless: NULL-padded
 
 
 def test_scd2_single_exchange_plan(spark, sf_small):
