@@ -18,6 +18,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def row_salt(salt_buckets: int) -> Column:
+    """Per-ROW salt in [0, salt_buckets): ``monotonically_increasing_id``
+    modulo buckets. Row position varies within any run of rows, so a hot
+    key is spread over all buckets even when it arrives concentrated in
+    a single input partition (one upstream file per key) — a layout that
+    gives ``spark_partition_id() % buckets`` zero spread (r2 verdict).
+    Deterministic for a fixed input layout, and aggregation-safe
+    regardless: the salt never survives the final agg."""
+    return (F.monotonically_increasing_id() % salt_buckets).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -37,9 +48,9 @@ def salted_agg(
     The salt spreads one hot key over ``salt_buckets`` reducers in
     stage 1; stage 2 shuffles only ``salt_buckets`` rows per key.
     """
-    # the salt must vary WITHIN a key: partition id spreads a hot key
-    # over however many input partitions carry it, deterministically
-    salted = df.withColumn("__salt", F.spark_partition_id() % salt_buckets)
+    # the salt must vary WITHIN a key — and within a single input
+    # partition, in case one file carries the whole hot key
+    salted = df.withColumn("__salt", row_salt(salt_buckets))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]
     )
@@ -59,9 +70,9 @@ def explode_salt(small: DataFrame, salt_buckets: int = 16) -> DataFrame:
 
 
 def add_salt(big: DataFrame, salt_buckets: int = 16) -> DataFrame:
-    """Random salt on the big side (pair with explode_salt on the small
+    """Per-row salt on the big side (pair with explode_salt on the small
     side, then join on original keys + __salt)."""
-    return big.withColumn("__salt", F.spark_partition_id() % salt_buckets)
+    return big.withColumn("__salt", row_salt(salt_buckets))
 
 
 def salted_join(

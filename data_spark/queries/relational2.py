@@ -89,8 +89,10 @@ def q12_shipmode_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fraction-of-total conditional aggregate (TPC-H Q14 shape); part
-    dim broadcast."""
+    """Fraction-of-total conditional aggregate (TPC-H Q14 shape). No
+    broadcast hint on part: the join takes ALL parts, and part scales
+    with the fact at 100×; a hard hint would override AQE's size check
+    and OOM instead of degrading to a shuffle join (r2 verdict)."""
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -98,7 +100,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct"))
     )
 
@@ -114,13 +116,15 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT per group with pushed dim predicates (TPC-H Q16
-    shape) — partial distinct happens map-side before the shuffle."""
+    shape) — partial distinct happens map-side before the shuffle. The
+    size/brand filter keeps a fixed FRACTION of part, which still scales
+    with the fact, so the broadcast decision is left to AQE."""
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25)
     )
     l = t(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -169,7 +173,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive mixed join/scan predicates (TPC-H Q19 shape) —
     Catalyst extracts the common p_partkey equi-key so this stays a hash
-    join with residual OR filter, not a nested loop."""
+    join with residual OR filter, not a nested loop. part enters the
+    join unfiltered (the disjunction needs joined rows), so the
+    broadcast decision is left to AQE — a hard hint would OOM at 100×."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     q = F.col("l_quantity")
@@ -179,7 +185,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & q.between(20, 50))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -387,14 +393,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated per-key average threshold (TPC-H Q17 shape),
     de-correlated into an aggregate-then-join — one extra shuffle on
-    partkey instead of a per-row subquery."""
+    partkey instead of a per-row subquery. The brand filter keeps a
+    fixed fraction of part (scales with the fact), so broadcast is left
+    to AQE rather than hard-hinted."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     avg_qty = l.groupBy(F.col("l_partkey").alias("k")).agg(
         (0.2 * (dsum(F.col("l_quantity")) / F.count("l_quantity"))).alias("qty_limit")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_qty, l.l_partkey == avg_qty.k)
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg((dsum(F.col("l_extendedprice")) / 7.0).cast("double").alias("avg_yearly"))
@@ -536,9 +544,11 @@ def w_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive OR-of-ANDs join predicate (TPC-H Q19 shape). The
     single-table conjuncts common to every arm are factored so Catalyst
-    pushes a part-side filter (brand IN, size >= 1) below the broadcast
-    join and evaluates only the residual disjunction on joined rows —
-    one join, no union-of-three-joins blowup."""
+    pushes a part-side filter (brand IN, size >= 1) below the join and
+    evaluates only the residual disjunction on joined rows — one join,
+    no union-of-three-joins blowup. The pushed filter still keeps a
+    fixed fraction of part, so broadcast is left to AQE's size check
+    rather than hard-hinted."""
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
@@ -548,7 +558,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cond = arm("Brand#1", 15, 1, 20) | arm("Brand#2", 25, 10, 30) | arm("Brand#3", 35, 20, 40)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )

@@ -47,6 +47,13 @@ def test_star_join_single_shuffle(spark, sf_small):
 # shuffle join. Identified by their column prefixes in the hint subtree.
 _FACT_MARKERS = ("c_custkey", "s_suppkey", "o_orderkey", "l_orderkey")
 
+# part scales with the fact too, but a hint on an explicitly FILTERED
+# slice of part (q2's p_size=15, q8's p_type, q9's LIKE) is bounded
+# enough to keep — so a part-side hint is legal only when its subtree
+# carries a Filter node (r2 verdict: unfiltered F.broadcast(part) in
+# q14/q16/q17/q19 was an OOM-at-100× hazard).
+_PART_MARKER = "p_partkey"
+
 
 @pytest.mark.parametrize(
     "name",
@@ -60,6 +67,13 @@ _FACT_MARKERS = ("c_custkey", "s_suppkey", "o_orderkey", "l_orderkey")
         "q9_product_profit",
         "q10_returned_revenue",
         "q13_customer_distribution",
+        "q11_important_parts",
+        "q14_promo_share",
+        "q16_brand_supplier_cnt",
+        "q17_small_quantity",
+        "q19_disjunctive",
+        "q19_disjunctive_join",
+        "q20_heavy_suppliers",
     ],
 )
 def test_no_broadcast_hints_on_facts(spark, sf_small, name):
@@ -78,10 +92,22 @@ def test_no_broadcast_hints_on_facts(spark, sf_small, name):
             if node_col(nxt) <= depth:
                 break
             subtree.append(nxt)
+        # A hint whose immediate child is a GLOBAL aggregate (no
+        # grouping keys: "Aggregate [exprs]", not "Aggregate [keys],
+        # [exprs]") broadcasts a 1-row scalar — always bounded, however
+        # big the table underneath it.
+        child = subtree[0].lstrip(" :+-") if subtree else ""
+        if child.startswith("Aggregate [") and "], [" not in child:
+            continue
         blob = " ".join(subtree)
         assert not any(m in blob for m in _FACT_MARKERS), (
             f"{name}: broadcast hint sits on a fact table:\n{line}\n{blob}"
         )
+        if _PART_MARKER in blob:
+            assert "Filter" in blob, (
+                f"{name}: broadcast hint sits on UNFILTERED part "
+                f"(fact at 100×):\n{line}\n{blob}"
+            )
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_small):

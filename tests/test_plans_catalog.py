@@ -80,6 +80,38 @@ def test_salted_agg_equals_plain(spark):
     assert got == want
 
 
+def test_salted_agg_spreads_hot_key_in_single_partition(spark):
+    """Adversarial input layout: the entire hot key arrives in ONE input
+    partition (one upstream file per key). A partition-id salt gives
+    zero spread there; the per-row salt must still produce
+    ``salt_buckets`` distinct partial groups — and the final result must
+    stay oracle-equal (r2 verdict #6)."""
+    from data_spark.operators.skew import row_salt
+
+    buckets = 8
+    hot = (
+        spark.range(0, 4_000)
+        .select(F.lit("HOT").alias("k"), (F.col("id") % 5).cast("double").alias("v"))
+        .coalesce(1)  # whole key in one input partition
+    )
+    assert hot.rdd.getNumPartitions() == 1
+    n_partial = (
+        hot.withColumn("__salt", row_salt(buckets))
+        .select("k", "__salt")
+        .distinct()
+        .count()
+    )
+    assert n_partial == buckets
+    got = salted_agg(
+        hot,
+        ["k"],
+        {"total": (F.sum("v"), F.sum("total")), "n": (F.count(F.lit(1)), F.sum("n"))},
+        salt_buckets=buckets,
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["total"], got[0]["n"]) == (8000.0, 4000)
+
+
 def test_salted_join_equals_plain(spark):
     big = spark.range(0, 5_000).select((F.col("id") % 4).alias("k"), F.col("id").alias("v"))
     small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "name"])
