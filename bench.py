@@ -1,24 +1,26 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: cold_sec}, "queries_warm": {name: warm_median_sec},
+"reps": n, "sf": ...}.
 
-Each query is executed to completion (count + a cheap checksum action)
-so lazy plans can't fake speed; per-query wall-clock includes planning.
-
-Reading the numbers: each query is timed COLD (first run in the
-session), so multi-stage operators pay Catalyst planning + whole-stage
-codegen compilation up front — measured ~2-3× their warm steady-state
-(e.g. q3 2.5s cold / 1.2s warm, d_ngram_jaccard 5.3s cold / 1.1s warm).
-That overhead is a fixed per-plan cost: at 100 TB the same plans run
-for minutes and the compile cost vanishes into the noise, so the warm
-ratio — not the cold total — is the scale-relevant signal.
+Each query is executed to completion (count action) so lazy plans can't
+fake speed; per-query wall-clock includes planning. Every query runs
+$SPARK_GRAFT_REPS times (default 3): the FIRST run is the cold number
+(comparable to earlier rounds' single-run benches — it pays Catalyst
+planning + whole-stage codegen compilation, measured ~2-3× warm
+steady-state), and the MEDIAN OF THE REMAINING runs is the warm number.
+At 100 TB the same plans run for minutes and the per-plan compile cost
+vanishes, so the warm median — not the cold total — is the
+scale-relevant signal; the cold column exists so compile-noise
+regressions (r2's q3 +18% artifact) are distinguishable from real ones.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -83,22 +85,35 @@ def main() -> None:
     # query, not session startup
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", 3)))
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
-        start = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
+        runs = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - start)
+        cold[name] = round(runs[0], 4)
+        warm[name] = round(statistics.median(runs[1:]) if len(runs) > 1 else runs[0], 4)
+        print(
+            f"bench: {name} cold={cold[name]}s warm={warm[name]}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(cold.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 4),
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
