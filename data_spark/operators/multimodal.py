@@ -2,11 +2,13 @@
 payloads with typed metadata, processed via Arrow-batched mapInPandas.
 
 The real decoders (PIL/ffmpeg/torchaudio) are not in this container, so
-the decode step is STUBBED: ``decode_mode='strict'`` raises
-NotImplementedError (the production hook point), ``'fake'`` produces a
-deterministic payload-derived stand-in so the Spark-side plumbing —
-schema, batch iteration, partitioning, feature join-back — is real and
-tested end-to-end.
+the decode step is OPTIONAL: ``decode_mode='strict'`` attempts a real
+``PIL`` import at call time and decodes actual image bytes when the
+library is present, raising the honest NotImplementedError otherwise
+(the production hook point); ``'fake'`` produces a deterministic
+payload-derived stand-in so the Spark-side plumbing — schema, batch
+iteration, partitioning, feature join-back — is real and tested
+end-to-end in any environment.
 
 Scale notes: payloads never pass through Python row-at-a-time — they
 arrive in Arrow record batches; ``spark.sql.execution.arrow.
@@ -70,12 +72,29 @@ def wrap_binary(df: DataFrame, payload_col: str, id_col: str, source_col: str, m
     )
 
 
+def _pil():
+    """Import PIL.Image at call time (executors import lazily; the
+    driver environment may differ). Returns the module or None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    return Image
+
+
 def _decode(payload: bytes, mode: str) -> bytes:
     if mode == "strict":
-        raise NotImplementedError(
-            "media decode requires an image/audio codec library not present "
-            "in this environment; plug the real decoder in here"
-        )
+        image_mod = _pil()
+        if image_mod is None:
+            raise NotImplementedError(
+                "decode_mode='strict' requires Pillow (PIL), which is not "
+                "installed in this environment; use decode_mode='fake' for "
+                "the deterministic stand-in, or install Pillow"
+            )
+        import io  # noqa: PLC0415
+
+        with image_mod.open(io.BytesIO(payload)) as im:
+            return im.convert("RGB").tobytes()
     # 'fake': deterministic payload-derived pseudo-decode
     return hashlib.sha256(payload).digest()
 
@@ -125,27 +144,37 @@ def resize_images(
 ) -> DataFrame:
     """payload → resized payload at (width, height) via mapInPandas.
 
-    ``strict`` raises at the decode hook (no codec libs here); ``fake``
-    emits a deterministic stand-in payload derived from (content bytes,
-    target dims) so downstream plumbing — schema, dedup on resized
-    bytes, write — is exercised for real. One Arrow batch in, one out;
-    output payload size is bounded by the target dims, so batch memory
-    is predictable regardless of input skew.
+    ``strict`` does a REAL decode + resize (PNG-encoded output) when
+    Pillow is importable, and raises the honest NotImplementedError
+    otherwise; ``fake`` emits a deterministic stand-in payload derived
+    from (content bytes, target dims) so downstream plumbing — schema,
+    dedup on resized bytes, write — is exercised for real in any
+    environment. One Arrow batch in, one out; output payload size is
+    bounded by the target dims, so batch memory is predictable
+    regardless of input skew.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
 
+    def resize_one(raw: bytes) -> bytes:
+        image_mod = _pil()
+        if decode_mode == "strict" and image_mod is not None:
+            import io  # noqa: PLC0415
+
+            with image_mod.open(io.BytesIO(raw)) as im:
+                out = io.BytesIO()
+                im.convert("RGB").resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+        decoded = _decode(raw, decode_mode)  # raises in strict w/o Pillow
+        seed = hashlib.sha256(decoded + f":{width}x{height}".encode()).digest()
+        # fake "pixels": repeat the seed to the target byte budget
+        budget = width * height  # 1 byte/px stand-in
+        return (seed * (budget // len(seed) + 1))[:budget]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_payloads = []
-            for p in pdf["payload"]:
-                if p is None:
-                    out_payloads.append(None)
-                    continue
-                decoded = _decode(bytes(p), decode_mode)
-                seed = hashlib.sha256(decoded + f":{width}x{height}".encode()).digest()
-                # fake "pixels": repeat the seed to the target byte budget
-                budget = width * height  # 1 byte/px stand-in
-                out_payloads.append((seed * (budget // len(seed) + 1))[:budget])
+            out_payloads = [
+                None if p is None else resize_one(bytes(p)) for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -211,3 +211,32 @@ def test_multimodal_resize_and_frames(spark):
     assert len({bytes(r["frame"]) for r in by_id[1]}) == 4
     with pytest.raises(Exception):
         sample_frames(media, decode_mode="strict").collect()
+
+
+def test_multimodal_strict_decode_with_pillow(spark):
+    """Real decode path: runs only where Pillow is installed (skipped in
+    this container). strict mode must decode real image bytes into
+    features and produce a real PNG resize."""
+    image_mod = pytest.importorskip("PIL.Image")
+    import io
+
+    from data_spark.operators.multimodal import resize_images
+
+    buf = io.BytesIO()
+    image_mod.new("RGB", (6, 6), color=(200, 10, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    docs = spark.createDataFrame(
+        [(1, png, "src0")], "doc_id long, blob binary, source string"
+    )
+    media = wrap_binary(docs, "blob", "doc_id", "source", mime="image/png")
+
+    feats = extract_features(media, decode_mode="strict").collect()
+    assert len(feats) == 1 and len(feats[0]["features"]) == 16
+    # decoded RGB of a solid-color image: first pixel bytes are the color
+    assert feats[0]["features"][0] == pytest.approx(200 / 255.0)
+
+    resized = resize_images(media, 3, 2, decode_mode="strict").collect()
+    out = bytes(resized[0]["payload"])
+    assert out.startswith(b"\x89PNG")
+    with image_mod.open(io.BytesIO(out)) as im:
+        assert im.size == (3, 2)
