@@ -46,10 +46,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: ns/1000 in double loses precision at 1e18 ns
-        # (ulp 0.25 µs) and flips the floor on boundary values
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: ns/1000 in double loses precision at 1e18 ns
+            # (ulp 0.25 µs) and flips the floor on boundary values
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+            # TIMESTAMP_NTZ, which unix_micros/window-time functions
+            # reject; the session tz is pinned UTC (session.py) so the
+            # cast is a wall-clock identity, matching DuckDB's naive-UTC
+            # reading of the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

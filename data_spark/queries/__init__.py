@@ -15,6 +15,7 @@ from data_spark.queries import (
     documents,
     events,
     graphq,
+    ranking,
     relational,
     relational2,
     relational3,
@@ -31,6 +32,7 @@ _ALL_QUERIES = {
     **documents.QUERIES,
     **vectors.QUERIES,
     **graphq.QUERIES,
+    **ranking.QUERIES,
 }
 
 ORACLE = {
@@ -42,6 +44,7 @@ ORACLE = {
     **documents.ORACLE,
     **vectors.ORACLE,
     **graphq.ORACLE,
+    **ranking.ORACLE,
 }
 
 # Round-3 window (the driver records the first 50 entries; see

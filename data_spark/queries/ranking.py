@@ -1,0 +1,381 @@
+"""Ranking / retrieval / analytics gate queries added in round 3:
+TF-IDF term weighting, BM25 scoring, sparse-cosine document pairs
+(inverted-index join — never all-pairs), plus analytic shapes the
+reference's warehouse tier computes downstream of search: EWMA
+smoothing, 2-D skyline (Pareto frontier), RFM segmentation, and a
+BFS shortest-path whose oracle is a DuckDB recursive CTE.
+
+Cross-engine determinism follows queries/common.py: decimal-cast sums,
+rounded float outputs, unique tiebreaks on every window/top-k order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.operators.ranking import (
+    bm25_scores,
+    sparse_cosine_pairs,
+    tfidf_terms,
+)
+from data_spark.queries.common import SQL_DSUM, dsum, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# Shared DuckDB CTE: (doc_id, term, tf) term frequencies with the same
+# tokenizer as operators.dedup._words (lowercase, non-alnum → space).
+_SQL_TF = """
+  toks AS (
+    SELECT doc_id,
+           str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\\s+') AS words
+    FROM documents
+  ), tfreq AS (
+    SELECT doc_id, w AS term, COUNT(*) AS tf
+    FROM toks, UNNEST(words) AS u(w)
+    WHERE w <> ''
+    GROUP BY doc_id, w
+  ), dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfreq GROUP BY term
+  ), nd AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+  )
+"""
+
+
+@_q(
+    "d_tfidf_topterms",
+    f"""
+    WITH {_SQL_TF},
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             ROUND(t.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS score
+      FROM tfreq t JOIN dfreq d USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, score, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def d_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth sklearn idf). The
+    reference's search tier gets this weighting from Lucene at query
+    time; here it is a two-shuffle relational computation
+    (operators/ranking.py) that scales to the corpus, not the index."""
+    return tfidf_terms(t(spark, sf_dir, "documents"), top_k=3)
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@_q(
+    "d_bm25_search",
+    f"""
+    WITH {_SQL_TF},
+    dl AS (
+      SELECT doc_id, len(list_filter(words, w -> w <> '')) AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             {SQL_DSUM.format(expr='CAST(dl AS DOUBLE)')} / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+               AS DOUBLE) AS contrib
+      FROM tfreq t
+      JOIN dfreq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      WHERE t.term IN ('spark', 'join', 'window')
+    )
+    SELECT doc_id,
+           ROUND({SQL_DSUM.format(expr='contrib')}, 6) AS bm25,
+           COUNT(*) AS n_matched_terms
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def d_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus for a fixed 3-term query (k1=1.2,
+    b=0.75). Only the query terms' postings shuffle — the per-term
+    filter sits before every join, so cost is |postings|, not |corpus|."""
+    return bm25_scores(t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@_q(
+    "v_tfidf_cosine_pairs",
+    f"""
+    WITH {_SQL_TF},
+    w AS (
+      SELECT t.doc_id, t.term,
+             t.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS w
+      FROM tfreq t JOIN dfreq d USING (term) CROSS JOIN nd
+      WHERE d.df <= 1000
+    ), norms AS (
+      SELECT doc_id, sqrt({SQL_DSUM.format(expr='w * w')}) AS norm
+      FROM w GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {SQL_DSUM.format(expr='a.w * b.w')} AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE ROUND(dot / (na.norm * nb.norm), 6) >= 0.9
+    """,
+)
+def v_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine-similar document pairs via shared-term inverted-
+    index join (Σ df² candidate bound with a max_df stop-term cutoff) —
+    the lexical complement of the embedding near-dup operators. The
+    gate threshold is 0.9: the synthetic corpus shares one small
+    vocabulary, so lower cutoffs return nearly all pairs (~100k at
+    sf0.01) — real corpora rely on max_df to keep candidates sparse."""
+    return sparse_cosine_pairs(t(spark, sf_dir, "documents"), min_cosine=0.9)
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 8
+
+
+def _ewma_sql_terms() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(value, {i}) OVER w * {(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i)!r}, 0)"
+        for i in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {i}) OVER w IS NOT NULL THEN {(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i)!r} ELSE 0 END)"
+        for i in range(_EWMA_TAPS)
+    )
+    return f"({num}) / ({den})"
+
+
+@_q(
+    "w_ewma_taps",
+    f"""
+    SELECT event_id, user_id,
+           ROUND({_ewma_sql_terms()}, 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w_ewma_taps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-tap truncated EWMA of event values per user (α=0.3), expressed
+    as a bank of lag() taps in ONE window — no recursion, no UDF, one
+    user-keyed shuffle. The truncated-FIR form is the standard way to
+    make EWMA engine-portable: a recursive EWMA needs either per-row
+    iteration or exponent trickery that overflows doubles on long
+    series; 8 taps bound the weight tail at (1-α)^8 < 6% and every tap
+    is an identical double in both engines."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i for i in range(_EWMA_TAPS)]
+    num = None
+    den = None
+    for i, wt in enumerate(weights):
+        tap = F.lag("value", i).over(w)
+        n_i = F.coalesce(tap * F.lit(wt), F.lit(0.0))
+        d_i = F.when(tap.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = n_i if num is None else num + n_i
+        den = d_i if den is None else den + d_i
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@_q(
+    "s_skyline_2d",
+    """
+    SELECT p_partkey, p_size, retail
+    FROM (SELECT p_partkey, p_size, CAST(p_retailprice AS DOUBLE) AS retail FROM part) a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT p_size, CAST(p_retailprice AS DOUBLE) AS retail FROM part) b
+      WHERE b.retail <= a.retail AND b.p_size >= a.p_size
+        AND (b.retail < a.retail OR b.p_size > a.p_size)
+    )
+    """,
+)
+def s_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (cheaper price, larger size). The oracle states dominance as NOT
+    EXISTS (quadratic); the engine computes the same set LINEARLY with
+    one window pass — sort by price, a part is on the frontier iff its
+    size strictly exceeds every strictly-cheaper part's max size and it
+    is the max-size member of its exact price-size group's price point.
+
+    Window rewrite: running max of p_size over strictly-cheaper rows
+    (RANGE frame excludes price ties), plus an equal-price guard — at
+    equal price only the largest size survives (and duplicates of the
+    (price, size) pair all survive, matching the NOT EXISTS semantics).
+    """
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", F.col("p_retailprice").cast("double").alias("retail")
+    )
+    # per distinct price: the max size at that price (skinny — one row
+    # per price point), then a running max over STRICTLY cheaper prices
+    # (rows frame ending at -1 is exact because each price is one row)
+    per_price = p.groupBy("retail").agg(F.max("p_size").alias("max_same_price"))
+    w_cheaper = (
+        Window.orderBy("retail")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    price_stats = per_price.select(
+        "retail",
+        "max_same_price",
+        F.max("max_same_price").over(w_cheaper).alias("max_cheaper"),
+    )
+    return (
+        p.join(price_stats, "retail")
+        .filter(
+            (
+                F.col("max_cheaper").isNull()
+                | (F.col("p_size") > F.col("max_cheaper"))
+            )
+            & (F.col("p_size") == F.col("max_same_price"))
+        )
+        .select("p_partkey", "p_size", "retail")
+    )
+
+
+@_q(
+    "a_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order_d,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS raw_monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           strftime(last_order_d, '%Y-%m-%d') AS last_order,
+           frequency, ROUND(raw_monetary, 6) AS monetary,
+           CAST(NTILE(4) OVER (ORDER BY last_order_d DESC, o_custkey) AS BIGINT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY raw_monetary DESC, o_custkey) AS BIGINT) AS m_quartile
+    FROM rfm
+    """,
+)
+def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    customers from their orders — the classic warehouse scoring shape.
+    One groupBy shuffle to the per-customer grain, then three global
+    NTILE windows over the (already tiny relative to facts) customer
+    grain; each NTILE order carries o_custkey as the deterministic
+    tiebreak."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        F.date_format("last_order_d", "yyyy-MM-dd").alias("last_order"),
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order_d"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )
+
+
+_BFS_SEED = "s1"
+_BFS_MAX_DEPTH = 4
+
+
+@_q(
+    "g_bfs_levels",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk(node, dist) AS (
+      SELECT '{_BFS_SEED}' AS node, 0 AS dist
+      UNION
+      SELECT s.dst, w.dist + 1
+      FROM walk w JOIN sym s ON s.src = w.node
+      WHERE w.dist < {_BFS_MAX_DEPTH}
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path levels from supplier '{seed}' over the
+    undirected supplier↔customer graph, capped at depth {cap} — the
+    iterative-algorithm tier's first SQL-ORACLED member (the oracle is
+    a DuckDB recursive CTE; PageRank/components stay rows-only).
+
+    Spark side: frontier expansion — per level, join the frontier with
+    the symmetrized edges, anti-join already-visited nodes, union into
+    the visited set. Each level is one join + one distinct; lineage is
+    truncated with localCheckpoint per level (same discipline as
+    graph/algorithms.py). At 100 TB the frontier join shuffles on node
+    id and the visited set stays skinny (node, dist).
+    """
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    spark_ = edges.sparkSession
+    visited = spark_.createDataFrame(
+        [(_BFS_SEED, 0)], "node string, dist int"
+    )
+    frontier = visited
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+g_bfs_levels.__doc__ = g_bfs_levels.__doc__.format(seed=_BFS_SEED, cap=_BFS_MAX_DEPTH)
