@@ -65,6 +65,11 @@ HEADLINE = [
     "j_suffix_containment",
     "d_bigram_lm",
     "m_scd2_history",
+    "d_tfidf_topterms",
+    "d_bm25_search",
+    "v_tfidf_cosine_pairs",  # inverted-index cosine join (max_df-guarded)
+    "w_ewma_taps",
+    "v_pca_project",  # Arrow-batched moment partials + codegen projection
     # g_triangles / d_kmeans / d_semantic_dedup are gate-checked at
     # sf0.01 but not benched: triangle wedge volume and Lloyd-iteration
     # counts are graph/cluster-shape properties, not scan-throughput

@@ -354,9 +354,15 @@ def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # materialized once: every BFS level joins against sym, and
+        # without this the lineitem⋈orders edge build re-runs per level
+        .localCheckpoint(eager=True)
+    )
     spark_ = edges.sparkSession
     visited = spark_.createDataFrame(
         [(_BFS_SEED, 0)], "node string, dist int"
@@ -373,7 +379,9 @@ def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # visited is a union of already-checkpointed level frames, so
+        # its lineage stays O(levels) without materializing it again
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select("node", F.col("dist").cast("bigint").alias("dist"))
 

@@ -228,3 +228,24 @@ def v_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         corpus, emb.filter(F.col("vec_id") < 10), k=5, centroids=model, nprobe=2
     )
+
+
+@_q("v_pca_project")  # eigensolve — not SQL-expressible; exactness is
+# pytest-gated against a plain-numpy mirror (tests/test_decomposition.py)
+def v_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA to 2 components over the embedding corpus: Arrow-batched
+    moment partials (one numpy matmul per batch) -> driver-side d x d
+    eigensolve -> codegen dot-product projection (no Python per row).
+    Output is (vec_id, pc1, pc2) rounded to 6 dp; the fit is
+    deterministic (canonical eigenvector sign/order), so the rows-only
+    gate is stable across runs."""
+    from data_spark.operators.decomposition import pca_fit, pca_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=2)
+    proj = pca_project(emb, model)
+    return proj.select(
+        "vec_id",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    )

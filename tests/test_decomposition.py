@@ -1,0 +1,83 @@
+"""PCA operator tests: exactness against a plain-numpy mirror, model
+canonicalization, and the no-Python-per-row projection contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_spark.operators.decomposition import pca_fit, pca_project
+
+
+def _numpy_pca(x: np.ndarray, k: int):
+    mean = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    return mean, np.vstack(comps), evals[order] / evals.sum()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    rows = df.select("vec_id", "embedding").collect()
+    x = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = [r.vec_id for r in rows]
+    return df, x, ids
+
+
+def test_pca_fit_matches_numpy(emb):
+    df, x, _ = emb
+    model = pca_fit(df, k=2)
+    mean, comps, explained = _numpy_pca(x, 2)
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["components"], comps, atol=1e-8)
+    assert np.allclose(model["explained"], explained, atol=1e-9)
+
+
+def test_pca_project_matches_numpy(emb):
+    df, x, ids = emb
+    model = pca_fit(df, k=2)
+    got = {r.vec_id: (r.pc1, r.pc2) for r in pca_project(df, model).collect()}
+    mean, comps, _ = _numpy_pca(x, 2)
+    want = (x - mean) @ comps.T
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == pytest.approx(want[i, 0], abs=1e-6)
+        assert got[vid][1] == pytest.approx(want[i, 1], abs=1e-6)
+
+
+def test_pca_explained_variance_ordered(emb):
+    df, _, _ = emb
+    model = pca_fit(df, k=3)
+    e = model["explained"]
+    assert e == sorted(e, reverse=True)
+    assert all(0 <= v <= 1 for v in e)
+
+
+def test_pca_fit_is_deterministic(emb):
+    df, _, _ = emb
+    m1 = pca_fit(df, k=2)
+    m2 = pca_fit(df.repartition(7), k=2)
+    # different partitioning must not change the model beyond float
+    # accumulation noise in the partial sums
+    assert np.allclose(m1["components"], m2["components"], atol=1e-8)
+
+
+def test_pca_projection_plan_has_no_python_eval(emb):
+    df, _, _ = emb
+    model = pca_fit(df, k=2)
+    plan = pca_project(df, model)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"projection fell back to Python: {marker}"
+
+
+def test_pca_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises((ValueError, Exception)):
+        pca_fit(df, k=2)

@@ -149,6 +149,9 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "q22_idle_customers",  # 1-row average-balance broadcast
             "q11_important_parts",  # 1-row global-threshold broadcast
             "d_bigram_lm",  # 1-row vocabulary-size broadcast
+            "d_tfidf_topterms",  # 1-row corpus-size broadcast
+            "d_bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
+            "v_tfidf_cosine_pairs",  # 1-row corpus-size broadcast
             "a_histogram_fixed_bins",  # 1-row min/max broadcast
             "s_relational_division",  # 1-row universe-count broadcast
             "v_cosine_topk",  # deliberate query-set × corpus broadcast
