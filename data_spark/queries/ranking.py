@@ -387,3 +387,41 @@ def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 g_bfs_levels.__doc__ = g_bfs_levels.__doc__.format(seed=_BFS_SEED, cap=_BFS_MAX_DEPTH)
+
+
+@_q(
+    "d_weighted_sample",
+    """
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             -ln((CAST((doc_id * 9973) % 104729 AS DOUBLE) + 1.0) / 104730.0)
+               / CAST(n_chars AS DOUBLE) AS race_key
+      FROM documents
+    )
+    ORDER BY race_key, doc_id
+    LIMIT 50
+    """,
+)
+def d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample-without-replacement of 50 documents with
+    inclusion probability proportional to length (the curation pattern:
+    sample training docs by a quality/length weight). Efraimidis-
+    Spirakis exponential race: each row draws u in (0,1] and races with
+    key -ln(u)/w; the k smallest keys win — one TakeOrdered pass, no
+    per-group state, identical result on any partitioning.
+
+    Engine-portable determinism: u comes from the same keyed modular
+    permutation as w_sample_deterministic ((id*9973) % 104729, shifted
+    into (0,1]), not rand() — so Spark and DuckDB agree bit-for-bit,
+    and doc_id breaks any remaining ties.
+    """
+    d = t(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * 9973) % 104729).cast("double")
+    race = -F.log((u + 1.0) / 104730.0) / F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "source", "n_chars", race.alias("race_key"))
+        .orderBy("race_key", "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars")
+    )

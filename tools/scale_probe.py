@@ -43,6 +43,12 @@ _CURVE_DEFAULTS = {
     "d_minhash_lsh": "documents",
     "d_embed_near_dup_lsh": "embeddings",
     "v_ivf_topk": "embeddings",
+    # ranking tier (round 3): the inverted-index joins must grow with
+    # posting-list volume, not corpus²; PCA is one pass + O(d²) merge
+    "d_tfidf_topterms": "documents",
+    "d_bm25_search": "documents",
+    "v_tfidf_cosine_pairs": "documents",
+    "v_pca_project": "embeddings",
 }
 
 
