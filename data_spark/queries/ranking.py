@@ -425,3 +425,40 @@ def d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@_q(
+    "w_rolling_median",
+    """
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+    """,
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a bounded 7-row frame per user — the
+    robust-smoothing counterpart of w_ewma_taps. Spark has no median
+    window function; the bounded frame makes the exact form cheap:
+    collect the frame into an array (<=7 values), array_sort inside
+    codegen, pick the middle (averaging the two middles on even counts,
+    matching DuckDB's interpolating median). Cost is O(frame log frame)
+    per row with NO extra shuffle beyond the user-keyed window sort —
+    the pattern only degrades if the frame is unbounded, which a
+    running median would be."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, ((n / 2) + 1).cast("int"))
+    mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    med = F.when(n % 2 == 1, mid).otherwise((lo + hi) / 2.0)
+    return e.select(
+        "event_id", "user_id", F.round(med, 6).alias("med7")
+    )
