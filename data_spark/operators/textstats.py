@@ -288,3 +288,46 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .otherwise("unknown")
     )
     return df.select(id_col, "lang", pred.alias("predicted_lang"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target: int = 200,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-LM alpha-
+    sampling rule): per-source quotas proportional to p_s^alpha, so
+    low-resource sources are up-weighted relative to their share.
+    q_s = floor(target * n_s^alpha / sum n^alpha), then the first q_s
+    docs per source in keyed-permutation order are kept.
+
+    Scale shape: the quota table is one tiny per-source agg (broadcast
+    back), selection is one ``by``-partitioned window — same plan
+    family as per_source_quota, but the cap comes from the corpus
+    distribution instead of a constant.
+
+    Determinism: n_s^alpha uses double pow identically in both engines;
+    floor() keeps the quota integral, and the permutation
+    ((id*9973) % 104729, id) is the engine-portable sampler used by
+    w_sample_deterministic."""
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).cast("double").alias("n_s"))
+    tot = counts.agg(
+        _dsum(F.pow(F.col("n_s"), F.lit(alpha))).alias("z")
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        by,
+        F.floor(F.lit(float(target)) * F.pow(F.col("n_s"), F.lit(alpha)) / F.col("z"))
+        .cast("bigint")
+        .alias("quota"),
+    )
+    w = Window.partitionBy(by).orderBy(
+        (F.col(id_col) * 9973) % 104729, F.asc(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), by)
+        .filter(F.col("__rn") <= F.col("quota"))
+        .select(id_col, by, F.col("__rn").cast("bigint").alias("pick_rank"))
+    )

@@ -462,3 +462,96 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.round(med, 6).alias("med7")
     )
+
+
+@_q(
+    "d_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s FROM documents GROUP BY source
+    ), z AS (
+      SELECT CAST(SUM(CAST(pow(n_s, 0.5) AS DECIMAL(38,6))) AS DOUBLE) AS z FROM counts
+    ), quotas AS (
+      SELECT source, CAST(floor(200.0 * pow(n_s, 0.5) / z.z) AS BIGINT) AS quota
+      FROM counts CROSS JOIN z
+    ), ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY (doc_id * 9973) % 104729, doc_id
+             ) AS BIGINT) AS pick_rank
+      FROM documents
+    )
+    SELECT doc_id, source, pick_rank
+    FROM ranked JOIN quotas USING (source)
+    WHERE pick_rank <= quota
+    """,
+)
+def d_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (alpha=0.5, target=200): per-
+    source quotas proportional to n_s^alpha up-weight low-resource
+    sources — the standard multilingual-LM sampling rule, as one tiny
+    per-source agg broadcast back over a source-partitioned window."""
+    from data_spark.operators.textstats import temperature_mix
+
+    return temperature_mix(
+        t(spark, sf_dir, "documents"), alpha=0.5, target=200
+    )
+
+
+_CHUNK_W = 40
+_CHUNK_S = 20
+
+
+@_q(
+    "d_chunk_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\\s+'),
+               w -> w <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(least(s + {_CHUNK_W} - 1, len(words)) - s + 1 AS BIGINT) AS chunk_len,
+           words[s] AS first_tok,
+           words[least(s + {_CHUNK_W} - 1, len(words))] AS last_tok
+    FROM toks, UNNEST(range(1, greatest(len(words) - {_CHUNK_W} + 1, 1) + 1, {_CHUNK_S})) AS r(s)
+    WHERE len(words) > 0
+    """,
+)
+def d_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking for training prep (window=40,
+    stride=20): each document explodes into its chunk grid — the
+    context-window slicing step between curation and tokenization.
+    Chunk starts come from one sequence() per row (no joins); emitting
+    (start, len, first/last token) keeps the gate output flat while the
+    real pipeline would slice the token array the same way."""
+    d = t(spark, sf_dir, "documents")
+    from data_spark.operators.dedup import _words
+
+    base = (
+        d.select("doc_id", _words(F.col("text")).alias("__raw"))
+        .select(
+            "doc_id",
+            F.filter(F.col("__raw"), lambda w: w != "").alias("words"),
+        )
+        .filter(F.size("words") > 0)
+    )
+    n = F.size("words")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - (_CHUNK_W - 1), F.lit(1)), F.lit(_CHUNK_S)
+    )
+    chunks = base.select(
+        "doc_id", "words", F.explode(starts).alias("chunk_start")
+    )
+    n2 = F.size("words")
+    last_pos = F.least(F.col("chunk_start") + (_CHUNK_W - 1), n2)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        (last_pos - F.col("chunk_start") + 1).cast("bigint").alias("chunk_len"),
+        F.element_at("words", F.col("chunk_start")).alias("first_tok"),
+        F.element_at("words", last_pos).alias("last_tok"),
+    )

@@ -150,6 +150,7 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "q11_important_parts",  # 1-row global-threshold broadcast
             "d_bigram_lm",  # 1-row vocabulary-size broadcast
             "d_tfidf_topterms",  # 1-row corpus-size broadcast
+            "d_temperature_mix",  # 1-row alpha-normalizer broadcast
             "d_bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
             "v_tfidf_cosine_pairs",  # 1-row corpus-size broadcast
             "a_histogram_fixed_bins",  # 1-row min/max broadcast

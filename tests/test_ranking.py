@@ -186,3 +186,51 @@ def test_rfm_quartiles_are_balanced(spark, sf_small):
             counts[r[col]] = counts.get(r[col], 0) + 1
         assert set(counts) == {1, 2, 3, 4}
         assert max(counts.values()) - min(counts.values()) <= 1, (col, counts, n)
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    from data_spark.operators.textstats import temperature_mix
+
+    # 90/30 split at target=60: sqrt weights give ~38/21 vs the 45/15
+    # proportional share — the small source is up-weighted
+    rows = [(i, "big" if i < 90 else "small") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mix(df, alpha=0.5, target=60)
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    import math
+
+    # the engine's normalizer is a decimal(38,6) sum (order-independent
+    # accumulation, same as its oracle): mirror the per-element rounding
+    z = round(math.sqrt(90), 6) + round(math.sqrt(30), 6)
+    assert by_src["big"] == math.floor(60 * math.sqrt(90) / z)
+    assert by_src["small"] == math.floor(60 * math.sqrt(30) / z)
+    assert by_src["small"] > 60 * 30 / 120  # up-weighted vs proportional
+
+
+def test_temperature_mix_alpha_one_is_proportional(spark):
+    from data_spark.operators.textstats import temperature_mix
+
+    rows = [(i, "a" if i < 80 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = temperature_mix(df, alpha=1.0, target=50)
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by_src == {"a": 40, "b": 10}
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_small):
+    from data_spark.queries.ranking import _CHUNK_S, _CHUNK_W, QUERIES as RQ
+
+    rows = RQ["d_chunk_windows"](spark, sf_small).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_start)
+        # stride spacing and window-bounded lengths
+        starts = [c.chunk_start for c in chunks]
+        assert starts[0] == 1
+        assert all(b - a == _CHUNK_S for a, b in zip(starts, starts[1:]))
+        assert all(1 <= c.chunk_len <= _CHUNK_W for c in chunks)
+        # consecutive chunks overlap by W - S (full coverage, no gaps)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start <= a.chunk_start + a.chunk_len
