@@ -52,8 +52,10 @@ ORACLE = {
 #   1-15: the 12 never-driver-witnessed queries (r1+r2 both missed
 #         them) plus the 3 r2 driver-red queries whose array outputs
 #         are now JSON-serialized — these need a green row most.
-#  16-50: regression re-witness of the oldest r1-only-witnessed
-#         queries (35 of 48 fit; the 13 spilled lead the tail for r4).
+#  16-27: the 12 queries ADDED mid-r3 (ranking/analytics/PCA tier) —
+#         never-witnessed outranks regression re-witness.
+#  28-50: regression re-witness of the oldest r1-only-witnessed
+#         queries (23 of 48 fit; the spill-over leads the r4 window).
 # r2-witnessed greens rotate fully out of the window this round.
 _PRIORITY = [
     # --- never witnessed in r1 or r2 ---
@@ -73,8 +75,21 @@ _PRIORITY = [
     "f_array_battery",
     "f_map_struct_json",
     "d_inverted_index",
+    # --- added mid-r3, never witnessed ---
+    "d_tfidf_topterms",
+    "d_bm25_search",
+    "v_tfidf_cosine_pairs",
+    "w_ewma_taps",
+    "s_skyline_2d",
+    "a_rfm_segments",
+    "g_bfs_levels",
+    "v_pca_project",
+    "d_weighted_sample",
+    "w_rolling_median",
+    "d_temperature_mix",
+    "d_chunk_windows",
     # --- r1-only witnessed: oldest hard signal, re-witness for
-    #     regression coverage (the first 35 make the window) ---
+    #     regression coverage (the first 23 make the window) ---
     "q1_pricing_summary",
     "q3_top_orders",
     "q4_order_priority",
