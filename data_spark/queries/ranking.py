@@ -555,3 +555,56 @@ def d_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("words", F.col("chunk_start")).alias("first_tok"),
         F.element_at("words", last_pos).alias("last_tok"),
     )
+
+
+@_q(
+    "e_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_id, user_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+             COUNT(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           ROUND((value - s1 / n) / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 1e-12)), 6) AS z,
+           CAST(abs((value - s1 / n) / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 1e-12))) > 2.0 AS BIGINT) AS is_anomaly
+    FROM stats
+    WHERE n >= 3
+    """,
+)
+def e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags per user (10-row trailing window,
+    |z| > 2): the standard monitoring shape. Mean and variance come
+    from in-window SUM(x)/SUM(x²) — both accumulated as DECIMAL(38,6)
+    so the result is exact and order-independent (window aggregates are
+    computed by segment trees in some engines, which reassociates float
+    addition; decimals make the engines agree bit-for-bit). The 1e-12
+    variance floor keeps a constant-valued window from dividing by
+    zero in either engine."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(38,6)")
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    n = F.count("value").over(w)
+    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(1e-12))
+    z = (F.col("value") - s1 / n) / F.sqrt(var)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            n.alias("__n"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.0).cast("bigint").alias("is_anomaly"),
+        )
+        .filter(F.col("__n") >= 3)
+        .drop("__n")
+    )
