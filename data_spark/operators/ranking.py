@@ -76,7 +76,8 @@ def tfidf_terms(
     Reference parity: the reference's search tier ranks documents by
     Lucene's tf-idf family; this exposes the same weighting as columns.
     """
-    tf = term_frequencies(docs, text_col, id_col)
+    # tf feeds both the df agg and the scoring join — materialize once
+    tf = term_frequencies(docs, text_col, id_col).localCheckpoint(eager=True)
     dfreq = document_frequencies(tf)
     n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
@@ -119,9 +120,11 @@ def bm25_scores(
     The per-term filter hits the tf table BEFORE the df join, so only
     postings for the query's terms shuffle — at 100 TB the scored set is
     |query terms| postings lists, not the corpus."""
-    tf = term_frequencies(docs, text_col, id_col).filter(
-        F.col("term").isin(query_terms)
-    )
+    # one materialized tf feeds both the query-term postings and the
+    # document-frequency table (else the tokenize→explode→agg pipeline
+    # runs twice — Spark shares no subplans across DataFrame reuse)
+    tf_all = term_frequencies(docs, text_col, id_col).localCheckpoint(eager=True)
+    tf = tf_all.filter(F.col("term").isin(query_terms))
     dl = (
         docs.select(
             F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("words")
@@ -137,7 +140,7 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
         (_dsum(F.col("dl").cast("double")) / F.count(F.lit(1))).alias("avgdl"),
     )
-    dfreq = document_frequencies(term_frequencies(docs, text_col, id_col)).filter(
+    dfreq = document_frequencies(tf_all).filter(
         F.col("term").isin(query_terms)
     )
     contrib = (
@@ -201,6 +204,12 @@ def sparse_cosine_pairs(
                 )
             ).alias("w"),
         )
+        # materialized once: w feeds BOTH self-join sides and the norms
+        # agg, and Spark does not share subplans across a self-join —
+        # without this the tokenize→explode→tf→df pipeline runs 3×
+        # (34 exchanges at sf0.01 vs 7 after). At corpus scale the
+        # weighted-postings table is the thing you'd persist anyway.
+        .localCheckpoint(eager=True)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(_dsum(F.col("w") * F.col("w"))).alias("norm")

@@ -89,8 +89,9 @@ _PRIORITY = [
     "d_temperature_mix",
     "d_chunk_windows",
     "e_anomaly_zscore",
+    "g_cube_2d",
     # --- r1-only witnessed: oldest hard signal, re-witness for
-    #     regression coverage (the first 22 make the window) ---
+    #     regression coverage (the first 21 make the window) ---
     "q1_pricing_summary",
     "q3_top_orders",
     "q4_order_priority",

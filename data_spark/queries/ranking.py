@@ -608,3 +608,37 @@ def e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") >= 3)
         .drop("__n")
     )
+
+
+@_q(
+    "g_cube_2d",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS rflag,
+           COALESCE(l_linestatus, '<all>') AS lstatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def g_cube_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus) — all four granularities
+    in one partially-aggregated pass, completing the grouping-analytics
+    family next to rollup (g_rollup_region) and explicit GROUPING SETS
+    (g_grouping_sets). NULL grouping placeholders are coalesced to a
+    sentinel so the driver-gate hash never mixes real NULLs with
+    subtotal NULLs."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("lstatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
