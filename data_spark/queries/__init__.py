@@ -90,8 +90,10 @@ _PRIORITY = [
     "d_chunk_windows",
     "e_anomaly_zscore",
     "g_cube_2d",
+    "a_hll_daily_rollup",
+    "a_kll_quantile_sketch",
     # --- r1-only witnessed: oldest hard signal, re-witness for
-    #     regression coverage (the first 21 make the window) ---
+    #     regression coverage (the first 19 make the window) ---
     "q1_pricing_summary",
     "q3_top_orders",
     "q4_order_priority",

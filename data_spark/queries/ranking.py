@@ -642,3 +642,26 @@ def g_cube_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@_q("a_hll_daily_rollup")  # DataSketches HLL — no SQL oracle can
+# reproduce the estimator; accuracy + mergeability law pytest-gated
+# (tests/test_sketches.py: union of per-day sketches == global sketch)
+def a_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL distinct-user sketches unioned per event_type — the
+    persist-sketches-not-facts pattern: cross-day distinct questions
+    merge sketch bytes instead of re-shuffling the fact table."""
+    from data_spark.operators.sketches import daily_distinct_rollup
+
+    return daily_distinct_rollup(t(spark, sf_dir, "events"))
+
+
+@_q("a_kll_quantile_sketch")  # DataSketches KLL — rows-only; rank-error
+# window pytest-gated (tests/test_sketches.py)
+def a_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged KLL quantile sketch per event_type (p50/p90 at k=200,
+    ~1.65% rank error): map-side sketch build + one narrow shuffle of
+    sketch bytes, vs the full value shuffle an exact percentile pays."""
+    from data_spark.operators.sketches import kll_value_quantiles
+
+    return kll_value_quantiles(t(spark, sf_dir, "events"))
