@@ -1,0 +1,67 @@
+"""Shuffle-budget regression guard: each listed query's physical plan
+must not exceed its recorded Exchange count.
+
+Every Exchange is a cluster-wide shuffle at 100 TB, so a plan picking
+up extra exchanges is a scale regression even when sf0.001 wall-clock
+hides it — exactly how the ranking tier briefly ran its tokenize→tf
+pipeline three times (34 exchanges) before the shared frames were
+materialized. Budgets are the measured counts at sf0.001 (AQE on,
+8 shuffle partitions); a legitimate plan change that adds a shuffle
+should update the budget in the same commit, with the justification in
+its message.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_spark.queries import QUERIES
+
+EXCHANGE_BUDGET = {
+    # relational core
+    "q1_pricing_summary": 1,
+    "q3_top_orders": 3,
+    "q5_nation_revenue": 6,
+    "w_topk_global": 0,
+    "e_sessionize": 1,
+    # curation / dedup
+    "d_dedup_exact": 1,
+    "d_ngram_jaccard": 16,
+    "d_curation_e2e": 1,
+    "m_scd2_history": 1,
+    "d_bigram_lm": 10,
+    # ranking tier (post shared-frame materialization: the cosine
+    # self-join was 34 before)
+    "d_tfidf_topterms": 7,
+    "d_bm25_search": 7,
+    "v_tfidf_cosine_pairs": 6,
+    # windows (single key-partitioned shuffle each)
+    "w_ewma_taps": 1,
+    "w_rolling_median": 1,
+    "e_anomaly_zscore": 1,
+    # analytics
+    "a_rfm_segments": 2,
+    "s_skyline_2d": 3,
+    "d_temperature_mix": 6,
+    "d_chunk_windows": 0,
+    "d_weighted_sample": 0,
+    "g_cube_2d": 1,
+    "a_hll_daily_rollup": 2,
+    "a_kll_quantile_sketch": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_exchange_budget(spark, sf_small, name):
+    plan = (
+        QUERIES[name](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    got = plan.count("Exchange")
+    assert got <= EXCHANGE_BUDGET[name], (
+        f"{name}: {got} exchanges > budget {EXCHANGE_BUDGET[name]} — a new "
+        f"shuffle crept into the plan; justify and update the budget if "
+        f"intentional\n{plan[:2000]}"
+    )
