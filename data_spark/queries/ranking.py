@@ -665,3 +665,74 @@ def a_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_spark.operators.sketches import kll_value_quantiles
 
     return kll_value_quantiles(t(spark, sf_dir, "events"))
+
+
+@_q(
+    "d_fuzzy_dedup_resolve",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\s+') AS words
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+      FROM toks, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS r(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM shared p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), walk(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a
+    ), comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper_id
+      FROM walk GROUP BY a
+    )
+    SELECT c.doc_id, c.keeper_id, z.cluster_size
+    FROM comp c
+    JOIN (
+      SELECT keeper_id, COUNT(*) AS cluster_size FROM comp GROUP BY keeper_id
+    ) z USING (keeper_id)
+    """,
+)
+def d_fuzzy_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup resolution: PPJoin-filtered n-gram
+    Jaccard candidates (>= 0.5) -> connected components over the pair
+    graph -> canonical keeper (min doc_id) + cluster size per member.
+    This is the full near-dup CLUSTERING step that exact-hash
+    d_dedup_resolve can't do — transitive similarity chains (A~B~C
+    with A!~C) land in one cluster, matching how production dedup
+    collapses templated families.
+
+    Oracle: the same pair set fed through a recursive-CTE transitive
+    closure — exact, so the iterative min-label propagation is
+    hash-checked, not just rows-counted (g_components stays the
+    rows-only general-graph witness).
+    """
+    from data_spark.graph.algorithms import connected_components
+    from data_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("keeper_id"),
+    )
+    sizes = comp.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return comp.join(sizes, "keeper_id").select(
+        "doc_id", "keeper_id", "cluster_size"
+    )
