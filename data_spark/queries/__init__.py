@@ -93,8 +93,9 @@ _PRIORITY = [
     "a_hll_daily_rollup",
     "a_kll_quantile_sketch",
     "d_fuzzy_dedup_resolve",
+    "a_histogram_equidepth",
     # --- r1-only witnessed: oldest hard signal, re-witness for
-    #     regression coverage (the first 18 make the window) ---
+    #     regression coverage (the first 17 make the window) ---
     "q1_pricing_summary",
     "q3_top_orders",
     "q4_order_priority",

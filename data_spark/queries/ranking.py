@@ -736,3 +736,39 @@ def d_fuzzy_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, "keeper_id").select(
         "doc_id", "keeper_id", "cluster_size"
     )
+
+
+@_q(
+    "a_histogram_equidepth",
+    """
+    WITH binned AS (
+      SELECT CAST(NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bin,
+             CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem
+    )
+    SELECT bin, COUNT(*) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi,
+           CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+    FROM binned GROUP BY bin
+    """,
+)
+def a_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH 10-bin histogram of l_extendedprice (equal row counts
+    per bin, data-driven boundaries) — the complement of the
+    fixed-width a_histogram_fixed_bins. NTILE carries the row's full
+    key as tiebreak so bin assignment is engine-portable at duplicate
+    values. A global NTILE is a single-task sort at scale; the sketch
+    alternative for 100 TB is a_kll_quantile_sketch's rank estimates —
+    both are exposed so the exact/approximate trade-off is explicit."""
+    l = t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = l.select(
+        F.ntile(10).over(w).cast("bigint").alias("bin"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        dsum(F.col("v")).alias("sum_v"),
+    )
