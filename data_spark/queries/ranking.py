@@ -360,7 +360,11 @@ def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # materialized once: every BFS level joins against sym, and
-        # without this the lineitem⋈orders edge build re-runs per level
+        # without this the lineitem⋈orders edge build re-runs per level.
+        # Pinned to a few src-keyed partitions: the per-level frames are
+        # skinny, and under a default 200-partition session each level
+        # otherwise launches 200-task stages over near-empty data
+        .repartition(8, "src")
         .localCheckpoint(eager=True)
     )
     spark_ = edges.sparkSession
