@@ -234,3 +234,36 @@ def test_chunk_windows_cover_and_overlap(spark, sf_small):
         # consecutive chunks overlap by W - S (full coverage, no gaps)
         for a, b in zip(chunks, chunks[1:]):
             assert b.chunk_start <= a.chunk_start + a.chunk_len
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_small):
+    winners = QUERIES["d_weighted_sample"](spark, sf_small)
+    w_mean = winners.agg({"n_chars": "avg"}).collect()[0][0]
+    c_mean = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    # inclusion probability ∝ n_chars ⇒ winners skew long
+    assert w_mean > c_mean
+
+
+def test_weighted_sample_is_partitioning_invariant(spark, sf_small):
+    from data_spark.queries.ranking import QUERIES as RQ
+
+    base = sorted(r.doc_id for r in RQ["d_weighted_sample"](spark, sf_small).collect())
+    # same race over a differently-partitioned input must pick the same set
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").repartition(13)
+    docs.createOrReplaceTempView("__docs_repart")
+    import pyspark.sql.functions as F
+
+    u = ((F.col("doc_id") * 9973) % 104729).cast("double")
+    race = -F.log((u + 1.0) / 104730.0) / F.col("n_chars").cast("double")
+    again = sorted(
+        r.doc_id
+        for r in docs.select("doc_id", race.alias("rk"))
+        .orderBy("rk", "doc_id")
+        .limit(50)
+        .collect()
+    )
+    assert base == again
