@@ -70,10 +70,16 @@ HEADLINE = [
     "v_tfidf_cosine_pairs",  # inverted-index cosine join (max_df-guarded)
     "w_ewma_taps",
     "v_pca_project",  # Arrow-batched moment partials + codegen projection
-    # g_triangles / d_kmeans / d_semantic_dedup are gate-checked at
-    # sf0.01 but not benched: triangle wedge volume and Lloyd-iteration
-    # counts are graph/cluster-shape properties, not scan-throughput
-    # signals, and would drown the headline in one query
+    # iterative/graph tier (VERDICT r3 #6): the per-iteration join+agg
+    # cost is exactly the kind the headline must track — BFS was the
+    # slowest gate query of r3 (11.5 s) before its partition fix
+    "g_bfs_levels",
+    "g_pagerank",
+    "g_components",
+    "g_triangles",
+    # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
+    # benched: Lloyd-iteration counts are cluster-shape properties, not
+    # scan-throughput signals, and would drown the headline in one query
 ]
 
 

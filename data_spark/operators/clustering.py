@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_spark.plans.lineage import truncate_lineage
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -82,7 +84,7 @@ def kmeans_fit(
             (F.row_number().over(Window.orderBy("id")) - 1).alias("cluster"),
             F.col("v").alias("cent"),
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     for _ in range(iterations):
         assigned = _assign(vecs, centroids)
@@ -106,7 +108,7 @@ def kmeans_fit(
             centroids.select("cluster", F.col("cent").alias("prev"))
             .join(new_cents, "cluster", "left")
             .select("cluster", F.coalesce("cent", "prev").alias("cent"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     # centroids is already materialized; free the cached corpus so
     # blocks don't accumulate across queries in a long-lived session.

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_spark.plans.lineage import truncate_lineage
+
 from data_spark.operators.dedup import _words
 
 
@@ -77,7 +79,7 @@ def tfidf_terms(
     Lucene's tf-idf family; this exposes the same weighting as columns.
     """
     # tf feeds both the df agg and the scoring join — materialize once
-    tf = term_frequencies(docs, text_col, id_col).localCheckpoint(eager=True)
+    tf = term_frequencies(docs, text_col, id_col).transform(truncate_lineage)
     dfreq = document_frequencies(tf)
     n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
@@ -123,7 +125,7 @@ def bm25_scores(
     # one materialized tf feeds both the query-term postings and the
     # document-frequency table (else the tokenize→explode→agg pipeline
     # runs twice — Spark shares no subplans across DataFrame reuse)
-    tf_all = term_frequencies(docs, text_col, id_col).localCheckpoint(eager=True)
+    tf_all = term_frequencies(docs, text_col, id_col).transform(truncate_lineage)
     tf = tf_all.filter(F.col("term").isin(query_terms))
     dl = (
         docs.select(
@@ -209,7 +211,7 @@ def sparse_cosine_pairs(
         # without this the tokenize→explode→tf→df pipeline runs 3×
         # (34 exchanges at sf0.01 vs 7 after). At corpus scale the
         # weighted-postings table is the thing you'd persist anyway.
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(_dsum(F.col("w") * F.col("w"))).alias("norm")

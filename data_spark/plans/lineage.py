@@ -1,0 +1,61 @@
+"""Lineage truncation and partition sizing for the iterative tier.
+
+Iterative operators (PageRank, connected components, BFS, fuzzy-dedup
+label propagation) re-plan their frame every round; without truncation
+the logical plan doubles per iteration and planning cost dwarfs
+execution. Truncation has two grades:
+
+- ``localCheckpoint`` (default): blocks live on executors. Fast — no
+  distributed filesystem round-trip — but on a real cluster losing one
+  executor mid-iteration kills the job, because the truncated lineage
+  cannot be recomputed.
+- reliable ``checkpoint`` (opt-in): blocks go to the SparkContext's
+  checkpoint directory (HDFS/S3 on a cluster). Survives executor loss;
+  costs one write+read of the frame per truncation.
+
+The opt-in is the standard Spark switch: call
+``spark.sparkContext.setCheckpointDir(path)`` on the session and every
+``truncate_lineage`` call in the engine upgrades itself to the reliable
+path. No per-operator flags — a 1000-executor job sets the dir once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+# Target rows per partition for skinny iterative frames (two or three
+# id/int columns — tens of bytes per row, so 1M rows ≈ 32-64 MB blocks).
+ROWS_PER_EDGE_PARTITION = 1_000_000
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut ``df``'s lineage: reliable ``checkpoint()`` when the session
+    has a checkpoint dir configured, else ``localCheckpoint()``."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def sized_partitions(
+    df: DataFrame,
+    estimated_rows: int,
+    floor: int = 8,
+    rows_per_partition: int = ROWS_PER_EDGE_PARTITION,
+) -> int:
+    """Partition count for an iterative working set of ``estimated_rows``
+    skinny rows: scale with the data, floor at ``floor`` (per-level
+    frames are skinny — hundreds of near-empty tasks per iteration cost
+    more in scheduling than they buy in parallelism), and never exceed
+    the session's ``spark.sql.shuffle.partitions`` so cluster sizing is
+    respected.
+
+    The estimate can be loose (e.g. a parquet-metadata row count of the
+    fact table that generates the edges): it only picks a bucket on a
+    log-ish scale, and AQE coalescing cleans up the remainder.
+    """
+    conf_default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    by_size = max(floor, math.ceil(estimated_rows / rows_per_partition))
+    return min(conf_default, by_size)

@@ -41,14 +41,76 @@ def _supplier_customer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("g_pagerank")  # iterative — pytest oracle (tests/test_graph.py)
+_SQL_EDGES = """
+  edges AS MATERIALIZED (
+    SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  )
+"""
+
+_PR_ITERATIONS = 6
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB has no
+    aggregate-in-recursive-CTE, but a FIXED iteration count needs no
+    recursion at all). Float discipline: every constant is the same IEEE
+    double Python bakes into the Spark plan — ``(1-d)/n`` is embedded as
+    the repr of Python's ``1.0 - 0.85`` then divided by n IN-ENGINE, so
+    both engines perform identical exactly-rounded IEEE ops; the only
+    divergence left is SUM reassociation (~1e-16 relative), absorbed by
+    the final FLOOR(rank * 1e8) grid."""
+    one_minus_d = repr(1.0 - _PR_DAMPING)  # '0.15000000000000002'
+    d = repr(_PR_DAMPING)
+    parts = [
+        _SQL_EDGES,
+        """,
+  verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+  nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+  deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+  links AS MATERIALIZED (
+    SELECT e.src AS id, e.dst AS dst, d.deg FROM edges e JOIN deg d ON d.id = e.src
+  ),
+  r0 AS (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS rank FROM verts v CROSS JOIN nn)""",
+    ]
+    for k in range(1, _PR_ITERATIONS + 1):
+        parts.append(
+            f""",
+  i{k} AS (
+    SELECT l.dst AS id, SUM(r.rank / l.deg) AS inflow
+    FROM links l JOIN r{k - 1} r ON r.id = l.id GROUP BY l.dst
+  ),
+  r{k} AS (
+    SELECT v.id,
+           CAST('{one_minus_d}' AS DOUBLE) / nn.n
+             + CAST('{d}' AS DOUBLE) * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
+    FROM verts v CROSS JOIN nn LEFT JOIN i{k} i ON i.id = v.id
+  )"""
+        )
+    parts.append(
+        f"""
+  SELECT id, CAST(FLOOR(rank * CAST(100000000 AS DOUBLE)) AS BIGINT) AS rank_e8
+  FROM r{_PR_ITERATIONS}
+    """
+    )
+    return "WITH" + "".join(parts)
+
+
+@_q("g_pagerank", _pagerank_oracle_sql())
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier→customer graph (6 iterations, two
-    shuffles each, lineage truncated every 3). Rank values excluded from
-    hashing anyway (rows-only check); determinism of the row set = the
-    vertex set."""
+    shuffles each, lineage truncated every 3 — graph/algorithms.py).
+
+    Hash-oracled since r4 (previously rows-only): the DuckDB oracle
+    unrolls the same 6 iterations as chained CTEs with bit-identical
+    IEEE constants, and both engines emit ranks snapped to a 1e-8 grid
+    (FLOOR(rank·1e8) AS BIGINT) so double-sum reassociation between
+    engines — bounded ~1e-16 relative — cannot flip the value hash."""
     edges = _supplier_customer_edges(spark, sf_dir)
-    return pagerank(edges, iterations=6)
+    return pagerank(edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING).select(
+        "id", F.floor(F.col("rank") * F.lit(1e8)).cast("bigint").alias("rank_e8")
+    )
 
 
 @_q(
@@ -84,13 +146,63 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
-@_q("g_components")  # iterative — pytest oracle (tests/test_graph.py)
+_CC_MAX_ITERATIONS = 20
+
+
+def _components_oracle_sql() -> str:
+    """Min-label propagation unrolled to the SAME iteration cap as the
+    Spark operator. Soundness: connected_components raises (driver-red,
+    not a wrong answer) if labels are still moving after
+    ``_CC_MAX_ITERATIONS`` rounds, so whenever a hash comparison
+    happens at all the Spark side has reached the fixed point — and a
+    fixed point is stable under the oracle's extra rounds, so 20
+    unrolled rounds are guaranteed to agree. Each round is one O(m)
+    join+MIN (not a transitive closure — the d_fuzzy_dedup_resolve
+    closure oracle is quadratic in component size, fine for small
+    near-dup clusters but not for this graph's single giant component).
+    MATERIALIZED pins each round; without it DuckDB may inline the
+    twice-referenced previous round and double the plan per level."""
+    parts = [
+        _SQL_EDGES,
+        """,
+  sym AS MATERIALIZED (
+    SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
+  ),
+  l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM sym)""",
+    ]
+    for k in range(1, _CC_MAX_ITERATIONS + 1):
+        parts.append(
+            f""",
+  l{k} AS MATERIALIZED (
+    SELECT id, MIN(lbl) AS lbl FROM (
+      SELECT id, lbl FROM l{k - 1}
+      UNION ALL
+      SELECT s.b AS id, x.lbl FROM sym s JOIN l{k - 1} x ON x.id = s.a
+    ) GROUP BY id
+  )"""
+        )
+    parts.append(
+        f"""
+  SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM l{_CC_MAX_ITERATIONS} GROUP BY lbl
+    """
+    )
+    return "WITH" + "".join(parts)
+
+
+@_q("g_components", _components_oracle_sql())
 def g_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (min-label propagation with early stop) of
-    the same derived graph, summarized as component sizes."""
+    the same derived graph, summarized as component sizes.
+
+    Hash-oracled since r4 (previously rows-only): labels are exact
+    string mins — no float anywhere — so once both engines reach the
+    fixed point the hash must match; see _components_oracle_sql for why
+    the unrolled-20-rounds oracle is guaranteed to be at the fixed
+    point whenever the Spark side returns at all."""
     edges = _supplier_customer_edges(spark, sf_dir)
     return (
-        connected_components(edges)
+        connected_components(edges, max_iterations=_CC_MAX_ITERATIONS)
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )

@@ -20,6 +20,7 @@ from data_spark.operators.ranking import (
     sparse_cosine_pairs,
     tfidf_terms,
 )
+from data_spark.plans.lineage import sized_partitions, truncate_lineage
 from data_spark.queries.common import SQL_DSUM, dsum, t
 
 QUERIES = {}
@@ -340,9 +341,11 @@ def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side: frontier expansion — per level, join the frontier with
     the symmetrized edges, anti-join already-visited nodes, union into
     the visited set. Each level is one join + one distinct; lineage is
-    truncated with localCheckpoint per level (same discipline as
-    graph/algorithms.py). At 100 TB the frontier join shuffles on node
-    id and the visited set stays skinny (node, dist).
+    truncated per level via plans.lineage.truncate_lineage (reliable
+    checkpoint when the session sets a checkpoint dir, localCheckpoint
+    otherwise — same discipline as graph/algorithms.py). At 100 TB the
+    frontier join shuffles on node id and the visited set stays skinny
+    (node, dist).
     """
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -354,18 +357,23 @@ def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = (
+    # Edge-partition count scales with the data: the symmetric edge set
+    # is at most 2× the lineitem row count (a parquet-metadata-only
+    # count), floored at a few partitions because per-level frames are
+    # skinny — under a default 200-partition session each level would
+    # otherwise launch hundreds of near-empty tasks — and capped at the
+    # session's shuffle parallelism so a 1000-executor job still spreads
+    # a 100 TB edge set (test_ranking: partition-scaling assertion).
+    n_parts = sized_partitions(edges, 2 * t(spark, sf_dir, "lineitem").count())
+    sym = truncate_lineage(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         # materialized once: every BFS level joins against sym, and
-        # without this the lineitem⋈orders edge build re-runs per level.
-        # Pinned to a few src-keyed partitions: the per-level frames are
-        # skinny, and under a default 200-partition session each level
-        # otherwise launches 200-task stages over near-empty data
-        .repartition(8, "src")
-        .localCheckpoint(eager=True)
+        # without this the lineitem⋈orders edge build re-runs per level;
+        # src-keyed so the per-level frontier join reuses the exchange
+        .repartition(n_parts, "src")
     )
     spark_ = edges.sparkSession
     visited = spark_.createDataFrame(
@@ -380,7 +388,7 @@ def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(truncate_lineage)
         if nxt.isEmpty():
             break
         # visited is a union of already-checkpointed level frames, so
@@ -567,7 +575,7 @@ def d_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
       SELECT event_id, user_id, value,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6)) AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
              COUNT(value) OVER w AS n
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -586,7 +594,14 @@ def e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from in-window SUM(x)/SUM(x²) — both accumulated as DECIMAL(38,6)
     so the result is exact and order-independent (window aggregates are
     computed by segment trees in some engines, which reassociates float
-    addition; decimals make the engines agree bit-for-bit). The 1e-12
+    addition; decimals make the engines agree bit-for-bit). Spark's
+    decimal(38,6)*decimal(38,6) product overflows precision 38 and is
+    rescaled back to scale 6 (each x² rounded to 6 dp, HALF_UP); the
+    oracle mirrors that with an explicit CAST of the product to
+    DECIMAL(38,6) before the windowed SUM, so the two engines agree
+    even when values carry more than 3 decimal digits (rounding-mode
+    ties aside; events.value has 2 dp, where the product is exact at
+    4 dp and no rounding occurs in either engine). The 1e-12
     variance floor keeps a constant-valued window from dividing by
     zero in either engine."""
     e = t(spark, sf_dir, "events")
