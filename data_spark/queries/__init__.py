@@ -12,6 +12,7 @@ rotate to the tail.
 """
 
 from data_spark.queries import (
+    analytics,
     documents,
     events,
     graphq,
@@ -20,6 +21,7 @@ from data_spark.queries import (
     relational2,
     relational3,
     relational4,
+    temporal,
     vectors,
 )
 
@@ -33,6 +35,8 @@ _ALL_QUERIES = {
     **vectors.QUERIES,
     **graphq.QUERIES,
     **ranking.QUERIES,
+    **temporal.QUERIES,
+    **analytics.QUERIES,
 }
 
 ORACLE = {
@@ -45,74 +49,26 @@ ORACLE = {
     **vectors.ORACLE,
     **graphq.ORACLE,
     **ranking.ORACLE,
+    **temporal.ORACLE,
+    **analytics.ORACLE,
 }
 
-# Round-3 window (the driver records the first 50 entries; see
+# Round-4 window (the driver records the first 50 entries; see
 # WITNESS.md for the per-query ledger this ordering is derived from):
-#   1-15: the 12 never-driver-witnessed queries (r1+r2 both missed
-#         them) plus the 3 r2 driver-red queries whose array outputs
-#         are now JSON-serialized — these need a green row most.
-#  16-27: the 12 queries ADDED mid-r3 (ranking/analytics/PCA tier) —
-#         never-witnessed outranks regression re-witness.
-#  28-50: regression re-witness of the oldest r1-only-witnessed
-#         queries (23 of 48 fit; the spill-over leads the r4 window).
-# r2-witnessed greens rotate fully out of the window this round.
+#   1-31: the 31 queries whose only driver-green row is from r1, three
+#         rounds of code churn ago (VERDICT r3 "Next round" #1) — the
+#         oldest hard signal re-witnesses first.
+#  32-40: the 9 queries ADDED in r4 (temporal joins + analytics/exact-
+#         minhash tier), never driver-witnessed.
+#  41-44: queries whose plan or oracle CHANGED in r4: g_pagerank /
+#         g_components (rows-only -> exact oracles), g_bfs_levels
+#         (partition sizing rewrite), e_anomaly_zscore (oracle decimal
+#         rescale, ADVICE r3).
+#  45-50: oldest r2-witnessed greens begin their rotation (q12, q11,
+#         q20, q21, w_distinct_over_window, a_salted_skew_agg).
+# Everything r3-witnessed rotates out of the window this round.
 _PRIORITY = [
-    # --- never witnessed in r1 or r2 ---
-    "e_funnel_3step",
-    "e_retention_cohorts",
-    "e_interval_merge",
-    "a_histogram_fixed_bins",
-    "a_median_per_group",
-    "s_relational_division",
-    "v_lsh_ann",
-    "v_ivf_kmeans_topk",
-    "d_minhash_lsh",
-    "d_simhash_near",
-    "g_pagerank",
-    "g_components",
-    # --- r2 driver-red, fixed this round (arrays → to_json strings) ---
-    "f_array_battery",
-    "f_map_struct_json",
-    "d_inverted_index",
-    # --- added mid-r3, never witnessed ---
-    "d_tfidf_topterms",
-    "d_bm25_search",
-    "v_tfidf_cosine_pairs",
-    "w_ewma_taps",
-    "s_skyline_2d",
-    "a_rfm_segments",
-    "g_bfs_levels",
-    "v_pca_project",
-    "d_weighted_sample",
-    "w_rolling_median",
-    "d_temperature_mix",
-    "d_chunk_windows",
-    "e_anomaly_zscore",
-    "g_cube_2d",
-    "a_hll_daily_rollup",
-    "a_kll_quantile_sketch",
-    "d_fuzzy_dedup_resolve",
-    "a_histogram_equidepth",
-    # --- r1-only witnessed: oldest hard signal, re-witness for
-    #     regression coverage (the first 17 make the window) ---
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q7_nation_volume",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_brand_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q19_disjunctive_join",
-    "q22_idle_customers",
-    "u_distinct_master",
-    "u_union_pad_distinct",
-    "u_unpivot_metrics",
-    "p_compound_filter",
+    # --- only driver-green row is r1 (re-witness for regression) ---
     "p_pivot_status",
     "j_anti_unloaded",
     "j_left_join_dim",
@@ -141,11 +97,31 @@ _PRIORITY = [
     "f_epoch_roundtrip",
     "f_scalar_repair",
     "g_grouping_sets",
-    # --- tail: r1-only spill-over (lead the r4 window), then
-    #     everything else (r2-witnessed greens) in module order ---
     "g_rollup_region",
     "s_intersect_except",
     "sq_above_avg_price",
+    # --- added in r4, never witnessed ---
+    "j_asof_click_attrib",
+    "e_ohlc_hourly",
+    "e_sliding_1h_15m",
+    "j_interval_overlap",
+    "a_mode_per_group",
+    "a_corr_pearson",
+    "g_degree_distribution",
+    "d_minhash_sig",
+    "d_minhash_band_pairs",
+    # --- plan or oracle changed in r4 ---
+    "g_pagerank",
+    "g_components",
+    "g_bfs_levels",
+    "e_anomaly_zscore",
+    # --- oldest r2-witnessed greens rotate back in ---
+    "q12_shipmode_case",
+    "q11_important_parts",
+    "q20_heavy_suppliers",
+    "q21_lone_returned_supplier",
+    "w_distinct_over_window",
+    "a_salted_skew_agg",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

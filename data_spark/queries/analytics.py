@@ -1,0 +1,290 @@
+"""Statistics / graph-analytics / verifiable-sketch gate queries added
+in round 4: deterministic per-group mode, decimal-exact Pearson
+correlation, graph degree distribution, and a CROSS-ENGINE-EXACT
+MinHash construction (signatures + banded LSH candidate pairs).
+
+The MinHash pair is the notable one: the engine's production MinHash
+(operators/dedup.py) uses xxhash64, which only Spark can compute, so
+its gate query is rows-only. Here the token hash is the first 15 hex
+digits of md5 — computable bit-identically by Spark (``conv(substr(
+md5(t),1,15),16,10)``) and DuckDB (``CAST('0x'||substr(md5(t),1,15) AS
+BIGINT)``) — and the permutations are fixed ``(a·h+b) mod p`` maps in
+int64-safe range, so the whole MinHash→banding→candidate-pair pipeline
+is hash-verified end to end, closing the "sketch tier is rows-only by
+design" gap for this family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.operators.dedup import _words, ngrams_from_words
+from data_spark.queries.common import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "a_mode_per_group",
+    """
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """,
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event
+    type, ties broken lexicographically so the selected row is engine-
+    independent. Two map-side-combinable shuffles (count, then pick-max
+    per user on an already-tiny frame) — the argmax-per-key shape."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@_q(
+    "a_corr_pearson",
+    """
+    WITH sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(EXTRACT(HOUR FROM ts) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(38,6)) * CAST(EXTRACT(HOUR FROM ts) AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(EXTRACT(HOUR FROM ts) AS DECIMAL(38,6)) * CAST(EXTRACT(HOUR FROM ts) AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
+    FROM sums
+    """,
+)
+def a_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of event value vs hour-of-day per event type
+    — the statistics family's bivariate member. All five moment sums
+    accumulate as DECIMAL(38,6) (products rescaled to scale 6 exactly
+    like Spark's decimal multiply, exact here: value has 2 dp), so the
+    only float math is the final closed-form expression over identical
+    double operands — bit-equal across engines, rounded to 6 dp. One
+    map-side-combinable shuffle; no second pass for the means."""
+    e = t(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(38,6)")
+    yd = F.hour("ts").cast("decimal(38,6)")
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("event_type", "n", F.round(corr, 6).alias("corr"))
+
+
+@_q(
+    "g_degree_distribution",
+    """
+    WITH edges AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), sym AS (
+      SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
+    ), deg AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY a
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the undirected supplier↔customer graph —
+    the first look any graph analysis takes (skew tells you whether the
+    wedge/frontier joins downstream need salting). Two skinny count
+    shuffles; the histogram is tiny regardless of graph size."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("a")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-exact MinHash over 3-word shingles: md5-prefix shingle
+# hash + fixed (a·h+b) mod p permutations. p and the coefficients stay
+# < 2^30-ish so a·h fits int64. Shingles, not unigrams: the synthetic
+# corpus shares one small vocabulary, so unigram minhashes collide for
+# ~all pairs (measured 97k/124k at sf0.001) while 3-gram shingles keep
+# candidates at true near-dups (~30 pairs) — the same reason the
+# production operators (dedup.py) shingle before sketching.
+# ---------------------------------------------------------------------------
+
+_MH_P = 1_000_000_007
+_MH_A = [516575261, 730421473, 947217823, 176064001,
+         568519393, 368085727, 283985429, 120634811]
+_MH_B = [423630757, 842976263, 298764511, 785409629,
+         651174457, 934519853, 502749791, 67330517]
+_MH_BANDS = 4  # 2 rows per band over the 8 signatures
+
+_SQL_DOC_TOKENS = r"""
+  toks AS (
+    SELECT doc_id,
+           str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\s+') AS words
+    FROM documents
+  ), tok AS (
+    SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS term
+    FROM toks, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS r(i)
+    WHERE len(words) >= 3  -- sub-shingle docs vanish in BOTH engines
+  ), hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {p} AS hm
+    FROM tok
+  )
+""".replace("{p}", str(_MH_P))
+
+_SQL_SIGS = (
+    _SQL_DOC_TOKENS
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"MIN(({a} * hm + {b}) % {_MH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    + " FROM hashed GROUP BY doc_id)"
+)
+
+
+def _spark_signatures(docs: DataFrame) -> DataFrame:
+    # materialize the token array BEFORE the shingle HOF (lambda args
+    # re-evaluate per invocation — dedup.ngrams_from_words contract)
+    toks = docs.select("doc_id", _words(F.col("text")).alias("__words"))
+    tok = toks.select(
+        "doc_id", F.explode(ngrams_from_words(F.col("__words"), 3)).alias("term")
+    ).distinct()
+    hashed = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
+            % _MH_P
+        ).alias("hm"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % _MH_P).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ]
+    )
+
+
+@_q("d_minhash_sig", "WITH" + _SQL_SIGS + " SELECT * FROM sigs")
+def d_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signature per document, hash-verified
+    cross-engine (see module docstring — md5-prefix token hash instead
+    of the production xxhash64, identical in both engines). Shuffle
+    shape is the production one: explode→distinct tokens, one groupBy
+    with 8 map-side-combinable MINs; signatures are 8 ints per doc no
+    matter the corpus size."""
+    return _spark_signatures(t(spark, sf_dir, "documents"))
+
+
+_SQL_BANDS = (
+    _SQL_SIGS
+    + ", bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, sig_{2 * j} AS k1, sig_{2 * j + 1} AS k2 FROM sigs"
+        for j in range(_MH_BANDS)
+    )
+    + ")"
+)
+
+
+@_q(
+    "d_minhash_band_pairs",
+    "WITH"
+    + _SQL_BANDS
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.doc_id < b.doc_id
+    """,
+)
+def d_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs over the exact MinHash signatures
+    (4 bands × 2 rows): documents agreeing on any full band. This is
+    the same banding equi-join the production MinHash-LSH operator
+    runs (operators/dedup.py), but over the cross-engine hash — so the
+    ENTIRE sketch→band→bucket-join pipeline gets a value-hash driver
+    check, not a row count. The join key (band, k1, k2) keeps the
+    shuffle an equi-join; candidates per bucket are bounded by bucket
+    occupancy, never all-pairs."""
+    sigs = _spark_signatures(t(spark, sf_dir, "documents"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"sig_{2 * j}").alias("k1"),
+                        F.col(f"sig_{2 * j + 1}").alias("k2"),
+                    )
+                    for j in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k1", "bk.k2")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

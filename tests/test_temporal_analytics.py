@@ -1,0 +1,138 @@
+"""Round-4 query families: temporal joins (as-of, interval overlap,
+sliding windows, OHLC) and analytics/exact-minhash. The driver gate
+hash-checks these against DuckDB; the tests here pin the semantic
+invariants a hash can't explain when it breaks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from data_spark.queries.analytics import (
+    _MH_BANDS,
+    _spark_signatures,
+    a_mode_per_group,
+    d_minhash_band_pairs,
+)
+from data_spark.queries.temporal import (
+    e_sliding_1h_15m,
+    j_asof_click_attrib,
+    j_interval_overlap,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+
+
+def test_asof_picks_latest_click_at_or_before(spark, monkeypatch):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=5), 7, "click", 1.0),
+        (3, t0 + dt.timedelta(minutes=5), 7, "purchase", 9.0),  # same-ts click counts
+        (4, t0 + dt.timedelta(minutes=9), 7, "purchase", 9.0),
+        (5, t0 - dt.timedelta(minutes=1), 8, "purchase", 9.0),  # no prior click
+    ]
+    import data_spark.queries.temporal as tmod
+
+    monkeypatch.setattr(tmod, "t", lambda s, d, n: _ev(spark, rows))
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_us"])
+        for r in j_asof_click_attrib(spark, "ignored").collect()
+    }
+    assert got[3] == (2, 0)  # at-or-before includes the same-ts click
+    assert got[4] == (2, 4 * 60 * 1_000_000)
+    assert got[5] == (None, None)
+
+
+def test_interval_overlap_banding_matches_naive_join(spark, sf_small):
+    from data_spark.queries.common import t as read
+
+    banded = {
+        (r["l_partkey"], r["n_pairs"])
+        for r in j_interval_overlap(spark, sf_small).collect()
+    }
+    li = read(spark, sf_small, "lineitem").select(
+        F.col("l_partkey").alias("p"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            + F.col("l_quantity").cast("int") * F.lit(86_400_000_000)
+        ).alias("e"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .groupBy(F.col("a.p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert banded == {(r["p"], r["n"]) for r in naive.collect()}
+
+
+def test_sliding_window_counts_each_event_four_times(spark, sf_small):
+    from data_spark.queries.common import t as read
+
+    n_events = read(spark, sf_small, "events").count()
+    total = (
+        e_sliding_1h_15m(spark, sf_small)
+        .agg(F.sum("n_events").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == 4 * n_events  # 1h window / 15m slide ⇒ 4 windows per event
+
+
+def test_mode_tiebreak_is_lexicographic(spark, monkeypatch):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 0.0),
+        (2, t0, 1, "click", 0.0),  # 1-1 tie → 'click' < 'view'
+        (3, t0, 2, "view", 0.0),
+    ]
+    import data_spark.queries.analytics as amod
+
+    monkeypatch.setattr(amod, "t", lambda s, d, n: _ev(spark, rows))
+    got = {r["user_id"]: r["mode_type"] for r in a_mode_per_group(spark, "x").collect()}
+    assert got == {1: "click", 2: "view"}
+
+
+def test_minhash_identical_docs_collide_all_bands(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words describing spark shuffles here")],
+        "doc_id bigint, text string",
+    )
+    sigs = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in _spark_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_band_pairs_are_high_jaccard(spark, sf_small):
+    """Every banded candidate must share at least one 2-row band ⇒ the
+    pair agrees on ≥2 of 8 minhashes; sanity-check that the returned
+    pairs genuinely have overlapping shingle sets."""
+    from data_spark.operators.dedup import ngrams_from_words, _words
+    from data_spark.queries.common import t as read
+
+    pairs = d_minhash_band_pairs(spark, sf_small).collect()
+    assert pairs, "synthetic corpus has templated near-dups; expected candidates"
+    docs = read(spark, sf_small, "documents")
+    grams = {
+        r["doc_id"]: set(r["g"])
+        for r in docs.select(
+            "doc_id", ngrams_from_words(_words(F.col("text")), 3).alias("g")
+        ).collect()
+    }
+    for r in pairs[:20]:
+        a, b = grams[r["doc_a"]], grams[r["doc_b"]]
+        assert a & b, f"banded pair {r} shares no shingle at all"
