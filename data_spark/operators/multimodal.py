@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 payloads with typed metadata, processed via Arrow-batched mapInPandas.
 
-The real decoders (PIL/ffmpeg/torchaudio) are not in this container, so
-the decode step is OPTIONAL: ``decode_mode='strict'`` attempts a real
-``PIL`` import at call time and decodes actual image bytes when the
-library is present, raising the honest NotImplementedError otherwise
-(the production hook point); ``'fake'`` produces a deterministic
+The heavyweight decoders (PIL/ffmpeg/torchaudio) are not in this
+container, so the decode step has three tiers: ``decode_mode='strict'``
+uses a real ``PIL`` import when present, falls back to the vendored
+pure-stdlib PNG codec (operators/png.py) for PNG payloads — so strict
+mode decodes REAL image bytes even here — and raises the honest
+NotImplementedError only for non-PNG payloads without Pillow (the
+production hook point); ``'fake'`` produces a deterministic
 payload-derived stand-in so the Spark-side plumbing — schema, batch
 iteration, partitioning, feature join-back — is real and tested
 end-to-end in any environment.
@@ -85,16 +87,21 @@ def _pil():
 def _decode(payload: bytes, mode: str) -> bytes:
     if mode == "strict":
         image_mod = _pil()
-        if image_mod is None:
-            raise NotImplementedError(
-                "decode_mode='strict' requires Pillow (PIL), which is not "
-                "installed in this environment; use decode_mode='fake' for "
-                "the deterministic stand-in, or install Pillow"
-            )
-        import io  # noqa: PLC0415
+        if image_mod is not None:
+            import io  # noqa: PLC0415
 
-        with image_mod.open(io.BytesIO(payload)) as im:
-            return im.convert("RGB").tobytes()
+            with image_mod.open(io.BytesIO(payload)) as im:
+                return im.convert("RGB").tobytes()
+        from data_spark.operators import png  # noqa: PLC0415
+
+        if png.is_png(payload):
+            _w, _h, rgb = png.decode_rgb(payload)
+            return rgb
+        raise NotImplementedError(
+            "decode_mode='strict' without Pillow supports only PNG payloads "
+            "(vendored codec, operators/png.py); install Pillow for other "
+            "formats or use decode_mode='fake' for the deterministic stand-in"
+        )
     # 'fake': deterministic payload-derived pseudo-decode
     return hashlib.sha256(payload).digest()
 
@@ -144,9 +151,11 @@ def resize_images(
 ) -> DataFrame:
     """payload → resized payload at (width, height) via mapInPandas.
 
-    ``strict`` does a REAL decode + resize (PNG-encoded output) when
-    Pillow is importable, and raises the honest NotImplementedError
-    otherwise; ``fake`` emits a deterministic stand-in payload derived
+    ``strict`` does a REAL decode + resize (PNG-encoded output) — via
+    Pillow when importable, else the vendored PNG codec (nearest-
+    neighbor resample, deterministic) for PNG payloads, raising the
+    honest NotImplementedError only for non-PNG bytes without Pillow;
+    ``fake`` emits a deterministic stand-in payload derived
     from (content bytes, target dims) so downstream plumbing — schema,
     dedup on resized bytes, write — is exercised for real in any
     environment. One Arrow batch in, one out; output payload size is
@@ -164,6 +173,14 @@ def resize_images(
                 out = io.BytesIO()
                 im.convert("RGB").resize((width, height)).save(out, format="PNG")
                 return out.getvalue()
+        if decode_mode == "strict":
+            from data_spark.operators import png  # noqa: PLC0415
+
+            if png.is_png(raw):
+                w0, h0, rgb = png.decode_rgb(raw)
+                return png.encode_rgb(
+                    width, height, png.resize_rgb_nearest(w0, h0, rgb, width, height)
+                )
         decoded = _decode(raw, decode_mode)  # raises in strict w/o Pillow
         seed = hashlib.sha256(decoded + f":{width}x{height}".encode()).digest()
         # fake "pixels": repeat the seed to the target byte budget
