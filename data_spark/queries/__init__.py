@@ -58,14 +58,15 @@ ORACLE = {
 #   1-31: the 31 queries whose only driver-green row is from r1, three
 #         rounds of code churn ago (VERDICT r3 "Next round" #1) — the
 #         oldest hard signal re-witnesses first.
-#  32-40: the 9 queries ADDED in r4 (temporal joins + analytics/exact-
-#         minhash tier), never driver-witnessed.
-#  41-44: queries whose plan or oracle CHANGED in r4: g_pagerank /
+#  32-41: the 10 queries ADDED in r4 (temporal joins + analytics/
+#         exact-sketch tier), never driver-witnessed.
+#  42-45: queries whose plan or oracle CHANGED in r4: g_pagerank /
 #         g_components (rows-only -> exact oracles), g_bfs_levels
 #         (partition sizing rewrite), e_anomaly_zscore (oracle decimal
 #         rescale, ADVICE r3).
-#  45-50: oldest r2-witnessed greens begin their rotation (q12, q11,
-#         q20, q21, w_distinct_over_window, a_salted_skew_agg).
+#  46-50: oldest r2-witnessed greens begin their rotation (q12, q11,
+#         q20, q21, w_distinct_over_window; a_salted_skew_agg is #51,
+#         just past the window — r5 rotates it in first).
 # Everything r3-witnessed rotates out of the window this round.
 _PRIORITY = [
     # --- only driver-green row is r1 (re-witness for regression) ---
@@ -110,6 +111,7 @@ _PRIORITY = [
     "g_degree_distribution",
     "d_minhash_sig",
     "d_minhash_band_pairs",
+    "d_simhash_exact_pairs",
     # --- plan or oracle changed in r4 ---
     "g_pagerank",
     "g_components",
