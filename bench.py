@@ -77,6 +77,13 @@ HEADLINE = [
     "g_pagerank",
     "g_components",
     "g_triangles",
+    # r4 temporal-join + exact-sketch families
+    "j_asof_click_attrib",
+    "e_ohlc_hourly",
+    "e_sliding_1h_15m",
+    "j_interval_overlap",
+    "d_minhash_band_pairs",
+    "d_simhash_exact_pairs",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

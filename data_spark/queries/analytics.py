@@ -132,8 +132,12 @@ def a_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the undirected supplier↔customer graph —
     the first look any graph analysis takes (skew tells you whether the
-    wedge/frontier joins downstream need salting). Two skinny count
-    shuffles; the histogram is tiny regardless of graph size."""
+    wedge/frontier joins downstream need salting). The Spark plan skips
+    the oracle's symmetrize+dedup entirely: the edge set is already
+    distinct and the graph bipartite (s-/c- prefixed ids can't collide),
+    so exploding both endpoints of each edge IS the symmetric adjacency
+    multiset — one exchange fewer, and the histogram stays tiny
+    regardless of graph size."""
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
@@ -144,11 +148,10 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    deg = sym.groupBy(F.col("src").alias("a")).agg(
-        F.count(F.lit(1)).alias("degree")
+    deg = (
+        edges.select(F.explode(F.array("src", "dst")).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 

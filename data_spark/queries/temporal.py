@@ -154,14 +154,24 @@ def e_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the same partitioning as the final groupBy, so Catalyst
     plans a single Exchange."""
     e = t(spark, sf_dir, "events")
-    hr = F.date_trunc("hour", F.col("ts"))
-    wa = Window.partitionBy("user_id", hr).orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id", hr).orderBy(
+    # project hr FIRST so the window partitioning and the final groupBy
+    # key are the same attribute — Catalyst then plans ONE Exchange for
+    # the whole query (keying the window on the date_trunc expression
+    # instead leaves a second shuffle in the plan; test_plan_budget)
+    projected = e.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("user_id", "hr").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "hr").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
-    ranked = e.select(
+    ranked = projected.select(
         "user_id",
-        hr.alias("hr"),
+        "hr",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),

@@ -48,6 +48,19 @@ EXCHANGE_BUDGET = {
     "g_cube_2d": 1,
     "a_hll_daily_rollup": 2,
     "a_kll_quantile_sketch": 1,
+    # r4 temporal joins: the as-of rewrite is ONE user-keyed shuffle +
+    # the click pre-dedup; OHLC's window and groupBy share an Exchange
+    "j_asof_click_attrib": 2,
+    "e_ohlc_hourly": 1,
+    "e_sliding_1h_15m": 1,
+    "j_interval_overlap": 3,
+    # r4 analytics / exact sketches
+    "a_mode_per_group": 2,
+    "a_corr_pearson": 1,
+    "g_degree_distribution": 4,
+    "d_minhash_sig": 1,
+    "d_minhash_band_pairs": 3,
+    "d_simhash_exact_pairs": 5,
 }
 
 
