@@ -31,17 +31,28 @@ def stream_windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     group_col: str = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
-    """File-source stream → watermarked tumbling-window counts.
+    """File-source stream → watermarked windowed counts: tumbling by
+    default, SLIDING when ``slide`` < ``window`` is given (each event
+    then lands in window/slide overlapping windows — the same native
+    ``F.window`` expression the batch gate query e_sliding_1h_15m
+    hash-verifies against an epoch-arithmetic oracle).
 
     The watermark bounds state (late rows beyond it are dropped), which
     is the streaming analogue of the reference's `now-1d` lookback
-    windows.
+    windows; sliding windows multiply live state by window/slide, so
+    the watermark matters more there, not less.
     """
     stream = spark.readStream.schema(schema).json(source_dir)
+    win = (
+        F.window(F.col(ts_col), window)
+        if slide is None
+        else F.window(F.col(ts_col), window, slide)
+    )
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_col))
+        .groupBy(win.alias("w"), F.col(group_col))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("w.start").alias("window_start"),

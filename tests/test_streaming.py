@@ -449,3 +449,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert [k for k, _ in got] == ["a", "b"]
     assert ("a", 1) in got or ("a", 2) in got
     assert len(got) == 2
+
+
+def test_stream_sliding_window_counts(spark, tmp_path):
+    """Sliding windows in a real stream: a 1h window sliding every 30m
+    puts each event in exactly two windows, and the counts per window
+    reflect every event whose ts falls inside [start, start+1h)."""
+    src = str(tmp_path / "slide_src")
+    _write_events(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:40:00Z", "event_type": "click", "value": 2.0},
+        ],
+    )
+    agg = stream_windowed_counts(spark, src, EVENT_SCHEMA, slide="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): r["n"]
+        for r in spark.sql(
+            "select * from slide_counts where event_type = 'click'"
+        ).collect()
+    }
+    # event 1 (00:10) ∈ [23:30, 00:30); event 2 (00:40) ∈ [00:30, 01:30)
+    # both ∈ [00:00, 01:00)
+    assert got == {
+        "2023-12-31 23:30:00": 1,
+        "2024-01-01 00:00:00": 2,
+        "2024-01-01 00:30:00": 1,
+    }
