@@ -58,15 +58,15 @@ ORACLE = {
 #   1-31: the 31 queries whose only driver-green row is from r1, three
 #         rounds of code churn ago (VERDICT r3 "Next round" #1) — the
 #         oldest hard signal re-witnesses first.
-#  32-41: the 10 queries ADDED in r4 (temporal joins + analytics/
+#  32-42: the 11 queries ADDED in r4 (temporal joins + analytics/
 #         exact-sketch tier), never driver-witnessed.
-#  42-45: queries whose plan or oracle CHANGED in r4: g_pagerank /
+#  43-46: queries whose plan or oracle CHANGED in r4: g_pagerank /
 #         g_components (rows-only -> exact oracles), g_bfs_levels
 #         (partition sizing rewrite), e_anomaly_zscore (oracle decimal
 #         rescale, ADVICE r3).
-#  46-50: oldest r2-witnessed greens begin their rotation (q12, q11,
-#         q20, q21, w_distinct_over_window; a_salted_skew_agg is #51,
-#         just past the window — r5 rotates it in first).
+#  47-50: oldest r2-witnessed greens begin their rotation (q12, q11,
+#         q20, q21; w_distinct_over_window and a_salted_skew_agg land
+#         at #51-52, just past the window — r5 rotates them in first).
 # Everything r3-witnessed rotates out of the window this round.
 _PRIORITY = [
     # --- only driver-green row is r1 (re-witness for regression) ---
@@ -112,6 +112,7 @@ _PRIORITY = [
     "d_minhash_sig",
     "d_minhash_band_pairs",
     "d_simhash_exact_pairs",
+    "v_int8_cosine_topk",
     # --- plan or oracle changed in r4 ---
     "g_pagerank",
     "g_components",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_spark.operators.joins import suffix_containment_join
 from data_spark.operators.similarity import (
@@ -248,4 +249,81 @@ def v_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("pc1", 6).alias("pc1"),
         F.round("pc2", 6).alias("pc2"),
+    )
+
+
+@_q(
+    "v_int8_cosine_topk",
+    """
+    WITH dims AS (
+      SELECT vec_id, i - 1 AS idx, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ), norms AS (
+      SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS n2
+      FROM dims GROUP BY vec_id
+    ), qdim AS (
+      SELECT d.vec_id, d.idx,
+             CAST(FLOOR(d.x / sqrt(n.n2) * 127 + 0.5) AS BIGINT) AS q
+      FROM dims d JOIN norms n ON n.vec_id = d.vec_id AND n.n2 > 0
+    ), dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      FROM qdim a JOIN qdim b ON a.idx = b.idx
+      WHERE a.vec_id < 10 AND b.vec_id >= 10
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT qid, cid AS neighbor_id, rank, dot FROM (
+      SELECT qid, cid, dot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS BIGINT) AS rank
+      FROM dots
+    ) WHERE rank <= 5
+    """,
+)
+def v_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors under INT8-QUANTIZED cosine — the
+    memory-bandwidth trick production vector stores use at scale
+    (4× smaller vectors, integer SIMD dots). Each vector is unit-
+    normalized then symmetric-quantized to [-127, 127] with
+    ``floor(u·127 + 0.5)``; every float step is the same IEEE double
+    expression in both engines (norms via exact decimal sums of
+    squares), and everything after quantization — the dot products and
+    the ranking — is pure integer arithmetic, so unlike the float
+    cosine queries the SCORES themselves are in the hash, not just the
+    neighbor ids. Spark side shuffles on the dimension index for the
+    dot — at corpus scale the quantized dims table is the co-located
+    layout an int8 ANN index would persist."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "xf")
+    ).select("vec_id", "idx", F.col("xf").cast("double").alias("x"))
+    norms = dims.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("n2")
+    )
+    qdim = (
+        dims.join(norms.filter(F.col("n2") > 0), "vec_id")
+        .select(
+            "vec_id",
+            "idx",
+            F.floor(F.col("x") / F.sqrt("n2") * 127 + 0.5)
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    a = qdim.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "idx", F.col("q").alias("qq")
+    )
+    b = qdim.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "idx", F.col("q").alias("cq")
+    )
+    dots = (
+        a.join(b, "idx")
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qq") * F.col("cq")).alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", F.col("cid").alias("neighbor_id"), "rank", "dot")
     )

@@ -136,3 +136,21 @@ def test_minhash_band_pairs_are_high_jaccard(spark, sf_small):
     for r in pairs[:20]:
         a, b = grams[r["doc_a"]], grams[r["doc_b"]]
         assert a & b, f"banded pair {r} shares no shingle at all"
+
+
+def test_int8_quantized_topk_tracks_float_cosine(spark, sf_small):
+    """Quantization to int8 is lossy but must preserve most of the
+    float-cosine neighborhood: recall@5 against the exact float top-5
+    stays high on the synthetic embeddings."""
+    from data_spark.queries.vectors import v_cosine_topk, v_int8_cosine_topk
+
+    exact = {}
+    for r in v_cosine_topk(spark, sf_small).collect():
+        exact.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    quant = {}
+    for r in v_int8_cosine_topk(spark, sf_small).collect():
+        quant.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    assert set(quant) == set(exact)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8, f"int8 recall@5 collapsed: {hits}/{total}"
