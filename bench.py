@@ -84,6 +84,15 @@ HEADLINE = [
     "j_interval_overlap",
     "d_minhash_band_pairs",
     "d_simhash_exact_pairs",
+    # r4 late additions: storage-layout / ER / CDC family. j_bucketed_smb
+    # deliberately pays the bucketed WRITE inside the query — the number
+    # is the sink+co-located-join round trip, not just the join
+    "j_bucketed_smb",
+    "d_edit_distance_block",
+    "g_kcore_peel",
+    "a_weighted_median",
+    "d_dup_passages",
+    "m_cdc_apply",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -181,15 +181,20 @@ def write_bucketed(
     bucket_by: list[str],
     num_buckets: int = 16,
     sort_by: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table (SURVEY §2 "bucketing for co-located
-    joins"): two tables bucketed on the same keys with the same bucket
-    count join WITHOUT a shuffle on either side — verify with
-    plans.report (exchanges == 0 under AQE-off probe). Requires a
-    warehouse dir (any local path works; set spark.sql.warehouse.dir)."""
+    """Bucketed table (SURVEY §2 "bucketing for co-located joins"): two
+    tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle on either side — verify with plans.report
+    (exchanges == 0 under AQE-off probe). With ``path`` the table is
+    external (data at the given location, catalog entry only points
+    there), so callers don't depend on the session's warehouse dir
+    being writable; otherwise it's a managed table in the warehouse."""
     writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

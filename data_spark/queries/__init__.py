@@ -16,6 +16,7 @@ from data_spark.queries import (
     documents,
     events,
     graphq,
+    matching,
     ranking,
     relational,
     relational2,
@@ -37,6 +38,7 @@ _ALL_QUERIES = {
     **ranking.QUERIES,
     **temporal.QUERIES,
     **analytics.QUERIES,
+    **matching.QUERIES,
 }
 
 ORACLE = {
@@ -51,6 +53,7 @@ ORACLE = {
     **ranking.ORACLE,
     **temporal.ORACLE,
     **analytics.ORACLE,
+    **matching.ORACLE,
 }
 
 # Round-4 window (the driver records the first 50 entries; see
@@ -64,9 +67,14 @@ ORACLE = {
 #         g_components (rows-only -> exact oracles), g_bfs_levels
 #         (partition sizing rewrite), e_anomaly_zscore (oracle decimal
 #         rescale, ADVICE r3).
-#  47-50: oldest r2-witnessed greens begin their rotation (q12, q11,
-#         q20, q21; w_distinct_over_window and a_salted_skew_agg land
-#         at #51-52, just past the window — r5 rotates them in first).
+#  47-50: the first 4 of the 6 queries added LATE in r4 (bucketed SMB /
+#         blocked edit distance / k-core / weighted median) — never
+#         witnessed, so they outrank the r2-green re-witnesses that
+#         previously held these slots. The other 2 late additions
+#         (d_dup_passages, m_cdc_apply) land at #51-52 just past the
+#         window; r5 rotates them in first, then the oldest r2 greens
+#         (q12, q11, q20, q21, w_distinct_over_window,
+#         a_salted_skew_agg).
 # Everything r3-witnessed rotates out of the window this round.
 _PRIORITY = [
     # --- only driver-green row is r1 (re-witness for regression) ---
@@ -118,7 +126,14 @@ _PRIORITY = [
     "g_components",
     "g_bfs_levels",
     "e_anomaly_zscore",
-    # --- oldest r2-witnessed greens rotate back in ---
+    # --- added LATE in r4, never witnessed ---
+    "j_bucketed_smb",
+    "d_edit_distance_block",
+    "g_kcore_peel",
+    "a_weighted_median",
+    "d_dup_passages",
+    "m_cdc_apply",
+    # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",
     "q20_heavy_suppliers",

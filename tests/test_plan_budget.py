@@ -61,6 +61,16 @@ EXCHANGE_BUDGET = {
     "d_minhash_sig": 1,
     "d_minhash_band_pairs": 3,
     "d_simhash_exact_pairs": 5,
+    # r4 late additions: the SMB join's 2 = broadcast-agg exchange pair
+    # around a ZERO-exchange join stage (the join itself is asserted
+    # shuffle-free in test_matching.py); k-core's 1 is the final degree
+    # count — per-peel plans are materialized via truncate_lineage
+    "j_bucketed_smb": 2,
+    "d_edit_distance_block": 4,
+    "g_kcore_peel": 1,
+    "a_weighted_median": 1,
+    "d_dup_passages": 5,
+    "m_cdc_apply": 1,
 }
 
 
