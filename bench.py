@@ -93,6 +93,8 @@ HEADLINE = [
     "a_weighted_median",
     "d_dup_passages",
     "m_cdc_apply",
+    "a_hll_exact_rollup",  # cross-engine-exact HLL with in-query merge
+    "a_autocorr_lag1",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -133,6 +133,8 @@ _PRIORITY = [
     "a_weighted_median",
     "d_dup_passages",
     "m_cdc_apply",
+    "a_hll_exact_rollup",
+    "a_autocorr_lag1",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

@@ -419,3 +419,188 @@ def d_simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-exact HyperLogLog: the third sketch family hash-verified
+# end to end (next to the exact MinHash and SimHash above). Same trick:
+# the item hash is the 60-bit md5 prefix both engines compute
+# bit-identically; bucket = low 8 bits, rho = leading-zero rank of the
+# remaining 52-bit window via integer bit-length (length(bin(x)) in
+# both engines); and the harmonic denominator Σ 2^(-M_j) accumulates
+# EXACTLY as the integer Σ 2^(53 - M_j) (≤ 256·2^53 < 2^62, bigint-
+# safe), so the only float math is the final α·m²·2^53/S estimate over
+# identical operands. The production HLL (operators/sketches.py, Apache
+# DataSketches) stays the scale path; this puts the HLL ALGORITHM —
+# bucketing, max-rank registers, day-level mergeability, harmonic
+# estimate — on the hard cross-engine signal.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8            # 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_W = 60 - _HLL_P  # 52-bit rank window; empty register term = 2^53
+
+
+@_q(
+    "a_hll_exact_rollup",
+    f"""
+    WITH hashed AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ), regs_daily AS (
+      SELECT event_type, day, h % {_HLL_M} AS bucket,
+             MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                      ELSE {_HLL_W + 1} - length(bin(h // {_HLL_M})) END) AS rho
+      FROM hashed GROUP BY event_type, day, h % {_HLL_M}
+    ), regs AS (
+      SELECT event_type, bucket, MAX(rho) AS rho,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS nd
+      FROM regs_daily GROUP BY event_type, bucket
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS used,
+             MAX(nd) AS n_days,
+             SUM(CAST(1 AS BIGINT) << ({_HLL_W + 1} - rho)) AS s_used
+      FROM regs GROUP BY event_type
+    ), raw AS (
+      SELECT event_type, n_days, used,
+             CAST(s_used + ({_HLL_M} - used) * (CAST(1 AS BIGINT) << {_HLL_W + 1}) AS BIGINT) AS denom_scaled,
+             (0.7213 / (1.0 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M}
+               * CAST(CAST(1 AS BIGINT) << {_HLL_W + 1} AS DOUBLE)
+               / CAST(s_used + ({_HLL_M} - used) * (CAST(1 AS BIGINT) << {_HLL_W + 1}) AS DOUBLE)
+               AS raw_est
+      FROM sums
+    )
+    SELECT event_type, n_days, used AS buckets_used, denom_scaled,
+           ROUND(CASE WHEN raw_est <= 2.5 * {_HLL_M} AND used < {_HLL_M}
+                      THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - used))
+                      ELSE raw_est END, 4) AS est_distinct
+    FROM raw
+    """,
+)
+def a_hll_exact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a hand-rolled, cross-engine-
+    exact HyperLogLog: 256 max-rank registers built per (type, day) and
+    MERGED across days inside the query (register-wise MAX — the
+    mergeability law the sketch tier is built on), then the harmonic
+    estimate. The register table and the integer-scaled denominator are
+    bit-exact in the hash; est_distinct is one double expression over
+    identical operands, rounded to 4 dp. Shuffle shape is the real
+    sketch rollup's: facts → per-day registers (map-side MAX) → merged
+    registers → 3-row output; register count (256/type) is the ONLY
+    thing that crosses stages, never user ids."""
+    e = t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    # integer floor-div (h is non-negative): float division would round
+    # in the 53rd bit of the 60-bit hash and corrupt the rank window
+    rest = F.expr(f"h div {_HLL_M}")
+    rho = F.when(rest == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(rest))
+    )
+    regs_daily = (
+        e.select("event_type", F.to_date("ts").alias("day"), h.alias("h"))
+        .groupBy("event_type", "day", (F.col("h") % _HLL_M).alias("bucket"))
+        .agg(F.max(rho).alias("rho"))
+    )
+    regs = regs_daily.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("rho"),
+        F.countDistinct("day").cast("bigint").alias("nd"),
+    )
+    term = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - rho)")
+    sums = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+        F.max("nd").alias("n_days"),
+        F.sum(term).alias("s_used"),
+    )
+    empty_term = F.lit(1 << (_HLL_W + 1)).cast("bigint")
+    denom = F.col("s_used") + (F.lit(_HLL_M) - F.col("used")) * empty_term
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    raw_est = (
+        F.lit(alpha)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(float(1 << (_HLL_W + 1)))
+        / denom.cast("double")
+    )
+    # standard small-range correction: linear counting on the empty-
+    # register count when the raw estimate is below 2.5m (the raw
+    # harmonic estimate is biased high there — measured 267 vs a true
+    # 150 at sf0.01 before the correction)
+    est = F.when(
+        (raw_est <= 2.5 * _HLL_M) & (F.col("used") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("used"))),
+    ).otherwise(raw_est)
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.col("used").alias("buckets_used"),
+        denom.alias("denom_scaled"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+@_q(
+    "a_autocorr_lag1",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), lagged AS (
+      SELECT event_type, x,
+             LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+      FROM daily
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(xp AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(38,6)) * CAST(xp AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(38,6)) * CAST(x AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(xp AS DECIMAL(38,6)) * CAST(xp AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM lagged WHERE xp IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS acf1
+    FROM sums
+    """,
+)
+def a_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily-total series —
+    the time-series family's memory test (persistence of day-to-day
+    totals). Daily sums accumulate as decimals (exact), the lag pairs
+    come from one per-type window pass, and the Pearson closed form
+    over decimal moment sums is the a_corr_pearson pattern — identical
+    double operands both engines, rounded to 6 dp. Two skinny shuffles:
+    (type, day) daily totals, then the 3-key type window+agg."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "x", F.lag("x").over(w).alias("xp")
+    ).filter(F.col("xp").isNotNull())
+    xd = F.col("x").cast("decimal(38,6)")
+    yd = F.col("xp").cast("decimal(38,6)")
+    sums = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    acf = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("event_type", "n", F.round(acf, 6).alias("acf1"))

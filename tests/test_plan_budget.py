@@ -71,6 +71,10 @@ EXCHANGE_BUDGET = {
     "a_weighted_median": 1,
     "d_dup_passages": 5,
     "m_cdc_apply": 1,
+    # exact-HLL rollup: facts → per-day registers → merged registers →
+    # per-type sums; autocorr: daily totals + type-keyed window/agg
+    "a_hll_exact_rollup": 3,
+    "a_autocorr_lag1": 2,
 }
 
 

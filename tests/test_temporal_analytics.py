@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
 from data_spark.queries.analytics import (
     _MH_BANDS,
@@ -154,3 +155,81 @@ def test_int8_quantized_topk_tracks_float_cosine(spark, sf_small):
     hits = sum(len(exact[q] & quant[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.8, f"int8 recall@5 collapsed: {hits}/{total}"
+
+
+def test_hll_exact_rollup_estimates_within_tolerance(spark, monkeypatch):
+    """Accuracy: 5000 distinct users (raw-harmonic path, well above the
+    2.5m linear-counting cutover at m=256) must estimate within ~3
+    standard errors (1.04/sqrt(256) ≈ 6.5% each)."""
+    import datetime as dt
+
+    import data_spark.queries.analytics as amod
+    from data_spark.queries.analytics import a_hll_exact_rollup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i % 7), i, "click", 1.0)
+        for i in range(5000)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    monkeypatch.setattr(amod, "t", lambda s, d, n: ev)
+    [r] = a_hll_exact_rollup(spark, "x").collect()
+    assert r["n_days"] == 7
+    assert abs(r["est_distinct"] - 5000) / 5000 < 0.20
+    # mergeability is in-query: day-split registers merged by MAX must
+    # agree with a single global build over the same rows
+    one_day = spark.createDataFrame(
+        [(i, t0, i, "click", 1.0) for i in range(5000)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    monkeypatch.setattr(amod, "t", lambda s, d, n: one_day)
+    [g] = a_hll_exact_rollup(spark, "x").collect()
+    assert g["est_distinct"] == r["est_distinct"]
+    assert g["denom_scaled"] == r["denom_scaled"]
+
+
+def test_hll_small_range_uses_linear_counting(spark, sf_small):
+    """At sf0.001 the true per-type distinct-user count is small, so
+    the linear-counting correction must land near-exact (its error at
+    n << m is a few percent, far tighter than raw HLL's small-range
+    bias)."""
+    from data_spark.queries.analytics import a_hll_exact_rollup
+    from data_spark.queries.common import t as read
+
+    import pyspark.sql.functions as F
+
+    truth = {
+        r["event_type"]: r["n"]
+        for r in read(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in a_hll_exact_rollup(spark, sf_small).collect():
+        assert abs(r["est_distinct"] - truth[r["event_type"]]) / truth[r["event_type"]] < 0.1
+
+
+def test_autocorr_lag1_matches_numpy(spark, sf_small):
+    """The decimal-moments closed form must agree with numpy's
+    corrcoef over the same lagged daily series."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from data_spark.queries.analytics import a_autocorr_lag1
+    from data_spark.queries.common import t as read
+
+    daily = (
+        read(spark, sf_small, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(daily, key=lambda r: (r["event_type"], r["day"])):
+        series.setdefault(r["event_type"], []).append(r["x"])
+    got = {r["event_type"]: r["acf1"] for r in a_autocorr_lag1(spark, sf_small).collect()}
+    for etype, xs in series.items():
+        expect = float(np.corrcoef(xs[1:], xs[:-1])[0, 1])
+        assert got[etype] == pytest.approx(expect, abs=1e-4)
