@@ -358,3 +358,74 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def blocked_edit_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 30,
+    key_words: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by exact edit distance under multi-pass
+    blocking — the classic entity-resolution shape (reference analogue:
+    the fuzzy matching the FEC name pipeline approximates with
+    normalized-name equality; here the distance is exact).
+
+    All-pairs Levenshtein is O(n²·len²) and never survives scale. The
+    standard answer is blocking: two cheap keys per document (its first
+    ``key_words`` and last ``key_words`` normalized words) gate an
+    equi-join, so the expensive comparison runs only inside blocks —
+    mutations at either end of a document are still caught by the
+    opposite pass. The deduped candidate set is materialized
+    (truncate_lineage) before the distance filter: without the barrier
+    Catalyst sinks the Levenshtein into the block join's condition,
+    where it runs on every bucket match ahead of the cheap id< guard
+    and the dedup (measured 4× slower at sf0.1). The distance itself is
+    threshold-banded — O(max_dist·len) per pair, exact for every pair
+    it keeps. Returns (doc_a, doc_b, dist).
+    """
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    norm = docs.select(
+        F.col(id_col).alias("__id"),
+        F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]+", " ")).alias("nt"),
+    )
+    keyed = norm.select(
+        "__id", "nt", F.split("nt", r"\s+").alias("words")
+    ).filter(F.size("words") >= key_words)
+    head = keyed.select(
+        "__id",
+        "nt",
+        F.concat(
+            F.lit("H:"), F.array_join(F.slice("words", 1, key_words), " ")
+        ).alias("blk"),
+    )
+    tail = keyed.select(
+        "__id",
+        "nt",
+        F.concat(
+            F.lit("T:"), F.array_join(F.slice("words", -key_words, key_words), " ")
+        ).alias("blk"),
+    )
+    blocks = head.unionByName(tail).distinct()
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("a.nt").alias("na"),
+            F.col("b.nt").alias("nb"),
+        )
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    dist = F.levenshtein("na", "nb", max_dist)
+    return cand.select(
+        "doc_a", "doc_b", dist.cast("bigint").alias("dist")
+    ).filter(F.col("dist") >= 0)

@@ -153,61 +153,19 @@ _EDIT_MAX = 30
 )
 def d_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact edit distance (≤30) under two-pass
-    blocking. The head-key and tail-key passes each produce an
-    equi-join on a short string; candidates are deduped before the
-    O(len²) levenshtein runs, so the expensive comparison count is
-    bounded by block occupancy — never all-pairs. Both engines compute
+    blocking (operators/dedup.blocked_edit_pairs). The head-key and
+    tail-key passes each produce an equi-join on a short string;
+    candidates are deduped and materialized before the threshold-banded
+    levenshtein runs, so the expensive comparison count is bounded by
+    block occupancy — never all-pairs. Both engines compute
     byte-identical normalized text, 3-word keys, and unit-cost edit
-    distance, so the pair set AND distances hash-match."""
-    d = t(spark, sf_dir, "documents")
-    norm = d.select(
-        "doc_id",
-        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " ")).alias("nt"),
-    )
-    keyed = norm.select(
-        "doc_id", "nt", F.split("nt", r"\s+").alias("words")
-    ).filter(F.size("words") >= 3)
-    head = keyed.select(
-        "doc_id",
-        "nt",
-        F.concat(F.lit("H:"), F.array_join(F.slice("words", 1, 3), " ")).alias("blk"),
-    )
-    tail = keyed.select(
-        "doc_id",
-        "nt",
-        F.concat(F.lit("T:"), F.array_join(F.slice("words", -3, 3), " ")).alias("blk"),
-    )
-    blocks = head.unionByName(tail).distinct()
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.nt").alias("na"),
-            F.col("b.nt").alias("nb"),
-        )
-        .distinct()
-    )
-    # threshold-banded Levenshtein: O(max_dist · len) instead of
-    # O(len²) per pair (returns -1 when the distance exceeds the bound,
-    # and the exact distance otherwise — so results match the oracle's
-    # full computation on every surviving pair). Computed once.
-    # Materialize the deduped candidate set BEFORE the distance filter:
-    # without the barrier Catalyst pushes `levenshtein(...) >= 0` into
-    # the block join's condition, where it runs on every bucket match
-    # (self-pairs, reversed pairs, H/T duplicates) ahead of the cheap
-    # doc_id< guard and the dedup — measured 4× slower at sf0.1. A real
-    # ER pipeline materializes candidates before verification anyway.
-    cand = cand.transform(truncate_lineage)
-    dist = F.levenshtein("na", "nb", _EDIT_MAX)
-    return (
-        cand.select("doc_a", "doc_b", dist.cast("bigint").alias("dist"))
-        .filter(F.col("dist") >= 0)
+    distance, so the pair set AND distances hash-match (the oracle's
+    full-matrix levenshtein equals the banded one on every pair the
+    threshold keeps)."""
+    from data_spark.operators.dedup import blocked_edit_pairs  # noqa: PLC0415
+
+    return blocked_edit_pairs(
+        t(spark, sf_dir, "documents"), max_dist=_EDIT_MAX, key_words=3
     )
 
 

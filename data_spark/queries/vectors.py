@@ -179,14 +179,74 @@ def j_suffix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_containment_join(hosts, F.broadcast(domains)).select("host", "domain")
 
 
-@_q("d_kmeans")  # iterative (Lloyd's) — exactness pytest-gated vs a
-# plain-Python mirror in tests/test_operators.py
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3) -> str:
+    """Lloyd's k-means unrolled to the operator's exact recipe so DuckDB
+    reproduces the fit BIT-EXACTLY (prototyped: centroids match Spark's
+    to the last bit after 2 full rounds at sf0.001):
+
+    - init = the k lowest-id vectors, cluster j = j-th lowest;
+    - distance = the same left-fold of per-dim squared diffs the Spark
+      operator computes with F.aggregate (DuckDB list_reduce folds in
+      the same order, and Spark's 0.0 seed is exact under + so the two
+      fold sequences produce identical doubles);
+    - argmin ties break on lower cluster id (ROW_NUMBER both engines);
+    - means accumulate as DECIMAL(38,9) and divide by the count —
+      exact, order-independent, identical double division;
+    - empty clusters keep their previous centroid (COALESCE).
+
+    The final SELECT is one extra assignment with the fitted centroids
+    (= kmeans_predict) aggregated to per-cluster member counts.
+    """
+    dist = (
+        "list_reduce(list_transform(range(1, len(v.v)+1), "
+        "i -> (v.v[i]-c.cent[i])*(v.v[i]-c.cent[i])), (acc,x) -> acc+x)"
+    )
+    sql = f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cluster, v AS cent
+      FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {k}
+    )"""
+    for it in range(1, iterations + 2):
+        sql += f""",
+    assign{it} AS (
+      SELECT id, cluster FROM (
+        SELECT v.id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY {dist}, c.cluster) AS rn
+        FROM v, cents{it - 1} c
+      ) WHERE rn = 1
+    )"""
+        if it == iterations + 1:
+            break  # the last assignment is the predict pass — no update
+        sql += f""",
+    sums{it} AS (
+      SELECT a.cluster, r.i,
+             CAST(SUM(CAST(v.v[r.i] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+      FROM assign{it} a JOIN v USING (id), UNNEST(range(1, len(v.v)+1)) AS r(i)
+      GROUP BY a.cluster, r.i
+    ),
+    newc{it} AS (SELECT cluster, list(m ORDER BY i) AS cent FROM sums{it} GROUP BY cluster),
+    cents{it} AS (
+      SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+      FROM cents{it - 1} p LEFT JOIN newc{it} n USING (cluster)
+    )"""
+    return sql + f"""
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM assign{iterations + 1} GROUP BY cluster
+    """
+
+
+@_q("d_kmeans", _kmeans_oracle_sql())  # oracle NEW late-r4: the fit is
+# bit-reproducible, so the whole 3-round Lloyd loop + predict is
+# hash-verified (was rows-only; exactness also pytest-gated vs a
+# plain-Python mirror in tests/test_operators.py)
 def d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means over the embeddings table, summarized as
     per-cluster member counts (k=8, 3 Lloyd rounds). Fully reproducible
-    (lowest-id init, decimal-mean updates, tie-broken argmin) — the
-    rows-only driver check sees a stable row set; exact assignments are
-    pytest-gated."""
+    (lowest-id init, decimal-mean updates, tie-broken argmin) — since
+    late r4 the DuckDB oracle replays the identical fit (see
+    _kmeans_oracle_sql), moving the iterative-clustering tier onto the
+    hard cross-engine signal."""
     from data_spark.operators.clustering import kmeans_fit, kmeans_predict
 
     emb = t(spark, sf_dir, "embeddings")

@@ -39,6 +39,7 @@ sys.path.insert(0, "/root/repo")
 import pyspark.sql.functions as F  # noqa: E402
 
 from data_spark.operators.dedup import (  # noqa: E402
+    blocked_edit_pairs,
     exact_duplicate_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -184,6 +185,10 @@ def synth(sizes: list[int]) -> None:
         "embed_lsh": lambda docs, emb: embedding_near_duplicate_pairs(
             emb, threshold=0.9, dim=_SYNTH_DIM, bands=2, rows_per_band=16
         ),
+        # blocked entity resolution: variant-1 docs mutate their first
+        # two words, so only the tail-key pass blocks them with their
+        # base — cost must track block occupancy, not corpus²
+        "edit_block": lambda docs, emb: blocked_edit_pairs(docs, max_dist=30),
     }
     results = {name: [] for name in ops}
     for n in sizes:
