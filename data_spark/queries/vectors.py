@@ -179,6 +179,62 @@ def j_suffix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_containment_join(hosts, F.broadcast(domains)).select("host", "domain")
 
 
+def _kmeans_cents_cte(k: int = 8, iterations: int = 3, src_where: str = "") -> str:
+    """WITH-clause prefix (no leading WITH): v = the fit corpus
+    (optionally filtered), cents0 = lowest-id init, then ``iterations``
+    unrolled Lloyd rounds ending at cents{iterations}. Shared by the
+    d_kmeans / d_semantic_dedup / v_ivf_kmeans_topk oracles."""
+    dist = (
+        "list_reduce(list_transform(range(1, len(v.v)+1), "
+        "i -> (v.v[i]-c.cent[i])*(v.v[i]-c.cent[i])), (acc,x) -> acc+x)"
+    )
+    sql = f"""
+    v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{src_where}),
+    cents0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cluster, v AS cent
+      FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {k}
+    )"""
+    for it in range(1, iterations + 1):
+        sql += f""",
+    assign{it} AS (
+      SELECT id, cluster FROM (
+        SELECT v.id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY {dist}, c.cluster) AS rn
+        FROM v, cents{it - 1} c
+      ) WHERE rn = 1
+    ),
+    sums{it} AS (
+      SELECT a.cluster, r.i,
+             CAST(SUM(CAST(v.v[r.i] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+      FROM assign{it} a JOIN v USING (id), UNNEST(range(1, len(v.v)+1)) AS r(i)
+      GROUP BY a.cluster, r.i
+    ),
+    newc{it} AS (SELECT cluster, list(m ORDER BY i) AS cent FROM sums{it} GROUP BY cluster),
+    cents{it} AS (
+      SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+      FROM cents{it - 1} p LEFT JOIN newc{it} n USING (cluster)
+    )"""
+    return sql
+
+
+_KM_PREDICT_DIST = (
+    "list_reduce(list_transform(range(1, len(v.v)+1), "
+    "i -> (v.v[i]-c.cent[i])*(v.v[i]-c.cent[i])), (acc,x) -> acc+x)"
+)
+
+
+def _kmeans_predict_cte(name: str, cents: str) -> str:
+    """One nearest-centroid assignment CTE over v (= kmeans_predict)."""
+    return f"""
+    {name} AS (
+      SELECT id, cluster FROM (
+        SELECT v.id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY {_KM_PREDICT_DIST}, c.cluster) AS rn
+        FROM v, {cents} c
+      ) WHERE rn = 1
+    )"""
+
+
 def _kmeans_oracle_sql(k: int = 8, iterations: int = 3) -> str:
     """Lloyd's k-means unrolled to the operator's exact recipe so DuckDB
     reproduces the fit BIT-EXACTLY (prototyped: centroids match Spark's
@@ -197,43 +253,16 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 3) -> str:
     The final SELECT is one extra assignment with the fitted centroids
     (= kmeans_predict) aggregated to per-cluster member counts.
     """
-    dist = (
-        "list_reduce(list_transform(range(1, len(v.v)+1), "
-        "i -> (v.v[i]-c.cent[i])*(v.v[i]-c.cent[i])), (acc,x) -> acc+x)"
-    )
-    sql = f"""
-    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents0 AS (
-      SELECT CAST(rn - 1 AS INT) AS cluster, v AS cent
-      FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {k}
-    )"""
-    for it in range(1, iterations + 2):
-        sql += f""",
-    assign{it} AS (
-      SELECT id, cluster FROM (
-        SELECT v.id, c.cluster,
-               ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY {dist}, c.cluster) AS rn
-        FROM v, cents{it - 1} c
-      ) WHERE rn = 1
-    )"""
-        if it == iterations + 1:
-            break  # the last assignment is the predict pass — no update
-        sql += f""",
-    sums{it} AS (
-      SELECT a.cluster, r.i,
-             CAST(SUM(CAST(v.v[r.i] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
-      FROM assign{it} a JOIN v USING (id), UNNEST(range(1, len(v.v)+1)) AS r(i)
-      GROUP BY a.cluster, r.i
-    ),
-    newc{it} AS (SELECT cluster, list(m ORDER BY i) AS cent FROM sums{it} GROUP BY cluster),
-    cents{it} AS (
-      SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
-      FROM cents{it - 1} p LEFT JOIN newc{it} n USING (cluster)
-    )"""
-    return sql + f"""
+    return (
+        "WITH "
+        + _kmeans_cents_cte(k, iterations)
+        + ","
+        + _kmeans_predict_cte("pred", f"cents{iterations}")
+        + """
     SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
-    FROM assign{iterations + 1} GROUP BY cluster
+    FROM pred GROUP BY cluster
     """
+    )
 
 
 @_q("d_kmeans", _kmeans_oracle_sql())  # oracle NEW late-r4: the fit is
@@ -258,8 +287,40 @@ def d_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("d_semantic_dedup")  # cluster-scoped — recall vs the exact pair set
-# is pytest-gated (near-dups split across clusters are missed by design)
+def _semantic_dedup_oracle_sql(k: int = 8, iterations: int = 3,
+                               threshold: float = 0.4) -> str:
+    """The SemDeDup pass replayed on the bit-exact k-means fit: predict
+    the cluster of every vector, compute norms with the same left-fold
+    dot product, and drop the larger id of every within-cluster pair
+    whose cosine clears the threshold (compared as
+    dot >= threshold·na·nb with identical association, so both engines
+    agree on every boundary)."""
+    return (
+        "WITH "
+        + _kmeans_cents_cte(k, iterations)
+        + ","
+        + _kmeans_predict_cte("pred", f"cents{iterations}")
+        + f""",
+    norms AS (
+      SELECT p.cluster, v.id, v.v,
+             sqrt(list_reduce(list_transform(range(1, len(v.v)+1), i -> v.v[i]*v.v[i]), (acc,x) -> acc+x)) AS n
+      FROM pred p JOIN v USING (id)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.id
+      FROM norms a JOIN norms b ON a.cluster = b.cluster AND a.id < b.id
+      WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (acc,x) -> acc+x) >= {threshold} * a.n * b.n
+    )
+    SELECT nm.id, nm.cluster, d.id IS NULL AS keep
+    FROM norms nm LEFT JOIN dropped d ON nm.id = d.id
+    """
+    )
+
+
+@_q("d_semantic_dedup", _semantic_dedup_oracle_sql())  # oracle NEW
+# late-r4 on top of the bit-exact k-means fit; within-cluster recall vs
+# the exact pair set stays pytest-gated (near-dups split across
+# clusters are missed by design)
 def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means partitions the corpus,
     near-dup pairs (cosine >= 0.4) are found within clusters only, the
@@ -272,7 +333,49 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, k=8, iterations=3)
 
 
-@_q("v_ivf_kmeans_topk")  # trained centroids — recall pytest-gated
+def _ivf_kmeans_oracle_sql(k: int = 8, iterations: int = 3) -> str:
+    """v_ivf_topk's probe/rerank SQL with the seed cells replaced by
+    the TRAINED centroids of the bit-exact k-means fit over the corpus
+    half (vec_id >= 10). Cell choice and rerank order use cosines over
+    doubles both engines compute identically; only ids and ranks reach
+    the hash."""
+    return (
+        "WITH "
+        + _kmeans_cents_cte(k, iterations, src_where=" WHERE vec_id >= 10")
+        + f""",
+    c AS (SELECT id AS cid, v AS cv FROM v),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    cents AS (SELECT cluster AS cent_id, cent AS cent_v FROM cents{iterations}),
+    assign AS (
+      SELECT cid, cell FROM (
+        SELECT c.cid, cents.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                 ORDER BY list_cosine_similarity(c.cv, cents.cent_v) DESC, cents.cent_id) AS rn
+        FROM c, cents) WHERE rn = 1
+    ), probes AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, cents.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, cents.cent_v) DESC, cents.cent_id) AS rn
+        FROM q, cents) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.qid, a.cid FROM probes p JOIN assign a ON p.cell = a.cell
+    ), ranked AS (
+      SELECT cand.qid, cand.cid,
+             ROW_NUMBER() OVER (PARTITION BY cand.qid
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, cand.cid) AS rank
+      FROM cand JOIN q ON cand.qid = q.qid JOIN c ON cand.cid = c.cid
+    )
+    SELECT qid, cid AS neighbor_id, rank FROM ranked WHERE rank <= 5
+    """
+    )
+
+
+@_q("v_ivf_kmeans_topk", _ivf_kmeans_oracle_sql())  # oracle NEW
+# late-r4: the trained cells come from the bit-exact k-means fit, so
+# the whole train+probe+rerank pipeline is hash-verified; recall stays
+# pytest-gated
 def v_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over TRAINED (k-means) cells instead of the
     deterministic-seed cells of v_ivf_topk: fit 8 centroids with 3
