@@ -95,6 +95,10 @@ HEADLINE = [
     "m_cdc_apply",
     "a_hll_exact_rollup",  # cross-engine-exact HLL with in-query merge
     "a_autocorr_lag1",
+    "a_linreg_trend",
+    "a_mad_outliers",
+    "e_pattern_seq",  # MATCH_RECOGNIZE-shape triple join, user-keyed
+    "e_transition_matrix",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -135,6 +135,10 @@ _PRIORITY = [
     "m_cdc_apply",
     "a_hll_exact_rollup",
     "a_autocorr_lag1",
+    "a_linreg_trend",
+    "a_mad_outliers",
+    "e_pattern_seq",
+    "e_transition_matrix",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

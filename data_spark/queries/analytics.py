@@ -604,3 +604,145 @@ def a_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return sums.select("event_type", "n", F.round(acf, 6).alias("acf1"))
+
+
+@_q(
+    "a_linreg_trend",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DECIMAL(38,6)) AS x,
+             CAST(value AS DECIMAL(38,6)) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DECIMAL(19,6)) AS nd,
+             CAST(SUM(x) AS DECIMAL(19,6)) AS sx,
+             CAST(SUM(y) AS DECIMAL(19,6)) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DECIMAL(19,6)) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DECIMAL(19,6)) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(nd * sxy - sx * sy AS DOUBLE)
+                 / CAST(nd * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(nd * sxx - sx * sx AS DOUBLE), 6) AS intercept
+    FROM sums
+    """,
+)
+def a_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of event value over time (x = epoch day):
+    the grouped-regression member of the statistics family, computed
+    from four decimal moment sums in ONE map-side-combinable shuffle —
+    no per-group iteration, no second pass for the means. The closed
+    form runs on identical double operands in both engines; slope and
+    intercept round to 6 dp."""
+    e = t(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast(
+        "decimal(38,6)"
+    )
+    y = F.col("value").cast("decimal(38,6)")
+    # moments stay DECIMAL(19,6) end to end: the closed-form numerators
+    # reach ~8e17 (sy·sxx), past the exact-integer range of a double, so
+    # computing them in float lets the engines' differing
+    # multiply-subtract contraction produce ~1e-6 drift (observed at
+    # sf0.01). Decimal(19,6)·decimal(19,6) fits both engines' 38-digit
+    # multiply exactly; the ONLY float op is the final division of two
+    # identical doubles.
+    sums = e.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("decimal(19,6)").alias("nd"),
+        F.sum("x").cast("decimal(19,6)").alias("sx"),
+        F.sum("y").cast("decimal(19,6)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).cast("decimal(19,6)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).cast("decimal(19,6)").alias("sxx"),
+    )
+    den = (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / den
+    intercept = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double") / den
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+@_q(
+    "a_mad_outliers",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), dev_ranked AS (
+      SELECT event_type, med, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type, med, ad AS mad FROM dev_ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, m.med, m.mad,
+           CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+)
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type: lower-median of value,
+    median absolute deviation around it, and how many points fall
+    beyond 3 MADs — the robust-statistics cut that survives the heavy
+    tails a z-score drowns in. Both medians are exact ROW_NUMBER
+    selections at position (n+1)/2 (engine-independent: ties share the
+    selected VALUE even when the tied row differs), and every
+    comparison runs on identical doubles. Two windowed passes + one
+    broadcast-size median join per pass, all keyed on the 5-value
+    event_type."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+    ).select("event_type", F.col("value").alias("med"))
+    dev = e.join(med, "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    wd = Window.partitionBy("event_type").orderBy("ad")
+    dev_ranked = dev.select(
+        "event_type",
+        "med",
+        "ad",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mad = dev_ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+    ).select("event_type", F.col("ad").alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_spark.functions import clean_zip, parse_amount, parse_date_multi
-from data_spark.queries.common import SQL_DSUM, dsum, t
+from data_spark.queries.common import SQL_DSUM, dsum, t, ts_str
 
 QUERIES = {}
 ORACLE = {}
@@ -691,4 +691,101 @@ def e_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("s"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
         F.date_format(F.max("e"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "e_pattern_seq",
+    """
+    WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           strftime(MIN(p.ts), '%Y-%m-%d %H:%M:%S') AS first_conversion
+    FROM v
+    JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+    JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+          AND p.ts <= v.ts + INTERVAL 1 DAY
+    GROUP BY v.user_id
+    """,
+)
+def e_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern: strictly-ordered view→click→purchase
+    sequences completing within one day, counted per user with the
+    earliest conversion time — the MATCH_RECOGNIZE shape expressed as a
+    user-keyed triple join. Scale posture: all three legs equi-join on
+    user_id (ONE shuffle key), so per-user work is bounded by that
+    user's event density inside the deadline window, never the stream
+    length; the deadline predicate prunes the third leg before the
+    aggregate. Timestamps compare at exact microseconds in both
+    engines."""
+    e = t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    paths = (
+        v.join(c, (F.col("c_uid") == F.col("user_id")) & (F.col("c_ts") > F.col("v_ts")))
+        .join(
+            p,
+            (F.col("p_uid") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 DAY")),
+        )
+    )
+    return paths.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        ts_str(F.min("p_ts")).alias("first_conversion"),
+    )
+
+
+@_q(
+    "e_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+    FROM trans
+    """,
+)
+def e_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event flows:
+    each user's stream is ordered by (ts, event_id) — a total order, so
+    the lag pairs are engine-independent — and transition counts
+    normalize to row-stochastic probabilities per source state. One
+    user-keyed window pass, one tiny (|types|²) aggregate; probability
+    is exact-int / exact-int in double, rounded to 6 dp."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("p"),
     )

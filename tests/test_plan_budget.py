@@ -75,6 +75,12 @@ EXCHANGE_BUDGET = {
     # per-type sums; autocorr: daily totals + type-keyed window/agg
     "a_hll_exact_rollup": 3,
     "a_autocorr_lag1": 2,
+    # stats/CEP batch: MAD needs two windowed passes + two median joins;
+    # the pattern join's three legs share the user_id shuffle key
+    "a_linreg_trend": 1,
+    "a_mad_outliers": 6,
+    "e_pattern_seq": 3,
+    "e_transition_matrix": 3,
 }
 
 

@@ -233,3 +233,79 @@ def test_autocorr_lag1_matches_numpy(spark, sf_small):
     for etype, xs in series.items():
         expect = float(np.corrcoef(xs[1:], xs[:-1])[0, 1])
         assert got[etype] == pytest.approx(expect, abs=1e-4)
+
+
+def test_linreg_trend_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from data_spark.queries.analytics import a_linreg_trend
+    from data_spark.queries.common import t as read
+
+    rows = read(spark, sf_small, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    ).collect()
+    pts: dict[str, list] = {}
+    epoch = dt.date(1970, 1, 1)
+    for r in rows:
+        pts.setdefault(r["event_type"], []).append(
+            ((r["d"] - epoch).days, r["value"])
+        )
+    got = {
+        r["event_type"]: (r["slope"], r["intercept"])
+        for r in a_linreg_trend(spark, sf_small).collect()
+    }
+    for etype, xy in pts.items():
+        xs = np.array([p[0] for p in xy], dtype=float)
+        ys = np.array([p[1] for p in xy], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[etype][0] == pytest.approx(slope, abs=1e-4)
+        assert got[etype][1] == pytest.approx(intercept, abs=1e-2)
+
+
+def test_mad_outliers_manual_case(spark, monkeypatch):
+    import data_spark.queries.analytics as amod
+    from data_spark.queries.analytics import a_mad_outliers
+
+    # values 1..9 plus an outlier 100: lower median = 5 (n=10 → rn 5),
+    # deviations sorted: 0,1,1,2,2,3,3,4,4,95 → lower median (rn 5) = 2,
+    # outliers: ad > 6 → only 100 (ad 95)
+    rows = [("A", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    monkeypatch.setattr(amod, "t", lambda s, d, n: ev)
+    [r] = a_mad_outliers(spark, "x").collect()
+    assert (r["med"], r["mad"], r["n_outliers"]) == (5.0, 2.0, 1)
+
+
+def test_pattern_seq_ordering_and_deadline(spark, monkeypatch):
+    import data_spark.queries.events as emod
+    from data_spark.queries.events import e_pattern_seq
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, uid, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, etype, 1.0)
+
+    rows = [
+        # user 1: complete path inside the 1-day deadline
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+        # user 2: right order, but purchase past the deadline
+        ev(4, 0, 2, "view"), ev(5, 10, 2, "click"), ev(6, 60 * 25, 2, "purchase"),
+        # user 3: wrong order (click before view)
+        ev(7, 0, 3, "click"), ev(8, 10, 3, "view"), ev(9, 20, 3, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    monkeypatch.setattr(emod, "t", lambda s, d, n: e)
+    got = {r["user_id"]: r["n_paths"] for r in e_pattern_seq(spark, "x").collect()}
+    assert got == {1: 1}
+
+
+def test_transition_matrix_is_row_stochastic(spark, sf_small):
+    from data_spark.queries.events import e_transition_matrix
+
+    rows = e_transition_matrix(spark, sf_small).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+    assert by_from and all(abs(v - 1.0) < 1e-4 for v in by_from.values())
