@@ -169,3 +169,23 @@ def test_cdc_apply_last_writer_wins_and_tombstones(spark, monkeypatch):
     }
     assert got == {1: (20.0, "U"), 3: (60.0, "I")}
     assert 2 not in got
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark, sf_small):
+    """Bucket pruning: an equality filter on the bucket key reads ONE
+    of the 8 buckets — at 100 TB a point lookup touches 1/8th of the
+    files before row-group statistics even apply. (Auto-bucketed-scan
+    is forced on: Spark's planner otherwise skips bucketed reading for
+    filter-only plans, silently giving up the pruning.)"""
+    o, _li = bucketed_orders_lineitem(spark, sf_small)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = (
+            o.filter(o.o_orderkey == 42)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1500]
