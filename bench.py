@@ -99,6 +99,7 @@ HEADLINE = [
     "a_mad_outliers",
     "e_pattern_seq",  # MATCH_RECOGNIZE-shape triple join, user-keyed
     "e_transition_matrix",
+    "f_null_semantics",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -139,6 +139,7 @@ _PRIORITY = [
     "a_mad_outliers",
     "e_pattern_seq",
     "e_transition_matrix",
+    "f_null_semantics",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

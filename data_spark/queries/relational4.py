@@ -533,3 +533,98 @@ def s_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("covered") == F.col("nr"))
         .select("suppkey")
     )
+
+
+@_q(
+    "f_null_semantics",
+    """
+    WITH o2 AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderpriority, '1-URGENT') AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS v
+      FROM orders
+    ), ranked AS (
+      SELECT k, o_orderkey, v,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY v ASC NULLS FIRST, o_orderkey) AS rn
+      FROM o2
+    ), firsts AS (
+      SELECT k, o_orderkey AS first_key_nulls_first FROM ranked WHERE rn = 1
+    ), grouped AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(COUNT(v) AS BIGINT) AS n_vals,
+             CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vals,
+             MIN(v) AS min_v
+      FROM o2 GROUP BY k
+    ), keys AS (SELECT DISTINCT k FROM o2)
+    SELECT g.k, g.n_all, g.n_vals, g.n_null_vals, g.min_v,
+           f.first_key_nulls_first,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keys x
+            WHERE x.k IS NOT DISTINCT FROM g.k) AS n_nullsafe_matches
+    FROM grouped g
+    JOIN firsts f ON f.k IS NOT DISTINCT FROM g.k
+    """,
+)
+def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: grouping BY a nullable key (the NULL
+    group is a real group), COUNT(*) vs COUNT(col), IS [NOT] DISTINCT
+    FROM, a null-safe equi-join (eqNullSafe ⇔ IS NOT DISTINCT FROM —
+    the only join that matches the NULL group to itself), and
+    explicitly-pinned NULLS FIRST window ordering. The last one is the
+    trap this query exists for: Spark's ASC default puts NULLs FIRST
+    while DuckDB's puts them LAST, so any ordered selection over a
+    nullable column that doesn't pin the null position silently
+    diverges across engines — here both pin asc_nulls_first and must
+    pick the identical first key."""
+    o = t(spark, sf_dir, "orders")
+    o2 = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").asc_nulls_first(), F.col("o_orderkey")
+    )
+    firsts = (
+        o2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", F.col("o_orderkey").alias("first_key_nulls_first"))
+    )
+    grouped = o2.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.count("v").cast("bigint").alias("n_vals"),
+        F.sum(F.when(F.col("v").eqNullSafe(F.lit(None).cast("double")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_vals"),
+        F.min("v").alias("min_v"),
+    )
+    keys = o2.select("k").distinct()
+    matches = (
+        grouped.select("k")
+        .join(
+            keys.withColumnRenamed("k", "k2"),
+            F.col("k").eqNullSafe(F.col("k2")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nullsafe_matches"))
+    )
+    return (
+        grouped.join(firsts, grouped.k.eqNullSafe(firsts.k))
+        .drop(firsts.k)
+        # this join must be null-safe too — a plain "k" equi-join would
+        # silently drop the NULL group's row, which is the whole point
+        .join(matches.withColumnRenamed("k", "k3"), F.col("k").eqNullSafe(F.col("k3")))
+        .select(
+            "k",
+            "n_all",
+            "n_vals",
+            "n_null_vals",
+            "min_v",
+            "first_key_nulls_first",
+            "n_nullsafe_matches",
+        )
+    )

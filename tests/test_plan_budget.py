@@ -81,6 +81,7 @@ EXCHANGE_BUDGET = {
     "a_mad_outliers": 6,
     "e_pattern_seq": 3,
     "e_transition_matrix": 3,
+    "f_null_semantics": 8,
 }
 
 
