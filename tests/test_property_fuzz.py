@@ -221,3 +221,77 @@ def test_scalar_function_parity(engines, pred, e1, e2, e3):
         f"FROM li_fuzz WHERE {pred}"
     )
     _parity(spark, con, sql)
+
+
+# ---------------------------------------------------------------------------
+# Window-function fuzzing: random (function, partition, order, frame)
+# combinations must agree across engines. Determinism discipline:
+# ranking funcs get a total order (unique (l_orderkey, l_linenumber)
+# tiebreak), value orderings pin NULLS FIRST explicitly (Spark's ASC
+# default is nulls-first, DuckDB's is nulls-last — the f_null_semantics
+# trap), and SUM goes through DECIMAL then back to DOUBLE.
+# ---------------------------------------------------------------------------
+
+_WF_TIEBREAK = "l_orderkey, l_linenumber"
+
+_wf_func = st.sampled_from(
+    [
+        ("ROW_NUMBER()", "rows"),
+        ("RANK()", "plain"),
+        ("DENSE_RANK()", "plain"),
+        ("COUNT(*)", "frame"),
+        ("MIN({c})", "frame"),
+        ("MAX({c})", "frame"),
+        # OVER binds to the aggregate, so the decimal SUM template
+        # carries its own {over} slot inside the outer CAST
+        ("CAST(SUM(CAST({c} AS DECIMAL(38,6))) OVER {over} AS DOUBLE)", "frame"),
+        ("LAG({c}, {k})", "rows"),
+        ("LEAD({c}, {k})", "rows"),
+    ]
+)
+_wf_frame = st.sampled_from(
+    [
+        "",
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        " ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING",
+        " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    ]
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=_wf_func,
+    part=st.sampled_from(["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"]),
+    val=st.sampled_from(NUM_COLS + KEY_COLS),
+    off=st.integers(min_value=1, max_value=3),
+    frame=_wf_frame,
+)
+def test_window_function_parity(engines, fn, part, val, off, frame):
+    spark, con = engines
+    tmpl, kind = fn
+    expr = tmpl.replace("{c}", val).replace("{k}", str(off))
+    if kind == "plain":
+        # rank functions: order by a possibly-tied value — ties share a
+        # rank, so the result is deterministic without a tiebreak, and
+        # WITH ties the two engines must still agree
+        over = f"(PARTITION BY {part} ORDER BY {val} ASC NULLS FIRST)"
+    elif kind == "rows":
+        # row-position functions need a TOTAL order
+        over = f"(PARTITION BY {part} ORDER BY {val} ASC NULLS FIRST, {_WF_TIEBREAK})"
+    else:
+        over = (
+            f"(PARTITION BY {part} ORDER BY {val} ASC NULLS FIRST, {_WF_TIEBREAK}"
+            f"{frame})"
+        )
+    win = expr.format(over=over) if "{over}" in tmpl else f"{expr} OVER {over}"
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {win} AS w "
+        f"FROM li_fuzz WHERE l_orderkey < 3000"
+    )
+    _parity(spark, con, sql)
