@@ -100,6 +100,9 @@ HEADLINE = [
     "e_pattern_seq",  # MATCH_RECOGNIZE-shape triple join, user-keyed
     "e_transition_matrix",
     "f_null_semantics",
+    "dq_constraint_audit",
+    "s_spatial_grid_join",  # grid-file radius join, one cell-key shuffle
+    "h_bom_rollup",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -17,6 +17,7 @@ from data_spark.queries import (
     events,
     graphq,
     matching,
+    quality,
     ranking,
     relational,
     relational2,
@@ -39,6 +40,7 @@ _ALL_QUERIES = {
     **temporal.QUERIES,
     **analytics.QUERIES,
     **matching.QUERIES,
+    **quality.QUERIES,
 }
 
 ORACLE = {
@@ -54,6 +56,7 @@ ORACLE = {
     **temporal.ORACLE,
     **analytics.ORACLE,
     **matching.ORACLE,
+    **quality.ORACLE,
 }
 
 # Round-4 window (the driver records the first 50 entries; see
@@ -140,6 +143,9 @@ _PRIORITY = [
     "e_pattern_seq",
     "e_transition_matrix",
     "f_null_semantics",
+    "dq_constraint_audit",
+    "s_spatial_grid_join",
+    "h_bom_rollup",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

@@ -1,0 +1,286 @@
+"""Practical-engine tier added late in round 4: data-quality constraint
+auditing (the dbt-test / Deequ shape), a planar spatial-grid
+neighbor join (the geospatial radius-join shape, kept trig-free so the
+distance math is integer-exact in both engines), and a fixed-depth
+bill-of-materials hierarchical rollup (the recursive part-explosion
+shape at a deterministic depth).
+
+All three carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_spark.queries.common import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "dq_constraint_audit",
+    """
+    SELECT 'orderkey_unique' AS rule,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'custkey_fk_orphans',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'shipdate_not_null',
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_positive',
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderstatus_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/dbt-test shape): six
+    constraint rules — key uniqueness, FK orphans (anti-join),
+    not-null, numeric range, positivity, and a value-domain check —
+    each reduced to a violation count and unioned into one report.
+    Every rule is a single scan-side aggregate (the FK check is one
+    anti-join); at 100 TB the whole audit is a handful of
+    map-side-combinable passes, and rules over the same table share
+    the scan."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("orderkey_unique").alias("rule"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("bigint").alias("n_violations"),
+        )
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(
+            F.lit("custkey_fk_orphans").alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+    )
+
+    def rule_sum(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+        )
+
+    return (
+        dup.unionByName(orphans)
+        .unionByName(rule_sum(li, "shipdate_not_null", F.col("l_shipdate").isNull()))
+        .unionByName(
+            rule_sum(
+                li,
+                "discount_in_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            )
+        )
+        .unionByName(rule_sum(li, "quantity_positive", F.col("l_quantity") <= 0))
+        .unionByName(
+            rule_sum(o, "orderstatus_domain", ~F.col("o_orderstatus").isin("O", "F", "P"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planar spatial radius join. Points are derived deterministically from
+# customer keys via md5-prefix hashes (Poisson-like scatter — a
+# multiplicative lattice was tried first and its minimum pair distance
+# exceeded any useful radius), the grid
+# cell size equals the radius, and each LEFT-side point explodes into
+# its 3×3 cell neighborhood so candidates form an equi-join on the
+# cell id — the standard grid-file spatial join: candidate volume is
+# bounded by cell occupancy, never n².
+# ---------------------------------------------------------------------------
+
+_SP_MOD = 100_000
+_SP_R = 500
+_SP_R2 = _SP_R * _SP_R
+
+
+@_q(
+    "s_spatial_grid_join",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % {_SP_MOD} AS x,
+             CAST(('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % {_SP_MOD} AS y
+      FROM customer
+    ), cells AS (
+      SELECT id, x, y,
+             (x // {_SP_R} + dx) * 1000000 + (y // {_SP_R} + dy) AS cell
+      FROM pts, UNNEST([-1, 0, 1]) AS t1(dx), UNNEST([-1, 0, 1]) AS t2(dy)
+    ), home AS (
+      SELECT id, x, y, (x // {_SP_R}) * 1000000 + (y // {_SP_R}) AS cell FROM pts
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM cells a JOIN home b ON a.cell = b.cell AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_SP_R2}
+    """,
+)
+def s_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within radius {r} on a {m}×{m} plane, via
+    grid-cell banding: the LEFT side explodes into its 9 neighbor
+    cells, the RIGHT side keeps only its home cell, so every true pair
+    is found exactly once (no cross-cell dedup needed: each (a,b) pair
+    meets in exactly one cell — b's home) and the join is a pure
+    equi-join on the composite cell id. Distances are integer
+    squared-Euclidean — exact in both engines, no trig, no floats;
+    the same shape handles haversine by padding the radius at the
+    banding stage and refining exactly inside.""".format(
+        r=_SP_R, m=_SP_MOD
+    )
+    c = t(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    coord = lambda prefix: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), key)), 1, 15), 16, 10)
+        .cast("bigint")
+        % _SP_MOD
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"), coord("x").alias("x"), coord("y").alias("y")
+    )
+    cell_of = lambda xx, yy: (  # noqa: E731
+        (xx / _SP_R).cast("bigint") * 1_000_000 + (yy / _SP_R).cast("bigint")
+    )
+    neighbors = pts.select(
+        "id",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("x") / _SP_R).cast("bigint") + dx) * 1_000_000
+                    + ((F.col("y") / _SP_R).cast("bigint") + dy)
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    )
+    home = pts.select("id", "x", "y", cell_of(F.col("x"), F.col("y")).alias("cell"))
+    a, b = neighbors.alias("a"), home.alias("b")
+    dist2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(dist2 <= _SP_R2)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist2.alias("dist2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-depth BOM rollup: parts form a synthetic 10-ary hierarchy
+# (parent = key DIV 10). Each node's rollup sums retail price over
+# itself, children, and grandchildren — two equi-joins on the parent
+# key, decimal-exact, no recursion needed because the depth is a
+# compile-time constant (the same fixed-depth trick as g_kcore_peel).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "h_bom_rollup",
+    """
+    WITH p AS (
+      SELECT p_partkey AS k, p_partkey // 10 AS parent,
+             CAST(p_retailprice AS DECIMAL(38,6)) AS price
+      FROM part
+    ), child_sum AS (
+      SELECT parent AS k, CAST(COUNT(*) AS BIGINT) AS n_children,
+             SUM(price) AS c_price
+      FROM p GROUP BY parent
+    ), grandchild_sum AS (
+      SELECT c.parent AS k, CAST(COUNT(*) AS BIGINT) AS n_grandchildren,
+             SUM(g.price) AS g_price
+      FROM p g JOIN p c ON g.parent = c.k
+      GROUP BY c.parent
+    )
+    SELECT p.k AS part_key,
+           COALESCE(cs.n_children, 0) AS n_children,
+           COALESCE(gs.n_grandchildren, 0) AS n_grandchildren,
+           CAST(p.price + COALESCE(cs.c_price, 0) + COALESCE(gs.g_price, 0) AS DOUBLE)
+             AS subtree_price
+    FROM p
+    LEFT JOIN child_sum cs ON cs.k = p.k
+    LEFT JOIN grandchild_sum gs ON gs.k = p.k
+    """,
+)
+def h_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level bill-of-materials rollup over the synthetic 10-ary
+    part hierarchy: per part, the child/grandchild counts and the
+    decimal-exact price total of its depth-≤2 subtree. Aggregate-
+    then-join: children and grandchildren are pre-summed per parent
+    BEFORE joining back to the node table, so the joins move one row
+    per node, not one per descendant — the shape that survives a
+    100 TB parts table with deep fan-out."""
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        (F.col("p_partkey") / 10).cast("bigint").alias("parent"),
+        F.col("p_retailprice").cast("decimal(38,6)").alias("price"),
+    )
+    child_sum = p.groupBy(F.col("parent").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_children"),
+        F.sum("price").alias("c_price"),
+    )
+    g, c = p.alias("g"), p.alias("c")
+    grandchild_sum = (
+        g.join(c, F.col("g.parent") == F.col("c.k"))
+        .groupBy(F.col("c.parent").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grandchildren"),
+            F.sum(F.col("g.price")).alias("g_price"),
+        )
+    )
+    return (
+        p.join(child_sum, "k", "left")
+        .join(grandchild_sum, "k", "left")
+        .select(
+            F.col("k").alias("part_key"),
+            F.coalesce("n_children", F.lit(0)).alias("n_children"),
+            F.coalesce("n_grandchildren", F.lit(0)).alias("n_grandchildren"),
+            (
+                F.col("price")
+                + F.coalesce(F.col("c_price"), F.lit(0))
+                + F.coalesce(F.col("g_price"), F.lit(0))
+            )
+            .cast("double")
+            .alias("subtree_price"),
+        )
+    )

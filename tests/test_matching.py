@@ -189,3 +189,84 @@ def test_bucketed_point_lookup_prunes_buckets(spark, sf_small):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1500]
+
+
+def test_dq_audit_counts_injected_violations(spark, monkeypatch):
+    """Each rule must count exactly the violations planted in a
+    synthetic trio of tables."""
+    import data_spark.queries.quality as qmod
+    from data_spark.queries.quality import dq_constraint_audit
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O"), (1, 10, "F"),          # dup orderkey → 1 violation
+            (2, 99, "P"),                          # orphan custkey
+            (3, 10, "X"),                          # bad status
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, None, 0.5, 1.0), (2, dt.datetime(2024, 1, 1), 1.5, 0.0)],
+        "l_orderkey bigint, l_shipdate timestamp, l_discount double, l_quantity double",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey bigint")
+    frames = {"orders": orders, "lineitem": lineitem, "customer": customer}
+    monkeypatch.setattr(qmod, "t", lambda s, d, n: frames[n])
+    got = {r["rule"]: r["n_violations"] for r in dq_constraint_audit(spark, "x").collect()}
+    assert got == {
+        "orderkey_unique": 1,
+        "custkey_fk_orphans": 1,
+        "shipdate_not_null": 1,
+        "discount_in_range": 1,
+        "quantity_positive": 1,
+        "orderstatus_domain": 1,
+    }
+
+
+def test_spatial_grid_join_matches_brute_force(spark, sf_small):
+    """The grid join must find EXACTLY the brute-force pair set (grid
+    banding is lossless for radius <= cell size)."""
+    from data_spark.queries.common import t as read
+    from data_spark.queries.quality import _SP_MOD, _SP_R2, s_spatial_grid_join
+
+    import hashlib
+
+    keys = [r["c_custkey"] for r in read(spark, sf_small, "customer").collect()]
+
+    def coord(prefix, k):
+        return int(hashlib.md5(f"{prefix}{k}".encode()).hexdigest()[:15], 16) % _SP_MOD
+
+    pts = {k: (coord("x", k), coord("y", k)) for k in keys}
+    expect = {
+        (a, b): (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        for a in keys
+        for b in keys
+        if a < b
+        and (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2 <= _SP_R2
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["dist2"]
+        for r in s_spatial_grid_join(spark, sf_small).collect()
+    }
+    assert got == expect
+
+
+def test_bom_rollup_two_levels(spark, monkeypatch):
+    import data_spark.queries.quality as qmod
+    from data_spark.queries.quality import h_bom_rollup
+
+    # hierarchy under node 1: children 10..19? keep tiny: node 1 has
+    # children 10, 11; node 10 has children 100, 101
+    part = spark.createDataFrame(
+        [(1, 1.0), (10, 2.0), (11, 4.0), (100, 8.0), (101, 16.0)],
+        "p_partkey bigint, p_retailprice double",
+    )
+    monkeypatch.setattr(qmod, "t", lambda s, d, n: part)
+    got = {
+        r["part_key"]: (r["n_children"], r["n_grandchildren"], r["subtree_price"])
+        for r in h_bom_rollup(spark, "x").collect()
+    }
+    assert got[1] == (2, 2, 1.0 + 2.0 + 4.0 + 8.0 + 16.0)
+    assert got[10] == (2, 0, 2.0 + 8.0 + 16.0)
+    assert got[11] == (0, 0, 4.0)
+    assert got[100] == (0, 0, 8.0)

@@ -82,6 +82,11 @@ EXCHANGE_BUDGET = {
     "e_pattern_seq": 3,
     "e_transition_matrix": 3,
     "f_null_semantics": 8,
+    # quality tier: the audit's 8 = one tiny single-row exchange per
+    # unioned rule; the spatial join is ONE cell-key shuffle
+    "dq_constraint_audit": 8,
+    "s_spatial_grid_join": 1,
+    "h_bom_rollup": 5,
 }
 
 
