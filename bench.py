@@ -103,6 +103,7 @@ HEADLINE = [
     "dq_constraint_audit",
     "s_spatial_grid_join",  # grid-file radius join, one cell-key shuffle
     "h_bom_rollup",
+    "m_incr_agg_maintain",  # materialized-view maintenance law, hash-verified
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

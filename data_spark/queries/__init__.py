@@ -146,6 +146,7 @@ _PRIORITY = [
     "dq_constraint_audit",
     "s_spatial_grid_join",
     "h_bom_rollup",
+    "m_incr_agg_maintain",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

@@ -439,3 +439,67 @@ def m_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") == 1) & (F.col("op") != "D"))
         .select("key", F.col("payload").alias("final_price"), F.col("op").alias("last_op"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance, hash-verified: the state built
+# from the OLD half of orders plus one delta fold of the NEW half must
+# equal the oracle's direct aggregate over ALL orders — the
+# materialized-view maintenance law as a driver gate.
+# ---------------------------------------------------------------------------
+
+_IAM_SPLIT = "1997-01-01"
+
+
+@_q(
+    "m_incr_agg_maintain",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def m_incr_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-priority aggregate state incrementally: build
+    state from pre-{split} orders, fold the post-{split} delta in with
+    ONE pass over the delta plus a state-row merge
+    (operators/incremental_agg.py — union + groupBy, no join, nothing
+    rescans history), and the result must hash-equal the oracle's
+    direct aggregate over the full table. Decimal sums make the fold
+    exact, so the maintenance law holds to the last bit.""".format(
+        split=_IAM_SPLIT
+    )
+    from data_spark.operators.incremental_agg import (  # noqa: PLC0415
+        aggregate_state,
+        maintain_aggregate,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < _IAM_SPLIT)
+    new = o.filter(F.col("o_orderdate") >= _IAM_SPLIT)
+    state = aggregate_state(
+        old,
+        ["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+    )
+    merged = maintain_aggregate(
+        state,
+        new,
+        ["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+    )
+    return merged.select(
+        "o_orderpriority",
+        "cnt",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+    )

@@ -270,3 +270,38 @@ def test_bom_rollup_two_levels(spark, monkeypatch):
     assert got[10] == (2, 0, 2.0 + 8.0 + 16.0)
     assert got[11] == (0, 0, 4.0)
     assert got[100] == (0, 0, 8.0)
+
+
+def test_incremental_agg_split_invariance(spark, sf_small):
+    """The maintenance law: folding any split of the data into state
+    must equal the one-shot aggregate — including a 3-way incremental
+    chain (state ⊕ delta1 ⊕ delta2)."""
+    from data_spark.operators.incremental_agg import (
+        aggregate_state,
+        maintain_aggregate,
+    )
+    from data_spark.queries.common import t as read
+
+    o = read(spark, sf_small, "orders")
+    kw = dict(
+        keys=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+    )
+    full = {
+        r["o_orderpriority"]: (
+            r["cnt"], r["sum_o_totalprice"], r["min_o_totalprice"], r["max_o_totalprice"]
+        )
+        for r in aggregate_state(o, **kw).collect()
+    }
+    state = aggregate_state(o.filter(F.col("o_orderkey") % 3 == 0), **kw)
+    state = maintain_aggregate(state, o.filter(F.col("o_orderkey") % 3 == 1), **kw)
+    state = maintain_aggregate(state, o.filter(F.col("o_orderkey") % 3 == 2), **kw)
+    got = {
+        r["o_orderpriority"]: (
+            r["cnt"], r["sum_o_totalprice"], r["min_o_totalprice"], r["max_o_totalprice"]
+        )
+        for r in state.collect()
+    }
+    assert got == full

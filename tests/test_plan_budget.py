@@ -87,6 +87,8 @@ EXCHANGE_BUDGET = {
     "dq_constraint_audit": 8,
     "s_spatial_grid_join": 1,
     "h_bom_rollup": 5,
+    # state fold: one groupBy per side + the union re-fold
+    "m_incr_agg_maintain": 3,
 }
 
 
