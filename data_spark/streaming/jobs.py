@@ -298,3 +298,85 @@ def merge_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_batch_into_state(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    sum_cols: tuple = (),
+    min_cols: tuple = (),
+    max_cols: tuple = (),
+) -> None:
+    """One foreachBatch fold of :mod:`operators.incremental_agg` state:
+    read the current state parquet (if any), fold the micro-batch in,
+    stage the new state to a sibling dir and promote by rename — the
+    same stage-and-swap crash discipline as the bucketed MERGE sink.
+
+    Replay guard: the applied batch_id is recorded in a marker file
+    inside the state dir; a crash between state promotion and the
+    streaming checkpoint commit replays the batch on restart, and the
+    marker makes that replay a no-op instead of a double-count. (Batch
+    ids are monotone within one checkpoint lineage — pointing a FRESH
+    checkpoint at existing state requires clearing the marker.)
+    """
+    import os
+    import shutil
+
+    from data_spark.operators.incremental_agg import (
+        aggregate_state,
+        maintain_aggregate,
+    )
+
+    spark = batch.sparkSession
+    marker = os.path.join(state_path, "_last_folded_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # crash-replay of an already-applied batch
+    kw = dict(sum_cols=sum_cols, min_cols=min_cols, max_cols=max_cols)
+    if os.path.exists(state_path):
+        new_state = maintain_aggregate(
+            spark.read.parquet(state_path), batch, keys, **kw
+        )
+    else:
+        new_state = aggregate_state(batch, keys, **kw)
+    stage = f"{state_path}.__stage_{batch_id}"
+    new_state.write.mode("overwrite").parquet(stage)
+    with open(os.path.join(stage, "_last_folded_batch"), "w") as f:
+        f.write(str(batch_id))
+    old = f"{state_path}.__old_{batch_id}"
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(stage, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def incremental_agg_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    sum_cols: tuple = (),
+    min_cols: tuple = (),
+    max_cols: tuple = (),
+) -> StreamingQuery:
+    """Materialized-aggregate maintenance as a streaming sink: every
+    micro-batch folds into the per-key state table with one pass over
+    the batch plus a state-row merge (never rescanning history) — the
+    streaming face of operators/incremental_agg, with stage-and-swap
+    promotion and an idempotent replay guard (see
+    :func:`fold_batch_into_state`)."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        fold_batch_into_state(
+            batch, batch_id, state_path, keys, sum_cols, min_cols, max_cols
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -485,3 +485,75 @@ def test_stream_sliding_window_counts(spark, tmp_path):
         "2024-01-01 00:00:00": 2,
         "2024-01-01 00:30:00": 1,
     }
+
+
+def test_streaming_incremental_agg_state_maintenance(spark, tmp_path):
+    """Micro-batches fold into the aggregate-state parquet; the final
+    state equals a one-shot aggregate over everything streamed, and a
+    crash-replay of an already-applied batch id is a no-op (the marker
+    guard), not a double count."""
+    from data_spark.operators.incremental_agg import aggregate_state
+    from data_spark.streaming.jobs import fold_batch_into_state, incremental_agg_sink
+
+    src = str(tmp_path / "src")
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "event_type": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "event_type": "b", "value": 2.0},
+    ])
+    _write_events(src, [
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "event_type": "a", "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01T00:03:00", "event_type": "a", "value": 5.0},
+    ])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .json(src)
+    )
+    state_path = str(tmp_path / "state")
+    q = incremental_agg_sink(
+        stream,
+        state_path,
+        str(tmp_path / "ckpt"),
+        keys=["event_type"],
+        sum_cols=("value",),
+        min_cols=("value",),
+        max_cols=("value",),
+    )
+    q.awaitTermination(120)
+
+    def snapshot():
+        return {
+            r["event_type"]: (
+                r["cnt"], float(r["sum_value"]), r["min_value"], r["max_value"]
+            )
+            for r in spark.read.parquet(state_path).collect()
+        }
+
+    expect = {
+        r["event_type"]: (r["cnt"], float(r["sum_value"]), r["min_value"], r["max_value"])
+        for r in aggregate_state(
+            spark.read.schema(EVENT_SCHEMA).json(src),
+            ["event_type"],
+            sum_cols=("value",),
+            min_cols=("value",),
+            max_cols=("value",),
+        ).collect()
+    }
+    assert snapshot() == expect
+    assert expect["a"] == (3, 9.0, 1.0, 5.0) and expect["b"] == (1, 2.0, 2.0, 2.0)
+
+    # crash-replay: re-folding the last applied batch id must not change state
+    replay = spark.createDataFrame(
+        [(9, "a", 100.0)], "event_id long, event_type string, value double"
+    )
+    fold_batch_into_state(
+        replay, 1, state_path, ["event_type"],
+        sum_cols=("value",), min_cols=("value",), max_cols=("value",),
+    )
+    assert snapshot() == expect
+    # ...while a NEW batch id folds in normally
+    fold_batch_into_state(
+        replay, 2, state_path, ["event_type"],
+        sum_cols=("value",), min_cols=("value",), max_cols=("value",),
+    )
+    assert snapshot()["a"] == (4, 109.0, 1.0, 100.0)
