@@ -104,6 +104,8 @@ HEADLINE = [
     "s_spatial_grid_join",  # grid-file radius join, one cell-key shuffle
     "h_bom_rollup",
     "m_incr_agg_maintain",  # materialized-view maintenance law, hash-verified
+    "a_chi2_cells",
+    "d_kl_source_drift",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -147,6 +147,8 @@ _PRIORITY = [
     "s_spatial_grid_join",
     "h_bom_rollup",
     "m_incr_agg_maintain",
+    "a_chi2_cells",
+    "d_kl_source_drift",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

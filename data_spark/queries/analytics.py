@@ -746,3 +746,143 @@ def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers")
         )
     )
+
+
+@_q(
+    "a_chi2_cells",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(EXTRACT(HOUR FROM ts) // 6 AS BIGINT) AS hour_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, EXTRACT(HOUR FROM ts) // 6
+    ), tot AS (
+      SELECT obs.*,
+             SUM(n) OVER (PARTITION BY event_type) AS row_n,
+             SUM(n) OVER (PARTITION BY hour_band) AS col_n,
+             SUM(n) OVER () AS all_n
+      FROM obs
+    )
+    SELECT event_type, hour_band, n,
+           ROUND(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(all_n AS DOUBLE), 6) AS expected,
+           ROUND((CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(all_n AS DOUBLE))
+                 * (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(all_n AS DOUBLE))
+                 / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(all_n AS DOUBLE)), 6) AS chi2_contrib
+    FROM tot
+    """,
+)
+def a_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence CELL REPORT for event_type × 6-hour
+    band: observed count, expected count under independence, and each
+    cell's χ² contribution — deliberately emitted per cell rather than
+    as one χ² total, both because the deviating cells are the
+    actionable output and because a cross-cell double SUM is
+    summation-order-dependent and would not hash across engines. All
+    marginals are exact integers; expected/contrib are single double
+    expressions over identical operands, rounded to 6 dp. One count
+    shuffle; the marginals come from windows over the tiny cell
+    table."""
+    e = t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.hour("ts") / 6).cast("bigint").alias("hour_band")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.select(
+        "*",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("hour_band")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("all_n"),
+    )
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("all_n").cast("double")
+    )
+    dev = F.col("n").cast("double") - exp
+    return tot.select(
+        "event_type",
+        "hour_band",
+        "n",
+        F.round(exp, 6).alias("expected"),
+        F.round(dev * dev / exp, 6).alias("chi2_contrib"),
+    )
+
+
+@_q(
+    "d_kl_source_drift",
+    r"""
+    WITH words AS (
+      SELECT source, unnest(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')),
+                    '\s+')) AS term
+      FROM documents
+    ), filtered AS (SELECT source, term FROM words WHERE term <> ''),
+    top_terms AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+        FROM filtered GROUP BY term
+      ) WHERE rk <= 20
+    ), corpus AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t FROM filtered
+      WHERE term IN (SELECT term FROM top_terms) GROUP BY term
+    ), per_source AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_st FROM filtered
+      WHERE term IN (SELECT term FROM top_terms) GROUP BY source, term
+    ), sized AS (
+      SELECT p.source, p.term, p.n_st, c.n_t,
+             SUM(p.n_st) OVER (PARTITION BY p.source) AS n_s,
+             SUM(c.n_t) OVER (PARTITION BY p.source) AS n_corp
+      FROM per_source p JOIN corpus c USING (term)
+    )
+    SELECT source, term,
+           ROUND(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE), 6) AS p_source,
+           ROUND(CAST(n_t AS DOUBLE) / CAST(n_corp AS DOUBLE), 6) AS q_corpus,
+           ROUND((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                 * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                      / (CAST(n_t AS DOUBLE) / CAST(n_corp AS DOUBLE))), 6) AS kl_contrib
+    FROM sized
+    """,
+)
+def d_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift report over the corpus' top-20
+    terms (deterministic head: count desc, lexical tiebreak): each
+    (source, term) row carries the source's probability restricted to
+    the head, the corpus baseline, and the KL-divergence contribution
+    p·ln(p/q) — the domain-drift signal a training-data pipeline
+    monitors per shard. Per-term rows instead of a summed KL for the
+    same two reasons as a_chi2_cells (actionability + cross-engine
+    summation order). Restricting both distributions to the same
+    20-term head keeps every probability an exact integer ratio."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(_words(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    top = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term")))
+        )
+        .filter(F.col("rk") <= 20)
+        .select("term")
+    )
+    head = words.join(F.broadcast(top), "term")
+    corpus = head.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    per_source = head.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_st")
+    )
+    sized = per_source.join(corpus, "term").select(
+        "source",
+        "term",
+        "n_st",
+        "n_t",
+        F.sum("n_st").over(Window.partitionBy("source")).alias("n_s"),
+        F.sum("n_t").over(Window.partitionBy("source")).alias("n_corp"),
+    )
+    p = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("n_t").cast("double") / F.col("n_corp").cast("double")
+    return sized.select(
+        "source",
+        "term",
+        F.round(p, 6).alias("p_source"),
+        F.round(q, 6).alias("q_corpus"),
+        F.round(p * F.log(p / q), 6).alias("kl_contrib"),
+    )

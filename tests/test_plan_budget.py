@@ -89,6 +89,8 @@ EXCHANGE_BUDGET = {
     "h_bom_rollup": 5,
     # state fold: one groupBy per side + the union re-fold
     "m_incr_agg_maintain": 3,
+    "a_chi2_cells": 2,
+    "d_kl_source_drift": 8,
 }
 
 
