@@ -295,3 +295,40 @@ def test_window_function_parity(engines, fn, part, val, off, frame):
         f"FROM li_fuzz WHERE l_orderkey < 3000"
     )
     _parity(spark, con, sql)
+
+
+# ---------------------------------------------------------------------------
+# Date/interval fuzzing over orders.o_orderdate: truncation grains,
+# date_part extraction, interval shifts, and date diffs must agree.
+# All expressions avoid engine-specific formatting — outputs are
+# truncated timestamps (canonicalized by the shared frame_key), integer
+# parts, or integer day differences.
+# ---------------------------------------------------------------------------
+
+_DT_GRAIN = st.sampled_from(["year", "quarter", "month", "week", "day"])
+_DT_PART = st.sampled_from(["year", "month", "day", "quarter"])
+_DT_SHIFT = st.integers(min_value=-90, max_value=90)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(grain=_DT_GRAIN, part=_DT_PART, shift=_DT_SHIFT)
+def test_date_function_parity(engines, grain, part, shift):
+    spark, con = engines
+    sql = (
+        f"SELECT o_orderkey, "
+        # both engines cast to DATE: Spark's date_trunc returns a
+        # TIMESTAMP while DuckDB's returns DATE for calendar grains
+        f"CAST(date_trunc('{grain}', o_orderdate) AS DATE) AS tr, "
+        f"CAST(date_part('{part}', o_orderdate) AS BIGINT) AS pt, "
+        f"CAST(o_orderdate + INTERVAL {abs(shift)} DAY AS DATE) AS fwd, "
+        f"CAST(o_orderdate - INTERVAL {abs(shift)} DAY AS DATE) AS back "
+        # (a date-diff column was dropped: Spark's date_diff takes an
+        # UNQUOTED unit while DuckDB's takes a string — no shared text)
+        f"FROM ord_fuzz WHERE o_orderkey % 7 = {abs(shift) % 7}"
+    )
+    _parity(spark, con, sql)
