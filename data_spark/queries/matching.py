@@ -8,9 +8,11 @@ next to g_bfs_levels/g_components), a weighted median, a per-document
 duplicated-passage ratio (the "duplicate content" quality signal of
 training-data pipelines), and an ordered CDC changelog apply with
 deletes (the reference's amendments delete-then-replace semantics,
-SURVEY §2.9, as a batch gate query).
+SURVEY §2.9, as a batch gate query), plus — appended later in the
+round — an incremental-aggregate-maintenance query proving the
+state-fold law against a direct full aggregate.
 
-All six carry exact DuckDB oracles.
+All queries here carry exact DuckDB oracles.
 """
 
 from __future__ import annotations
