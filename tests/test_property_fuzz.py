@@ -52,9 +52,11 @@ predicate = st.recursive(
 def engines(spark):
     read_table(spark, SF, "lineitem").createOrReplaceTempView("li_fuzz")
     read_table(spark, SF, "orders").createOrReplaceTempView("ord_fuzz")
+    read_table(spark, SF, "part").createOrReplaceTempView("part_fuzz")
     con = duckdb.connect()
     con.execute(f"CREATE VIEW li_fuzz AS SELECT * FROM '{SF}/lineitem.parquet'")
     con.execute(f"CREATE VIEW ord_fuzz AS SELECT * FROM '{SF}/orders.parquet'")
+    con.execute(f"CREATE VIEW part_fuzz AS SELECT * FROM '{SF}/part.parquet'")
     return spark, con
 
 
@@ -330,5 +332,41 @@ def test_date_function_parity(engines, grain, part, shift):
         # (a date-diff column was dropped: Spark's date_diff takes an
         # UNQUOTED unit while DuckDB's takes a string — no shared text)
         f"FROM ord_fuzz WHERE o_orderkey % 7 = {abs(shift) % 7}"
+    )
+    _parity(spark, con, sql)
+
+
+# ---------------------------------------------------------------------------
+# String-function fuzzing over part names: case mapping, substring
+# windows, replace, padding, split-part and edit distance must agree.
+# Expressions stick to the dialect intersection (e.g. ASCII-only data,
+# 1-based substring, split_part in both engines).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    start=st.integers(min_value=1, max_value=8),
+    length=st.integers(min_value=1, max_value=10),
+    needle=st.sampled_from(["a", "e", "o", "re", "ol"]),
+    repl=st.sampled_from(["", "_", "XY"]),
+    field=st.integers(min_value=1, max_value=3),
+)
+def test_string_function_parity(engines, start, length, needle, repl, field):
+    spark, con = engines
+    sql = (
+        f"SELECT p_partkey, "
+        f"upper(p_name) AS u, "
+        f"substring(p_name, {start}, {length}) AS sub, "
+        f"replace(p_name, '{needle}', '{repl}') AS rep, "
+        f"CAST(length(p_name) AS BIGINT) AS ln, "
+        f"split_part(p_name, ' ', {field}) AS sp, "
+        f"CAST(levenshtein(p_name, 'standard widget') AS BIGINT) AS lev "
+        f"FROM part_fuzz WHERE p_partkey % 5 = {start % 5}"
     )
     _parity(spark, con, sql)
