@@ -467,14 +467,12 @@ _IAM_SPLIT = "1997-01-01"
 )
 def m_incr_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain a per-priority aggregate state incrementally: build
-    state from pre-{split} orders, fold the post-{split} delta in with
+    state from pre-1997 orders, fold the rest in as a delta with
     ONE pass over the delta plus a state-row merge
     (operators/incremental_agg.py — union + groupBy, no join, nothing
     rescans history), and the result must hash-equal the oracle's
     direct aggregate over the full table. Decimal sums make the fold
-    exact, so the maintenance law holds to the last bit.""".format(
-        split=_IAM_SPLIT
-    )
+    exact, so the maintenance law holds to the last bit."""
     from data_spark.operators.incremental_agg import (  # noqa: PLC0415
         aggregate_state,
         maintain_aggregate,

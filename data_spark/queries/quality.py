@@ -148,7 +148,7 @@ _SP_R2 = _SP_R * _SP_R
     """,
 )
 def s_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All point pairs within radius {r} on a {m}×{m} plane, via
+    """All point pairs within radius 500 on a 100000×100000 plane, via
     grid-cell banding: the LEFT side explodes into its 9 neighbor
     cells, the RIGHT side keeps only its home cell, so every true pair
     is found exactly once (no cross-cell dedup needed: each (a,b) pair
@@ -156,9 +156,7 @@ def s_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the composite cell id. Distances are integer
     squared-Euclidean — exact in both engines, no trig, no floats;
     the same shape handles haversine by padding the radius at the
-    banding stage and refining exactly inside.""".format(
-        r=_SP_R, m=_SP_MOD
-    )
+    banding stage and refining exactly inside."""
     c = t(spark, sf_dir, "customer")
     key = F.col("c_custkey").cast("string")
     coord = lambda prefix: (  # noqa: E731
