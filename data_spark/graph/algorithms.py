@@ -41,6 +41,10 @@ def pagerank(
     Simplified formulation (as in Spark's own PageRank example):
     rank = (1−d)/n + d·inflow; dangling-node mass is not redistributed.
     """
+    # The caller's edge frame is often expensive (e.g. a fact-table
+    # self-join); verts, out_deg and links would otherwise each rebuild
+    # it from scratch — cache it for the setup phase only.
+    edges = edges.cache()
     verts = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
@@ -56,6 +60,8 @@ def pagerank(
         .repartition("id")
         .cache()
     )
+    links.count()  # materialize off the edge cache before dropping it
+    edges.unpersist()
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         inflow = (
@@ -109,7 +115,7 @@ def triangle_count(
     inside one aggregate. Array sizes are bounded by the O(√m)
     out-degree, so no hub ever produces an oversized row.
     """
-    oriented = _orient_by_degree(edges, src, dst).cache()  # read 3×
+    oriented, und = _orient_by_degree(edges, src, dst)
     joined = _with_out_neighbors(oriented)
     out = joined.agg(
         # coalesce: SUM over an empty edge set is NULL, but a
@@ -119,13 +125,20 @@ def triangle_count(
         .alias("triangles")
     ).transform(truncate_lineage)
     oriented.unpersist()
+    und.unpersist()
     return out
 
 
-def _orient_by_degree(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _orient_by_degree(edges: DataFrame, src: str, dst: str):
     """Canonicalize to u < v, drop self-loops/dups, then direct every
-    edge from its lower-(degree, id) endpoint to the higher one —
-    returns (a, b) with out-degree of every vertex bounded by O(√m)."""
+    edge from its lower-(degree, id) endpoint to the higher one.
+    Returns (oriented, und) — BOTH cached: und because the degree count
+    and the orientation joins would otherwise rebuild the caller's
+    (often fact-self-join) edge frame 3×, oriented because every
+    consumer reads it several times. The CALLER unpersists both after
+    materializing its result. Cache, not an eager checkpoint: the
+    blocks stay in executor memory without checkpoint's extra write
+    pass, and nothing downstream needs lineage truncation here."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -133,6 +146,7 @@ def _orient_by_degree(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .cache()
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -145,10 +159,16 @@ def _orient_by_degree(edges: DataFrame, src: str, dst: str) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    return und.join(du, "u").join(dv, "v").select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .cache()
     )
+    return oriented, und
 
 
 def _with_out_neighbors(oriented: DataFrame) -> DataFrame:
@@ -182,7 +202,7 @@ def local_clustering(
     one skinny shuffle of O(#triangles) rows on top of the global
     count, never the wedge multiset.
     """
-    oriented = _orient_by_degree(edges, src, dst).cache()
+    oriented, und = _orient_by_degree(edges, src, dst)
     deg = (
         oriented.select(F.col("a").alias("id"))
         .union(oriented.select(F.col("b").alias("id")))
@@ -215,6 +235,7 @@ def local_clustering(
         .transform(truncate_lineage)  # materialize before unpersisting
     )
     oriented.unpersist()
+    und.unpersist()
     return out
 
 
