@@ -64,8 +64,8 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     each reduced to a violation count and unioned into one report.
     Every rule is a single scan-side aggregate (the FK check is one
     anti-join); at 100 TB the whole audit is a handful of
-    map-side-combinable passes, and rules over the same table share
-    the scan."""
+    map-side-combinable passes, and the three lineitem rules share ONE
+    scan — a single wide aggregate unpivoted into report rows."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     c = t(spark, sf_dir, "customer")
@@ -87,27 +87,36 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def rule_sum(df, name, cond):
-        return df.agg(
-            F.lit(name).alias("rule"),
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("n_violations"),
-        )
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
-    return (
-        dup.unionByName(orphans)
-        .unionByName(rule_sum(li, "shipdate_not_null", F.col("l_shipdate").isNull()))
-        .unionByName(
-            rule_sum(
-                li,
-                "discount_in_range",
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+    # the three lineitem rules share ONE scan/aggregate, then unpivot
+    # the single wide row into (rule, n_violations) rows
+    li_rules = li.agg(
+        cnt(F.col("l_shipdate").isNull()).alias("shipdate_not_null"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "discount_in_range"
+        ),
+        cnt(F.col("l_quantity") <= 0).alias("quantity_positive"),
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("rule"), F.col(r).alias("n_violations"))
+                    for r in (
+                        "shipdate_not_null",
+                        "discount_in_range",
+                        "quantity_positive",
+                    )
+                ]
             )
-        )
-        .unionByName(rule_sum(li, "quantity_positive", F.col("l_quantity") <= 0))
-        .unionByName(
-            rule_sum(o, "orderstatus_domain", ~F.col("o_orderstatus").isin("O", "F", "P"))
-        )
+        ).alias("rv")
+    ).select("rv.rule", "rv.n_violations")
+    domain = o.agg(
+        F.lit("orderstatus_domain").alias("rule"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("n_violations"),
     )
+    return dup.unionByName(orphans).unionByName(li_rules).unionByName(domain)
 
 
 # ---------------------------------------------------------------------------

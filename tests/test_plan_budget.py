@@ -82,9 +82,10 @@ EXCHANGE_BUDGET = {
     "e_pattern_seq": 3,
     "e_transition_matrix": 3,
     "f_null_semantics": 8,
-    # quality tier: the audit's 8 = one tiny single-row exchange per
-    # unioned rule; the spatial join is ONE cell-key shuffle
-    "dq_constraint_audit": 8,
+    # quality tier: the audit's 6 = single-row exchanges around the
+    # remaining branches (the 3 lineitem rules share one scan/agg);
+    # the spatial join is ONE cell-key shuffle
+    "dq_constraint_audit": 6,
     "s_spatial_grid_join": 1,
     "h_bom_rollup": 5,
     # state fold: one groupBy per side + the union re-fold
