@@ -453,16 +453,19 @@ _HLL_W = 60 - _HLL_P  # 52-bit rank window; empty register term = 2^53
              MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
                       ELSE {_HLL_W + 1} - length(bin(h // {_HLL_M})) END) AS rho
       FROM hashed GROUP BY event_type, day, h % {_HLL_M}
+    ), days AS (
+      SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM regs_daily GROUP BY event_type
     ), regs AS (
-      SELECT event_type, bucket, MAX(rho) AS rho,
-             CAST(COUNT(DISTINCT day) AS BIGINT) AS nd
+      SELECT event_type, bucket, MAX(rho) AS rho
       FROM regs_daily GROUP BY event_type, bucket
     ), sums AS (
-      SELECT event_type,
+      SELECT r.event_type,
              CAST(COUNT(*) AS BIGINT) AS used,
-             MAX(nd) AS n_days,
+             MAX(d.n_days) AS n_days,
              SUM(CAST(1 AS BIGINT) << ({_HLL_W + 1} - rho)) AS s_used
-      FROM regs GROUP BY event_type
+      FROM regs r JOIN days d ON r.event_type = d.event_type
+      GROUP BY r.event_type
     ), raw AS (
       SELECT event_type, n_days, used,
              CAST(s_used + ({_HLL_M} - used) * (CAST(1 AS BIGINT) << {_HLL_W + 1}) AS BIGINT) AS denom_scaled,
@@ -506,14 +509,16 @@ def a_hll_exact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day", (F.col("h") % _HLL_M).alias("bucket"))
         .agg(F.max(rho).alias("rho"))
     )
-    regs = regs_daily.groupBy("event_type", "bucket").agg(
-        F.max("rho").alias("rho"),
-        F.countDistinct("day").cast("bigint").alias("nd"),
+    # true distinct-day count per type (a per-bucket max of bucket-local
+    # day counts only coincidentally equals it on dense data)
+    days = regs_daily.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
     )
+    regs = regs_daily.groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
     term = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - rho)")
-    sums = regs.groupBy("event_type").agg(
+    sums = regs.join(days, "event_type").groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("used"),
-        F.max("nd").alias("n_days"),
+        F.max("n_days").alias("n_days"),
         F.sum(term).alias("s_used"),
     )
     empty_term = F.lit(1 << (_HLL_W + 1)).cast("bigint")

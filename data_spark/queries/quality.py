@@ -226,7 +226,8 @@ def s_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_bom_rollup",
     """
     WITH p AS (
-      SELECT p_partkey AS k, p_partkey // 10 AS parent,
+      SELECT p_partkey AS k,
+             NULLIF(p_partkey // 10, p_partkey) AS parent,
              CAST(p_retailprice AS DECIMAL(38,6)) AS price
       FROM part
     ), child_sum AS (
@@ -257,9 +258,13 @@ def h_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE joining back to the node table, so the joins move one row
     per node, not one per descendant — the shape that survives a
     100 TB parts table with deep fan-out."""
+    # nullif guards the root: key 0's integer parent is itself, and a
+    # self-loop would count the root twice in its own subtree
     p = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
-        (F.col("p_partkey") / 10).cast("bigint").alias("parent"),
+        F.nullif(
+            (F.col("p_partkey") / 10).cast("bigint"), F.col("p_partkey")
+        ).alias("parent"),
         F.col("p_retailprice").cast("decimal(38,6)").alias("price"),
     )
     child_sum = p.groupBy(F.col("parent").alias("k")).agg(

@@ -72,8 +72,9 @@ EXCHANGE_BUDGET = {
     "d_dup_passages": 5,
     "m_cdc_apply": 1,
     # exact-HLL rollup: facts → per-day registers → merged registers →
-    # per-type sums; autocorr: daily totals + type-keyed window/agg
-    "a_hll_exact_rollup": 3,
+    # per-type sums, +1 for the true distinct-day side-aggregate joined
+    # back on the 5-value type key; autocorr: daily totals + window/agg
+    "a_hll_exact_rollup": 5,
     "a_autocorr_lag1": 2,
     # stats/CEP batch: MAD needs two windowed passes + two median joins;
     # the pattern join's three legs share the user_id shuffle key
