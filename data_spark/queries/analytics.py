@@ -831,11 +831,12 @@ def a_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_source AS (
       SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_st FROM filtered
       WHERE term IN (SELECT term FROM top_terms) GROUP BY source, term
+    ), corpus_total AS (
+      SELECT CAST(SUM(n_t) AS BIGINT) AS n_corp FROM corpus
     ), sized AS (
-      SELECT p.source, p.term, p.n_st, c.n_t,
-             SUM(p.n_st) OVER (PARTITION BY p.source) AS n_s,
-             SUM(c.n_t) OVER (PARTITION BY p.source) AS n_corp
-      FROM per_source p JOIN corpus c USING (term)
+      SELECT p.source, p.term, p.n_st, c.n_t, ct.n_corp,
+             SUM(p.n_st) OVER (PARTITION BY p.source) AS n_s
+      FROM per_source p JOIN corpus c USING (term) CROSS JOIN corpus_total ct
     )
     SELECT source, term,
            ROUND(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE), 6) AS p_source,
@@ -874,13 +875,21 @@ def d_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = head.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_st")
     )
-    sized = per_source.join(corpus, "term").select(
-        "source",
-        "term",
-        "n_st",
-        "n_t",
-        F.sum("n_st").over(Window.partitionBy("source")).alias("n_s"),
-        F.sum("n_t").over(Window.partitionBy("source")).alias("n_corp"),
+    # the baseline normalizer is the CORPUS head total — a per-source
+    # sum over present rows would silently inflate q for any source
+    # missing a head term
+    corpus_total = corpus.agg(F.sum("n_t").cast("bigint").alias("n_corp"))
+    sized = (
+        per_source.join(corpus, "term")
+        .join(F.broadcast(corpus_total))
+        .select(
+            "source",
+            "term",
+            "n_st",
+            "n_t",
+            "n_corp",
+            F.sum("n_st").over(Window.partitionBy("source")).alias("n_s"),
+        )
     )
     p = F.col("n_st").cast("double") / F.col("n_s").cast("double")
     q = F.col("n_t").cast("double") / F.col("n_corp").cast("double")
