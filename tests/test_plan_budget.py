@@ -92,7 +92,7 @@ EXCHANGE_BUDGET = {
     # state fold: one groupBy per side + the union re-fold
     "m_incr_agg_maintain": 3,
     "a_chi2_cells": 2,
-    "d_kl_source_drift": 10,  # +2: scalar corpus-head total (tiny agg + broadcast)
+    "d_kl_source_drift": 13,  # +5 vs per-source windows: the scalar corpus-head total adds a tiny agg + broadcast pair and loses a shared window exchange
 }
 
 
