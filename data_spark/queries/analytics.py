@@ -831,12 +831,12 @@ def a_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_source AS (
       SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_st FROM filtered
       WHERE term IN (SELECT term FROM top_terms) GROUP BY source, term
-    ), corpus_total AS (
-      SELECT CAST(SUM(n_t) AS BIGINT) AS n_corp FROM corpus
+    ), corpus2 AS (
+      SELECT term, n_t, CAST(SUM(n_t) OVER () AS BIGINT) AS n_corp FROM corpus
     ), sized AS (
-      SELECT p.source, p.term, p.n_st, c.n_t, ct.n_corp,
+      SELECT p.source, p.term, p.n_st, c.n_t, c.n_corp,
              SUM(p.n_st) OVER (PARTITION BY p.source) AS n_s
-      FROM per_source p JOIN corpus c USING (term) CROSS JOIN corpus_total ct
+      FROM per_source p JOIN corpus2 c USING (term)
     )
     SELECT source, term,
            ROUND(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE), 6) AS p_source,
@@ -877,19 +877,21 @@ def d_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the baseline normalizer is the CORPUS head total — a per-source
     # sum over present rows would silently inflate q for any source
-    # missing a head term
-    corpus_total = corpus.agg(F.sum("n_t").cast("bigint").alias("n_corp"))
-    sized = (
-        per_source.join(corpus, "term")
-        .join(F.broadcast(corpus_total))
-        .select(
-            "source",
-            "term",
-            "n_st",
-            "n_t",
-            "n_corp",
-            F.sum("n_st").over(Window.partitionBy("source")).alias("n_s"),
-        )
+    # missing a head term. Attached as an all-rows window over the
+    # 20-row corpus table (a scalar cross join would plan as a nested-
+    # loop join, which the plan audit forbids engine-wide).
+    corpus2 = corpus.select(
+        "term",
+        "n_t",
+        F.sum("n_t").over(Window.partitionBy()).cast("bigint").alias("n_corp"),
+    )
+    sized = per_source.join(corpus2, "term").select(
+        "source",
+        "term",
+        "n_st",
+        "n_t",
+        "n_corp",
+        F.sum("n_st").over(Window.partitionBy("source")).alias("n_s"),
     )
     p = F.col("n_st").cast("double") / F.col("n_s").cast("double")
     q = F.col("n_t").cast("double") / F.col("n_corp").cast("double")

@@ -92,7 +92,7 @@ EXCHANGE_BUDGET = {
     # state fold: one groupBy per side + the union re-fold
     "m_incr_agg_maintain": 3,
     "a_chi2_cells": 2,
-    "d_kl_source_drift": 13,  # +5 vs per-source windows: the scalar corpus-head total adds a tiny agg + broadcast pair and loses a shared window exchange
+    "d_kl_source_drift": 9,  # +1 vs per-source windows: the corpus-head total rides an all-rows window over the 20-row corpus table
 }
 
 
