@@ -13,6 +13,7 @@ rotate to the tail.
 
 from data_spark.queries import (
     analytics,
+    analytics2,
     documents,
     events,
     graphq,
@@ -39,6 +40,7 @@ _ALL_QUERIES = {
     **ranking.QUERIES,
     **temporal.QUERIES,
     **analytics.QUERIES,
+    **analytics2.QUERIES,
     **matching.QUERIES,
     **quality.QUERIES,
 }
@@ -55,6 +57,7 @@ ORACLE = {
     **ranking.ORACLE,
     **temporal.ORACLE,
     **analytics.ORACLE,
+    **analytics2.ORACLE,
     **matching.ORACLE,
     **quality.ORACLE,
 }

@@ -1,0 +1,251 @@
+"""Round-4 continuation analytics: a cross-engine-EXACT Count-Min
+Sketch (the frequency-estimation member of the mergeable-sketch family,
+next to the exact HLL rollup and the MinHash/SimHash constructions in
+``analytics.py``) and a fixed-iteration weighted single-source
+shortest-path query (a third hash-verified member of the iterative
+graph tier next to ``g_bfs_levels`` / ``g_kcore_peel``).
+
+Both carry exact DuckDB oracles. The CMS uses the same portable
+``(a*x + b) mod p`` hash-family idiom as the exact MinHash
+(``analytics.py``): pure 64-bit integer arithmetic both engines compute
+identically. The SSSP accumulates distances as DECIMAL(18,2), so the
+min-plus relaxations are exact and associative in both engines.
+
+Scale posture:
+  - CMS: ONE shuffle over the fact table (the per-(day,user) count with
+    map-side combine); everything downstream operates on skinny count
+    frames and a 4x64-cell register table. Per-day sketches are merged
+    by register SUM in-query — the mergeability law that lets 100 TB of
+    history keep only d*w integers per day.
+  - SSSP: per-round cost is one equi-join of the (skinny) distance
+    frame against the edge list plus one map-side-combinable MIN — the
+    Bellman-Ford round, not a path enumeration. Iteration depth is a
+    compile-time constant (no driver fixpoint round-trip) and each
+    round's plan is lineage-truncated (reliable checkpoint when the
+    session configures a dir — plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_spark.plans.lineage import truncate_lineage
+from data_spark.queries.common import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters: d=4 pairwise-independent-style rows,
+# w=64 columns, portable (a*u + b) mod p mod w cell hashing. Registers
+# are built per day and merged by SUM — identical to a direct build by
+# associativity, demonstrated in-query the same way a_hll_exact_rollup
+# merges its HLL registers. Estimates (MIN over the 4 rows) are then
+# read for the top-10 true-frequency users, with the guaranteed
+# overestimate est >= true visible in the output.
+# ---------------------------------------------------------------------------
+
+_CMS_P = 1_000_000_007
+_CMS_W = 64
+_CMS_AB = [
+    (516575261, 423630757),
+    (730421473, 842976263),
+    (947217823, 298764511),
+    (176064001, 785409629),
+]
+_CMS_TOP = 10
+
+
+def _cms_cell_sql(i: int) -> str:
+    a, b = _CMS_AB[i]
+    return f"((({a} * u + {b}) % {_CMS_P}) % {_CMS_W})"
+
+
+def _cms_oracle() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT day, {i} AS row_id, {_cms_cell_sql(i)} AS col_id, cnt FROM per_user_day"
+        for i in range(len(_CMS_AB))
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT u, true_cnt, {i} AS row_id, {_cms_cell_sql(i)} AS col_id FROM top"
+        for i in range(len(_CMS_AB))
+    )
+    return f"""
+    WITH per_user_day AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, user_id AS u,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cells AS ({cells}
+    ), day_regs AS (
+      SELECT day, row_id, col_id, CAST(SUM(cnt) AS BIGINT) AS reg
+      FROM cells GROUP BY 1, 2, 3
+    ), regs AS (
+      SELECT row_id, col_id, CAST(SUM(reg) AS BIGINT) AS reg
+      FROM day_regs GROUP BY 1, 2
+    ), truth AS (
+      SELECT u, CAST(SUM(cnt) AS BIGINT) AS true_cnt FROM per_user_day GROUP BY u
+    ), top AS (
+      SELECT u, true_cnt FROM truth ORDER BY true_cnt DESC, u LIMIT {_CMS_TOP}
+    ), probes AS ({probes})
+    SELECT p.u AS user_id, p.true_cnt, CAST(MIN(r.reg) AS BIGINT) AS est_cnt
+    FROM probes p JOIN regs r ON r.row_id = p.row_id AND r.col_id = p.col_id
+    GROUP BY 1, 2
+    """
+
+
+def _cms_cell_col(i: int) -> F.Column:
+    a, b = _CMS_AB[i]
+    return ((F.lit(a) * F.col("u") + F.lit(b)) % _CMS_P) % _CMS_W
+
+
+@_q("a_cms_heavy_hitters", _cms_oracle())
+def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimates for the top-10 users by
+    true event count: per-day 4x64 register tables merged by SUM, then
+    est = MIN over the 4 hashed cells. The only fact-table shuffle is
+    the per-(day,user) count; registers total d*w = 256 rows regardless
+    of corpus size, and the register->probe join broadcasts. Output is
+    (user_id, true_cnt, est_cnt) with est_cnt >= true_cnt guaranteed by
+    construction."""
+    ev = t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").alias("u"),
+    )
+    pud = (
+        ev.groupBy("day", "u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # feeds both the register build and the truth counts — truncate
+        # so the fact table is scanned once, not once per consumer
+        .transform(truncate_lineage)
+    )
+    cells = None
+    for i in range(len(_CMS_AB)):
+        sel = pud.select(
+            "day",
+            F.lit(i).alias("row_id"),
+            _cms_cell_col(i).alias("col_id"),
+            "cnt",
+        )
+        cells = sel if cells is None else cells.unionByName(sel)
+    day_regs = cells.groupBy("day", "row_id", "col_id").agg(
+        F.sum("cnt").cast("long").alias("reg")
+    )
+    regs = day_regs.groupBy("row_id", "col_id").agg(
+        F.sum("reg").cast("long").alias("reg")
+    )
+    truth = pud.groupBy("u").agg(F.sum("cnt").cast("long").alias("true_cnt"))
+    top = truth.orderBy(F.desc("true_cnt"), "u").limit(_CMS_TOP)
+    probes = None
+    for i in range(len(_CMS_AB)):
+        sel = top.select(
+            "u", "true_cnt", F.lit(i).alias("row_id"), _cms_cell_col(i).alias("col_id")
+        )
+        probes = sel if probes is None else probes.unionByName(sel)
+    return (
+        probes.join(F.broadcast(regs), ["row_id", "col_id"])
+        .groupBy("u", "true_cnt")
+        .agg(F.min("reg").cast("long").alias("est_cnt"))
+        .select(F.col("u").alias("user_id"), "true_cnt", "est_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths, fixed-iteration Bellman-Ford
+# over the symmetric supplier-customer graph (same edge derivation as
+# g_pagerank/g_components, graphq.py) with edge weight = MIN(l_quantity)
+# per distinct (supplier, customer) pair. After K relaxation rounds the
+# result is exactly min-cost over paths of <= K hops — a well-defined
+# deterministic quantity both engines compute identically in decimal.
+# ---------------------------------------------------------------------------
+
+_SSSP_SOURCE = "s1"
+_SSSP_ROUNDS = 3
+
+
+def _sssp_oracle() -> str:
+    parts = [
+        f"""
+        ed AS (
+          SELECT 's' || l.l_suppkey AS a, 'c' || o.o_custkey AS b,
+                 CAST(MIN(l.l_quantity) AS DECIMAL(18,2)) AS wt
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        ), sym AS (
+          SELECT a, b, wt FROM ed UNION ALL SELECT b, a, wt FROM ed
+        ), d0 AS (
+          SELECT '{_SSSP_SOURCE}' AS node, CAST(0 AS DECIMAL(18,2)) AS dist
+        )
+        """
+    ]
+    for i in range(_SSSP_ROUNDS):
+        parts.append(
+            f"""
+            , d{i + 1} AS (
+              SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT e.b AS node, CAST(d.dist + e.wt AS DECIMAL(18,2)) AS dist
+                FROM d{i} d JOIN sym e ON e.a = d.node
+              ) GROUP BY node
+            )
+            """
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f" SELECT node, CAST(dist AS DOUBLE) AS dist FROM d{_SSSP_ROUNDS}"
+    )
+
+
+@_q("g_sssp_bellman", _sssp_oracle())
+def g_sssp_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3 Bellman-Ford rounds from supplier ``s1`` over the symmetric
+    weighted supplier-customer graph: each round relaxes every edge out
+    of the currently-reached set (one equi-join) and folds with a
+    map-side-combinable MIN. Distances accumulate as DECIMAL(18,2) so
+    min-plus is exact cross-engine; the per-round frames are
+    lineage-truncated like the other iterative-tier operators. The
+    returned frame is every node reachable within 3 hops with its
+    exact <=3-hop min cost."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ed = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("b"),
+        )
+        .agg(F.min("l_quantity").cast("decimal(18,2)").alias("wt"))
+    )
+    sym = ed.unionByName(
+        ed.select(F.col("b").alias("a"), F.col("a").alias("b"), "wt")
+    ).transform(truncate_lineage)
+    dist = (
+        sym.sparkSession.createDataFrame(
+            [(_SSSP_SOURCE,)], "node string"
+        ).select("node", F.lit(0).cast("decimal(18,2)").alias("dist"))
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            dist.join(sym, dist.node == sym.a)
+            .select(F.col("b").alias("node"), (F.col("dist") + F.col("wt")).cast("decimal(18,2)").alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .transform(truncate_lineage)
+        )
+    return dist.select("node", F.col("dist").cast("double").alias("dist"))

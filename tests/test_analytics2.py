@@ -1,0 +1,89 @@
+"""Python-mirror exactness tests for the round-4 continuation
+analytics: the cross-engine-exact Count-Min Sketch and the
+fixed-iteration weighted Bellman-Ford SSSP (data_spark/queries/
+analytics2.py). The DuckDB oracles hash-check these against another
+SQL engine; these mirrors check them against a from-scratch pure-Python
+implementation, so a shared-SQL-misreading bug can't hide."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from decimal import Decimal
+
+import pytest
+
+from data_spark.queries.analytics2 import (
+    _CMS_AB,
+    _CMS_P,
+    _CMS_TOP,
+    _CMS_W,
+    _SSSP_ROUNDS,
+    _SSSP_SOURCE,
+    a_cms_heavy_hitters,
+    g_sssp_bellman,
+)
+
+
+def test_cms_matches_python_mirror(spark, sf_small):
+    rows = a_cms_heavy_hitters(spark, sf_small).collect()
+    assert len(rows) == _CMS_TOP
+
+    events = (
+        spark.read.parquet(f"{sf_small}/events.parquet").select("user_id").collect()
+    )
+    truth = Counter(r.user_id for r in events)
+    regs = defaultdict(int)
+    for u, cnt in truth.items():
+        for i, (a, b) in enumerate(_CMS_AB):
+            regs[(i, ((a * u + b) % _CMS_P) % _CMS_W)] += cnt
+
+    for r in rows:
+        expect_true = truth[r.user_id]
+        expect_est = min(
+            regs[(i, ((a * r.user_id + b) % _CMS_P) % _CMS_W)]
+            for i, (a, b) in enumerate(_CMS_AB)
+        )
+        assert r.true_cnt == expect_true
+        assert r.est_cnt == expect_est
+        # the CMS guarantee: never an underestimate
+        assert r.est_cnt >= r.true_cnt
+
+    # the query must have picked the true top-K (cnt desc, id asc)
+    expect_top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:_CMS_TOP]
+    assert sorted((r.user_id, r.true_cnt) for r in rows) == sorted(expect_top)
+
+
+def test_sssp_matches_python_bellman_ford(spark, sf_small):
+    got = {r.node: r.dist for r in g_sssp_bellman(spark, sf_small).collect()}
+
+    l = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = l.join(o, l.l_orderkey == o.o_orderkey).collect()
+    wt = {}
+    for r in pairs:
+        key = (f"s{r.l_suppkey}", f"c{r.o_custkey}")
+        q = Decimal(str(r.l_quantity)).quantize(Decimal("0.01"))
+        if key not in wt or q < wt[key]:
+            wt[key] = q
+    adj = defaultdict(list)
+    for (a, b), w in wt.items():
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+
+    dist = {_SSSP_SOURCE: Decimal("0.00")}
+    for _ in range(_SSSP_ROUNDS):
+        nxt = dict(dist)
+        for node, d in dist.items():
+            for b, w in adj[node]:
+                cand = d + w
+                if b not in nxt or cand < nxt[b]:
+                    nxt[b] = cand
+        dist = nxt
+
+    assert set(got) == set(dist)
+    for node, d in dist.items():
+        assert got[node] == pytest.approx(float(d), abs=0), node
