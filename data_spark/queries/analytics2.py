@@ -29,7 +29,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from data_spark.operators.dedup import _words
 from data_spark.plans.lineage import truncate_lineage
 from data_spark.queries.common import t
 
@@ -249,3 +251,146 @@ def g_sssp_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(truncate_lineage)
         )
     return dist.select("node", F.col("dist").cast("double").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining over the high-frequency vocabulary: the phrase
+# detection pass (word2vec/Gensim-style) of a training-data pipeline.
+# The universe is restricted to a deterministic head — the top-200
+# unigrams by (count desc, lexical) — for the same two reasons as
+# d_kl_source_drift: every probability stays an exact integer ratio over
+# small frames, and the scalar normalizers attach as windows over those
+# small frames instead of an all-rows window or a nested-loop cross
+# join. PMI's exp-scale form lift = p(ab)/(p(a)p(b)) is emitted instead
+# of the log (same monotone ranking, no cross-engine libm dependence);
+# every operand is a BIGINT-derived double, so the multiply/divide chain
+# is IEEE-identical in both engines, with a final ROUND(...,6) in house
+# style.
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB = 200
+_PMI_TOP = 25
+
+
+def _pmi_oracle() -> str:
+    return rf"""
+    WITH toks AS (
+      SELECT str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\s+') AS words
+      FROM documents
+    ), uni_all AS (
+      SELECT unnest(words) AS term FROM toks
+    ), uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM uni_all
+      WHERE term <> '' GROUP BY term
+    ), vocab AS (
+      SELECT term, n FROM (
+        SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk FROM uni
+      ) WHERE rk <= {_PMI_VOCAB}
+    ), vocab2 AS (
+      SELECT term, n, CAST(SUM(n) OVER () AS BIGINT) AS n_uni FROM vocab
+    ), bi_all AS (
+      SELECT words[i] AS w1, words[i+1] AS w2
+      FROM toks, UNNEST(range(1, greatest(len(words) - 1, 1) + 1)) AS r(i)
+      WHERE len(words) >= 2
+    ), bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM bi_all
+      WHERE w1 IN (SELECT term FROM vocab) AND w2 IN (SELECT term FROM vocab)
+      GROUP BY w1, w2
+    ), bi2 AS (
+      SELECT w1, w2, n_ab, CAST(SUM(n_ab) OVER () AS BIGINT) AS n_bi,
+             ROW_NUMBER() OVER (ORDER BY n_ab DESC, w1, w2) AS rk
+      FROM bi
+    )
+    SELECT b.w1, b.w2, b.n_ab, a.n AS n_a, c.n AS n_b,
+           ROUND((CAST(b.n_ab AS DOUBLE) * CAST(a.n_uni AS DOUBLE) * CAST(a.n_uni AS DOUBLE))
+                 / (CAST(b.n_bi AS DOUBLE) * CAST(a.n AS DOUBLE) * CAST(c.n AS DOUBLE)), 6) AS lift
+    FROM bi2 b JOIN vocab2 a ON b.w1 = a.term JOIN vocab2 c ON b.w2 = c.term
+    WHERE b.rk <= {_PMI_TOP}
+    """
+
+
+@_q("d_pmi_bigrams", _pmi_oracle())
+def d_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 head-vocabulary bigram collocations with PMI lift
+    p(ab)/(p(a)p(b)): two fact-table shuffles (unigram count, head-
+    filtered bigram count — the vocab semi-joins broadcast), then all
+    normalizers and the top-25 head ride windows over frames bounded by
+    the 200-term vocab, never the corpus. At 100 TB the head-bigram
+    count table is <= vocab^2 = 40k rows no matter the input size."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(_words(F.col("text")).alias("words")).transform(truncate_lineage)
+    uni = (
+        toks.select(F.explode("words").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    vocab = (
+        uni.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term")))
+        )
+        .filter(F.col("rk") <= _PMI_VOCAB)
+        .select("term", "n")
+        .transform(truncate_lineage)
+    )
+    vocab2 = vocab.select(
+        "term",
+        "n",
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("n_uni"),
+    )
+    ln = F.greatest(F.size("words") - 1, F.lit(0))
+    pairs = (
+        toks.filter(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("words", 1, ln).alias("w1"),
+                    F.slice(F.col("words"), 2, ln).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bi = (
+        pairs.join(F.broadcast(vocab.select(F.col("term").alias("w1"))), "w1", "semi")
+        .join(F.broadcast(vocab.select(F.col("term").alias("w2"))), "w2", "semi")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    bi2 = bi.select(
+        "w1",
+        "w2",
+        "n_ab",
+        F.sum("n_ab").over(Window.partitionBy()).cast("bigint").alias("n_bi"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("n_ab"), F.asc("w1"), F.asc("w2"))),
+    )
+    a = vocab2.select(F.col("term").alias("w1"), F.col("n").alias("n_a"), "n_uni")
+    c = vocab2.select(F.col("term").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        bi2.filter(F.col("rk") <= _PMI_TOP)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(c), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (
+                    F.col("n_ab").cast("double")
+                    * F.col("n_uni").cast("double")
+                    * F.col("n_uni").cast("double")
+                )
+                / (
+                    F.col("n_bi").cast("double")
+                    * F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )

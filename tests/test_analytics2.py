@@ -12,14 +12,19 @@ from decimal import Decimal
 
 import pytest
 
+import re
+
 from data_spark.queries.analytics2 import (
     _CMS_AB,
     _CMS_P,
     _CMS_TOP,
     _CMS_W,
+    _PMI_TOP,
+    _PMI_VOCAB,
     _SSSP_ROUNDS,
     _SSSP_SOURCE,
     a_cms_heavy_hitters,
+    d_pmi_bigrams,
     g_sssp_bellman,
 )
 
@@ -87,3 +92,47 @@ def test_sssp_matches_python_bellman_ford(spark, sf_small):
     assert set(got) == set(dist)
     for node, d in dist.items():
         assert got[node] == pytest.approx(float(d), abs=0), node
+
+
+def test_pmi_bigrams_matches_python_mirror(spark, sf_small):
+    rows = d_pmi_bigrams(spark, sf_small).collect()
+    assert len(rows) == _PMI_TOP
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    uni = Counter()
+    bi = Counter()
+    docs_words = []
+    for txt in texts:
+        words = [
+            w
+            for w in re.sub(r"[^a-z0-9 ]+", " ", (txt or "").lower()).strip().split()
+        ]
+        docs_words.append(words)
+        uni.update(w for w in words if w)
+    vocab_terms = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:_PMI_VOCAB]
+    vocab = dict(vocab_terms)
+    n_uni = sum(vocab.values())
+    for words in docs_words:
+        for a, b in zip(words, words[1:]):
+            if a in vocab and b in vocab:
+                bi[(a, b)] += 1
+    n_bi = sum(bi.values())
+    top = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:_PMI_TOP]
+
+    got = {(r.w1, r.w2): r for r in rows}
+    assert set(got) == {pair for pair, _ in top}
+    for (w1, w2), n_ab in top:
+        r = got[(w1, w2)]
+        assert r.n_ab == n_ab
+        assert r.n_a == vocab[w1] and r.n_b == vocab[w2]
+        expect = round(
+            (float(n_ab) * float(n_uni) * float(n_uni))
+            / (float(n_bi) * float(vocab[w1]) * float(vocab[w2])),
+            6,
+        )
+        assert r.lift == pytest.approx(expect, rel=1e-12)
