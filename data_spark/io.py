@@ -240,3 +240,65 @@ def validated_overwrite(
     os.rename(staging, path)
     shutil.rmtree(backup, ignore_errors=True)
     return new_rows
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE / bin-packing maintenance op).
+
+    Incremental sinks accrete small files — every micro-batch commit of
+    the streaming tier and every MERGE rewrite adds a few — and at 100 TB
+    an over-fragmented table taxes every downstream scan with per-file
+    open/footer costs and starves maxPartitionBytes packing. This
+    rewrites the directory into ``ceil(bytes / target_file_bytes)``
+    files.
+
+    Plan shape: the file inventory is a driver-side metadata listing (no
+    Spark job); the rewrite is a read + narrow ``coalesce`` (ZERO
+    shuffle — small inputs are already grouped by
+    ``spark.sql.files.maxPartitionBytes`` at scan time); the swap reuses
+    the staging-dir + count-validate + rename discipline of
+    ``validated_overwrite``, so a failed rewrite leaves the table
+    untouched. Already-compact directories return without rewriting.
+    """
+    inventory = []
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet"):
+                inventory.append(os.path.join(root, name))
+    total = sum(os.path.getsize(f) for f in inventory)
+    n_before = len(inventory)
+    n_target = max(1, -(-total // target_file_bytes)) if total else 1
+    stats = {
+        "files_before": n_before,
+        "files_after": n_before,
+        "bytes": total,
+        "rewritten": False,
+    }
+    if n_target >= n_before:
+        return stats
+
+    old_rows = spark.read.parquet(path).count()
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).coalesce(n_target).write.mode("overwrite").parquet(staging)
+    new_rows = spark.read.parquet(staging).count()
+    if new_rows != old_rows:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"compact_files rollback: rewrote {new_rows} rows != {old_rows}"
+        )
+    backup = f"{path}__archive_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    stats["files_after"] = sum(
+        1
+        for root, _dirs, names in os.walk(path)
+        for name in names
+        if name.endswith(".parquet")
+    )
+    stats["rewritten"] = True
+    return stats
