@@ -148,7 +148,12 @@ def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("reg").cast("long").alias("reg")
     )
     truth = pud.groupBy("u").agg(F.sum("cnt").cast("long").alias("true_cnt"))
-    top = truth.orderBy(F.desc("true_cnt"), "u").limit(_CMS_TOP)
+    # the 4 probe branches below each reference top — materialize the
+    # 10-row head once instead of re-running the truth aggregate per
+    # hash row
+    top = truth.orderBy(F.desc("true_cnt"), "u").limit(_CMS_TOP).transform(
+        truncate_lineage
+    )
     probes = None
     for i in range(len(_CMS_AB)):
         sel = top.select(

@@ -93,6 +93,15 @@ EXCHANGE_BUDGET = {
     "m_incr_agg_maintain": 3,
     "a_chi2_cells": 2,
     "d_kl_source_drift": 9,  # +1 vs per-source windows: the corpus-head total rides an all-rows window over the 20-row corpus table
+    # post-snapshot r4: CMS = day-regs + merged-regs + register
+    # BroadcastExchange + final probe groupBy (facts shuffle and top-10
+    # head are materialized); SSSP's per-round plans are materialized so
+    # the final select is shuffle-free; PMI = bigram count + 2
+    # single-partition windows over vocab-bounded frames + 4 vocab-side
+    # BroadcastExchanges
+    "a_cms_heavy_hitters": 4,
+    "g_sssp_bellman": 0,
+    "d_pmi_bigrams": 7,
 }
 
 
