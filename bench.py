@@ -106,6 +106,11 @@ HEADLINE = [
     "m_incr_agg_maintain",  # materialized-view maintenance law, hash-verified
     "a_chi2_cells",
     "d_kl_source_drift",
+    # post-snapshot r4: mergeable-sketch, iterative-graph, and
+    # phrase-mining additions
+    "a_cms_heavy_hitters",
+    "g_sssp_bellman",
+    "d_pmi_bigrams",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query
