@@ -245,14 +245,32 @@ def g_sssp_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("node", F.lit(0).cast("decimal(18,2)").alias("dist"))
     )
     for _ in range(_SSSP_ROUNDS):
-        relaxed = (
+        # relax, MIN-combine the relaxations, then fold into the running
+        # distances with a full-outer join: the relax agg shuffles only
+        # the relaxation rows, and both join sides are already
+        # node-partitioned (the agg output and the previous round's
+        # checkpointed groupBy), so the fold adds no exchange — the same
+        # reasoning that keeps connected_components' per-round shuffle
+        # volume at |E|, measured against the union+groupBy alternative
+        # which re-shuffles the reached set every round
+        relax_min = (
             dist.join(sym, dist.node == sym.a)
-            .select(F.col("b").alias("node"), (F.col("dist") + F.col("wt")).cast("decimal(18,2)").alias("dist"))
+            .groupBy(F.col("b").alias("node"))
+            .agg(
+                F.min(
+                    (F.col("dist") + F.col("wt")).cast("decimal(18,2)")
+                ).alias("relaxed")
+            )
         )
         dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            dist.join(relax_min, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("relaxed")),
+                    F.coalesce(F.col("relaxed"), F.col("dist")),
+                ).alias("dist"),
+            )
             .transform(truncate_lineage)
         )
     return dist.select("node", F.col("dist").cast("double").alias("dist"))
