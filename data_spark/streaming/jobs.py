@@ -380,3 +380,90 @@ def incremental_agg_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_sketch_batch_into_state(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    key_col: str,
+    lg_k: int = 12,
+) -> None:
+    """One foreachBatch fold of per-key HLL distinct-count sketches:
+    sketch the micro-batch (one groupBy over batch rows), union-merge
+    into the state sketches (a groupBy over state+batch SKETCH BYTES —
+    never historical facts), and promote with the same stage-and-swap +
+    batch-id replay guard as :func:`fold_batch_into_state`.
+
+    This is the streaming face of operators/sketches.py: at 100 TB the
+    state table holds one ~2^lg_k-byte sketch per key while answering
+    distinct-count questions over the whole stream history; HLL union
+    is associative and order-independent, so the folded state equals the
+    one-shot sketch over everything streamed (mergeability law,
+    tests/test_streaming.py)."""
+    import os
+    import shutil
+
+    spark = batch.sparkSession
+    marker = os.path.join(state_path, "_last_folded_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # crash-replay of an already-applied batch
+    batch_sk = batch.groupBy(*keys).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk")
+    )
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        new_state = (
+            state.unionByName(batch_sk)
+            .groupBy(*keys)
+            .agg(F.hll_union_agg("sk").alias("sk"))
+        )
+    else:
+        new_state = batch_sk
+    stage = f"{state_path}.__stage_{batch_id}"
+    new_state.write.mode("overwrite").parquet(stage)
+    with open(os.path.join(stage, "_last_folded_batch"), "w") as f:
+        f.write(str(batch_id))
+    old = f"{state_path}.__old_{batch_id}"
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(stage, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def hll_state_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    key_col: str,
+    lg_k: int = 12,
+) -> StreamingQuery:
+    """Distinct-count sketch maintenance as a streaming sink: every
+    micro-batch folds its per-key HLL sketch into the state table.
+    Read estimates back with :func:`read_hll_state_estimates`."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        fold_sketch_batch_into_state(
+            batch, batch_id, state_path, keys, key_col, lg_k
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_state_estimates(spark: SparkSession, state_path: str) -> DataFrame:
+    """Per-key distinct-count estimates from a sketch-state table — a
+    metadata-sized scan (one sketch per key), no fact re-shuffle."""
+    state = spark.read.parquet(state_path)
+    keys = [c for c in state.columns if c != "sk"]
+    return state.select(
+        *keys, F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct")
+    )

@@ -557,3 +557,72 @@ def test_streaming_incremental_agg_state_maintenance(spark, tmp_path):
         sum_cols=("value",), min_cols=("value",), max_cols=("value",),
     )
     assert snapshot()["a"] == (4, 109.0, 1.0, 100.0)
+
+
+def test_hll_state_sink_folds_sketches(spark, tmp_path):
+    """Micro-batch HLL sketches union-fold into the state table: the
+    folded estimate equals the one-shot sketch over everything streamed
+    (mergeability law), which at this cardinality is the exact distinct
+    count; a crash-replay of an applied batch id is a no-op."""
+    from data_spark.streaming.jobs import (
+        fold_sketch_batch_into_state,
+        hll_state_sink,
+        read_hll_state_estimates,
+    )
+
+    src = str(tmp_path / "src")
+    # batch 1 and batch 2 overlap on event_ids 2 and 3: a fact-count
+    # fold would double-count them, the sketch union must not
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "event_type": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "event_type": "a", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "event_type": "b", "value": 3.0},
+    ])
+    _write_events(src, [
+        {"event_id": 2, "ts": "2024-01-01T00:03:00", "event_type": "a", "value": 4.0},
+        {"event_id": 3, "ts": "2024-01-01T00:04:00", "event_type": "b", "value": 5.0},
+        {"event_id": 4, "ts": "2024-01-01T00:05:00", "event_type": "b", "value": 6.0},
+        {"event_id": 5, "ts": "2024-01-01T00:06:00", "event_type": "a", "value": 7.0},
+    ])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .json(src)
+    )
+    state_path = str(tmp_path / "state")
+    q = hll_state_sink(
+        stream, state_path, str(tmp_path / "ckpt"),
+        keys=["event_type"], key_col="event_id",
+    )
+    q.awaitTermination(120)
+
+    def snapshot():
+        return {
+            r["event_type"]: r["est_distinct"]
+            for r in read_hll_state_estimates(spark, state_path).collect()
+        }
+
+    got = snapshot()
+    # exact at this cardinality: a={1,2,5}, b={3,4}
+    assert got == {"a": 3, "b": 2}
+    # mergeability: folded state == one-shot sketch over the whole source
+    import pyspark.sql.functions as F
+    oneshot = {
+        r["event_type"]: r["est"]
+        for r in spark.read.schema(EVENT_SCHEMA).json(src)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("event_id", F.lit(12))
+            ).cast("bigint").alias("est")
+        )
+        .collect()
+    }
+    assert got == oneshot
+
+    # crash-replay of the last applied batch id must not change state
+    replay = spark.createDataFrame(
+        [(99, "a", 0.0)], "event_id long, event_type string, value double"
+    )
+    fold_sketch_batch_into_state(replay, 1, state_path, ["event_type"], "event_id")
+    assert snapshot() == got
