@@ -111,6 +111,7 @@ HEADLINE = [
     "a_cms_heavy_hitters",
     "g_sssp_bellman",
     "d_pmi_bigrams",
+    "a_hll_set_algebra",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

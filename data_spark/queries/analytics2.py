@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from data_spark.operators.dedup import _words
 from data_spark.plans.lineage import truncate_lineage
+from data_spark.queries.analytics import _HLL_M, _HLL_W
 from data_spark.queries.common import t
 
 QUERIES = {}
@@ -415,5 +416,165 @@ def d_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra over the cross-engine-exact registers of
+# a_hll_exact_rollup (analytics.py): per event-type PAIR, estimate
+# |A|, |B|, |A∪B| (register-wise MAX merge — the union is exact sketch
+# algebra) and |A∩B| by inclusion-exclusion. This is the sketch-tier
+# answer to "how many distinct users did BOTH view and purchase"
+# without ever shuffling user ids — only 256-register tables move, and
+# the whole pair lattice is computed from ONE register build.
+# ---------------------------------------------------------------------------
+
+
+def _hll_est_sql(used: str, s_used: str) -> str:
+    """The rollup's harmonic estimate + small-range correction as a SQL
+    expression over a register count and the integer-scaled sum."""
+    m = _HLL_M
+    denom = f"CAST({s_used} + ({m} - {used}) * (CAST(1 AS BIGINT) << {_HLL_W + 1}) AS DOUBLE)"
+    raw = (
+        f"((0.7213 / (1.0 + 1.079 / {m})) * {m} * {m}"
+        f" * CAST(CAST(1 AS BIGINT) << {_HLL_W + 1} AS DOUBLE) / {denom})"
+    )
+    lc = f"({m} * ln(CAST({m} AS DOUBLE) / ({m} - {used})))"
+    return (
+        f"(CASE WHEN {raw} <= 2.5 * {m} AND {used} < {m} THEN {lc} ELSE {raw} END)"
+    )
+
+
+def _hll_set_oracle() -> str:
+    term = f"SUM(CAST(1 AS BIGINT) << ({_HLL_W + 1} - rho))"
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ), regs AS (
+      SELECT event_type, h % {_HLL_M} AS bucket,
+             MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                      ELSE {_HLL_W + 1} - length(bin(h // {_HLL_M})) END) AS rho
+      FROM hashed GROUP BY event_type, h % {_HLL_M}
+    ), ssums AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS used, {term} AS s_used
+      FROM regs GROUP BY event_type
+    ), types AS (SELECT DISTINCT event_type FROM regs),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), members AS (
+      SELECT ta, tb, ta AS event_type FROM pairs
+      UNION ALL SELECT ta, tb, tb FROM pairs
+    ), uregs AS (
+      SELECT m.ta, m.tb, r.bucket, MAX(r.rho) AS rho
+      FROM members m JOIN regs r ON r.event_type = m.event_type
+      GROUP BY m.ta, m.tb, r.bucket
+    ), usums AS (
+      SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS used, {term} AS s_used
+      FROM uregs GROUP BY ta, tb
+    ), ests AS (
+      SELECT u.ta, u.tb,
+             {_hll_est_sql("sa.used", "sa.s_used")} AS est_a,
+             {_hll_est_sql("sb.used", "sb.s_used")} AS est_b,
+             {_hll_est_sql("u.used", "u.s_used")} AS est_u
+      FROM usums u
+      JOIN ssums sa ON sa.event_type = u.ta
+      JOIN ssums sb ON sb.event_type = u.tb
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           ROUND(est_a, 4) AS est_a, ROUND(est_b, 4) AS est_b,
+           ROUND(est_u, 4) AS est_union,
+           ROUND(GREATEST(est_a + est_b - est_u, 0.0), 4) AS est_intersection
+    FROM ests
+    """
+
+
+def _hll_est_col(used: F.Column, s_used: F.Column) -> F.Column:
+    m = _HLL_M
+    empty_term = F.lit(1 << (_HLL_W + 1)).cast("bigint")
+    denom = (s_used + (F.lit(m) - used) * empty_term).cast("double")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(
+        float(1 << (_HLL_W + 1))
+    ) / denom
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - used))
+    return F.when((raw <= 2.5 * m) & (used < m), lc).otherwise(raw)
+
+
+@_q("a_hll_set_algebra", _hll_set_oracle())
+def a_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates for every event-type pair — |A|, |B|,
+    |A∪B| via register-MAX merge, |A∩B| by inclusion-exclusion — from
+    ONE build of the 256-register-per-type exact-HLL table. The fact
+    table is scanned once (the register groupBy); the pair lattice is a
+    deliberate ≤|types|²-row broadcast (audit-allowlisted next to the
+    other tiny-lattice joins) whose members then reach the registers by
+    exploded-member EQUI-join, so only register tables ever shuffle."""
+    e = t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    rest = F.expr(f"h div {_HLL_M}")
+    rho = F.when(rest == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(rest))
+    )
+    regs = (
+        e.select("event_type", h.alias("h"))
+        .groupBy("event_type", (F.col("h") % _HLL_M).alias("bucket"))
+        .agg(F.max(rho).alias("rho"))
+        # one register build feeds the single sums, the type list, and
+        # the pair-merged registers
+        .transform(truncate_lineage)
+    )
+    term = F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - rho)")
+    ssums = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+        F.sum(term).alias("s_used"),
+    )
+    types = regs.select("event_type").distinct()
+    ta = types.select(F.col("event_type").alias("ta"))
+    tb = types.select(F.col("event_type").alias("tb"))
+    pairs = ta.join(tb, F.col("ta") < F.col("tb"))
+    members = pairs.select(
+        "ta", "tb", F.explode(F.array("ta", "tb")).alias("event_type")
+    )
+    uregs = (
+        members.join(regs, "event_type")
+        .groupBy("ta", "tb", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    usums = uregs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+        F.sum(term).alias("s_used"),
+    )
+    sa = ssums.select(
+        F.col("event_type").alias("ta"),
+        F.col("used").alias("used_a"),
+        F.col("s_used").alias("s_a"),
+    )
+    sb = ssums.select(
+        F.col("event_type").alias("tb"),
+        F.col("used").alias("used_b"),
+        F.col("s_used").alias("s_b"),
+    )
+    est_a = _hll_est_col(F.col("used_a"), F.col("s_a"))
+    est_b = _hll_est_col(F.col("used_b"), F.col("s_b"))
+    est_u = _hll_est_col(F.col("used"), F.col("s_used"))
+    return (
+        usums.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.round(est_a, 4).alias("est_a"),
+            F.round(est_b, 4).alias("est_b"),
+            F.round(est_u, 4).alias("est_union"),
+            F.round(
+                F.greatest(est_a + est_b - est_u, F.lit(0.0)), 4
+            ).alias("est_intersection"),
         )
     )

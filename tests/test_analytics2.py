@@ -136,3 +136,35 @@ def test_pmi_bigrams_matches_python_mirror(spark, sf_small):
             6,
         )
         assert r.lift == pytest.approx(expect, rel=1e-12)
+
+
+def test_hll_set_algebra_inclusion_exclusion(spark, monkeypatch):
+    """Known overlap: A = users 0..999, B = users 500..1499 (true
+    |A|=|B|=1000, |A∪B|=1500, |A∩B|=500 — all in the raw-harmonic zone
+    at m=256). The pair estimates must respect sketch-algebra
+    invariants and land within HLL tolerance of the truth."""
+    import datetime as dt
+
+    import data_spark.queries.analytics2 as a2
+    from data_spark.queries.analytics2 import a_hll_set_algebra
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i, "a", 1.0) for i in range(1000)] + [
+        (10_000 + i, t0, i, "b", 1.0) for i in range(500, 1500)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    monkeypatch.setattr(a2, "t", lambda s, d, n: ev)
+    [r] = a_hll_set_algebra(spark, "x").collect()
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    # sketch-algebra invariants hold regardless of estimation error
+    assert r["est_union"] <= r["est_a"] + r["est_b"]
+    assert r["est_intersection"] >= 0.0
+    # 256 registers -> ~6.5% standard error per estimate; the
+    # inclusion-exclusion intersection compounds three of them
+    assert abs(r["est_a"] - 1000) / 1000 < 0.20
+    assert abs(r["est_b"] - 1000) / 1000 < 0.20
+    assert abs(r["est_union"] - 1500) / 1500 < 0.20
+    assert abs(r["est_intersection"] - 500) / 500 < 0.60

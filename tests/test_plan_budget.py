@@ -102,6 +102,9 @@ EXCHANGE_BUDGET = {
     "a_cms_heavy_hitters": 4,
     "g_sssp_bellman": 0,
     "d_pmi_bigrams": 7,
+    # register build is materialized; 8 = single sums + type distinct +
+    # pair-member merge groupBys, their broadcasts, and the final joins
+    "a_hll_set_algebra": 8,
 }
 
 
