@@ -112,6 +112,7 @@ HEADLINE = [
     "g_sssp_bellman",
     "d_pmi_bigrams",
     "a_hll_set_algebra",
+    "a_market_basket",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -578,3 +578,106 @@ def a_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over parts co-ordered in the same
+# order: the Apriori 2-itemset pass (support → confidence → lift). The
+# per-order self-join is bounded by basket size (TPC-H baskets ≤ 7
+# items), support pruning (n_ab >= minsup) happens in the pair
+# aggregate's HAVING before anything else joins, and the only scalar —
+# the order universe count — rides the house 1-row broadcast idiom. At
+# 100 TB the support threshold is the knob: everything downstream of
+# the HAVING is the (small) frequent-pair table.
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUPPORT = 3
+_MB_TOP = 25
+
+
+@_q(
+    "a_market_basket",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_ord AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+    ), part_cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MB_MIN_SUPPORT}
+    )
+    SELECT pa AS part_a, pb AS part_b, n_ab,
+           ca.n AS n_a, cb.n AS n_b,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) AS confidence,
+           ROUND(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN part_cnt ca ON ca.l_partkey = pa
+    JOIN part_cnt cb ON cb.l_partkey = pb
+    CROSS JOIN n_ord
+    ORDER BY lift DESC, pa, pb
+    LIMIT {_MB_TOP}
+    """,
+)
+def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 part-pair association rules by lift (Apriori 2-itemset
+    pass): distinct (order, part) items, per-order pair self-join
+    (bounded by basket size), support-pruned pair counts, then
+    confidence n_ab/n_a and lift N·n_ab/(n_a·n_b) as double ratios of
+    BIGINT counts — identical operands cross-engine. One TakeOrdered
+    pass picks the head with (pa, pb) tiebreaks."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # feeds both sides of the pair join, the part counts, and the
+        # order-universe count — one fact scan
+        .transform(truncate_lineage)
+    )
+    n_ord = items.select(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    part_cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _MB_MIN_SUPPORT)
+    )
+    ca = part_cnt.select(F.col("l_partkey").alias("pa"), F.col("n").alias("n_a"))
+    cb = part_cnt.select(F.col("l_partkey").alias("pb"), F.col("n").alias("n_b"))
+    conf = F.round(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6)
+    lift = F.round(
+        F.col("n_ab").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_MB_TOP)
+    )

@@ -168,3 +168,48 @@ def test_hll_set_algebra_inclusion_exclusion(spark, monkeypatch):
     assert abs(r["est_b"] - 1000) / 1000 < 0.20
     assert abs(r["est_union"] - 1500) / 1500 < 0.20
     assert abs(r["est_intersection"] - 500) / 500 < 0.60
+
+
+def test_market_basket_matches_python_mirror(spark, sf_small):
+    from data_spark.queries.analytics2 import (
+        _MB_MIN_SUPPORT,
+        _MB_TOP,
+        a_market_basket,
+    )
+
+    rows = a_market_basket(spark, sf_small).collect()
+    assert len(rows) == _MB_TOP
+
+    items = {
+        (r.l_orderkey, r.l_partkey)
+        for r in spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    baskets = defaultdict(set)
+    for o, p in items:
+        baskets[o].add(p)
+    n_orders = len(baskets)
+    part_n = Counter(p for _, p in items)
+    pair_n = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, pa in enumerate(ps):
+            for pb in ps[i + 1:]:
+                pair_n[(pa, pb)] += 1
+    rules = []
+    for (pa, pb), n_ab in pair_n.items():
+        if n_ab < _MB_MIN_SUPPORT:
+            continue
+        lift = round(
+            float(n_ab) * float(n_orders) / (float(part_n[pa]) * float(part_n[pb])), 6
+        )
+        rules.append((-lift, pa, pb, n_ab))
+    rules.sort()
+    expect = rules[:_MB_TOP]
+
+    got = [(-r.lift, r.part_a, r.part_b, r.n_ab) for r in rows]
+    assert got == expect
+    for r in rows:
+        assert r.n_a == part_n[r.part_a] and r.n_b == part_n[r.part_b]
+        assert r.confidence == pytest.approx(round(r.n_ab / r.n_a, 6), rel=1e-12)

@@ -105,6 +105,9 @@ EXCHANGE_BUDGET = {
     # register build is materialized; 8 = single sums + type distinct +
     # pair-member merge groupBys, their broadcasts, and the final joins
     "a_hll_set_algebra": 8,
+    # items are materialized; 9 = pair self-join alignment + support
+    # groupBy + part counts and their join broadcasts + TakeOrdered
+    "a_market_basket": 9,
 }
 
 

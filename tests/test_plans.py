@@ -164,6 +164,7 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
             "d_semantic_dedup",  # same centroid broadcast inside the fit
             "j_range_tier",  # interval join against a 4-row broadcast
             "a_hll_set_algebra",  # ≤|types|²-row pair-lattice broadcast over the 5 event types
+            "a_market_basket",  # 1-row order-universe-count broadcast
         ), (
             f"{name} plans a nested-loop join:\n{plan}"
         )
