@@ -113,6 +113,9 @@ HEADLINE = [
     "d_pmi_bigrams",
     "a_hll_set_algebra",
     "a_market_basket",
+    "g_label_propagation",  # mode-update iterative member (2 shuffles/round)
+    "a_itemcf_recommend",
+    "a_yoy_growth",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -18,6 +18,7 @@ from data_spark.queries import (
     events,
     graphq,
     matching,
+    mining,
     quality,
     ranking,
     relational,
@@ -42,6 +43,7 @@ _ALL_QUERIES = {
     **analytics.QUERIES,
     **analytics2.QUERIES,
     **matching.QUERIES,
+    **mining.QUERIES,
     **quality.QUERIES,
 }
 
@@ -59,6 +61,7 @@ ORACLE = {
     **analytics.ORACLE,
     **analytics2.ORACLE,
     **matching.ORACLE,
+    **mining.ORACLE,
     **quality.ORACLE,
 }
 
@@ -152,6 +155,10 @@ _PRIORITY = [
     "m_incr_agg_maintain",
     "a_chi2_cells",
     "d_kl_source_drift",
+    # --- mining tier added post-snapshot r4, never witnessed ---
+    "g_label_propagation",
+    "a_itemcf_recommend",
+    "a_yoy_growth",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

@@ -108,6 +108,14 @@ EXCHANGE_BUDGET = {
     # items are materialized; 9 = pair self-join alignment + support
     # groupBy + part counts and their join broadcasts + TakeOrdered
     "a_market_basket": 9,
+    # mining tier: LPA's per-round plans are materialized so the final
+    # select is shuffle-free; itemCF = pair groupBy + two seed
+    # broadcasts + final score groupBy + TakeOrdered (items and seed
+    # materialized); growth = monthly agg + the single-partition
+    # calendar window
+    "g_label_propagation": 0,
+    "a_itemcf_recommend": 5,
+    "a_yoy_growth": 2,
 }
 
 
