@@ -159,6 +159,8 @@ _PRIORITY = [
     "g_label_propagation",
     "a_itemcf_recommend",
     "a_yoy_growth",
+    "d_sorted_neighborhood",
+    "d_containment_pairs",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

@@ -312,3 +312,180 @@ def a_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_pct"
         ),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood entity resolution: the third blocking scheme in
+# the ER family (hash blocks: d_edit_distance_block; phonetic-free
+# token blocks: d_fuzzy_dedup's shingle bands). Sort the corpus by its
+# normalized text, then compare each record only to its w successors in
+# sort order — candidate count is exactly w·n no matter how skewed the
+# key distribution is (hash blocking's worst case is one giant block).
+# The global sort rank comes from operators/order.global_row_number —
+# the two-phase range-partitioned rank, NOT a single-partition window —
+# so the plan scales with the cluster.
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 5
+_SN_MAX_DIST = 40
+
+
+@_q(
+    "d_sorted_neighborhood",
+    rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')) AS nt
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, nt, ROW_NUMBER() OVER (ORDER BY nt, doc_id) AS rn
+      FROM norm
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS dist
+    FROM ranked a JOIN ranked b
+      ON b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
+    WHERE levenshtein(a.nt, b.nt) <= {_SN_MAX_DIST}
+    """,
+)
+def d_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by sorted-neighborhood blocking: global rank
+    over (normalized_text, doc_id) via the two-phase distributed
+    ROW_NUMBER, then each record meets exactly its _SN_WINDOW successors
+    through an equi-join on shifted rank (explode of the 1..w offsets —
+    an integer-keyed join, not a range join), and the edit distance
+    runs only on those w·n candidates. Pairs within distance 40 are
+    emitted with their sort-order gap — adjacent near-dups surface at
+    gap 1."""
+    from data_spark.operators.order import global_row_number  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " ")).alias("nt"),
+    )
+    ranked = global_row_number(d, ["nt", "doc_id"]).transform(truncate_lineage)
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nt").alias("na"),
+        F.explode(F.sequence(F.lit(1), F.lit(_SN_WINDOW))).alias("gap"),
+        (F.col("rn") + F.col("gap")).alias("rn_b"),
+    )
+    right = ranked.select(
+        F.col("rn").alias("rn_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("nt").alias("nb"),
+    )
+    dist = F.levenshtein("na", "nb")
+    return (
+        left.join(right, "rn_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("gap").cast("bigint").alias("gap"),
+            dist.cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= _SN_MAX_DIST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram CONTAINMENT pairs: |A∩B| / |A| rather than Jaccard
+# |A∩B| / |A∪B| — the asymmetry that catches quote-and-extend
+# near-dups (a short doc fully contained in a longer one scores 1.0 on
+# containment but low on Jaccard). Candidates come from the inverted
+# shingle index with a df guard, the same Σdf² bound as the ranking
+# tier's cosine join.
+# ---------------------------------------------------------------------------
+
+_CT_N = 3
+_CT_MAX_DF = 25
+_CT_MIN = 0.5
+
+
+@_q(
+    "d_containment_pairs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')),
+                             '\s+') AS words
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(words[i:i+{_CT_N - 1}], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(words) - {_CT_N - 1}, 0) + 1)) AS r(i)
+      WHERE len(words) >= {_CT_N}
+    ), guarded AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_CT_MAX_DF}
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM guarded GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM guarded a JOIN guarded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(c.n_common AS DOUBLE) / sa.n, 6) AS cont_a,
+           ROUND(CAST(c.n_common AS DOUBLE) / sb.n, 6) AS cont_b
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / sa.n >= {_CT_MIN}
+       OR CAST(c.n_common AS DOUBLE) / sb.n >= {_CT_MIN}
+    """,
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: per ordered doc pair, the shared
+    distinct 3-word-shingle count and BOTH containment directions
+    |A∩B|/|A| and |A∩B|/|B|, kept when either side is >=0.5. The
+    inverted-index self-join is df-guarded (shingles in more than 25
+    docs are dropped on BOTH sides, bounding candidate fan-out at
+    Σdf² <= 25·|postings|); sizes use the same guarded sets so the
+    ratios are exact integer/integer divisions cross-engine."""
+    from data_spark.operators.dedup import _words, ngrams_from_words  # noqa: PLC0415
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _words(F.col("text")).alias("words")).filter(
+        F.size("words") >= _CT_N
+    )
+    sh = toks.select(
+        "doc_id", F.explode(ngrams_from_words(F.col("words"), _CT_N)).alias("shingle")
+    ).distinct()
+    guarded = (
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .filter(F.col("df") <= _CT_MAX_DF)
+        .drop("df")
+        # feeds sizes AND both sides of the pair join — one shingle build
+        .transform(truncate_lineage)
+    )
+    sizes = guarded.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = guarded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = guarded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont_a = F.col("n_common").cast("double") / F.col("n_a")
+    cont_b = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((cont_a >= _CT_MIN) | (cont_b >= _CT_MIN))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(cont_a, 6).alias("cont_a"),
+            F.round(cont_b, 6).alias("cont_b"),
+        )
+    )

@@ -131,3 +131,116 @@ def test_yoy_growth_matches_python_mirror(spark, sf_small):
             assert prev[5:] == r.month[5:]
             assert int(prev[:4]) == int(r.month[:4]) - 1
             assert abs(r.yoy_pct - round(rev[r.month] / rev[prev] - 1.0, 6)) < 1e-9
+
+
+def test_global_row_number_total_and_partition_invariant(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from data_spark.operators.order import global_row_number
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " ")).alias("nt"),
+    )
+    expect = [
+        r.doc_id
+        for r in d.orderBy("nt", "doc_id").select("doc_id").collect()
+    ]
+    for n_parts in (1, 3, 16):
+        ranked = global_row_number(d, ["nt", "doc_id"], num_partitions=n_parts)
+        rows = ranked.orderBy("rn").select("doc_id", "rn").collect()
+        assert [r.rn for r in rows] == list(range(1, len(expect) + 1))
+        assert [r.doc_id for r in rows] == expect
+
+
+def test_sorted_neighborhood_matches_python_mirror(spark, sf_small):
+    import re
+
+    from data_spark.queries.mining import (
+        _SN_MAX_DIST,
+        _SN_WINDOW,
+        d_sorted_neighborhood,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): (r.gap, r.dist)
+        for r in d_sorted_neighborhood(spark, sf_small).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    norm = {
+        d.doc_id: re.sub(r"[^a-z0-9 ]+", " ", d.text.lower()).strip()
+        for d in docs
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    order = sorted(norm, key=lambda i: (norm[i], i))
+    expect = {}
+    for i, da in enumerate(order):
+        for gap in range(1, _SN_WINDOW + 1):
+            if i + gap >= len(order):
+                break
+            db = order[i + gap]
+            d_ = lev(norm[da], norm[db])
+            if d_ <= _SN_MAX_DIST:
+                expect[(da, db)] = (gap, d_)
+    assert got == expect
+    # the blocking result must include at least one adjacent near-dup
+    assert any(gap == 1 for gap, _ in got.values())
+
+
+def test_containment_pairs_matches_python_mirror(spark, sf_small):
+    import re
+    from collections import Counter
+
+    from data_spark.queries.mining import (
+        _CT_MAX_DF,
+        _CT_MIN,
+        _CT_N,
+        d_containment_pairs,
+    )
+
+    rows = d_containment_pairs(spark, sf_small).collect()
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    shingles = {}
+    for d in docs:
+        words = [
+            w
+            for w in re.sub(r"[^a-z0-9 ]+", " ", d.text.lower()).strip().split()
+            if w
+        ]
+        if len(words) >= _CT_N:
+            shingles[d.doc_id] = {
+                " ".join(words[i : i + _CT_N])
+                for i in range(len(words) - _CT_N + 1)
+            }
+    df_cnt = Counter(s for ss in shingles.values() for s in ss)
+    guarded = {
+        i: {s for s in ss if df_cnt[s] <= _CT_MAX_DF}
+        for i, ss in shingles.items()
+    }
+    ids = sorted(guarded)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = len(guarded[a] & guarded[b])
+            if not common:
+                continue
+            na, nb = len(guarded[a]), len(guarded[b])
+            if common / na >= _CT_MIN or common / nb >= _CT_MIN:
+                expect[(a, b)] = (common, na, nb)
+    assert {(r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b) for r in rows} == expect
+    for r in rows:
+        assert abs(r.cont_a - round(r.n_common / r.n_a, 6)) < 1e-12
+        assert abs(r.cont_b - round(r.n_common / r.n_b, 6)) < 1e-12

@@ -116,6 +116,12 @@ EXCHANGE_BUDGET = {
     "g_label_propagation": 0,
     "a_itemcf_recommend": 5,
     "a_yoy_growth": 2,
+    # sorted-neighborhood: ranked frame is materialized (the two-phase
+    # global rank pays its own range shuffle before the checkpoint);
+    # 2 = the shifted-rank join alignment. containment: guarded shingle
+    # frame materialized; 6 = df window + sizes/common groupBys + joins
+    "d_sorted_neighborhood": 2,
+    "d_containment_pairs": 6,
 }
 
 
