@@ -118,6 +118,8 @@ HEADLINE = [
     "a_yoy_growth",
     "d_sorted_neighborhood",  # two-phase global rank + w·n candidate join
     "d_containment_pairs",
+    "d_rake_keywords",
+    "d_winsorize",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -161,6 +161,8 @@ _PRIORITY = [
     "a_yoy_growth",
     "d_sorted_neighborhood",
     "d_containment_pairs",
+    "d_rake_keywords",
+    "d_winsorize",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

@@ -489,3 +489,188 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont_b, 6).alias("cont_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al.'s Rapid Automatic Keyword
+# Extraction): candidate phrases are maximal stopword-free token runs
+# (capped at 4 words), a word's score is degree/frequency over all
+# phrase occurrences, and a phrase's score is the sum of its word
+# scores. Everything is counts and short-phrase sums: the per-doc
+# segmentation is a windowed running count of stopword boundaries (no
+# UDF), and cross-engine float discipline rounds each word score to the
+# 6-dp grid then sums as DECIMAL — associative, so the corpus-wide
+# phrase scores hash-match.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 20
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    return rf"""
+    WITH toksrc AS (
+      SELECT doc_id,
+             str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')),
+                             '\s+') AS words
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, r.i AS pos, words[r.i] AS w
+      FROM toksrc, UNNEST(range(1, len(words) + 1)) AS r(i)
+    ), flagged AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN ({stops}) OR w = '' THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ), segged AS (
+      SELECT doc_id, pos, w, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+      FROM flagged
+    ), ph AS (
+      SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS plen,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM segged WHERE stop = 0
+      GROUP BY doc_id, seg
+      HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+    ), pw AS (
+      SELECT phrase, plen, unnest(str_split(phrase, ' ')) AS w FROM ph
+    ), ws AS (
+      SELECT w, CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS score
+      FROM pw GROUP BY w
+    ), dp AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM ph GROUP BY phrase
+    ), dpw AS (
+      SELECT phrase, unnest(str_split(phrase, ' ')) AS w FROM dp
+    ), scored AS (
+      SELECT d.phrase, d.n_occ, CAST(SUM(s.score) AS DOUBLE) AS score
+      FROM dp d JOIN dpw x ON x.phrase = d.phrase JOIN ws s ON s.w = x.w
+      GROUP BY d.phrase, d.n_occ
+    )
+    SELECT phrase, n_occ, score FROM scored
+    ORDER BY score DESC, phrase LIMIT {_RAKE_TOP}
+    """
+
+
+@_q("d_rake_keywords", _rake_oracle())
+def d_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 RAKE keyword phrases over the corpus: stopword-boundary
+    segmentation by a per-doc running count (one doc-keyed window),
+    phrase assembly by sort_array(collect_list(struct(pos, w))) — an
+    explicit total order, never collect_list's physical order — then
+    word degree/frequency scores on the phrase-occurrence table and
+    decimal-exact phrase-score sums. The word-score and distinct-phrase
+    frames are vocabulary-bounded; only the token explode touches
+    corpus scale, with map-side combine on every aggregate."""
+    from data_spark.operators.dedup import _words  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w")
+    ).withColumn(
+        "stop",
+        (F.col("w").isin(*_RAKE_STOP) | (F.col("w") == "")).cast("int"),
+    )
+    segged = toks.withColumn(
+        "seg", F.sum("stop").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    ph = (
+        segged.filter(F.col("stop") == 0)
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+        # feeds the word-score build and the distinct-phrase counts
+        .transform(truncate_lineage)
+    )
+    pw = ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+    ws = pw.groupBy("w").agg(
+        F.round(F.sum("plen").cast("double") / F.count(F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("score")
+    )
+    dp = ph.groupBy("phrase").agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    dpw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    return (
+        dpw.join(F.broadcast(ws), "w")
+        .groupBy("phrase")
+        .agg(F.sum("score").cast("double").alias("score"))
+        .join(dp, "phrase")
+        .select("phrase", "n_occ", "score")
+        .orderBy(F.desc("score"), "phrase")
+        .limit(_RAKE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics: per-source document-length mean after clipping
+# to the exact interpolated [p05, p95] — the robust-mean companion to
+# a_mad_outliers (which flags, but does not repair). Percentile
+# interpolation is the proven-bit-identical percentile ≡ quantile_cont
+# pair (a_percentiles); the clipped mean uses the house decimal-SUM.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d_winsorize",
+    """
+    WITH pct AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(p.p05) AS p05,
+           ANY_VALUE(p.p95) AS p95,
+           CAST(SUM(CASE WHEN d.n_chars < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN d.n_chars > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+           ROUND(CAST(SUM(CAST(GREATEST(LEAST(CAST(d.n_chars AS DOUBLE), p.p95), p.p05)
+                              AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS wins_mean
+    FROM documents d JOIN pct p ON p.source = d.source
+    GROUP BY d.source
+    """,
+)
+def d_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized mean of document length: exact interpolated
+    p05/p95 per source (one map-side-combinable aggregate over a
+    handful of groups), broadcast back onto the fact rows, clip, and
+    decimal-sum the clipped values. Two fact scans collapse to one via
+    the shared source key; the percentile frame is |sources| rows."""
+    d = t(spark, sf_dir, "documents").select("source", "n_chars")
+    pct = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    clipped = F.greatest(
+        F.least(F.col("n_chars").cast("double"), F.col("p95")), F.col("p05")
+    )
+    return (
+        d.join(F.broadcast(pct), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("p05").alias("p05"),
+            F.first("p95").alias("p95"),
+            F.sum((F.col("n_chars") < F.col("p05")).cast("int"))
+            .cast("bigint")
+            .alias("n_clip_low"),
+            F.sum((F.col("n_chars") > F.col("p95")).cast("int"))
+            .cast("bigint")
+            .alias("n_clip_high"),
+            F.round(
+                F.sum(clipped.cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("wins_mean"),
+        )
+    )

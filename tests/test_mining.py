@@ -244,3 +244,84 @@ def test_containment_pairs_matches_python_mirror(spark, sf_small):
     for r in rows:
         assert abs(r.cont_a - round(r.n_common / r.n_a, 6)) < 1e-12
         assert abs(r.cont_b - round(r.n_common / r.n_b, 6)) < 1e-12
+
+
+def test_rake_matches_python_mirror(spark, sf_small):
+    import re
+    from collections import Counter, defaultdict as dd
+    from decimal import Decimal
+
+    from data_spark.queries.mining import (
+        _RAKE_MAX_LEN,
+        _RAKE_STOP,
+        _RAKE_TOP,
+        d_rake_keywords,
+    )
+
+    rows = d_rake_keywords(spark, sf_small).collect()
+    assert len(rows) == _RAKE_TOP
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    phrases = []
+    for d in docs:
+        words = re.sub(r"[^a-z0-9 ]+", " ", d.text.lower()).strip().split()
+        run = []
+        for w in words + [None]:
+            if w is None or w in _RAKE_STOP or w == "":
+                if run and len(run) <= _RAKE_MAX_LEN:
+                    phrases.append(" ".join(run))
+                run = []
+            else:
+                run.append(w)
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        ws = p.split()
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    score_w = {
+        w: Decimal(str(round(deg[w] / freq[w], 6))) for w in freq
+    }
+    n_occ = Counter(phrases)
+    scored = {
+        p: float(sum(score_w[w] for w in p.split())) for p in n_occ
+    }
+    expect = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:_RAKE_TOP]
+    assert [(r.phrase, r.score) for r in rows] == expect
+    for r in rows:
+        assert r.n_occ == n_occ[r.phrase]
+
+
+def test_winsorize_matches_python_mirror(spark, sf_small):
+    from collections import defaultdict as dd
+
+    from data_spark.queries.mining import d_winsorize
+
+    rows = {r.source: r for r in d_winsorize(spark, sf_small).collect()}
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "source", "n_chars"
+    ).collect()
+    by_src = dd(list)
+    for r in docs:
+        by_src[r.source].append(r.n_chars)
+
+    def q_cont(vals, q):
+        s = sorted(vals)
+        idx = (len(s) - 1) * q
+        lo, hi = int(idx // 1), min(int(idx // 1) + 1, len(s) - 1)
+        frac = idx - lo
+        return (1 - frac) * s[lo] + frac * s[hi]
+
+    assert set(rows) == set(by_src)
+    for src, vals in by_src.items():
+        r = rows[src]
+        p05, p95 = q_cont(vals, 0.05), q_cont(vals, 0.95)
+        assert abs(r.p05 - p05) < 1e-9 and abs(r.p95 - p95) < 1e-9
+        assert r.n == len(vals)
+        assert r.n_clip_low == sum(1 for v in vals if v < p05)
+        assert r.n_clip_high == sum(1 for v in vals if v > p95)
+        wm = sum(min(max(float(v), p05), p95) for v in vals) / len(vals)
+        assert abs(r.wins_mean - wm) < 1e-5
+        # the winsorized mean is pulled inside the clip bounds
+        assert p05 <= r.wins_mean <= p95

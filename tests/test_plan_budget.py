@@ -122,6 +122,11 @@ EXCHANGE_BUDGET = {
     # frame materialized; 6 = df window + sizes/common groupBys + joins
     "d_sorted_neighborhood": 2,
     "d_containment_pairs": 6,
+    # RAKE: phrase frame materialized; 5 = doc-keyed segmentation
+    # window + word-score/distinct-phrase groupBys + broadcast + final
+    # TakeOrdered. winsorize: percentile agg + its broadcast + final agg
+    "d_rake_keywords": 5,
+    "d_winsorize": 3,
 }
 
 
