@@ -120,6 +120,9 @@ HEADLINE = [
     "d_containment_pairs",
     "d_rake_keywords",
     "d_winsorize",
+    "g_ppr_personalized",
+    "a_seasonal_index",
+    "j_multitouch_attrib",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

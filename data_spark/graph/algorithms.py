@@ -24,8 +24,15 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    source: str | None = None,
 ) -> DataFrame:
     """PageRank over an edge list; returns (id, rank).
+
+    With ``source`` set this computes PERSONALIZED PageRank: the rank
+    mass starts at the source and teleports back to it — the standard
+    random-walk-with-restart relevance score around one node, the graph
+    analogue of the item-CF seed expansion. Same per-iteration plan;
+    only the init vector and the teleport term change.
 
     Per iteration: contributions = links ⋈ ranks on the source id,
     then one groupBy(dst) SUM. Both static frames (links, verts) are
@@ -62,7 +69,20 @@ def pagerank(
     )
     links.count()  # materialize off the edge cache before dropping it
     edges.unpersist()
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    if source is None:
+        ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+        teleport = F.lit((1.0 - damping) / n)
+    else:
+        ranks = verts.select(
+            "id",
+            F.when(F.col("id") == source, F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+                "rank"
+            ),
+        )
+        teleport = (
+            F.when(F.col("id") == source, F.lit(1.0 - damping))
+            .otherwise(F.lit(0.0))
+        )
     for i in range(iterations):
         inflow = (
             links.join(ranks, "id")
@@ -75,8 +95,7 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.lit((1.0 - damping) / n)
-                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    teleport + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
         )

@@ -163,6 +163,9 @@ _PRIORITY = [
     "d_containment_pairs",
     "d_rake_keywords",
     "d_winsorize",
+    "g_ppr_personalized",
+    "a_seasonal_index",
+    "j_multitouch_attrib",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

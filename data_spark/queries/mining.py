@@ -674,3 +674,238 @@ def d_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wins_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart) from one supplier
+# over the directed supplier→customer graph — the graph-native
+# relevance ranking around a seed node, companion to the seed-set
+# expansion of a_itemcf_recommend. Same fixed-iteration + IEEE-constant
+# + 1e-8-grid-snap discipline that made global g_pagerank hash-oracle
+# able (graphq.py): double-SUM reassociation between engines is bounded
+# ~1e-16 relative and absorbed by the FLOOR(rank·1e8) snap.
+# ---------------------------------------------------------------------------
+
+_PPR_SOURCE = "s1"
+_PPR_ITERATIONS = 6
+_PPR_DAMPING = 0.85
+
+
+def _ppr_oracle() -> str:
+    one_minus_d = repr(1.0 - _PPR_DAMPING)
+    d = repr(_PPR_DAMPING)
+    parts = [
+        """
+  edges AS MATERIALIZED (
+    SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  ),
+  verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+  deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+  links AS MATERIALIZED (
+    SELECT e.src AS id, e.dst AS dst, d.deg FROM edges e JOIN deg d ON d.id = e.src
+  ),
+"""
+        + f"""
+  r0 AS (
+    SELECT id, CASE WHEN id = '{_PPR_SOURCE}' THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS rank
+    FROM verts
+  )"""
+    ]
+    for k in range(1, _PPR_ITERATIONS + 1):
+        parts.append(
+            f""",
+  i{k} AS (
+    SELECT l.dst AS id, SUM(r.rank / l.deg) AS inflow
+    FROM links l JOIN r{k - 1} r ON r.id = l.id GROUP BY l.dst
+  ),
+  r{k} AS (
+    SELECT v.id,
+           CASE WHEN v.id = '{_PPR_SOURCE}' THEN CAST('{one_minus_d}' AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END
+             + CAST('{d}' AS DOUBLE) * COALESCE(i.inflow, CAST(0 AS DOUBLE)) AS rank
+    FROM verts v LEFT JOIN i{k} i ON i.id = v.id
+  )"""
+        )
+    parts.append(
+        f"""
+  SELECT id, CAST(FLOOR(rank * CAST(100000000 AS DOUBLE)) AS BIGINT) AS rank_e8
+  FROM r{_PPR_ITERATIONS}
+    """
+    )
+    return "WITH" + "".join(parts)
+
+
+@_q("g_ppr_personalized", _ppr_oracle())
+def g_ppr_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6 iterations of personalized PageRank from supplier ``s1``
+    (graph/algorithms.pagerank with ``source=``): rank mass starts at
+    the seed and teleports back to it each step, so the scores measure
+    random-walk proximity to the seed. Per-iteration plan identical to
+    global PageRank (links pre-partitioned and cached, two shuffles);
+    output snapped to the 1e-8 grid for the cross-engine hash."""
+    from data_spark.graph.algorithms import pagerank  # noqa: PLC0415
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(
+        edges,
+        iterations=_PPR_ITERATIONS,
+        damping=_PPR_DAMPING,
+        source=_PPR_SOURCE,
+    ).select(
+        "id", F.floor(F.col("rank") * F.lit(1e8)).cast("bigint").alias("rank_e8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (ratio-to-moving-average): monthly
+# revenue → centered 12-month moving average (the trend) → per
+# month-of-year average of the revenue/trend ratios (the seasonal
+# index). The whole computation runs on the ~80-row monthly frame, so
+# the windows are calendar-bounded; the moving average uses DECIMAL
+# window sums (associative) and the index averages 6-dp-rounded ratios
+# as DECIMAL — the two float-discipline idioms composed.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a_seasonal_index",
+    """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(strftime(o_orderdate, '%m') AS BIGINT) AS moy,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), trended AS (
+      SELECT month, moy,
+             CAST(rev AS DOUBLE) AS rev,
+             CAST(SUM(rev) OVER w AS DOUBLE) AS tsum,
+             COUNT(*) OVER w AS tn
+      FROM monthly
+      WINDOW w AS (ORDER BY month ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+    ), ratios AS (
+      SELECT moy,
+             CAST(ROUND(rev / (tsum / 12), 6) AS DECIMAL(18,6)) AS ratio
+      FROM trended WHERE tn = 12
+    )
+    SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_years,
+           CAST(SUM(ratio) AS DOUBLE) / COUNT(*) AS seasonal_index
+    FROM ratios GROUP BY moy
+    """,
+)
+def a_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-moving-average seasonal index per calendar month:
+    monthly decimal revenue, centered 12-row moving SUM (decimal —
+    associative, so the window total is engine-independent), ratio to
+    the 12-month trend on the interior months only (tn = 12), then the
+    per month-of-year mean of 6-dp-snapped ratios. Every frame after
+    the first aggregate is calendar-bounded."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        F.month("o_orderdate").cast("bigint").alias("moy"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+    w = Window.orderBy("month").rowsBetween(-5, 6)
+    trended = monthly.select(
+        "moy",
+        F.col("rev").cast("double").alias("rev"),
+        F.sum("rev").over(w).cast("double").alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    )
+    ratios = trended.filter(F.col("tn") == 12).select(
+        "moy",
+        F.round(F.col("rev") / (F.col("tsum") / 12), 6)
+        .cast("decimal(18,6)")
+        .alias("ratio"),
+    )
+    return ratios.groupBy("moy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_years"),
+        # the mean stays an UNROUNDED double quotient: the numerator is a
+        # decimal-exact sum, so both engines divide identical operands —
+        # a final ROUND here would reintroduce engine-specific half-way
+        # behavior exactly at 6-dp boundaries (seen at sf0.01, moy=9)
+        (F.sum("ratio").cast("double") / F.count(F.lit(1))).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch LINEAR attribution: every purchase splits one unit of
+# credit equally across the user's clicks in the preceding 7 days —
+# the fractional-credit counterpart to j_asof_click_attrib's
+# last-touch. The click↔purchase pairing is a user-keyed equi-join
+# with the time band inside the join condition (per-user event counts
+# bound the fan-out, the house as-of idiom); credits are 1/n snapped
+# to the 6-dp grid and summed as DECIMAL per click day.
+# ---------------------------------------------------------------------------
+
+_MT_WINDOW_DAYS = 7
+
+
+@_q(
+    "j_multitouch_attrib",
+    f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), touched AS (
+      SELECT p.event_id AS pid, c.event_id AS cid,
+             strftime(c.ts, '%Y-%m-%d') AS click_day,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND c.ts > p.ts - INTERVAL {_MT_WINDOW_DAYS} DAY
+    )
+    SELECT click_day,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / n_touches, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS credit
+    FROM touched GROUP BY click_day
+    """,
+)
+def j_multitouch_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: per purchase, every click by the
+    same user in the trailing 7 days earns credit 1/n_touches; credits
+    are 6-dp-snapped, decimal-summed per click day. One user-keyed
+    shuffle joins the two filtered event streams (band predicate inside
+    the join condition — never a cross join), one purchase-keyed window
+    counts touches, one day-keyed aggregate folds the credit."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    touched = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr(f"INTERVAL {_MT_WINDOW_DAYS} DAYS")),
+    ).select(
+        "pid", "cid", F.date_format("cts", "yyyy-MM-dd").alias("click_day")
+    )
+    n = touched.withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("pid"))
+    )
+    return n.groupBy("click_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.round(
+            F.sum(F.round(F.lit(1.0) / F.col("n_touches"), 6).cast("decimal(18,6)"))
+            .cast("double"),
+            6,
+        ).alias("credit"),
+    )

@@ -325,3 +325,121 @@ def test_winsorize_matches_python_mirror(spark, sf_small):
         assert abs(r.wins_mean - wm) < 1e-5
         # the winsorized mean is pulled inside the clip bounds
         assert p05 <= r.wins_mean <= p95
+
+
+def test_ppr_matches_python_mirror(spark, sf_small):
+    from collections import defaultdict as dd
+
+    from data_spark.queries.mining import (
+        _PPR_DAMPING,
+        _PPR_ITERATIONS,
+        _PPR_SOURCE,
+        g_ppr_personalized,
+    )
+
+    got = {
+        r.id: r.rank_e8 / 1e8
+        for r in g_ppr_personalized(spark, sf_small).collect()
+    }
+
+    out = dd(list)
+    nodes = set()
+    for s, c in _edges(spark, sf_small):
+        out[s].append(c)
+        nodes.update((s, c))
+    rank = {v: 1.0 if v == _PPR_SOURCE else 0.0 for v in nodes}
+    for _ in range(_PPR_ITERATIONS):
+        inflow = dd(float)
+        for u, nbrs in out.items():
+            share = rank[u] / len(nbrs)
+            for v in nbrs:
+                inflow[v] += share
+        rank = {
+            v: ((1.0 - _PPR_DAMPING) if v == _PPR_SOURCE else 0.0)
+            + _PPR_DAMPING * inflow[v]
+            for v in nodes
+        }
+    assert set(got) == nodes
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-6
+    # mass concentrates at the restart node
+    assert max(got, key=got.get) == _PPR_SOURCE
+    # customers of s1 outrank customers never reached from it
+    assert got[_PPR_SOURCE] > 0.1
+
+
+def test_seasonal_index_matches_python_mirror(spark, sf_small):
+    from collections import defaultdict as dd
+    from decimal import Decimal
+
+    from data_spark.queries.mining import a_seasonal_index
+
+    rows = {r.moy: r for r in a_seasonal_index(spark, sf_small).collect()}
+    assert set(rows) == set(range(1, 13))
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    monthly = dd(Decimal)
+    for r in orders:
+        monthly[r.o_orderdate.strftime("%Y-%m")] += Decimal(
+            str(r.o_totalprice)
+        ).quantize(Decimal("0.000001"))
+    months = sorted(monthly)
+    ratios = dd(list)
+    for i, m in enumerate(months):
+        lo, hi = i - 5, i + 6
+        if lo < 0 or hi >= len(months):
+            continue
+        tsum = float(sum(monthly[months[j]] for j in range(lo, hi + 1)))
+        ratios[int(m[5:])].append(
+            Decimal(str(round(float(monthly[m]) / (tsum / 12), 6)))
+        )
+    for moy, rs in ratios.items():
+        r = rows[moy]
+        assert r.n_years == len(rs)
+        assert abs(r.seasonal_index - float(sum(rs)) / len(rs)) < 1e-9
+    # a seasonal index is a ratio around 1
+    assert all(0.5 < r.seasonal_index < 2.0 for r in rows.values())
+
+
+def test_multitouch_attrib_matches_python_mirror(spark, sf_small):
+    from collections import defaultdict as dd
+    from datetime import timedelta
+    from decimal import Decimal
+
+    from data_spark.queries.mining import _MT_WINDOW_DAYS, j_multitouch_attrib
+
+    rows = {r.click_day: r for r in j_multitouch_attrib(spark, sf_small).collect()}
+
+    events = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    clicks = dd(list)
+    purchases = []
+    for e in events:
+        if e.event_type == "click":
+            clicks[e.user_id].append(e)
+        elif e.event_type == "purchase":
+            purchases.append(e)
+    credit = dd(Decimal)
+    touches = dd(int)
+    for p in purchases:
+        qual = [
+            c
+            for c in clicks[p.user_id]
+            if c.ts <= p.ts and c.ts > p.ts - timedelta(days=_MT_WINDOW_DAYS)
+        ]
+        if not qual:
+            continue
+        share = Decimal(str(round(1.0 / len(qual), 6)))
+        for c in qual:
+            day = c.ts.strftime("%Y-%m-%d")
+            credit[day] += share
+            touches[day] += 1
+    assert set(rows) == set(credit)
+    for day, r in rows.items():
+        assert r.n_touches == touches[day]
+        assert abs(r.credit - round(float(credit[day]), 6)) < 1e-9
+    # every purchase hands out at most one unit of credit in total
+    assert sum(r.credit for r in rows.values()) <= len(purchases) + 1e-6

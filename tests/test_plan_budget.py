@@ -127,6 +127,12 @@ EXCHANGE_BUDGET = {
     # TakeOrdered. winsorize: percentile agg + its broadcast + final agg
     "d_rake_keywords": 5,
     "d_winsorize": 3,
+    # PPR inherits pagerank's materialized-per-iteration discipline
+    # (final select shuffle-free); seasonal = monthly agg + calendar
+    # window; multitouch = user-keyed join + purchase window + day agg
+    "g_ppr_personalized": 0,
+    "a_seasonal_index": 2,
+    "j_multitouch_attrib": 3,
 }
 
 
