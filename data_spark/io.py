@@ -175,6 +175,28 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Partition-level overwrite (``partitionOverwriteMode=dynamic``):
+    ``mode('overwrite')`` replaces ONLY the hive partitions present in
+    ``df`` and leaves every other partition untouched — the idempotent
+    backfill primitive (re-run one day/source without rewriting the
+    table). Under the default STATIC mode the same call truncates the
+    whole table first; at 100 TB that difference is the job. The conf
+    is set per-write and restored, so a shared session keeps its
+    default."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

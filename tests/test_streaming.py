@@ -626,3 +626,124 @@ def test_hll_state_sink_folds_sketches(spark, tmp_path):
     )
     fold_sketch_batch_into_state(replay, 1, state_path, ["event_type"], "event_id")
     assert snapshot() == got
+
+
+def test_stream_event_time_join_left_outer_emits_nulls(spark, tmp_path):
+    """leftOuter stream-stream join: an impression with no in-window
+    click is emitted with NULL click columns once the watermark passes
+    its expiry — not dropped (inner) and not held forever (state is
+    evicted). The pusher events land in a SECOND file processed as a
+    separate micro-batch (maxFilesPerTrigger=1), because outer-join
+    results only flush in a batch that runs AFTER the watermark
+    advanced past the expiry."""
+    from data_spark.streaming import stream_event_time_join
+
+    imp_dir = str(tmp_path / "lo_impressions")
+    clk_dir = str(tmp_path / "lo_clicks")
+    # batch 1: the data under test
+    _write_events(
+        imp_dir,
+        [
+            {"imp_id": 1, "user_id": "u1", "imp_ts": "2024-01-01T00:00:00Z"},
+            {"imp_id": 2, "user_id": "u2", "imp_ts": "2024-01-01T00:05:00Z"},
+        ],
+    )
+    _write_events(
+        clk_dir,
+        [{"click_id": 10, "user_id": "u1", "click_ts": "2024-01-01T00:20:00Z"}],
+    )
+    # batch 2: watermark pushers on BOTH streams (outer joins use the
+    # minimum of the two watermarks), far past u2's expiry of
+    # 00:35 + 2 h watermark delay
+    _write_events(
+        imp_dir,
+        [{"imp_id": 8, "user_id": "u8", "imp_ts": "2024-01-01T09:00:00Z"}],
+    )
+    _write_events(
+        clk_dir,
+        [{"click_id": 90, "user_id": "u9", "click_ts": "2024-01-01T09:00:00Z"}],
+    )
+    imp_schema = StructType(
+        [
+            StructField("imp_id", LongType()),
+            StructField("user_id", StringType()),
+            StructField("imp_ts", TimestampType()),
+        ]
+    )
+    clk_schema = StructType(
+        [
+            StructField("click_id", LongType()),
+            StructField("user_id", StringType()),
+            StructField("click_ts", TimestampType()),
+        ]
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        imps = (
+            spark.readStream.schema(imp_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(imp_dir)
+        )
+        clks = (
+            spark.readStream.schema(clk_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(clk_dir)
+        )
+        joined = stream_event_time_join(
+            imps, clks, key="user_id", left_ts="imp_ts", right_ts="click_ts",
+            max_delay="30 minutes", how="leftOuter",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attrib_lo")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {
+        (r["imp_id"], r["click_id"])
+        for r in spark.sql("select * from attrib_lo").collect()
+    }
+    # u1 matched; u2 flushed as an outer null; the unmatched RIGHT row
+    # (u9's click) is dropped — leftOuter, not full
+    assert (1, 10) in got
+    assert (2, None) in got
+    assert not any(c == 90 for _, c in got)
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions in the
+    incoming frame; static mode (the default) truncates the table."""
+    from data_spark.io import overwrite_partitions_dynamic
+
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0), ("2024-01-03", 3, 30.0)],
+        "day string, k int, v double",
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    patch = spark.createDataFrame(
+        [("2024-01-02", 2, 99.0)], "day string, k int, v double"
+    )
+    overwrite_partitions_dynamic(patch, path, ["day"])
+
+    # partition-column type inference reads `day` back as a DATE —
+    # normalize to the ISO string for the comparison
+    got = {
+        (str(r.day), r.k, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-02", 2, 99.0),
+        ("2024-01-03", 3, 30.0),
+    }
+    # session conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == "static"
+    )
