@@ -123,6 +123,7 @@ HEADLINE = [
     "g_ppr_personalized",
     "a_seasonal_index",
     "j_multitouch_attrib",
+    "f_phonetic_block",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

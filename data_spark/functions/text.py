@@ -157,3 +157,52 @@ def parse_amount(col: Column) -> Column:
     """Money-string → double: strip '$', ',', and spaces, then try-cast
     (unparseable → NULL)."""
     return F.regexp_replace(col, r"[$, ]", "").try_cast("double")
+
+
+# Simplified-soundex translate table: a..z -> digit class (vowels/h/w=0,
+# bfpv=1, cgjkqsxz=2, dt=3, l=4, mn=5, r=6). Shared constant so the
+# Spark column chain and the DuckDB oracle SQL encode the SAME spec.
+PHONETIC_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+PHONETIC_CODES = "01230120022455012623010202"
+
+
+def phonetic_key(col: Column) -> Column:
+    """Simplified-soundex phonetic key (4 chars, e.g. 'robert' → R163).
+
+    Deterministic simplified spec (NOT Knuth's full H/W adjacency rule
+    — the reference point is cross-engine reproducibility, so the
+    identical algebra runs in both engines; see the paired SQL in
+    queries that use this):
+      1. lowercase, strip non-letters; empty → empty key
+      2. drop h/w AFTER the head letter
+      3. map every letter (head included) through the translate table
+      4. collapse adjacent equal digits (head participates, so a head
+         whose code equals the next letter's absorbs it)
+      5. drop the head's own digit, drop zeros, keep 3, right-pad '0'
+      6. key = upper(head) + the 3 digits
+    """
+    s = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    head = F.substring(s, 1, 1)
+    s2 = F.concat(head, F.regexp_replace(F.substring(s, 2, 1 << 20), "[hw]", ""))
+    digits = F.translate(s2, PHONETIC_ALPHABET, PHONETIC_CODES)
+    for d in "123456":
+        digits = F.regexp_replace(digits, f"{d}{d}+", d)
+    rest = F.regexp_replace(F.substring(digits, 2, 1 << 20), "0", "")
+    key = F.concat(F.upper(head), F.rpad(F.substring(rest, 1, 3), 3, "0"))
+    return F.when(s == "", F.lit("")).otherwise(key)
+
+
+def phonetic_key_sql(expr: str) -> str:
+    """The identical simplified-soundex algebra as DuckDB SQL over
+    ``expr`` — paired with :func:`phonetic_key` for oracle queries."""
+    s = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    head = f"substr({s}, 1, 1)"
+    s2 = f"({head} || regexp_replace(substr({s}, 2), '[hw]', '', 'g'))"
+    digits = f"translate({s2}, '{PHONETIC_ALPHABET}', '{PHONETIC_CODES}')"
+    for d in "123456":
+        digits = f"regexp_replace({digits}, '{d}{d}+', '{d}', 'g')"
+    rest = f"regexp_replace(substr({digits}, 2), '0', '', 'g')"
+    return (
+        f"CASE WHEN {s} = '' THEN '' "
+        f"ELSE upper({head}) || rpad(substr({rest}, 1, 3), 3, '0') END"
+    )

@@ -166,6 +166,7 @@ _PRIORITY = [
     "g_ppr_personalized",
     "a_seasonal_index",
     "j_multitouch_attrib",
+    "f_phonetic_block",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

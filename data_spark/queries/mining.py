@@ -909,3 +909,60 @@ def j_multitouch_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (simplified-soundex): the fourth ER blocking scheme
+# — hash blocks, sorted neighborhood, shingle bands, and now phonetic
+# keys that bucket words by how they SOUND, catching misspellings that
+# share no prefix ('robert'/'rupert' → R163). The encoder is shared
+# column algebra (functions/text.phonetic_key and its paired SQL): the
+# exact same translate/collapse/pad chain runs in both engines, the
+# house process_name discipline.
+# ---------------------------------------------------------------------------
+
+
+def _phonetic_oracle() -> str:
+    from data_spark.functions.text import phonetic_key_sql  # noqa: PLC0415
+
+    key = phonetic_key_sql("w")
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT unnest(str_split(p_name, ' ')) AS w FROM part
+    ), keyed AS (
+      SELECT w, {key} AS pkey FROM words WHERE w <> ''
+    )
+    SELECT pkey, CAST(COUNT(*) AS BIGINT) AS n_words,
+           MIN(w) AS first_word, MAX(w) AS last_word
+    FROM keyed GROUP BY pkey
+    HAVING COUNT(*) >= 2
+    """
+
+
+@_q("f_phonetic_block", _phonetic_oracle())
+def f_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic collision blocks over the part-name vocabulary: every
+    distinct word keyed by its simplified-soundex code, keys holding
+    >=2 distinct words reported with their lexical extremes. The
+    vocabulary is distinct-deduped before encoding (the encoder runs
+    once per word, not once per row), and blocking cost is one
+    word-keyed shuffle — the phonetic analogue of the ER hash-block
+    pass."""
+    from data_spark.functions.text import phonetic_key  # noqa: PLC0415
+
+    p = t(spark, sf_dir, "part")
+    words = (
+        p.select(F.explode(F.split("p_name", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    return (
+        words.select("w", phonetic_key(F.col("w")).alias("pkey"))
+        .groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.min("w").alias("first_word"),
+            F.max("w").alias("last_word"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )

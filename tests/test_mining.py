@@ -443,3 +443,37 @@ def test_multitouch_attrib_matches_python_mirror(spark, sf_small):
         assert abs(r.credit - round(float(credit[day]), 6)) < 1e-9
     # every purchase hands out at most one unit of credit in total
     assert sum(r.credit for r in rows.values()) <= len(purchases) + 1e-6
+
+
+def test_phonetic_key_goldens_cross_engine(spark):
+    """Golden phonetic keys (classic soundex examples where the
+    simplified spec agrees) checked on BOTH engines: the Spark column
+    chain and the paired DuckDB SQL must encode identically for every
+    input, including the degenerate ones."""
+    import duckdb
+
+    from data_spark.functions.text import phonetic_key, phonetic_key_sql
+    from pyspark.sql import functions as F
+
+    cases = {
+        "robert": "R163",
+        "rupert": "R163",
+        "pfister": "P236",
+        "tymczak": "T522",
+        "honeyman": "H555",
+        "smith": "S530",
+        "smyth": "S530",
+        "a": "A000",
+        "": "",
+        "123": "",
+        "O'Brien": "O165",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r.w: r.k for r in df.select("w", phonetic_key(F.col("w")).alias("k")).collect()}
+    assert got == cases
+
+    con = duckdb.connect()
+    for w, expect in cases.items():
+        lit = "'" + w.replace("'", "''") + "'"
+        val = con.sql(f"SELECT {phonetic_key_sql(lit)} AS k").fetchone()[0]
+        assert (val or "") == expect, (w, val, expect)

@@ -133,6 +133,8 @@ EXCHANGE_BUDGET = {
     "g_ppr_personalized": 0,
     "a_seasonal_index": 2,
     "j_multitouch_attrib": 3,
+    # one word-keyed distinct + one key-keyed agg
+    "f_phonetic_block": 2,
 }
 
 
