@@ -429,3 +429,110 @@ def blocked_edit_pairs(
     return cand.select(
         "doc_a", "doc_b", dist.cast("bigint").alias("dist")
     ).filter(F.col("dist") >= 0)
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    max_dist: int = 40,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández-Stolfo merge/purge):
+    global rank over (normalized text, id) via the two-phase
+    distributed ROW_NUMBER (operators/order.py — never a
+    single-partition window), then each record meets exactly its
+    ``window`` successors through an equi-join on shifted rank, and the
+    edit distance runs only on those window·n candidates — bounded
+    regardless of key skew, where hash blocking's worst case is one
+    giant block. Returns (doc_a, doc_b, gap, dist)."""
+    from data_spark.operators.order import global_row_number  # noqa: PLC0415
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    d = docs.select(
+        F.col(id_col).alias("__id"),
+        F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]+", " ")).alias("nt"),
+    )
+    ranked = global_row_number(d, ["nt", "__id"]).transform(truncate_lineage)
+    left = ranked.select(
+        F.col("__id").alias("doc_a"),
+        F.col("nt").alias("na"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("gap"),
+        (F.col("rn") + F.col("gap")).alias("rn_b"),
+    )
+    right = ranked.select(
+        F.col("rn").alias("rn_b"),
+        F.col("__id").alias("doc_b"),
+        F.col("nt").alias("nb"),
+    )
+    dist = F.levenshtein("na", "nb")
+    return (
+        left.join(right, "rn_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("gap").cast("bigint").alias("gap"),
+            dist.cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 25,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram containment |A∩B|/|A| over df-guarded word
+    shingles — catches quote-and-extend near-dups that score low on
+    Jaccard. The inverted-index self-join drops shingles with document
+    frequency above ``max_df`` on BOTH sides, bounding candidate
+    fan-out at Σdf² ≤ max_df·|postings|; sizes use the same guarded
+    sets so the ratios are exact integer divisions. Returns
+    (doc_a, doc_b, n_common, n_a, n_b, cont_a, cont_b)."""
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"), _words(F.col(text_col)).alias("words")
+    ).filter(F.size("words") >= n)
+    sh = toks.select(
+        "__id", F.explode(ngrams_from_words(F.col("words"), n)).alias("shingle")
+    ).distinct()
+    guarded = (
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+        .transform(truncate_lineage)
+    )
+    sizes = guarded.groupBy("__id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = guarded.select(F.col("__id").alias("doc_a"), "shingle")
+    b = guarded.select(F.col("__id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("__id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont_a = F.col("n_common").cast("double") / F.col("n_a")
+    cont_b = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((cont_a >= min_containment) | (cont_b >= min_containment))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(cont_a, 6).alias("cont_a"),
+            F.round(cont_b, 6).alias("cont_b"),
+        )
+    )

@@ -358,34 +358,12 @@ def d_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs only on those w·n candidates. Pairs within distance 40 are
     emitted with their sort-order gap — adjacent near-dups surface at
     gap 1."""
-    from data_spark.operators.order import global_row_number  # noqa: PLC0415
+    from data_spark.operators.dedup import sorted_neighborhood_pairs  # noqa: PLC0415
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " ")).alias("nt"),
-    )
-    ranked = global_row_number(d, ["nt", "doc_id"]).transform(truncate_lineage)
-    left = ranked.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("nt").alias("na"),
-        F.explode(F.sequence(F.lit(1), F.lit(_SN_WINDOW))).alias("gap"),
-        (F.col("rn") + F.col("gap")).alias("rn_b"),
-    )
-    right = ranked.select(
-        F.col("rn").alias("rn_b"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("nt").alias("nb"),
-    )
-    dist = F.levenshtein("na", "nb")
-    return (
-        left.join(right, "rn_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("gap").cast("bigint").alias("gap"),
-            dist.cast("bigint").alias("dist"),
-        )
-        .filter(F.col("dist") <= _SN_MAX_DIST)
+    return sorted_neighborhood_pairs(
+        t(spark, sf_dir, "documents"),
+        window=_SN_WINDOW,
+        max_dist=_SN_MAX_DIST,
     )
 
 
@@ -445,49 +423,13 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are dropped on BOTH sides, bounding candidate fan-out at
     Σdf² <= 25·|postings|); sizes use the same guarded sets so the
     ratios are exact integer/integer divisions cross-engine."""
-    from data_spark.operators.dedup import _words, ngrams_from_words  # noqa: PLC0415
-    from pyspark.sql.window import Window as W  # noqa: PLC0415
+    from data_spark.operators.dedup import containment_pairs  # noqa: PLC0415
 
-    d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _words(F.col("text")).alias("words")).filter(
-        F.size("words") >= _CT_N
-    )
-    sh = toks.select(
-        "doc_id", F.explode(ngrams_from_words(F.col("words"), _CT_N)).alias("shingle")
-    ).distinct()
-    guarded = (
-        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-        .filter(F.col("df") <= _CT_MAX_DF)
-        .drop("df")
-        # feeds sizes AND both sides of the pair join — one shingle build
-        .transform(truncate_lineage)
-    )
-    sizes = guarded.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = guarded.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = guarded.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    cont_a = F.col("n_common").cast("double") / F.col("n_a")
-    cont_b = F.col("n_common").cast("double") / F.col("n_b")
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter((cont_a >= _CT_MIN) | (cont_b >= _CT_MIN))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            "n_a",
-            "n_b",
-            F.round(cont_a, 6).alias("cont_a"),
-            F.round(cont_b, 6).alias("cont_b"),
-        )
+    return containment_pairs(
+        t(spark, sf_dir, "documents"),
+        n=_CT_N,
+        max_df=_CT_MAX_DF,
+        min_containment=_CT_MIN,
     )
 
 

@@ -142,30 +142,9 @@ def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
     # BroadcastNestedLoopJoin is acceptable only for deliberate 1-row
     # scalar-subquery broadcasts (watermark / global-average joins)
     if "BroadcastNestedLoopJoin" in plan:
-        assert name in (
-            "e_watermark_split",  # 1-row watermark broadcast
-            "sq_above_avg_price",  # 1-row global-average broadcast
-            "q15_top_supplier",  # 1-row max-revenue broadcast
-            "q22_idle_customers",  # 1-row average-balance broadcast
-            "q11_important_parts",  # 1-row global-threshold broadcast
-            "d_bigram_lm",  # 1-row vocabulary-size broadcast
-            "d_tfidf_topterms",  # 1-row corpus-size broadcast
-            "d_temperature_mix",  # 1-row alpha-normalizer broadcast
-            "d_bm25_search",  # 1-row (n_docs, avgdl) stats broadcast
-            "v_tfidf_cosine_pairs",  # 1-row corpus-size broadcast
-            "a_histogram_fixed_bins",  # 1-row min/max broadcast
-            "s_relational_division",  # 1-row universe-count broadcast
-            "v_cosine_topk",  # deliberate query-set × corpus broadcast
-            "d_embed_near_dup",  # deliberate all-pairs baseline (LSH variant is the scale path)
-            "v_lsh_ann",
-            "v_ivf_topk",  # tiny centroid-set broadcasts
-            "v_ivf_kmeans_topk",  # same, with trained centroids
-            "d_kmeans",  # k-row centroid-model broadcast per Lloyd round
-            "d_semantic_dedup",  # same centroid broadcast inside the fit
-            "j_range_tier",  # interval join against a 4-row broadcast
-            "a_hll_set_algebra",  # ≤|types|²-row pair-lattice broadcast over the 5 event types
-            "a_market_basket",  # 1-row order-universe-count broadcast
-        ), (
+        from data_spark.plans.report import NESTED_LOOP_ALLOWED
+
+        assert name in NESTED_LOOP_ALLOWED, (
             f"{name} plans a nested-loop join:\n{plan}"
         )
 

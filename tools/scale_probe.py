@@ -40,9 +40,11 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from data_spark.operators.dedup import (  # noqa: E402
     blocked_edit_pairs,
+    containment_pairs,
     exact_duplicate_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    sorted_neighborhood_pairs,
 )
 from data_spark.session import get_spark  # noqa: E402
 
@@ -189,6 +191,16 @@ def synth(sizes: list[int]) -> None:
         # two words, so only the tail-key pass blocks them with their
         # base — cost must track block occupancy, not corpus²
         "edit_block": lambda docs, emb: blocked_edit_pairs(docs, max_dist=30),
+        # sorted neighborhood: candidates are EXACTLY window*n by
+        # construction (two-phase global rank + shifted-rank equi-join),
+        # so the curve must stay ~linear no matter the key distribution
+        "sorted_neighborhood": lambda docs, emb: sorted_neighborhood_pairs(
+            docs, max_dist=30
+        ),
+        # containment: inverted-index fan-out bounded by the max_df
+        # guard (Sigma df^2) — near-dup clusters share shingles, the
+        # random tail doesn't
+        "containment": lambda docs, emb: containment_pairs(docs),
     }
     results = {name: [] for name in ops}
     for n in sizes:
