@@ -124,6 +124,7 @@ HEADLINE = [
     "a_seasonal_index",
     "j_multitouch_attrib",
     "f_phonetic_block",
+    "d_bpe_train",  # vocab-bounded iterative merge training
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

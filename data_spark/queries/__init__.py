@@ -167,6 +167,7 @@ _PRIORITY = [
     "a_seasonal_index",
     "j_multitouch_attrib",
     "f_phonetic_block",
+    "d_bpe_train",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

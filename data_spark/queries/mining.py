@@ -908,3 +908,138 @@ def f_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_words") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule TRAINING (simplified): the learning half of the
+# tokenizer story (d_bpe_tokens applies a fixed regex segmentation;
+# this derives merge rules from the corpus). K rounds of: count
+# adjacent token pairs over the distinct-word vocabulary weighted by
+# word frequency, pick the most frequent pair (count DESC, pair ASC),
+# rewrite the vocabulary by merging it. The merge uses plain
+# leftmost-non-overlapping string replace — both engines share those
+# exact semantics, making a fixed K bit-reproducible (documented
+# simplification vs canonical BPE's rescan-after-merge greediness).
+# Per-round cost at 100 TB: ONE aggregate over the VOCABULARY table
+# (weighted by counts), never the corpus — the fact-scale work is the
+# single word-count shuffle up front.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+_BPE_SEP = "·"
+
+
+def _bpe_oracle() -> str:
+    sep = _BPE_SEP
+    parts = [
+        rf"""
+        toks AS (
+          SELECT unnest(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\s+')) AS w
+          FROM documents
+        ), words AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks WHERE w <> '' GROUP BY w
+        ), v0 AS (
+          SELECT '{sep}' || regexp_replace(w, '(.)', '\1{sep}', 'g') AS s, n FROM words
+        )
+        """
+    ]
+    for k in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"""
+            , t{k} AS (
+              SELECT list_filter(str_split(s, '{sep}'), x -> x <> '') AS t, n FROM v{k - 1}
+            ), p{k} AS (
+              SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+              FROM t{k}, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+              GROUP BY 1, 2
+            ), m{k} AS (
+              SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+            ), v{k} AS (
+              SELECT replace(s, '{sep}' || a || '{sep}' || b || '{sep}',
+                             '{sep}' || a || b || '{sep}') AS s, n
+              FROM v{k - 1} CROSS JOIN m{k}
+            )
+            """
+        )
+    merges = " UNION ALL ".join(
+        f"SELECT {k} AS rnd, a AS left_tok, b AS right_tok, a || b AS merged, cnt FROM m{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + "".join(parts) + merges
+
+
+@_q("d_bpe_train", _bpe_oracle())
+def d_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus' top-5 BPE merge rules: one fact-scale shuffle
+    (the word count), then every round aggregates adjacent-pair counts
+    over the VOCABULARY frame (weighted by word frequency — the
+    classic BPE trainer trick that makes cost vocabulary-bounded),
+    TakeOrdered picks the (count DESC, pair ASC) winner, and a 1-row
+    broadcast rewrites the vocab strings by leftmost-non-overlapping
+    replace. Returns the 5 merge rules with their counts."""
+    from data_spark.operators.dedup import _words  # noqa: PLC0415
+
+    sep = _BPE_SEP
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit(sep), F.regexp_replace("w", "(.)", f"$1{sep}")
+        ).alias("s"),
+        "n",
+    ).transform(truncate_lineage)
+    merges = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        toks = vocab.select(
+            F.filter(F.split("s", sep), lambda x: x != "").alias("t"), "n"
+        )
+        ln = F.greatest(F.size("t") - 1, F.lit(0))
+        pairs = (
+            toks.filter(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("t", 1, ln).alias("a"),
+                        F.slice(F.col("t"), 2, ln).alias("b"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .transform(truncate_lineage)
+        )
+        merges.append(
+            top.select(
+                F.lit(k).alias("rnd"),
+                F.col("a").alias("left_tok"),
+                F.col("b").alias("right_tok"),
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(sep), F.col("a"), F.lit(sep), F.col("b"), F.lit(sep)),
+                    F.concat(F.lit(sep), F.col("a"), F.col("b"), F.lit(sep)),
+                ).alias("s"),
+                "n",
+            )
+            .transform(truncate_lineage)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

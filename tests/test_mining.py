@@ -477,3 +477,51 @@ def test_phonetic_key_goldens_cross_engine(spark):
         lit = "'" + w.replace("'", "''") + "'"
         val = con.sql(f"SELECT {phonetic_key_sql(lit)} AS k").fetchone()[0]
         assert (val or "") == expect, (w, val, expect)
+
+
+def test_bpe_train_matches_python_mirror(spark, sf_small):
+    import re
+    from collections import Counter
+
+    from data_spark.queries.mining import _BPE_ROUNDS, _BPE_SEP, d_bpe_train
+
+    rows = d_bpe_train(spark, sf_small).collect()
+    assert [r.rnd for r in sorted(rows, key=lambda r: r.rnd)] == list(
+        range(1, _BPE_ROUNDS + 1)
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    words = Counter()
+    for d in docs:
+        for w in re.sub(r"[^a-z0-9 ]+", " ", d.text.lower()).strip().split():
+            if w:
+                words[w] += 1
+    sep = _BPE_SEP
+    vocab = {sep + sep.join(w) + sep: n for w, n in words.items()}
+
+    expect = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pair_cnt = Counter()
+        for s, n in vocab.items():
+            toks = [x for x in s.split(sep) if x]
+            for a, b in zip(toks, toks[1:]):
+                pair_cnt[(a, b)] += n
+        (a, b), cnt = min(
+            pair_cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rnd, a, b, a + b, cnt))
+        # the query's merge semantics: python str.replace IS
+        # leftmost-non-overlapping, same as both engines' replace
+        vocab = {
+            s.replace(f"{sep}{a}{sep}{b}{sep}", f"{sep}{a}{b}{sep}"): n
+            for s, n in vocab.items()
+        }
+    got = [
+        (r.rnd, r.left_tok, r.right_tok, r.merged, r.cnt)
+        for r in sorted(rows, key=lambda r: r.rnd)
+    ]
+    assert got == expect
+    # merge counts are non-increasing across rounds (the most frequent
+    # pair is consumed each round)
+    cnts = [c for *_, c in got]
+    assert cnts == sorted(cnts, reverse=True)

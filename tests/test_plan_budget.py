@@ -135,6 +135,9 @@ EXCHANGE_BUDGET = {
     "j_multitouch_attrib": 3,
     # one word-keyed distinct + one key-keyed agg
     "f_phonetic_block": 2,
+    # per-round pair aggregates and vocab rewrites are materialized; the
+    # final 5-row union is shuffle-free
+    "d_bpe_train": 0,
 }
 
 
