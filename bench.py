@@ -125,6 +125,7 @@ HEADLINE = [
     "j_multitouch_attrib",
     "f_phonetic_block",
     "d_bpe_train",  # vocab-bounded iterative merge training
+    "d_bpe_apply",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

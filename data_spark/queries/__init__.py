@@ -168,6 +168,7 @@ _PRIORITY = [
     "j_multitouch_attrib",
     "f_phonetic_block",
     "d_bpe_train",
+    "d_bpe_apply",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

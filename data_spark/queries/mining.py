@@ -929,7 +929,11 @@ _BPE_ROUNDS = 5
 _BPE_SEP = "·"
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_chain() -> str:
+    """The shared unrolled-CTE training chain: words → per-word token
+    string v0 → K rounds of (pair counts p_k, winner m_k, rewritten
+    vocab v_k). Carries the original word through so the apply-side
+    oracle can read the final tokenization."""
     sep = _BPE_SEP
     parts = [
         rf"""
@@ -939,7 +943,7 @@ def _bpe_oracle() -> str:
         ), words AS (
           SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks WHERE w <> '' GROUP BY w
         ), v0 AS (
-          SELECT '{sep}' || regexp_replace(w, '(.)', '\1{sep}', 'g') AS s, n FROM words
+          SELECT w, '{sep}' || regexp_replace(w, '(.)', '\1{sep}', 'g') AS s, n FROM words
         )
         """
     ]
@@ -955,28 +959,42 @@ def _bpe_oracle() -> str:
             ), m{k} AS (
               SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
             ), v{k} AS (
-              SELECT replace(s, '{sep}' || a || '{sep}' || b || '{sep}',
-                             '{sep}' || a || b || '{sep}') AS s, n
+              SELECT w, replace(s, '{sep}' || a || '{sep}' || b || '{sep}',
+                                '{sep}' || a || b || '{sep}') AS s, n
               FROM v{k - 1} CROSS JOIN m{k}
             )
             """
         )
+    return "WITH " + "".join(parts)
+
+
+def _bpe_oracle() -> str:
     merges = " UNION ALL ".join(
         f"SELECT {k} AS rnd, a AS left_tok, b AS right_tok, a || b AS merged, cnt FROM m{k}"
         for k in range(1, _BPE_ROUNDS + 1)
     )
-    return "WITH " + "".join(parts) + merges
+    return _bpe_cte_chain() + merges
 
 
-@_q("d_bpe_train", _bpe_oracle())
-def d_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the corpus' top-5 BPE merge rules: one fact-scale shuffle
-    (the word count), then every round aggregates adjacent-pair counts
-    over the VOCABULARY frame (weighted by word frequency — the
-    classic BPE trainer trick that makes cost vocabulary-bounded),
-    TakeOrdered picks the (count DESC, pair ASC) winner, and a 1-row
-    broadcast rewrites the vocab strings by leftmost-non-overlapping
-    replace. Returns the 5 merge rules with their counts."""
+def _bpe_apply_oracle() -> str:
+    sep = _BPE_SEP
+    return (
+        _bpe_cte_chain()
+        + f"""
+        SELECT w AS word, n AS n_occurrences,
+               CAST(length(w) AS BIGINT) AS n_chars,
+               CAST(len(list_filter(str_split(s, '{sep}'), x -> x <> '')) AS BIGINT)
+                 AS n_tokens
+        FROM v{_BPE_ROUNDS}
+        """
+    )
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """Run the K-round merge training; returns (merge 1-row frames,
+    final vocabulary frame (w, s, n) with merges applied). Shared by
+    d_bpe_train (emits the rules) and d_bpe_apply (emits the tokenized
+    vocabulary)."""
     from data_spark.operators.dedup import _words  # noqa: PLC0415
 
     sep = _BPE_SEP
@@ -988,6 +1006,7 @@ def d_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     vocab = words.select(
+        "w",
         F.concat(
             F.lit(sep), F.regexp_replace("w", "(.)", f"$1{sep}")
         ).alias("s"),
@@ -1030,6 +1049,7 @@ def d_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = (
             vocab.crossJoin(F.broadcast(top))
             .select(
+                "w",
                 F.replace(
                     F.col("s"),
                     F.concat(F.lit(sep), F.col("a"), F.lit(sep), F.col("b"), F.lit(sep)),
@@ -1039,7 +1059,39 @@ def d_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .transform(truncate_lineage)
         )
+    return merges, vocab
+
+
+@_q("d_bpe_train", _bpe_oracle())
+def d_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus' top-5 BPE merge rules: one fact-scale shuffle
+    (the word count), then every round aggregates adjacent-pair counts
+    over the VOCABULARY frame (weighted by word frequency — the
+    classic BPE trainer trick that makes cost vocabulary-bounded),
+    TakeOrdered picks the (count DESC, pair ASC) winner, and a 1-row
+    broadcast rewrites the vocab strings by leftmost-non-overlapping
+    replace. Returns the 5 merge rules with their counts."""
+    merges, _vocab = _bpe_fit(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@_q("d_bpe_apply", _bpe_apply_oracle())
+def d_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the vocabulary with the learned merges: the same 5-round
+    fit (shared _bpe_fit), then per word its occurrence count, char
+    length, and post-merge token count — the compression the rules buy.
+    All integers; the apply side adds zero shuffles beyond the fit
+    (token counting is a projection over the final vocab frame)."""
+    sep = _BPE_SEP
+    _merges, vocab = _bpe_fit(spark, sf_dir)
+    return vocab.select(
+        F.col("w").alias("word"),
+        F.col("n").alias("n_occurrences"),
+        F.length("w").cast("bigint").alias("n_chars"),
+        F.size(F.filter(F.split("s", sep), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

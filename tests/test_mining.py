@@ -525,3 +525,17 @@ def test_bpe_train_matches_python_mirror(spark, sf_small):
     # pair is consumed each round)
     cnts = [c for *_, c in got]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_bpe_apply_compression_law(spark, sf_small):
+    from data_spark.queries.mining import d_bpe_apply
+
+    rows = d_bpe_apply(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # tokens never exceed chars, and merging never drops below 1
+        assert 1 <= r.n_tokens <= r.n_chars
+    # the 5 learned merges must actually compress the weighted corpus
+    total_chars = sum(r.n_chars * r.n_occurrences for r in rows)
+    total_toks = sum(r.n_tokens * r.n_occurrences for r in rows)
+    assert total_toks < total_chars

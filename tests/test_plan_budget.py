@@ -138,6 +138,7 @@ EXCHANGE_BUDGET = {
     # per-round pair aggregates and vocab rewrites are materialized; the
     # final 5-row union is shuffle-free
     "d_bpe_train": 0,
+    "d_bpe_apply": 0,
 }
 
 
