@@ -126,6 +126,8 @@ HEADLINE = [
     "f_phonetic_block",
     "d_bpe_train",  # vocab-bounded iterative merge training
     "d_bpe_apply",
+    "w_max_drawdown",
+    "a_gini_revenue",  # second fact-scale consumer of the distributed rank
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

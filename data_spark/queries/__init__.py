@@ -169,6 +169,8 @@ _PRIORITY = [
     "f_phonetic_block",
     "d_bpe_train",
     "d_bpe_apply",
+    "w_max_drawdown",
+    "a_gini_revenue",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

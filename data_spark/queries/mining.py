@@ -1095,3 +1095,111 @@ def d_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per user: the classic nested-running-aggregate shape
+# (running sum → running max of the running sum → peak-to-trough gap).
+# Everything stays DECIMAL until the final cast, so the composition of
+# three window aggregates is exact cross-engine — no snapping needed.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "w_max_drawdown",
+    """
+    WITH series AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(value AS DECIMAL(38,6))) OVER w AS cum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), dd AS (
+      SELECT user_id,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - cum AS drawdown
+      FROM series
+    )
+    SELECT user_id, CAST(MAX(drawdown) AS DOUBLE) AS max_drawdown
+    FROM dd GROUP BY user_id
+    """,
+)
+def w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the cumulative event-value series:
+    decimal running sum (ordered by ts with the event_id tiebreak),
+    decimal running max of that sum, then MAX(peak − current). One
+    user-keyed shuffle; both windows and the final aggregate share the
+    user_id partitioning, so the nested aggregates add no exchanges."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+    series = e.select("user_id", "ts", "event_id", cum.alias("cum"))
+    dd = series.select(
+        "user_id", (F.max("cum").over(w) - F.col("cum")).alias("drawdown")
+    )
+    return dd.groupBy("user_id").agg(
+        F.max("drawdown").cast("double").alias("max_drawdown")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of the customer revenue distribution — the classic
+# rank-weighted formula G = 2·Σ(i·x_i)/(n·T) − (n+1)/n over revenues
+# sorted ascending. The global sort rank is the distributed two-phase
+# ROW_NUMBER (operators/order.py) on the per-customer aggregate — the
+# second fact-scale consumer of that operator after sorted-neighborhood
+# blocking. Σ(i·x_i) accumulates BIGINT·DECIMAL exactly; the final
+# expression is a fixed chain of IEEE ops over identical operands.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a_gini_revenue",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM per_cust
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS total,
+             CAST(SUM(i * x) AS DOUBLE) AS s_ix
+      FROM ranked
+    )
+    SELECT n AS n_customers, total,
+           2.0 * s_ix / (n * total) - (n + 1.0) / n AS gini
+    FROM sums
+    """,
+)
+def a_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue: decimal revenue
+    aggregate, distributed global rank ascending (two-phase
+    ROW_NUMBER — no single-partition window even though the grouped
+    frame is customer-sized, because at 100 TB it isn't small), exact
+    BIGINT·DECIMAL rank-weighted sum, and the textbook formula as an
+    unrounded chain of IEEE ops on identical operands."""
+    from data_spark.operators.order import global_row_number  # noqa: PLC0415
+
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("x")
+    )
+    ranked = global_row_number(per_cust, ["x", "o_custkey"], out="i")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("total"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("s_ix"),
+    )
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        "total",
+        (
+            F.lit(2.0) * F.col("s_ix") / (F.col("n") * F.col("total"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n")
+        ).alias("gini"),
+    )

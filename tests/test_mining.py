@@ -539,3 +539,57 @@ def test_bpe_apply_compression_law(spark, sf_small):
     total_chars = sum(r.n_chars * r.n_occurrences for r in rows)
     total_toks = sum(r.n_tokens * r.n_occurrences for r in rows)
     assert total_toks < total_chars
+
+
+def test_max_drawdown_matches_python_mirror(spark, sf_small):
+    from collections import defaultdict as dd
+    from decimal import Decimal
+
+    from data_spark.queries.mining import w_max_drawdown
+
+    rows = {r.user_id: r.max_drawdown for r in w_max_drawdown(spark, sf_small).collect()}
+
+    events = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = dd(list)
+    for e in events:
+        series[e.user_id].append((e.ts, e.event_id, Decimal(str(e.value))))
+    assert set(rows) == set(series)
+    for u, evs in series.items():
+        cum = Decimal(0)
+        peak = None
+        best = Decimal(0)
+        for _, _, v in sorted(evs, key=lambda x: (x[0], x[1])):
+            cum += v
+            peak = cum if peak is None else max(peak, cum)
+            best = max(best, peak - cum)
+        assert abs(rows[u] - float(best)) < 1e-9
+        assert rows[u] >= 0.0
+
+
+def test_gini_matches_python_mirror(spark, sf_small):
+    from collections import defaultdict as dd
+    from decimal import Decimal
+
+    from data_spark.queries.mining import a_gini_revenue
+
+    r = a_gini_revenue(spark, sf_small).collect()[0]
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    per = dd(Decimal)
+    for o in orders:
+        per[o.o_custkey] += Decimal(str(o.o_totalprice)).quantize(
+            Decimal("0.000001")
+        )
+    xs = [x for _, x in sorted(per.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(xs)
+    total = float(sum(xs))
+    s_ix = float(sum(Decimal(i + 1) * x for i, x in enumerate(xs)))
+    gini = 2.0 * s_ix / (n * total) - (n + 1.0) / n
+    assert r.n_customers == n
+    assert abs(r.total - total) < 1e-6
+    assert abs(r.gini - gini) < 1e-12
+    assert 0.0 <= r.gini < 1.0

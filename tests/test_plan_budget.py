@@ -139,6 +139,11 @@ EXCHANGE_BUDGET = {
     # final 5-row union is shuffle-free
     "d_bpe_train": 0,
     "d_bpe_apply": 0,
+    # drawdown: both windows + final agg share the user_id key;
+    # gini: per-customer agg + the two-phase rank's range exchange +
+    # the rank-weighted 1-row fold (ranked frame is materialized)
+    "w_max_drawdown": 1,
+    "a_gini_revenue": 3,
 }
 
 
