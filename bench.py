@@ -128,6 +128,8 @@ HEADLINE = [
     "d_bpe_apply",
     "w_max_drawdown",
     "a_gini_revenue",  # second fact-scale consumer of the distributed rank
+    "m_incr_join_maintain",
+    "a_median_via_rank",  # selection over the distributed rank, no single-buffer sort
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -171,6 +171,8 @@ _PRIORITY = [
     "d_bpe_apply",
     "w_max_drawdown",
     "a_gini_revenue",
+    "m_incr_join_maintain",
+    "a_median_via_rank",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

@@ -1203,3 +1203,112 @@ def a_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + F.lit(1.0)) / F.col("n")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance: the Δ-rule companion to
+# m_incr_agg_maintain's aggregate law. For a view V = A ⋈ B with a
+# delta arriving on A: ΔV = ΔA ⋈ B — the maintained view is
+# V_old ∪ ΔV, touching history exactly once at state-build time and
+# never rescanning it per delta. The query summarizes the maintained
+# view so the output stays small, and the oracle computes the DIRECT
+# join over the full tables: the maintenance law must hold to the bit.
+# ---------------------------------------------------------------------------
+
+_IJM_SPLIT = "1998-01-01"
+
+
+@_q(
+    "m_incr_join_maintain",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def m_incr_join_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain orders ⋈ lineitem under an orders-side delta: the view
+    state is pre-1998 orders joined to lineitem; the delta pass joins
+    ONLY the new orders against lineitem (ΔA ⋈ B) and unions into the
+    state — then the per-priority summary of the maintained view must
+    hash-equal the oracle's direct full join. Both join legs share the
+    orderkey shuffle key; the delta leg's cost is |ΔA| + matched lines,
+    never |state|."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    old = o.filter(F.col("o_orderdate") < _IJM_SPLIT)
+    delta = o.filter(F.col("o_orderdate") >= _IJM_SPLIT)
+    state = old.join(l, old.o_orderkey == l.l_orderkey).select(
+        "o_orderpriority", "l_extendedprice"
+    )
+    delta_view = delta.join(l, delta.o_orderkey == l.l_orderkey).select(
+        "o_orderpriority", "l_extendedprice"
+    )
+    maintained = state.unionByName(delta_view)
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact median by distributed SELECTION: percentile()/quantile_cont
+# sort each group inside one aggregation buffer — fine per group, a
+# single-buffer collapse when the "group" is the whole fact table.
+# The scale path is selection over the two-phase global rank: rank
+# everything, pick the two central rows, interpolate with the SAME
+# lo + 0.5·(hi − lo) expression in both engines (NOT (lo+hi)/2, which
+# differs in the last ulp from the interpolation formula).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a_median_via_rank",
+    """
+    WITH ranked AS (
+      SELECT l_extendedprice AS x,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS i,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    ), central AS (
+      SELECT n, x, i FROM ranked
+      WHERE i = (n + 1) // 2 OR i = (n + 2) // 2
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           MIN(x) AS x_lo, MAX(x) AS x_hi,
+           MIN(x) + 0.5 * (MAX(x) - MIN(x)) AS median
+    FROM central
+    """,
+)
+def a_median_via_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide median of l_extendedprice by distributed
+    selection: two-phase global ROW_NUMBER over (price, orderkey,
+    linenumber), pick ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉, interpolate.
+    The ranked frame never converges to one partition — the oracle's
+    single-window ROW_NUMBER is the semantics, not the plan."""
+    from data_spark.operators.order import global_row_number  # noqa: PLC0415
+
+    l = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_row_number(
+        l, ["x", "l_orderkey", "l_linenumber"], out="i"
+    ).transform(truncate_lineage)
+    n1 = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    central = ranked.crossJoin(F.broadcast(n1)).filter(
+        (F.col("i") == lo) | (F.col("i") == hi)
+    )
+    return central.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.min("x").alias("x_lo"),
+        F.max("x").alias("x_hi"),
+        (F.min("x") + F.lit(0.5) * (F.max("x") - F.min("x"))).alias("median"),
+    )

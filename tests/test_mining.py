@@ -593,3 +593,51 @@ def test_gini_matches_python_mirror(spark, sf_small):
     assert abs(r.total - total) < 1e-6
     assert abs(r.gini - gini) < 1e-12
     assert 0.0 <= r.gini < 1.0
+
+
+def test_incr_join_maintain_law(spark, sf_small):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from data_spark.queries.mining import m_incr_join_maintain
+
+    got = {
+        r.o_orderpriority: (r.n_lines, r.sum_price)
+        for r in m_incr_join_maintain(spark, sf_small).collect()
+    }
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    l = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    direct = {
+        r.o_orderpriority: (r.n, float(r.s))
+        for r in o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k, (n, s) in direct.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 1e-6
+
+
+def test_median_via_rank_matches_sorted_selection(spark, sf_small):
+    from data_spark.queries.mining import a_median_via_rank
+
+    r = a_median_via_rank(spark, sf_small).collect()[0]
+    xs = sorted(
+        x.l_extendedprice
+        for x in spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        .select("l_extendedprice")
+        .collect()
+    )
+    n = len(xs)
+    lo, hi = xs[(n + 1) // 2 - 1], xs[(n + 2) // 2 - 1]
+    assert r.n_rows == n
+    assert r.x_lo == lo and r.x_hi == hi
+    assert r.median == lo + 0.5 * (hi - lo)
+    # sanity: the selected median sits inside the data range
+    assert xs[0] <= r.median <= xs[-1]

@@ -144,6 +144,11 @@ EXCHANGE_BUDGET = {
     # the rank-weighted 1-row fold (ranked frame is materialized)
     "w_max_drawdown": 1,
     "a_gini_revenue": 3,
+    # join maintenance: state and delta legs share the orderkey shuffle
+    # (3 = two join alignments + final priority agg under AQE broadcast);
+    # median: rank range exchange + count broadcast + 1-row fold
+    "m_incr_join_maintain": 3,
+    "a_median_via_rank": 3,
 }
 
 
