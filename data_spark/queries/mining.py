@@ -1,36 +1,33 @@
-"""Round-4 continuation mining tier: community detection by synchronous
-label propagation (a third hash-verified iterative-graph member with a
-*mode*-style update, next to the MIN-fold of ``g_components`` and the
-min-plus fold of ``g_sssp_bellman``), item-based collaborative-filtering
-recommendations (seed-set expansion over the co-purchase pair table —
-the query shape behind "frequently bought together"), and
-month-over-month / year-over-year growth from calendar-aligned lag
-windows.
+"""Round-4 continuation mining tier — the "algorithms a data platform
+grows into" family, every member with an exact DuckDB oracle:
 
-All three carry exact DuckDB oracles:
-  - LPA's per-round update is argmax over neighbor-label counts with a
-    (count DESC, label ASC) total order — pure integers and strings, no
-    floats anywhere, so a FIXED iteration count is bit-reproducible
-    cross-engine (the same trick as g_kcore_peel's fixed peels).
-  - The recommender's scores are BIGINT co-occurrence sums — exact by
-    construction.
-  - Growth ratios are double divisions of decimal-exact monthly sums
-    (identical operands cross-engine), rounded to the house 6-dp grid.
+- graph: synchronous label-propagation communities (mode-style
+  iterative update next to g_components' MIN-fold) and personalized
+  PageRank (random walk with restart from a seed node);
+- recommendations: item-based collaborative filtering (seed-set
+  expansion over the support-pruned co-purchase pair table);
+- calendar analytics: MoM/YoY growth, ratio-to-moving-average seasonal
+  index, per-user max drawdown, Gini coefficient, exact median by
+  distributed selection;
+- entity resolution: sorted-neighborhood blocking over the two-phase
+  distributed global rank, n-gram containment pairs, phonetic
+  (simplified-soundex) blocking — the 3rd/4th/5th blocking schemes
+  next to hash blocks and shingle bands;
+- text: RAKE keyword extraction, winsorized robust means, BPE
+  merge-rule training + apply (vocabulary-bounded per round);
+- attribution: multi-touch linear credit (the fractional companion to
+  the as-of last-touch join);
+- maintenance: incremental JOIN-view maintenance (the Δ-rule law).
 
-Scale posture:
-  - LPA: per round, one |E|-sized equi-join of the label frame against
-    the symmetric edge list plus two map-side-combinable aggregates
-    keyed on node id; label frames are lineage-truncated every round
-    (reliable checkpoint when the session sets a dir — plans/lineage.py).
-    No all-pairs, no driver fixpoint round-trip.
-  - ItemCF: the pair table is support-pruned (HAVING >= 2) before
-    anything joins it, the seed set is one customer's purchases (tiny —
-    broadcast), and the candidate ranking is one TakeOrdered pass. At
-    100 TB the support threshold bounds the pair table exactly as in
-    a_market_basket.
-  - Growth: ONE map-side-combinable aggregate over the fact table; the
-    lag windows ride a frame bounded by the calendar (#months), not the
-    data.
+Cross-engine float discipline (queries/common.py): integer/decimal
+arithmetic wherever exactness is free; 6-dp snapping + DECIMAL sums
+where ratios must accumulate; unrounded IEEE chains on identical
+operands where a final ROUND could land on a half-way (seen once at
+sf0.01 in the seasonal index). Iterative frames are lineage-truncated
+every round (reliable checkpoint when the session sets a dir —
+plans/lineage.py); single-partition windows appear only over
+calendar- or vocabulary-bounded frames, never data-scale ones (the
+distributed global rank exists precisely for those).
 """
 
 from __future__ import annotations
