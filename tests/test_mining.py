@@ -641,3 +641,14 @@ def test_median_via_rank_matches_sorted_selection(spark, sf_small):
     assert r.median == lo + 0.5 * (hi - lo)
     # sanity: the selected median sits inside the data range
     assert xs[0] <= r.median <= xs[-1]
+
+
+def test_global_row_number_edge_cases(spark):
+    from data_spark.operators.order import global_row_number
+
+    empty = spark.createDataFrame([], "k string, v long")
+    assert global_row_number(empty, ["k", "v"]).count() == 0
+
+    one = spark.createDataFrame([("a", 1)], "k string, v long")
+    rows = global_row_number(one, ["k", "v"], num_partitions=4).collect()
+    assert [(r.k, r.v, r.rn) for r in rows] == [("a", 1, 1)]
