@@ -465,16 +465,23 @@ def sorted_neighborhood_pairs(
         F.col("__id").alias("doc_b"),
         F.col("nt").alias("nb"),
     )
-    dist = F.levenshtein("na", "nb")
+    # length gap > max_dist already implies edit distance > max_dist —
+    # the O(1) prefilter runs before the O(max_dist·len) banded DP
+    # (thresholded levenshtein returns -1 above the band; the <= filter
+    # drops those rows, and kept distances equal the full DP's)
+    dist = F.levenshtein("na", "nb", max_dist)
     return (
         left.join(right, "rn_b")
+        .filter(
+            F.abs(F.length("na") - F.length("nb")) <= max_dist
+        )
         .select(
             "doc_a",
             "doc_b",
             F.col("gap").cast("bigint").alias("gap"),
             dist.cast("bigint").alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
 
 
