@@ -81,3 +81,26 @@ def kll_value_quantiles(
         )
         .select("event_type", "n", "est_p50", "est_p90")
     )
+
+
+# Portable Count-Min hash family: pure 64-bit (a·x + b) mod p mod w
+# integer arithmetic every engine (and python) computes identically —
+# the same idiom as the exact-MinHash constructions. Canonical
+# constants for the streaming CMS state sink; the gate query
+# a_cms_heavy_hitters carries its own copy inside its oracle spec.
+CMS_P = 1_000_000_007
+CMS_W = 64
+CMS_AB = (
+    (516575261, 423630757),
+    (730421473, 842976263),
+    (947217823, 298764511),
+    (176064001, 785409629),
+)
+
+
+def cms_cells(key: F.Column) -> list[F.Column]:
+    """The d cell indices of ``key`` (a BIGINT column), one per hash
+    row."""
+    return [
+        ((F.lit(a) * key + F.lit(b)) % CMS_P) % CMS_W for a, b in CMS_AB
+    ]

@@ -403,7 +403,6 @@ def fold_sketch_batch_into_state(
     one-shot sketch over everything streamed (mergeability law,
     tests/test_streaming.py)."""
     import os
-    import shutil
 
     spark = batch.sparkSession
     marker = os.path.join(state_path, "_last_folded_batch")
@@ -423,15 +422,7 @@ def fold_sketch_batch_into_state(
         )
     else:
         new_state = batch_sk
-    stage = f"{state_path}.__stage_{batch_id}"
-    new_state.write.mode("overwrite").parquet(stage)
-    with open(os.path.join(stage, "_last_folded_batch"), "w") as f:
-        f.write(str(batch_id))
-    old = f"{state_path}.__old_{batch_id}"
-    if os.path.exists(state_path):
-        os.rename(state_path, old)
-    os.rename(stage, state_path)
-    shutil.rmtree(old, ignore_errors=True)
+    _promote_state(new_state, state_path, batch_id)
 
 
 def hll_state_sink(
@@ -466,4 +457,126 @@ def read_hll_state_estimates(spark: SparkSession, state_path: str) -> DataFrame:
     keys = [c for c in state.columns if c != "sk"]
     return state.select(
         *keys, F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct")
+    )
+
+
+def _promote_state(new_state: DataFrame, state_path: str, batch_id: int) -> None:
+    """Stage-and-swap a state table with the batch-id replay marker —
+    shared by the sketch-state sinks."""
+    import os
+    import shutil
+
+    stage = f"{state_path}.__stage_{batch_id}"
+    new_state.write.mode("overwrite").parquet(stage)
+    with open(os.path.join(stage, "_last_folded_batch"), "w") as f:
+        f.write(str(batch_id))
+    old = f"{state_path}.__old_{batch_id}"
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(stage, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def fold_cms_batch_into_state(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    item_col: str,
+) -> None:
+    """One foreachBatch fold of per-key Count-Min registers: hash every
+    batch row into its d cells (operators/sketches.cms_cells — pure
+    integer arithmetic), count per (keys, row, col) with map-side
+    combine, and SUM-merge into the state registers. CMS merge is
+    register-wise addition — associative and order-independent — so
+    the folded state equals a one-shot build over everything streamed
+    (mergeability law, tests/test_streaming.py). State size is
+    |keys|·d·w BIGINTs regardless of stream volume; history is never
+    rescanned. Same stage-and-swap + replay guard as the HLL sink."""
+    import os
+
+    from data_spark.operators.sketches import cms_cells
+
+    spark = batch.sparkSession
+    marker = os.path.join(state_path, "_last_folded_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # crash-replay of an already-applied batch
+    cells = cms_cells(F.col(item_col).cast("bigint"))
+    rows = None
+    for i, cell in enumerate(cells):
+        sel = batch.select(
+            *keys, F.lit(i).alias("row_id"), cell.alias("col_id")
+        )
+        rows = sel if rows is None else rows.unionByName(sel)
+    batch_regs = rows.groupBy(*keys, "row_id", "col_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("reg")
+    )
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        new_state = (
+            state.unionByName(batch_regs)
+            .groupBy(*keys, "row_id", "col_id")
+            .agg(F.sum("reg").cast("bigint").alias("reg"))
+        )
+    else:
+        new_state = batch_regs
+    _promote_state(new_state, state_path, batch_id)
+
+
+def cms_state_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    item_col: str,
+) -> StreamingQuery:
+    """Frequency-sketch maintenance as a streaming sink — the
+    Count-Min companion to :func:`hll_state_sink` (distinct counts
+    there, frequency estimates here). Read estimates back with
+    :func:`read_cms_state_estimates`."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        fold_cms_batch_into_state(batch, batch_id, state_path, keys, item_col)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_state_estimates(
+    spark: SparkSession, state_path: str, items: list[int]
+) -> DataFrame:
+    """Frequency estimates (guaranteed >= true count) for ``items``
+    from a CMS state table: probe each item's d cells and take the MIN
+    register per (state keys, item) — a register-table scan, never the
+    stream history."""
+    from data_spark.operators.sketches import CMS_AB, CMS_P, CMS_W
+
+    state = spark.read.parquet(state_path)
+    keys = [c for c in state.columns if c not in ("row_id", "col_id", "reg")]
+    probe_rows = []
+    for item in items:
+        for i, (a, b) in enumerate(CMS_AB):
+            probe_rows.append((int(item), i, ((a * int(item) + b) % CMS_P) % CMS_W))
+    probes = spark.createDataFrame(
+        probe_rows, "item bigint, row_id int, col_id bigint"
+    )
+    # the state table is SPARSE (zero cells are absent): probe over the
+    # full key x item lattice and read missing cells as 0, else an item
+    # whose cells were never hit under a key would vanish instead of
+    # estimating 0
+    lattice = state.select(*keys).distinct().crossJoin(F.broadcast(probes))
+    return (
+        lattice.join(state, [*keys, "row_id", "col_id"], "left")
+        .groupBy(*keys, "item")
+        .agg(
+            F.min(F.coalesce(F.col("reg"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
     )

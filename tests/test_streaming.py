@@ -747,3 +747,71 @@ def test_overwrite_partitions_dynamic(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         == "static"
     )
+
+
+def test_cms_state_sink_folds_registers(spark, tmp_path):
+    """Micro-batch CMS registers SUM-fold into the state table: the
+    folded estimates equal a one-shot build over everything streamed
+    (register addition is associative), every estimate is >= the true
+    count, and at this tiny cardinality the estimates are exact; a
+    crash-replay of an applied batch id is a no-op."""
+    from data_spark.streaming.jobs import (
+        cms_state_sink,
+        fold_cms_batch_into_state,
+        read_cms_state_estimates,
+    )
+
+    src = str(tmp_path / "cms_src")
+    # user 2 appears in both batches — the fold must count BOTH
+    # occurrences (frequency semantics, unlike the HLL distinct fold)
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "event_type": "a", "value": 2.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "event_type": "a", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "event_type": "b", "value": 3.0},
+    ])
+    _write_events(src, [
+        {"event_id": 4, "ts": "2024-01-01T00:03:00", "event_type": "a", "value": 2.0},
+        {"event_id": 5, "ts": "2024-01-01T00:04:00", "event_type": "b", "value": 7.0},
+        {"event_id": 6, "ts": "2024-01-01T00:05:00", "event_type": "b", "value": 3.0},
+    ])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    state_path = str(tmp_path / "cms_state")
+    # item = value cast to a small int id; keys = event_type
+    q = cms_state_sink(
+        stream.withColumn("item", F.col("value").cast("bigint")),
+        state_path, str(tmp_path / "cms_ckpt"),
+        keys=["event_type"], item_col="item",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["item"]): r["est_count"]
+        for r in read_cms_state_estimates(spark, state_path, [2, 3, 7]).collect()
+    }
+    # true counts: a×2 → 3 events (values 2.0,2.0,2.0), b×3 → 2, b×7 → 1
+    truth = {("a", 2): 3, ("b", 3): 2, ("b", 7): 1}
+    for k, true_n in truth.items():
+        assert got[k] >= true_n
+        # 3 items in a 4×64 table: no collisions, estimates exact
+        assert got[k] == true_n
+    # items never seen under a key estimate to 0-or-collision, never negative
+    assert got[("a", 3)] >= 0 and got[("a", 7)] >= 0
+
+    # crash-replay of the last applied batch id must not change state
+    replay = spark.createDataFrame(
+        [("a", 2)], "event_type string, item bigint"
+    )
+    before = sorted(got.items())
+    fold_cms_batch_into_state(replay, 1, state_path, ["event_type"], "item")
+    after = sorted(
+        (
+            (r["event_type"], r["item"]),
+            r["est_count"],
+        )
+        for r in read_cms_state_estimates(spark, state_path, [2, 3, 7]).collect()
+    )
+    assert after == before
