@@ -652,3 +652,31 @@ def test_global_row_number_edge_cases(spark):
     one = spark.createDataFrame([("a", 1)], "k string, v long")
     rows = global_row_number(one, ["k", "v"], num_partitions=4).collect()
     assert [(r.k, r.v, r.rn) for r in rows] == [("a", 1, 1)]
+
+
+def test_global_row_number_balances_skewed_keys(spark):
+    """A constant primary order key must NOT collapse the range
+    partitioning: the unique tiebreak column keeps partitions balanced,
+    which is the whole point of the two-phase rank vs a single-partition
+    window (a skewed ORDER BY key is exactly when it matters)."""
+    from pyspark.sql import functions as F
+
+    from data_spark.operators.order import global_row_number
+
+    n, parts = 20_000, 8
+    df = spark.range(n).select(
+        F.lit("same").alias("k"), F.col("id").alias("v")
+    )
+    ranked = global_row_number(df, ["k", "v"], num_partitions=parts)
+    rows = ranked.select("v", "rn").collect()
+    assert sorted((r.v, r.rn) for r in rows) == [(i, i + 1) for i in range(n)]
+    # balance: the ranged frame must not funnel into one partition
+    sizes = [
+        r["cnt"]
+        for r in df.repartitionByRange(parts, F.col("k"), F.col("v"))
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    assert len(sizes) == parts
+    assert max(sizes) < n * 0.5
