@@ -92,5 +92,6 @@ NESTED_LOOP_ALLOWED = frozenset(
         "j_range_tier",  # interval join against a 4-row broadcast
         "a_hll_set_algebra",  # <=|types|^2-row pair lattice over 5 event types
         "a_market_basket",  # 1-row order-universe-count broadcast
+        "a_median_via_rank",  # 1-row total-count broadcast onto the ranked frame
     }
 )
