@@ -11,6 +11,14 @@ oracle, SURVEY §7.4 risk 3):
   is pinned to UTC; DuckDB timestamps are naive UTC).
 - **LIMIT queries** always carry a unique tiebreak column so the selected
   set is engine-independent.
+- **ROUND(double, 6) is for absorbing cross-engine DRIFT only** (sums
+  the engines may reassociate). Never apply it to a quotient whose
+  operands are already identical cross-engine: when the true value is
+  decimal-exact at 7 digits ending in 5 (common for
+  decimal_sum / small_count), Spark rounds the double's SHORTEST DECIMAL
+  REPR half-up while DuckDB rounds the BINARY value — they split
+  (measured: round(1.0391555, 6) → 1.039156 vs 1.039155). Identical
+  operands → identical IEEE quotient → emit it UNROUNDED.
 """
 
 from __future__ import annotations

@@ -278,8 +278,8 @@ def a_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT month, revenue,
-           ROUND(revenue / LAG(revenue, 1) OVER (ORDER BY month) - 1.0, 6) AS mom_pct,
-           ROUND(revenue / LAG(revenue, 12) OVER (ORDER BY month) - 1.0, 6) AS yoy_pct
+           revenue / LAG(revenue, 1) OVER (ORDER BY month) - 1.0 AS mom_pct,
+           revenue / LAG(revenue, 12) OVER (ORDER BY month) - 1.0 AS yoy_pct
     FROM monthly
     ORDER BY month
     """,
@@ -302,12 +302,9 @@ def a_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month",
         "revenue",
-        F.round(F.col("revenue") / F.lag("revenue", 1).over(w) - 1.0, 6).alias(
-            "mom_pct"
-        ),
-        F.round(F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0, 6).alias(
-            "yoy_pct"
-        ),
+        # unrounded ratios of identical doubles — see wins_mean note
+        (F.col("revenue") / F.lag("revenue", 1).over(w) - 1.0).alias("mom_pct"),
+        (F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0).alias("yoy_pct"),
     ).orderBy("month")
 
 
@@ -573,8 +570,8 @@ def d_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
            ANY_VALUE(p.p95) AS p95,
            CAST(SUM(CASE WHEN d.n_chars < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
            CAST(SUM(CASE WHEN d.n_chars > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
-           ROUND(CAST(SUM(CAST(GREATEST(LEAST(CAST(d.n_chars AS DOUBLE), p.p95), p.p05)
-                              AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS wins_mean
+           CAST(SUM(CAST(GREATEST(LEAST(CAST(d.n_chars AS DOUBLE), p.p95), p.p05)
+                         AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS wins_mean
     FROM documents d JOIN pct p ON p.source = d.source
     GROUP BY d.source
     """,
@@ -606,10 +603,13 @@ def d_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_chars") > F.col("p95")).cast("int"))
             .cast("bigint")
             .alias("n_clip_high"),
-            F.round(
+            # UNROUNDED quotient of a decimal-exact sum: a 6-dp ROUND
+            # of sum/count can land exactly on a 7-digit half, where
+            # Spark (shortest-repr HALF_UP) and DuckDB (binary value)
+            # disagree — the a_seasonal_index lesson
+            (
                 F.sum(clipped.cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("wins_mean"),
         )
     )

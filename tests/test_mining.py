@@ -120,7 +120,7 @@ def test_yoy_growth_matches_python_mirror(spark, sf_small):
         if i == 0:
             assert r.mom_pct is None
         else:
-            assert abs(r.mom_pct - round(rev[r.month] / rev[months[i - 1]] - 1.0, 6)) < 1e-9
+            assert abs(r.mom_pct - (rev[r.month] / rev[months[i - 1]] - 1.0)) < 1e-12
         if i < 12:
             assert r.yoy_pct is None
         else:
@@ -130,7 +130,7 @@ def test_yoy_growth_matches_python_mirror(spark, sf_small):
             prev = months[i - 12]
             assert prev[5:] == r.month[5:]
             assert int(prev[:4]) == int(r.month[:4]) - 1
-            assert abs(r.yoy_pct - round(rev[r.month] / rev[prev] - 1.0, 6)) < 1e-9
+            assert abs(r.yoy_pct - (rev[r.month] / rev[prev] - 1.0)) < 1e-12
 
 
 def test_global_row_number_total_and_partition_invariant(spark, sf_small):
