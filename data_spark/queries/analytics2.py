@@ -613,9 +613,9 @@ _MB_TOP = 25
     )
     SELECT pa AS part_a, pb AS part_b, n_ab,
            ca.n AS n_a, cb.n AS n_b,
-           ROUND(CAST(n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) AS confidence,
-           ROUND(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
-                 / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)), 6) AS lift
+           CAST(n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE) AS confidence,
+           CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)) AS lift
     FROM pairs
     JOIN part_cnt ca ON ca.l_partkey = pa
     JOIN part_cnt cb ON cb.l_partkey = pb
@@ -658,12 +658,14 @@ def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = part_cnt.select(F.col("l_partkey").alias("pa"), F.col("n").alias("n_a"))
     cb = part_cnt.select(F.col("l_partkey").alias("pb"), F.col("n").alias("n_b"))
-    conf = F.round(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6)
-    lift = F.round(
+    # unrounded ratios of identical BIGINT-derived doubles: a 6-dp
+    # ROUND can land exactly on a 7-digit half where the engines'
+    # rounding strategies split (queries/common.py note)
+    conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    lift = (
         F.col("n_ab").cast("double")
         * F.col("n_orders").cast("double")
-        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-        6,
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
     )
     return (
         pairs.join(ca, "pa")

@@ -472,14 +472,15 @@ def _rake_oracle() -> str:
     ), pw AS (
       SELECT phrase, plen, unnest(str_split(phrase, ' ')) AS w FROM ph
     ), ws AS (
-      SELECT w, CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS score
+      SELECT w, (CAST(SUM(plen) AS BIGINT) * 1000000) // COUNT(*) AS score_e6
       FROM pw GROUP BY w
     ), dp AS (
       SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM ph GROUP BY phrase
     ), dpw AS (
       SELECT phrase, unnest(str_split(phrase, ' ')) AS w FROM dp
     ), scored AS (
-      SELECT d.phrase, d.n_occ, CAST(SUM(s.score) AS DOUBLE) AS score
+      SELECT d.phrase, d.n_occ,
+             CAST(SUM(s.score_e6) AS DOUBLE) / 1000000 AS score
       FROM dp d JOIN dpw x ON x.phrase = d.phrase JOIN ws s ON s.w = x.w
       GROUP BY d.phrase, d.n_occ
     )
@@ -528,17 +529,19 @@ def d_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(truncate_lineage)
     )
     pw = ph.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+    # word score degree/frequency in integer MICRO-UNITS (floor of
+    # deg*1e6/freq): pure BIGINT arithmetic, so the per-phrase score
+    # sums are exact without any float rounding step (common.py note on
+    # why a 6-dp ROUND of a quotient is engine-divergent)
     ws = pw.groupBy("w").agg(
-        F.round(F.sum("plen").cast("double") / F.count(F.lit(1)), 6)
-        .cast("decimal(18,6)")
-        .alias("score")
+        F.expr("sum(plen) * 1000000 div count(1)").alias("score_e6")
     )
     dp = ph.groupBy("phrase").agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
     dpw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
     return (
         dpw.join(F.broadcast(ws), "w")
         .groupBy("phrase")
-        .agg(F.sum("score").cast("double").alias("score"))
+        .agg((F.sum("score_e6").cast("double") / F.lit(1000000)).alias("score"))
         .join(dp, "phrase")
         .select("phrase", "n_occ", "score")
         .orderBy(F.desc("score"), "phrase")
@@ -810,8 +813,7 @@ _MT_WINDOW_DAYS = 7
     )
     SELECT click_day,
            CAST(COUNT(*) AS BIGINT) AS n_touches,
-           ROUND(CAST(SUM(CAST(ROUND(1.0 / n_touches, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
-             AS credit
+           CAST(SUM(1000000 // n_touches) AS DOUBLE) / 1000000 AS credit
     FROM touched GROUP BY click_day
     """,
 )
@@ -840,12 +842,14 @@ def j_multitouch_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = touched.withColumn(
         "n_touches", F.count(F.lit(1)).over(Window.partitionBy("pid"))
     )
+    # per-touch credit floor(1e6 / n) in integer micro-units — exact
+    # BIGINT fold, no float rounding anywhere (a purchase hands out at
+    # most 1.0 and at least 1 - n·1e-6 total credit)
     return n.groupBy("click_day").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-        F.round(
-            F.sum(F.round(F.lit(1.0) / F.col("n_touches"), 6).cast("decimal(18,6)"))
-            .cast("double"),
-            6,
+        (
+            F.sum(F.expr("1000000 div n_touches")).cast("double")
+            / F.lit(1000000)
         ).alias("credit"),
     )
 

@@ -201,8 +201,8 @@ def test_market_basket_matches_python_mirror(spark, sf_small):
     for (pa, pb), n_ab in pair_n.items():
         if n_ab < _MB_MIN_SUPPORT:
             continue
-        lift = round(
-            float(n_ab) * float(n_orders) / (float(part_n[pa]) * float(part_n[pb])), 6
+        lift = float(n_ab) * float(n_orders) / (
+            float(part_n[pa]) * float(part_n[pb])
         )
         rules.append((-lift, pa, pb, n_ab))
     rules.sort()
@@ -212,4 +212,4 @@ def test_market_basket_matches_python_mirror(spark, sf_small):
     assert got == expect
     for r in rows:
         assert r.n_a == part_n[r.part_a] and r.n_b == part_n[r.part_b]
-        assert r.confidence == pytest.approx(round(r.n_ab / r.n_a, 6), rel=1e-12)
+        assert r.confidence == pytest.approx(r.n_ab / r.n_a, rel=1e-12)

@@ -279,12 +279,10 @@ def test_rake_matches_python_mirror(spark, sf_small):
         for w in ws:
             freq[w] += 1
             deg[w] += len(ws)
-    score_w = {
-        w: Decimal(str(round(deg[w] / freq[w], 6))) for w in freq
-    }
+    score_w = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
     n_occ = Counter(phrases)
     scored = {
-        p: float(sum(score_w[w] for w in p.split())) for p in n_occ
+        p: sum(score_w[w] for w in p.split()) / 1_000_000 for p in n_occ
     }
     expect = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:_RAKE_TOP]
     assert [(r.phrase, r.score) for r in rows] == expect
@@ -406,7 +404,6 @@ def test_seasonal_index_matches_python_mirror(spark, sf_small):
 def test_multitouch_attrib_matches_python_mirror(spark, sf_small):
     from collections import defaultdict as dd
     from datetime import timedelta
-    from decimal import Decimal
 
     from data_spark.queries.mining import _MT_WINDOW_DAYS, j_multitouch_attrib
 
@@ -422,7 +419,7 @@ def test_multitouch_attrib_matches_python_mirror(spark, sf_small):
             clicks[e.user_id].append(e)
         elif e.event_type == "purchase":
             purchases.append(e)
-    credit = dd(Decimal)
+    credit = dd(int)
     touches = dd(int)
     for p in purchases:
         qual = [
@@ -432,7 +429,7 @@ def test_multitouch_attrib_matches_python_mirror(spark, sf_small):
         ]
         if not qual:
             continue
-        share = Decimal(str(round(1.0 / len(qual), 6)))
+        share = 1_000_000 // len(qual)
         for c in qual:
             day = c.ts.strftime("%Y-%m-%d")
             credit[day] += share
@@ -440,7 +437,7 @@ def test_multitouch_attrib_matches_python_mirror(spark, sf_small):
     assert set(rows) == set(credit)
     for day, r in rows.items():
         assert r.n_touches == touches[day]
-        assert abs(r.credit - round(float(credit[day]), 6)) < 1e-9
+        assert abs(r.credit - credit[day] / 1_000_000) < 1e-12
     # every purchase hands out at most one unit of credit in total
     assert sum(r.credit for r in rows.values()) <= len(purchases) + 1e-6
 
