@@ -166,3 +166,15 @@ def test_exchange_budget(spark, sf_small, name):
         f"shuffle crept into the plan; justify and update the budget if "
         f"intentional\n{plan[:2000]}"
     )
+
+
+def test_bench_headline_names_resolve():
+    """A typo'd HEADLINE entry would crash the driver's bench run —
+    catch it at test time instead."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    # and the headline has no duplicates (a dup would double-count a
+    # query in the totals)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
