@@ -175,6 +175,18 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def read_with_schema_evolution(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files were written under EVOLVED
+    schemas (columns added over time): ``mergeSchema`` unions the
+    per-file footers into one schema and back-fills missing columns
+    with NULL. The default read trusts one footer — fast (no
+    footer-merge pass over every file at 100 TB) but silently DROPS
+    late-added columns when the sampled footer predates them; call
+    this reader when the dataset is known to evolve, and keep the
+    default for frozen layouts."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def overwrite_partitions_dynamic(
     df: DataFrame,
     path: str,

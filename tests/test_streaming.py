@@ -815,3 +815,24 @@ def test_cms_state_sink_folds_registers(spark, tmp_path):
         for r in read_cms_state_estimates(spark, state_path, [2, 3, 7]).collect()
     )
     assert after == before
+
+
+def test_read_with_schema_evolution(spark, tmp_path):
+    """Files written under evolved schemas read back as one unified
+    schema with NULL back-fill; the default single-footer read may
+    silently drop the late-added column."""
+    from data_spark.io import read_with_schema_evolution
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(path)
+
+    got = {
+        r.id: (r.s, r.score)
+        for r in read_with_schema_evolution(spark, path).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
