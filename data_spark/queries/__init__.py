@@ -173,6 +173,7 @@ _PRIORITY = [
     "a_gini_revenue",
     "m_incr_join_maintain",
     "a_median_via_rank",
+    "g_walk_sample",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

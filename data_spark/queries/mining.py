@@ -1313,3 +1313,128 @@ def a_median_via_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").alias("x_hi"),
         (F.min("x") + F.lit(0.5) * (F.max("x") - F.min("x"))).alias("median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudo-random walks: the graph-sampling pass that feeds
+# node-embedding training (node2vec/DeepWalk corpora), made
+# REPRODUCIBLE by replacing RNG state with a portable integer hash —
+# at step t, the walker at u moves to the neighbor v minimizing
+# (A·u + B·v + C·t) mod P (ties → min v). Every executor, every retry,
+# and every engine derives the same walks; the per-step plan is the
+# LPA shape (one walker⋈edges join + one argmin fold).
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+_WALK_A = 516575261
+_WALK_B = 730421473
+_WALK_C = 947217823
+_WALK_P = 1_000_000_007
+
+
+def _walk_oracle() -> str:
+    parts = [
+        """
+        edges AS MATERIALIZED (
+          SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        sym AS MATERIALIZED (
+          SELECT src AS a, b FROM (SELECT src, dst AS b FROM edges)
+          UNION SELECT dst, src FROM edges
+        ),
+        w0 AS (SELECT DISTINCT a AS start, a AS cur FROM sym)
+        """
+    ]
+    for t in range(1, _WALK_STEPS + 1):
+        parts.append(
+            f"""
+            , w{t} AS (
+              SELECT start, cur FROM (
+                SELECT w.start, s.b AS cur,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY w.start
+                         ORDER BY (CAST({_WALK_A} AS BIGINT) * w.cur
+                                   + CAST({_WALK_B} AS BIGINT) * s.b
+                                   + CAST({_WALK_C} AS BIGINT) * {t}) % {_WALK_P}, s.b
+                       ) AS rn
+                FROM w{t - 1} w JOIN sym s ON s.a = w.cur
+              ) WHERE rn = 1
+            )
+            """
+        )
+    hops = ", ".join(
+        f"CASE WHEN w{t}.cur % 2 = 0 THEN 's' || (w{t}.cur // 2) "
+        f"ELSE 'c' || (w{t}.cur // 2) END AS hop{t}"
+        for t in range(1, _WALK_STEPS + 1)
+    )
+    joins = " ".join(
+        f"JOIN w{t} ON w{t}.start = w0.start" for t in range(1, _WALK_STEPS + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+        SELECT CASE WHEN w0.start % 2 = 0 THEN 's' || (w0.start // 2)
+                    ELSE 'c' || (w0.start // 2) END AS start, {hops}
+        FROM (SELECT DISTINCT start FROM w0) w0 {joins}
+        """
+    )
+
+
+@_q("g_walk_sample", _walk_oracle())
+def g_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 3-step deterministic walk from every node of the symmetric
+    supplier↔customer graph: per step, join the walker frame to the
+    edge list and fold the hash-argmin with MIN(STRUCT(h, v)) — two
+    key-partitioned shuffles per step, walker frames lineage-truncated.
+    Node ids ride as integers (2k / 2k+1 parity encoding) so the hash
+    is pure BIGINT arithmetic; labels are re-derived only in the final
+    projection."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    walk = sym.select(F.col("a").alias("start"), F.col("a").alias("cur")).distinct()
+    hops = []
+    for step in range(1, _WALK_STEPS + 1):
+        h = (
+            F.lit(_WALK_A).cast("bigint") * F.col("cur").cast("bigint")
+            + F.lit(_WALK_B).cast("bigint") * F.col("b").cast("bigint")
+            + F.lit(_WALK_C).cast("bigint") * F.lit(step).cast("bigint")
+        ) % _WALK_P
+        walk = (
+            walk.join(sym, walk.cur == sym.a)
+            .groupBy("start")
+            .agg(
+                F.min(F.struct(h.alias("h"), F.col("b").alias("v"))).alias("m")
+            )
+            .select("start", F.col("m.v").alias("cur"))
+            .transform(truncate_lineage)
+        )
+        hops.append(walk.select("start", F.col("cur").alias(f"h{step}")))
+    out = hops[0]
+    for i, frame in enumerate(hops[1:], start=2):
+        out = out.join(frame, "start")
+
+    def lbl(c):
+        return F.when(
+            F.col(c) % 2 == 0, F.concat(F.lit("s"), (F.col(c) / 2).cast("bigint"))
+        ).otherwise(F.concat(F.lit("c"), ((F.col(c) - 1) / 2).cast("bigint")))
+
+    return out.select(
+        lbl("start").alias("start"),
+        *[lbl(f"h{t_}").alias(f"hop{t_}") for t_ in range(1, _WALK_STEPS + 1)],
+    )

@@ -677,3 +677,47 @@ def test_global_row_number_balances_skewed_keys(spark):
     ]
     assert len(sizes) == parts
     assert max(sizes) < n * 0.5
+
+
+def test_walk_sample_matches_python_mirror(spark, sf_small):
+    from collections import defaultdict as dd
+
+    from data_spark.queries.mining import (
+        _WALK_A,
+        _WALK_B,
+        _WALK_C,
+        _WALK_P,
+        _WALK_STEPS,
+        g_walk_sample,
+    )
+
+    rows = {
+        r.start: tuple(r[f"hop{t}"] for t in range(1, _WALK_STEPS + 1))
+        for r in g_walk_sample(spark, sf_small).collect()
+    }
+
+    adj = dd(set)
+    for s, c in _edges(spark, sf_small):
+        se = int(s[1:]) * 2
+        ce = int(c[1:]) * 2 + 1
+        adj[se].add(ce)
+        adj[ce].add(se)
+
+    def lbl(e):
+        return f"s{e // 2}" if e % 2 == 0 else f"c{e // 2}"
+
+    expect = {}
+    for start in adj:
+        cur, hops = start, []
+        for t in range(1, _WALK_STEPS + 1):
+            cur = min(
+                adj[cur],
+                key=lambda v: ((_WALK_A * cur + _WALK_B * v + _WALK_C * t) % _WALK_P, v),
+            )
+            hops.append(lbl(cur))
+        expect[lbl(start)] = tuple(hops)
+    assert rows == expect
+    # walks traverse real edges and alternate graph sides (bipartite)
+    for start, hops in rows.items():
+        sides = [start[0]] + [h[0] for h in hops]
+        assert all(a != b for a, b in zip(sides, sides[1:]))

@@ -149,6 +149,8 @@ EXCHANGE_BUDGET = {
     # median: rank range exchange + count broadcast + 1-row fold
     "m_incr_join_maintain": 3,
     "a_median_via_rank": 3,
+    # per-step walker frames are materialized; 3 = the final hop joins
+    "g_walk_sample": 3,
 }
 
 
