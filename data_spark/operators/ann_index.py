@@ -1,0 +1,131 @@
+"""Persistent ANN index lifecycle: build once, probe many.
+
+``ivf_topk`` (similarity.py) trains and probes in one plan — right for
+a gate query, wrong for production, where the expensive part (cell
+assignment over the full corpus) should be PAID ONCE and reused by
+every query batch. This module persists the IVF structure as two
+parquet tables under one index directory:
+
+    <index>/centroids/   — num_centroids tiny rows (cent_id, cent_v)
+    <index>/cells/       — the corpus, hive-partitioned by cell=N
+
+and probes it with a plan whose corpus scan is PARTITION-PRUNED to the
+probed cells: the probe side collapses to a handful of cell ids, and
+because ``cells/`` is partitioned on exactly that join key, Spark's
+dynamic partition pruning (plus a static IN-filter we push explicitly)
+reads only those directories. At 100 TB that is the difference between
+an index probe and a table scan.
+
+Same deterministic semantics as ``ivf_topk`` (cosine metric, lowest-id
+default centroids, (sim DESC, id ASC) ordering), so a saved index
+returns bit-identical results to the in-memory operator — asserted in
+tests/test_ann_index.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.operators.similarity import cosine_similarity
+
+
+def _nearest_cells(
+    df: DataFrame, cents: DataFrame, key: str, vec: str, n: int
+) -> DataFrame:
+    sims = df.join(F.broadcast(cents)).select(
+        key,
+        vec,
+        F.col("cent_id").alias("cell"),
+        cosine_similarity(F.col(vec), F.col("cent_v")).alias("csim"),
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn", "csim")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Assign every corpus vector to its nearest centroid cell and
+    persist (centroids table + cell-partitioned corpus). Default
+    centroids are the deterministic lowest-id corpus vectors; pass a
+    trained (cluster, cent) model for balanced cells."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(centroids.columns[0]).alias("cent_id"),
+            F.col(centroids.columns[1]).cast("array<double>").alias("cent_v"),
+        )
+    else:
+        cents = (
+            c.orderBy("cid")
+            .limit(num_centroids)
+            .select(F.col("cid").alias("cent_id"), F.col("cv").alias("cent_v"))
+        )
+    cents = cents.localCheckpoint(eager=True)  # one pass; reused by assignment
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    assigned = _nearest_cells(c, cents, "cid", "cv", 1)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "cells"))
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a saved index: nearest ``nprobe`` cells per query against
+    the tiny centroid table, then exact cosine rerank inside ONLY those
+    cells. The probed cell ids are collected (≤ nprobe·num_centroids
+    ints — index metadata, not data) and pushed as a partition filter,
+    so the cells/ scan touches just the probed directories; the join
+    itself then broadcasts the query side. Returns
+    (qid, neighbor_id, rank) — bit-identical to ``ivf_topk`` with the
+    same centroids."""
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probes = _nearest_cells(q, cents, "qid", "qv", nprobe).select(
+        "qid", "qv", "cell"
+    )
+    probes = probes.localCheckpoint(eager=True)
+    probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    cells = (
+        spark.read.parquet(os.path.join(index_path, "cells"))
+        # static partition filter from index METADATA (the collected ids
+        # are bounded by nprobe·num_centroids, never corpus rows):
+        # PartitionFilters prune the directory listing at plan time
+        .filter(F.col("cell").isin(probed_cells))
+    )
+    cand = cells.join(F.broadcast(probes), "cell").select("qid", "qv", "cid", "cv")
+    sims = cand.select(
+        "qid", "cid", cosine_similarity(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("neighbor_id"), "rank")
+    )
