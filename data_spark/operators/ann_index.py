@@ -129,3 +129,28 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("cid").alias("neighbor_id"), "rank")
     )
+
+
+def append_to_ivf_index(
+    delta: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign ONLY the delta vectors to
+    their cells (broadcast against the saved centroid table) and append
+    them into the existing cell partitions — O(|delta|), the corpus is
+    never rescanned and untouched cell directories keep their files.
+    Centroids are intentionally frozen (standard IVF practice: retrain
+    offline when drift accumulates, then rebuild)."""
+    spark = delta.sparkSession
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    d = delta.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    assigned = _nearest_cells(d, cents, "cid", "cv", 1)
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "cells"))
+    )
