@@ -370,3 +370,76 @@ def test_string_function_parity(engines, start, length, needle, repl, field):
         f"FROM part_fuzz WHERE p_partkey % 5 = {start % 5}"
     )
     _parity(spark, con, sql)
+
+
+# ---------------------------------------------------------------------------
+# Phonetic-key fuzz: the simplified-soundex algebra must encode
+# IDENTICALLY in both engines for arbitrary inputs — not just the 11
+# golden words — including mixed case, digits, punctuation, unicode
+# noise, and pathological repeats.
+# ---------------------------------------------------------------------------
+
+phonetic_word = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzAEIOU'.- 0123456789é",
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=60,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+    deadline=None,
+)
+@given(words=st.lists(phonetic_word, min_size=1, max_size=8, unique=True))
+def test_phonetic_key_fuzz_parity(engines, words):
+    from pyspark.sql import functions as F
+
+    from data_spark.functions.text import phonetic_key, phonetic_key_sql
+
+    spark, con = engines
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: (r.k or "")
+        for r in df.select("w", phonetic_key(F.col("w")).alias("k")).collect()
+    }
+    for w in words:
+        lit = "'" + w.replace("'", "''") + "'"
+        val = con.execute(f"SELECT {phonetic_key_sql(lit)}").fetchone()[0]
+        assert (val or "") == got[w], w
+        # structural invariant: empty, or an upper letter + 3 digits
+        k = got[w]
+        if k:
+            assert len(k) == 4 and k[0].isupper() and k[1:].isdigit()
+
+
+# ---------------------------------------------------------------------------
+# Distributed-rank fuzz: global_row_number must agree with a plain
+# sorted enumeration for arbitrary key sets (duplicated keys included —
+# the tiebreak column restores the total order) at every partition
+# count.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=20,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+    deadline=None,
+)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=3), min_size=1, max_size=40
+    ),
+    n_parts=st.sampled_from([1, 2, 5]),
+)
+def test_global_row_number_fuzz(engines, keys, n_parts):
+    from data_spark.operators.order import global_row_number
+
+    spark, _ = engines
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k string, tie long")
+    ranked = global_row_number(df, ["k", "tie"], num_partitions=n_parts)
+    got = [(r.k, r.tie) for r in ranked.orderBy("rn").collect()]
+    assert got == sorted(rows)
