@@ -174,6 +174,7 @@ _PRIORITY = [
     "m_incr_join_maintain",
     "a_median_via_rank",
     "g_walk_sample",
+    "d_er_score_fusion",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

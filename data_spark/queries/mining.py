@@ -1438,3 +1438,115 @@ def g_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lbl("start").alias("start"),
         *[lbl(f"h{t_}").alias(f"hop{t_}") for t_ in range(1, _WALK_STEPS + 1)],
     )
+
+
+# ---------------------------------------------------------------------------
+# ER match-score FUSION: real entity resolution doesn't threshold one
+# signal — it fuses several into a calibrated score. Over the
+# sorted-neighborhood candidate pairs, three signals combine in integer
+# MICRO-UNITS (no float rounding anywhere): edit similarity
+# (maxlen − dist)/maxlen, length ratio minlen/maxlen, and first-word
+# phonetic agreement (the simplified-soundex encoder exercised on real
+# corpus text, not just its golden words). Weights 0.6/0.3/0.1.
+# ---------------------------------------------------------------------------
+
+_FUSE_WINDOW = 5
+_FUSE_MAX_DIST = 120
+_FUSE_MIN_SCORE_E6 = 700_000
+
+
+def _fusion_oracle() -> str:
+    from data_spark.functions.text import phonetic_key_sql  # noqa: PLC0415
+
+    pk = phonetic_key_sql("str_split_regex(nt, ' ')[1]")
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')) AS nt
+      FROM documents
+    ), attrs AS (
+      SELECT doc_id, nt, CAST(length(nt) AS BIGINT) AS len, {pk} AS pk,
+             ROW_NUMBER() OVER (ORDER BY nt, doc_id) AS rn
+      FROM norm
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS dist,
+             GREATEST(a.len, b.len) AS maxlen, LEAST(a.len, b.len) AS minlen,
+             CASE WHEN a.pk = b.pk THEN 1 ELSE 0 END AS pk_eq
+      FROM attrs a JOIN attrs b
+        ON b.rn > a.rn AND b.rn <= a.rn + {_FUSE_WINDOW}
+      WHERE abs(a.len - b.len) <= {_FUSE_MAX_DIST}
+        AND levenshtein(a.nt, b.nt) <= {_FUSE_MAX_DIST}
+    )
+    SELECT doc_a, doc_b, dist,
+           (600000 * (maxlen - dist) // maxlen)
+             + (300000 * minlen // maxlen)
+             + 100000 * pk_eq AS score_e6
+    FROM cand
+    WHERE (600000 * (maxlen - dist) // maxlen)
+            + (300000 * minlen // maxlen)
+            + 100000 * pk_eq >= {_FUSE_MIN_SCORE_E6}
+    """
+
+
+@_q("d_er_score_fusion", _fusion_oracle())
+def d_er_score_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused ER match scores over sorted-neighborhood candidates: the
+    two-phase global rank generates w·n candidates, a banded
+    levenshtein + length prefilter scores edit similarity, and the
+    fusion adds length-ratio and first-word phonetic agreement — all
+    as BIGINT micro-units (div, never a float ROUND), thresholded at
+    0.70. The phonetic leg runs the same column algebra as its DuckDB
+    pair on every candidate row."""
+    from data_spark.functions.text import phonetic_key  # noqa: PLC0415
+    from data_spark.operators.order import global_row_number  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " ")).alias("nt"),
+    )
+    attrs = d.select(
+        "doc_id",
+        "nt",
+        F.length("nt").cast("bigint").alias("len"),
+        phonetic_key(F.split("nt", " ").getItem(0)).alias("pk"),
+    )
+    ranked = global_row_number(attrs, ["nt", "doc_id"]).transform(truncate_lineage)
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nt").alias("na"),
+        F.col("len").alias("la"),
+        F.col("pk").alias("pka"),
+        F.explode(F.sequence(F.lit(1), F.lit(_FUSE_WINDOW))).alias("off"),
+        (F.col("rn") + F.col("off")).alias("rn_b"),
+    )
+    right = ranked.select(
+        F.col("rn").alias("rn_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("nt").alias("nb"),
+        F.col("len").alias("lb"),
+        F.col("pk").alias("pkb"),
+    )
+    cand = (
+        left.join(right, "rn_b")
+        .filter(F.abs(F.col("la") - F.col("lb")) <= _FUSE_MAX_DIST)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("na", "nb", _FUSE_MAX_DIST).cast("bigint").alias("dist"),
+            F.greatest("la", "lb").alias("maxlen"),
+            F.least("la", "lb").alias("minlen"),
+            (F.col("pka") == F.col("pkb")).cast("bigint").alias("pk_eq"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _FUSE_MAX_DIST))
+    )
+    score = (
+        F.expr("600000 * (maxlen - dist) div maxlen")
+        + F.expr("300000 * minlen div maxlen")
+        + F.lit(100000) * F.col("pk_eq")
+    )
+    return (
+        cand.withColumn("score_e6", score.cast("bigint"))
+        .filter(F.col("score_e6") >= _FUSE_MIN_SCORE_E6)
+        .select("doc_a", "doc_b", "dist", "score_e6")
+    )

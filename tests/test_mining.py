@@ -721,3 +721,77 @@ def test_walk_sample_matches_python_mirror(spark, sf_small):
     for start, hops in rows.items():
         sides = [start[0]] + [h[0] for h in hops]
         assert all(a != b for a, b in zip(sides, sides[1:]))
+
+
+def test_er_score_fusion_matches_python_mirror(spark, sf_small):
+    import re
+
+    from data_spark.queries.mining import (
+        _FUSE_MAX_DIST,
+        _FUSE_MIN_SCORE_E6,
+        _FUSE_WINDOW,
+        d_er_score_fusion,
+    )
+
+    rows = {
+        (r.doc_a, r.doc_b): (r.dist, r.score_e6)
+        for r in d_er_score_fusion(spark, sf_small).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    norm = {
+        d.doc_id: re.sub(r"[^a-z0-9 ]+", " ", d.text.lower()).strip()
+        for d in docs
+    }
+
+    def phonetic(word):
+        s = re.sub(r"[^a-z]", "", word.lower())
+        if not s:
+            return ""
+        head, tail = s[0], re.sub(r"[hw]", "", s[1:])
+        table = str.maketrans(
+            "abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"
+        )
+        digits = (head + tail).translate(table)
+        for d_ in "123456":
+            digits = re.sub(f"{d_}{d_}+", d_, digits)
+        rest = digits[1:].replace("0", "")
+        return head.upper() + (rest[:3] + "000")[:3]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    order = sorted(norm, key=lambda i: (norm[i], i))
+    expect = {}
+    for i, da in enumerate(order):
+        for off in range(1, _FUSE_WINDOW + 1):
+            if i + off >= len(order):
+                break
+            db = order[i + off]
+            na, nb = norm[da], norm[db]
+            if abs(len(na) - len(nb)) > _FUSE_MAX_DIST:
+                continue
+            dist = lev(na, nb)
+            if dist > _FUSE_MAX_DIST:
+                continue
+            mx, mn = max(len(na), len(nb)), min(len(na), len(nb))
+            pk_eq = int(
+                phonetic(na.split(" ")[0] if na else "")
+                == phonetic(nb.split(" ")[0] if nb else "")
+            )
+            score = (
+                600000 * (mx - dist) // mx + 300000 * mn // mx + 100000 * pk_eq
+            )
+            if score >= _FUSE_MIN_SCORE_E6:
+                expect[(da, db)] = (dist, score)
+    assert rows == expect
+    # every fused match clears the 0.70 bar and never exceeds 1.0
+    assert all(
+        _FUSE_MIN_SCORE_E6 <= s <= 1_000_000 for _, s in rows.values()
+    )

@@ -151,6 +151,8 @@ EXCHANGE_BUDGET = {
     "a_median_via_rank": 3,
     # per-step walker frames are materialized; 3 = the final hop joins
     "g_walk_sample": 3,
+    # fusion rides the materialized global rank; 2 = shifted-rank join
+    "d_er_score_fusion": 2,
 }
 
 
