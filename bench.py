@@ -132,6 +132,7 @@ HEADLINE = [
     "a_median_via_rank",  # selection over the distributed rank, no single-buffer sort
     "g_walk_sample",  # deterministic hash-driven walks (embedding sampling)
     "d_er_score_fusion",  # multi-signal ER scoring in integer micro-units
+    "dq_benford_digits",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -175,6 +175,7 @@ _PRIORITY = [
     "a_median_via_rank",
     "g_walk_sample",
     "d_er_score_fusion",
+    "dq_benford_digits",
     # --- oldest r2-witnessed greens rotate back in (r5 window) ---
     "q12_shipmode_case",
     "q11_important_parts",

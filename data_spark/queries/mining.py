@@ -1550,3 +1550,77 @@ def d_er_score_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score_e6") >= _FUSE_MIN_SCORE_E6)
         .select("doc_a", "doc_b", "dist", "score_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit: the fraud/data-quality classic —
+# naturally-occurring amounts follow P(d) = log10(1 + 1/d); synthetic
+# or truncated data doesn't. Expected frequencies are EXACT LITERAL
+# micro-units (no cross-engine libm call), observed frequencies are
+# integer micro-unit ratios of BIGINT counts, so the whole report is
+# deterministic end to end.
+# ---------------------------------------------------------------------------
+
+_BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_oracle() -> str:
+    lattice = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({e6} AS BIGINT) AS expected_e6"
+        for d, e6 in _BENFORD_E6.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), total AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tot FROM counts
+    ), expected AS ({lattice})
+    SELECT e.digit, COALESCE(c.n, 0) AS n,
+           COALESCE(c.n, 0) * 1000000 // tot AS observed_e6,
+           e.expected_e6,
+           ABS(COALESCE(c.n, 0) * 1000000 // tot - e.expected_e6) AS abs_dev_e6
+    FROM expected e LEFT JOIN counts c ON c.digit = e.digit
+    CROSS JOIN total
+    """
+
+
+@_q("dq_benford_digits", _benford_oracle())
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals against Benford's law:
+    one map-side-combinable digit count, the 9-digit expected lattice
+    as exact literals (micro-units — no ln/log10 call crosses engines),
+    observed shares as BIGINT div ratios. The deviation column is what
+    an audit alarms on; TPC-H-ish uniform prices deviate wildly from
+    Benford, which is itself the point of the check."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # explicit FLOOR before the integer cast: Spark's double->bigint
+    # cast truncates while DuckDB's ROUNDS (9999.7 -> 9999 vs 10000 —
+    # different first digit); floor is identical in both
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = counts.agg(F.sum("n").cast("bigint").alias("tot"))
+    expected = spark.createDataFrame(
+        sorted(_BENFORD_E6.items()), "digit bigint, expected_e6 bigint"
+    )
+    obs = F.expr("coalesce(n, 0) * 1000000 div tot")
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            obs.alias("observed_e6"),
+            "expected_e6",
+            F.abs(obs - F.col("expected_e6")).alias("abs_dev_e6"),
+        )
+    )

@@ -795,3 +795,33 @@ def test_er_score_fusion_matches_python_mirror(spark, sf_small):
     assert all(
         _FUSE_MIN_SCORE_E6 <= s <= 1_000_000 for _, s in rows.values()
     )
+
+
+def test_benford_digits_matches_python_mirror(spark, sf_small):
+    import math
+    from collections import Counter
+
+    from data_spark.queries.mining import _BENFORD_E6, dq_benford_digits
+
+    rows = {r.digit: r for r in dq_benford_digits(spark, sf_small).collect()}
+    assert set(rows) == set(range(1, 10))
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_totalprice"
+    ).collect()
+    cnt = Counter(
+        int(str(int(math.floor(o.o_totalprice)))[0])
+        for o in orders
+        if o.o_totalprice >= 1
+    )
+    tot = sum(cnt.values())
+    for d in range(1, 10):
+        r = rows[d]
+        assert r.n == cnt.get(d, 0)
+        assert r.observed_e6 == cnt.get(d, 0) * 1_000_000 // tot
+        # the expected lattice is the exact Benford table
+        assert r.expected_e6 == _BENFORD_E6[d]
+        assert abs(r.expected_e6 - round(math.log10(1 + 1 / d) * 1e6)) <= 1
+        assert r.abs_dev_e6 == abs(r.observed_e6 - r.expected_e6)
+    # micro-unit shares sum to ~1 (floor loss < 9 units)
+    assert 1_000_000 - 9 <= sum(r.observed_e6 for r in rows.values()) <= 1_000_000

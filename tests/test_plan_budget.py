@@ -153,6 +153,8 @@ EXCHANGE_BUDGET = {
     "g_walk_sample": 3,
     # fusion rides the materialized global rank; 2 = shifted-rank join
     "d_er_score_fusion": 2,
+    # digit count + 1-row total broadcast + 9-row expected lattice join
+    "dq_benford_digits": 5,
 }
 
 
