@@ -93,5 +93,6 @@ NESTED_LOOP_ALLOWED = frozenset(
         "a_hll_set_algebra",  # <=|types|^2-row pair lattice over 5 event types
         "a_market_basket",  # 1-row order-universe-count broadcast
         "a_median_via_rank",  # 1-row total-count broadcast onto the ranked frame
+        "dq_benford_digits",  # 1-row digit-total broadcast onto the 9-row lattice
     }
 )
