@@ -133,6 +133,8 @@ HEADLINE = [
     "g_walk_sample",  # deterministic hash-driven walks (embedding sampling)
     "d_er_score_fusion",  # multi-signal ER scoring in integer micro-units
     "dq_benford_digits",
+    # r4 continuation: hybrid retrieval (two TakeOrdered arms + fusion)
+    "v_rrf_hybrid",
     # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -791,3 +791,142 @@ def a_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("hi"),
         dsum(F.col("v")).alias("sum_v"),
     )
+
+
+# DuckDB CTE for the BM25 arm shared with d_bm25_search (same contrib
+# algebra, same rounded 6-dp score).
+_SQL_BM25_ARM = f"""
+    dl AS (
+      SELECT doc_id, len(list_filter(words, w -> w <> '')) AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             {SQL_DSUM.format(expr='CAST(dl AS DOUBLE)')} / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+               AS DOUBLE) AS contrib
+      FROM tfreq t
+      JOIN dfreq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      WHERE t.term IN ('spark', 'join', 'window')
+    ),
+    bm AS (
+      SELECT doc_id, ROUND({SQL_DSUM.format(expr='contrib')}, 6) AS bm25
+      FROM contrib GROUP BY doc_id
+    )
+"""
+
+
+@_q(
+    "v_rrf_hybrid",
+    f"""
+    WITH {_SQL_TF},
+    {_SQL_BM25_ARM},
+    lexr AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+      FROM bm
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(embedding, q.qv), 6) AS sim
+      FROM embeddings, q WHERE vec_id > 0
+    ),
+    semr AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS sem_rank
+      FROM sem
+    ),
+    arms AS (
+      SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id, l.lex_rank, s.sem_rank
+      FROM (SELECT * FROM lexr WHERE lex_rank <= 100) l
+      FULL OUTER JOIN (SELECT * FROM semr WHERE sem_rank <= 100) s
+        ON l.doc_id = s.vec_id
+    )
+    SELECT doc_id, lex_rank, sem_rank,
+           COALESCE(1000000 // (60 + lex_rank), 0)
+         + COALESCE(1000000 // (60 + sem_rank), 0) AS rrf_micro
+    FROM arms
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def v_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: the lexical arm ranks
+    documents by BM25 for a fixed 3-term query, the semantic arm ranks
+    the embedding corpus by cosine against a fixed query vector
+    (vec_id 0), and the fused score is RRF with k=60 in exact integer
+    micro-units (1e6 DIV (60+rank)) so the cross-engine hash carries no
+    float division. The reference fuses Elasticsearch text relevance
+    with downstream scoring the same way at query time.
+
+    Scale shape: each arm is TakeOrderedAndProject down to its top-100
+    (map-side heaps, never a global sort), so the only single-partition
+    window runs over a CONSTANT-bounded 100-row frame; the fusion join
+    is two 100-row sides. Ranks order by the 6-dp ROUNDED scores with
+    id tiebreaks — the same cross-engine determinism contract the
+    d_bm25_search / v_cosine_topk hashes already prove."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    arm_k = 100
+    lex_top = (
+        bm25_scores(docs, _BM25_TERMS)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(arm_k)
+    )
+    # constant-bounded (<=100 rows) global window: fine at any scale
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+
+    from data_spark.operators.similarity import cosine_similarity
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    sem_top = (
+        emb.filter(F.col("vec_id") > 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), F.col("qv")),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(arm_k)
+    )
+    sem = sem_top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("vec_id")))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+
+    fused = (
+        lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer")
+        .select(
+            F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(F.expr("1000000 div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + sem_rank)"), F.lit(0)),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(20)

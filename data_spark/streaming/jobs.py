@@ -580,3 +580,86 @@ def read_cms_state_estimates(
             .alias("est_count")
         )
     )
+
+
+def fold_kll_batch_into_state(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    k: int = 200,
+) -> None:
+    """One foreachBatch fold of per-key KLL quantile sketches — the
+    rank/quantile member of the sketch-state trio (HLL = distinct
+    counts, CMS = frequencies, KLL = value distribution). Sketch the
+    micro-batch per key (map-side partial agg), then merge into the
+    state sketches with ``kll_merge_agg_double`` — a groupBy over
+    SKETCH BYTES, never historical values. State size is one ~O(k)
+    sketch per key regardless of stream volume; while n <= k the
+    sketch is in exact mode, so the folded state's quantiles equal a
+    one-shot build over everything streamed (mergeability law,
+    tests/test_streaming.py). Same stage-and-swap + batch-id replay
+    guard as the HLL/CMS sinks."""
+    import os
+
+    spark = batch.sparkSession
+    marker = os.path.join(state_path, "_last_folded_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # crash-replay of an already-applied batch
+    batch_sk = batch.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(value_col, F.lit(k)).alias("sk")
+    )
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        new_state = (
+            state.unionByName(batch_sk)
+            .groupBy(*keys)
+            .agg(F.kll_merge_agg_double("sk", F.lit(k)).alias("sk"))
+        )
+    else:
+        new_state = batch_sk
+    _promote_state(new_state, state_path, batch_id)
+
+
+def kll_state_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    k: int = 200,
+) -> StreamingQuery:
+    """Quantile-sketch maintenance as a streaming sink: every
+    micro-batch folds its per-key KLL sketch into the state table.
+    Read quantile estimates back with
+    :func:`read_kll_state_quantiles`."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        fold_kll_batch_into_state(batch, batch_id, state_path, keys, value_col, k)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kll_state_quantiles(
+    spark: SparkSession, state_path: str, quantiles: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """Per-key quantile estimates from a KLL sketch-state table — a
+    metadata-sized scan (one sketch per key), no value re-shuffle."""
+    state = spark.read.parquet(state_path)
+    keys = [c for c in state.columns if c != "sk"]
+    cols = [F.kll_sketch_get_n_double("sk").cast("bigint").alias("n")]
+    for q in quantiles:
+        cols.append(
+            F.round(
+                F.kll_sketch_get_quantile_double("sk", F.lit(float(q))), 6
+            ).alias(f"est_p{int(round(q * 100)):02d}")
+        )
+    return state.select(*keys, *cols)

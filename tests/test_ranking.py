@@ -267,3 +267,40 @@ def test_weighted_sample_is_partitioning_invariant(spark, sf_small):
         .collect()
     )
     assert base == again
+
+
+def test_rrf_hybrid_fusion_laws(spark, sf_small):
+    """RRF output invariants: score recomputes from the two ranks, every
+    row sits in at least one arm's top-100, and the rows arrive sorted
+    by (rrf_micro DESC, doc_id)."""
+    from data_spark.queries.ranking import QUERIES as RQ
+
+    rows = RQ["v_rrf_hybrid"](spark, sf_small).collect()
+    assert 0 < len(rows) <= 20
+    scores = []
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] is not None:
+            assert 1 <= r["lex_rank"] <= 100
+            expect += 1000000 // (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            assert 1 <= r["sem_rank"] <= 100
+            expect += 1000000 // (60 + r["sem_rank"])
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        assert r["rrf_micro"] == expect
+        scores.append((-r["rrf_micro"], r["doc_id"]))
+    assert scores == sorted(scores)
+
+
+def test_rrf_hybrid_doc_in_both_arms_outranks_single_arm(spark, sf_small):
+    """A document near the top of BOTH arms must outscore one that only
+    appears in a single arm at a similar rank — the point of fusion."""
+    from data_spark.queries.ranking import QUERIES as RQ
+
+    rows = RQ["v_rrf_hybrid"](spark, sf_small).collect()
+    both = [r for r in rows if r["lex_rank"] is not None and r["sem_rank"] is not None]
+    single = [r for r in rows if (r["lex_rank"] is None) != (r["sem_rank"] is None)]
+    if both and single:
+        assert max(r["rrf_micro"] for r in both) > min(
+            r["rrf_micro"] for r in single
+        )

@@ -836,3 +836,89 @@ def test_read_with_schema_evolution(spark, tmp_path):
         for r in read_with_schema_evolution(spark, path).collect()
     }
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_kll_state_sink_folds_quantile_sketches(spark, tmp_path):
+    """Micro-batch KLL sketches merge-fold into the state table: while
+    n <= k the sketch is in exact mode, so the folded state's quantiles
+    equal a one-shot sketch over everything streamed (mergeability
+    law) AND the exact percentile; replaying an applied batch id is a
+    no-op."""
+    from data_spark.streaming.jobs import (
+        fold_kll_batch_into_state,
+        kll_state_sink,
+        read_kll_state_quantiles,
+    )
+
+    src = str(tmp_path / "kll_src")
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "event_type": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "event_type": "a", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "event_type": "b", "value": 10.0},
+    ]
+    batch2 = [
+        {"event_id": 4, "ts": "2024-01-01T00:03:00", "event_type": "a", "value": 3.0},
+        {"event_id": 5, "ts": "2024-01-01T00:04:00", "event_type": "a", "value": 4.0},
+        {"event_id": 6, "ts": "2024-01-01T00:05:00", "event_type": "b", "value": 30.0},
+    ]
+    _write_events(src, batch1)
+    _write_events(src, batch2)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    state_path = str(tmp_path / "kll_state")
+    q = kll_state_sink(
+        stream, state_path, str(tmp_path / "kll_ckpt"),
+        keys=["event_type"], value_col="value", k=200,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["n"], r["est_p50"], r["est_p90"])
+        for r in read_kll_state_quantiles(spark, state_path).collect()
+    }
+    assert got["a"][0] == 4 and got["b"][0] == 2
+    # exact mode (n << k): quantiles are true order statistics
+    assert got["a"][1] in (2.0, 3.0)  # p50 of {1,2,3,4}
+    assert got["a"][2] == 4.0  # p90
+    assert got["b"][2] == 30.0
+
+    # one-shot sketch over the union must agree while in exact mode
+    allrows = spark.createDataFrame(
+        [(r["event_type"], r["value"]) for r in map(lambda d: d, batch1 + batch2)],
+        "event_type string, value double",
+    )
+    oneshot = {
+        r["event_type"]: (r["n"], r["p50"], r["p90"])
+        for r in allrows.groupBy("event_type")
+        .agg(
+            F.kll_sketch_get_n_double(
+                F.kll_sketch_agg_double("value", F.lit(200))
+            ).cast("bigint").alias("n"),
+            F.round(
+                F.kll_sketch_get_quantile_double(
+                    F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.5)
+                ), 6,
+            ).alias("p50"),
+            F.round(
+                F.kll_sketch_get_quantile_double(
+                    F.kll_sketch_agg_double("value", F.lit(200)), F.lit(0.9)
+                ), 6,
+            ).alias("p90"),
+        )
+        .collect()
+    }
+    assert got == oneshot
+
+    # crash-replay of an applied batch id must not change state
+    replay = spark.createDataFrame(
+        [("a", 999.0)], "event_type string, value double"
+    )
+    fold_kll_batch_into_state(replay, 1, state_path, ["event_type"], "value")
+    after = {
+        r["event_type"]: (r["n"], r["est_p50"], r["est_p90"])
+        for r in read_kll_state_quantiles(spark, state_path).collect()
+    }
+    assert after == got
