@@ -336,3 +336,62 @@ def compact_files(
     )
     stats["rewritten"] = True
     return stats
+
+
+def build_file_index(
+    spark: SparkSession, path: str, cols: list[str], index_path: str
+) -> None:
+    """Build a file-level min/max manifest over a parquet dataset — the
+    Iceberg/Delta data-skipping idea on plain parquet files. One
+    DISTRIBUTED scan groups by the hidden ``_metadata.file_path``
+    column and records per-file min/max/row-count for ``cols``; the
+    index is a metadata-sized table (one row per FILE), amortized over
+    every subsequent pruned read.
+
+    Parquet footers already give row-group min/max — but the reader
+    still has to OPEN every file to see them. At 100 TB / millions of
+    files, listing + footer reads dominate planning; a manifest scan
+    reads one small parquet table instead."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    (
+        df.select(F.col("_metadata.file_path").alias("file_path"), *cols)
+        .groupBy("file_path")
+        .agg(*aggs)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def read_index_pruned(
+    spark: SparkSession,
+    path: str,
+    index_path: str,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Manifest-pruned scan: keep only files whose ``[min, max]``
+    envelope for ``col`` overlaps ``[lo, hi]`` (NULL bounds — all-null
+    files — are kept conservatively), then read exactly those files.
+    The file list is planning metadata (one small index scan collected
+    to the driver — file PATHS, never data rows); the data scan never
+    opens a pruned file. The returned frame still carries the residual
+    predicate so results are correct even where envelopes are loose."""
+    idx = spark.read.parquet(index_path)
+    keep = idx.filter(
+        (F.col(f"{col}__max").isNull() | (F.col(f"{col}__max") >= F.lit(lo)))
+        & (F.col(f"{col}__min").isNull() | (F.col(f"{col}__min") <= F.lit(hi)))
+    )
+    files = [r["file_path"] for r in keep.select("file_path").collect()]
+    if not files:
+        # every file pruned: keep the DATA schema via an always-false
+        # filter on the dataset root (a listing, no file reads)
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )

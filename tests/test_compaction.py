@@ -8,6 +8,7 @@ import os
 import pytest
 
 from data_spark.io import compact_files
+from pyspark.sql import functions as F
 
 
 def _parquet_files(path):
@@ -52,3 +53,46 @@ def test_compact_noop_when_already_packed(spark, fragmented):
     stats = compact_files(spark, path, target_file_bytes=1)
     assert stats["rewritten"] is False
     assert _parquet_files(path) == files_before
+
+
+def test_file_index_prunes_non_overlapping_files(spark, tmp_path):
+    """Manifest pruning: a range-sorted multi-file dataset + file-level
+    min/max index lets a bounded read open ONLY the overlapping files
+    (checked via inputFiles) while returning exactly the full-scan
+    answer."""
+    from data_spark.io import build_file_index, read_index_pruned
+
+    path = str(tmp_path / "facts")
+    idx = str(tmp_path / "facts_idx")
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    # 8 range-partitioned files => tight, disjoint k envelopes
+    df.repartitionByRange(8, "k").sortWithinPartitions("k").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    build_file_index(spark, path, ["k"], idx)
+    index = spark.read.parquet(idx)
+    n_files = index.count()
+    assert n_files == 8
+    assert index.columns == ["file_path", "n_rows", "k__min", "k__max"]
+    # the index is per-FILE metadata: row counts fold back to the table
+    assert index.agg(F.sum("n_rows")).first()[0] == 10000
+
+    pruned = read_index_pruned(spark, path, idx, "k", 2000, 3000)
+    opened = pruned.inputFiles()
+    assert 0 < len(opened) < n_files  # pruning actually dropped files
+    expect = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.parquet(path)
+        .filter((F.col("k") >= 2000) & (F.col("k") <= 3000))
+        .collect()
+    )
+    got = sorted((r["k"], r["v"]) for r in pruned.collect())
+    assert got == expect
+
+    # fully out-of-range probe: zero files, empty result, schema kept
+    empty = read_index_pruned(spark, path, idx, "k", 50000, 60000)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
