@@ -135,7 +135,7 @@ HEADLINE = [
     "dq_benford_digits",
     # r4 continuation: hybrid retrieval (two TakeOrdered arms + fusion)
     "v_rrf_hybrid",
-    # d_kmeans / d_semantic_dedup are gate-checked at sf0.01 but not
+    # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query
 ]

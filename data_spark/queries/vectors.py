@@ -490,3 +490,121 @@ def v_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", F.col("cid").alias("neighbor_id"), "rank", "dot")
     )
+
+
+def _pq_dist(v: str, c: str) -> str:
+    """DuckDB squared-L2 left-fold matching operators.pq._sqdist
+    bit-for-bit (list_reduce's first-element seed equals Spark's
+    0.0-seeded fold because x + 0.0 == x for the non-negative squared
+    diffs)."""
+    return (
+        f"list_reduce(list_transform(range(1, len({v})+1), "
+        f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])), (acc,x) -> acc+x)"
+    )
+
+
+def _pq_oracle_sql(m: int = 8, ksub: int = 16, iterations: int = 2, k: int = 5) -> str:
+    """The whole PQ lifecycle (fit per-subspace Lloyd codebooks →
+    encode → ADC top-k) unrolled to the operator's exact recipe so
+    DuckDB replays it bit-for-bit — the product-quantization member of
+    the d_kmeans oracle family. Determinism anchors: lowest-id init
+    per subspace, left-fold double distances, DECIMAL(38,9) codeword
+    means, empty codes keep their previous codeword, DECIMAL(38,12)
+    ADC accumulation, ROW_NUMBER ties on lower code / lower id."""
+    sql = f"""
+    WITH corpus AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id >= 10
+    ), qs AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 5
+    ), dims AS (SELECT len(v) // {m} AS dsub FROM corpus LIMIT 1),
+    sv AS (
+      SELECT c.id, CAST(s.sub AS INT) AS sub,
+             list_slice(c.v, s.sub * d.dsub + 1, (s.sub + 1) * d.dsub) AS subv
+      FROM corpus c CROSS JOIN dims d, (SELECT UNNEST(range(0, {m})) AS sub) s
+    ),
+    cb0 AS (
+      SELECT sub, CAST(rn - 1 AS INT) AS code, subv AS cent FROM (
+        SELECT sub, subv, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY id) AS rn
+        FROM sv
+      ) WHERE rn <= {ksub}
+    )"""
+    for it in range(1, iterations + 1):
+        sql += f""",
+    asg{it} AS (
+      SELECT id, sub, code FROM (
+        SELECT sv.id, sv.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY sv.id, sv.sub
+                 ORDER BY {_pq_dist('sv.subv', 'c.cent')}, c.code) AS rn
+        FROM sv JOIN cb{it - 1} c ON sv.sub = c.sub
+      ) WHERE rn = 1
+    ),
+    sums{it} AS (
+      SELECT a.sub, a.code, r.i,
+             CAST(SUM(CAST(sv.subv[r.i] AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mval
+      FROM asg{it} a JOIN sv ON a.id = sv.id AND a.sub = sv.sub,
+           UNNEST(range(1, len(sv.subv)+1)) AS r(i)
+      GROUP BY a.sub, a.code, r.i
+    ),
+    newc{it} AS (
+      SELECT sub, code, list(mval ORDER BY i) AS cent
+      FROM sums{it} GROUP BY sub, code
+    ),
+    cb{it} AS (
+      SELECT p.sub, p.code, COALESCE(n.cent, p.cent) AS cent
+      FROM cb{it - 1} p
+      LEFT JOIN newc{it} n ON p.sub = n.sub AND p.code = n.code
+    )"""
+    fin = f"cb{iterations}"
+    sql += f""",
+    codes AS (
+      SELECT id, sub, code FROM (
+        SELECT sv.id, sv.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY sv.id, sv.sub
+                 ORDER BY {_pq_dist('sv.subv', 'c.cent')}, c.code) AS rn
+        FROM sv JOIN {fin} c ON sv.sub = c.sub
+      ) WHERE rn = 1
+    ),
+    qsv AS (
+      SELECT q.id AS qid, CAST(s.sub AS INT) AS sub,
+             list_slice(q.v, s.sub * d.dsub + 1, (s.sub + 1) * d.dsub) AS subv
+      FROM qs q CROSS JOIN dims d, (SELECT UNNEST(range(0, {m})) AS sub) s
+    ),
+    lut AS (
+      SELECT q.qid, q.sub, c.code, {_pq_dist('q.subv', 'c.cent')} AS dist
+      FROM qsv q JOIN {fin} c ON q.sub = c.sub
+    ),
+    partial AS (
+      SELECT l.qid, cd.id, SUM(CAST(l.dist AS DECIMAL(38,12))) AS adist
+      FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+      GROUP BY l.qid, cd.id
+    )
+    SELECT qid, id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT qid, id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
+      FROM partial
+    ) WHERE rank <= {k}
+    """
+    return sql
+
+
+@_q("v_pq_adc_topk", _pq_oracle_sql())
+def v_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the full lifecycle in one hash-checked
+    query: fit m=8/ksub=16 codebooks on the corpus (2 Lloyd rounds, all
+    subspaces trained in shared shuffles), encode the corpus to m
+    small-int codes (32× compression — what a 100 TB vector store
+    actually persists), and score 5 queries by asymmetric distance
+    (broadcast LUT + one skinny partial-sum shuffle; raw vectors never
+    move after encoding). Bit-reproducible per operators/pq.py's
+    determinism contract, so the DuckDB oracle replays fit+encode+ADC
+    exactly."""
+    from data_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    qs = emb.filter(F.col("vec_id") < 5)
+    cb = pq_fit(corpus, m=8, ksub=16, iterations=2)
+    codes = pq_encode(corpus, cb)
+    return pq_adc_topk(codes, cb, qs, k=5)

@@ -142,3 +142,86 @@ def test_append_maintains_index_incrementally(spark, sf_small, tmp_path):
         for r in ivf_index_topk(spark, rebuilt, queries, k=5, nprobe=2).collect()
     }
     assert got == expect
+
+
+def test_pq_codes_shape_and_range(spark, sf_small):
+    """Every corpus vector encodes to exactly m codes, each in
+    [0, ksub) — the 32x-compressed representation is well-formed."""
+    from data_spark.operators.pq import pq_encode, pq_fit
+
+    corpus = spark.read.parquet(f"{sf_small}/embeddings.parquet").filter(
+        F.col("vec_id") >= 10
+    )
+    cb = pq_fit(corpus, m=8, ksub=16, iterations=2)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(corpus, cb)
+    n = corpus.count()
+    assert codes.count() == n * 8
+    stats = codes.agg(
+        F.min("code"), F.max("code"), F.countDistinct("id")
+    ).first()
+    assert stats[0] >= 0 and stats[1] < 16 and stats[2] == n
+    per_id = codes.groupBy("id").count().agg(F.min("count"), F.max("count")).first()
+    assert per_id[0] == per_id[1] == 8
+
+
+def test_pq_adc_recall_and_rerank(spark, sf_small):
+    """PQ quality ladder on the sf0.001 corpus: the raw ADC shortlist's
+    recall of the exact top-5 grows with shortlist size and sits far
+    above chance (20/490 ~ 4%), and the shortlist-then-exact-rerank
+    read path recovers most of the true top-5 while touching only
+    |queries|*shortlist raw vectors."""
+    from data_spark.operators.pq import (
+        _sqdist,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+        pq_shortlist_rerank,
+    )
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    corpus, qs = emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 5)
+    cb = pq_fit(corpus, m=8, ksub=16, iterations=2)
+    codes = pq_encode(corpus, cb)
+
+    c = corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("cv"))
+    q = qs.select(F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv"))
+    w = Window.partitionBy("qid").orderBy("d", "cid")
+    exact = (
+        c.join(F.broadcast(q))
+        .select("qid", "cid", _sqdist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    e = {(r.qid, r.cid) for r in exact.collect()}
+
+    short20 = {(r.qid, r.neighbor_id) for r in pq_adc_topk(codes, cb, qs, k=20).collect()}
+    assert len(short20 & e) / len(e) >= 0.4  # chance would be ~4%
+
+    rerank = pq_shortlist_rerank(codes, cb, corpus, qs, k=5, shortlist=50)
+    rr = {(r.qid, r.neighbor_id) for r in rerank.collect()}
+    recall_rr = len(rr & e) / len(e)
+    assert recall_rr >= 0.6
+    # reranking a 50-candidate shortlist cannot do worse than raw ADC@5
+    adc5 = {(r.qid, r.neighbor_id) for r in pq_adc_topk(codes, cb, qs, k=5).collect()}
+    assert recall_rr >= len(adc5 & e) / len(e)
+
+
+def test_pq_fit_is_partitioning_invariant(spark, sf_small):
+    """The fit's decimal means and ordered argmins make codebooks
+    independent of input partitioning — byte-equal across layouts."""
+    from data_spark.operators.pq import pq_fit
+
+    corpus = spark.read.parquet(f"{sf_small}/embeddings.parquet").filter(
+        F.col("vec_id") >= 10
+    )
+    one = {
+        (r.sub, r.code): tuple(r.cent)
+        for r in pq_fit(corpus.coalesce(1), m=8, ksub=16, iterations=2).collect()
+    }
+    many = {
+        (r.sub, r.code): tuple(r.cent)
+        for r in pq_fit(corpus.repartition(16), m=8, ksub=16, iterations=2).collect()
+    }
+    assert one == many
