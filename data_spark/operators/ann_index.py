@@ -154,3 +154,136 @@ def append_to_ivf_index(
         .partitionBy("cell")
         .parquet(os.path.join(index_path, "cells"))
     )
+
+
+def _nearest_cells_l2(
+    df: DataFrame, cents: DataFrame, key: str, vec: str, n: int
+) -> DataFrame:
+    """Nearest-``n`` cells by squared L2 — the metric PQ's ADC scoring
+    uses, so cell probing and candidate scoring agree (the cosine
+    variant above serves the cosine IVF index)."""
+    from data_spark.operators.pq import _sqdist
+
+    dists = df.join(F.broadcast(cents)).select(
+        key,
+        vec,
+        F.col("cent_id").alias("cell"),
+        _sqdist(F.col(vec), F.col("cent_v")).alias("cdist"),
+    )
+    w = Window.partitionBy(key).orderBy(F.asc("cdist"), F.asc("cell"))
+    return (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn", "cdist")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_path: str,
+    num_centroids: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the full IVF-PQ structure — THE standard layout for
+    billion-vector / 100 TB ANN (coarse cells bound the candidate set,
+    PQ codes bound the bytes per candidate):
+
+        <index>/centroids/  — num_centroids rows (cent_id, cent_v)
+        <index>/codebooks/  — m·ksub rows (sub, code, cent)
+        <index>/codes/      — (cid, sub, code) hive-partitioned by cell
+
+    The corpus's RAW VECTORS ARE NOT STORED: each vector persists as m
+    small-int codes inside its cell directory. Cells assign by squared
+    L2 against the (default lowest-id) coarse centroids — the same
+    metric ADC scoring uses. Codebooks train on the whole corpus
+    (operators/pq.pq_fit, deterministic)."""
+    from data_spark.operators.pq import pq_encode, pq_fit
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    cents = (
+        c.orderBy("cid")
+        .limit(num_centroids)
+        .select(F.col("cid").alias("cent_id"), F.col("cv").alias("cent_v"))
+        .localCheckpoint(eager=True)
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+
+    codebooks = pq_fit(
+        corpus, m=m, ksub=ksub, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    codebooks.write.mode("overwrite").parquet(os.path.join(index_path, "codebooks"))
+
+    assigned = _nearest_cells_l2(c, cents, "cid", "cv", 1).select("cid", "cell")
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    (
+        codes.withColumnRenamed("id", "cid")
+        .join(assigned, "cid")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "codes"))
+    )
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a saved IVF-PQ index: nearest ``nprobe`` cells per query
+    (broadcast centroid table, L2), then ADC scoring over ONLY the
+    probed cells' code partitions — the codes/ scan is partition-pruned
+    by a static IN-filter built from index metadata, the per-query
+    lookup table broadcasts, and the only data-proportional shuffle is
+    the skinny (qid, cid) partial-sum aggregation with DECIMAL(38,12)
+    accumulation. Raw vectors are never read (none are stored); compose
+    with pq_shortlist_rerank against the source corpus for exact
+    reranking. Returns (qid, neighbor_id, rank)."""
+    from data_spark.operators.pq import _sqdist, _subvectors
+
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codebooks = spark.read.parquet(os.path.join(index_path, "codebooks"))
+    mv = codebooks.agg(F.countDistinct("sub")).first()[0]
+    dsub = len(codebooks.select("cent").first()[0])
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probes = _nearest_cells_l2(q, cents, "qid", "qv", nprobe).select("qid", "cell")
+    probes = probes.localCheckpoint(eager=True)
+    probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+
+    qsub = _subvectors(q, mv, dsub, "qid", "qv").withColumnRenamed("id", "qid")
+    lut = qsub.join(F.broadcast(codebooks), "sub").select(
+        "qid", "sub", "code", _sqdist(F.col("subv"), F.col("cent")).alias("dist")
+    )
+    codes = spark.read.parquet(os.path.join(index_path, "codes")).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    # restrict each query to ITS probed cells (the static filter above
+    # prunes the union of all queries' cells at scan time)
+    cand = codes.join(F.broadcast(probes), "cell")
+    partial = (
+        cand.join(F.broadcast(lut), ["qid", "sub", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("dist").cast("decimal(38,12)")).alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("cid"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("cid").alias("neighbor_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -225,3 +225,93 @@ def test_pq_fit_is_partitioning_invariant(spark, sf_small):
         for r in pq_fit(corpus.repartition(16), m=8, ksub=16, iterations=2).collect()
     }
     assert one == many
+
+
+def test_ivfpq_probe_all_cells_equals_flat_adc(spark, sf_small, tmp_path):
+    """With nprobe = num_centroids (probe everything) the IVF-PQ index
+    must return bit-identical neighbors to the flat ADC operator over
+    the same codebooks — the cell layer only restricts candidates, it
+    never changes scores."""
+    from data_spark.operators.ann_index import build_ivfpq_index, ivfpq_index_topk
+    from data_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    corpus, qs = emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivfpq_all")
+    build_ivfpq_index(corpus, idx, num_centroids=4, m=8, ksub=16, iterations=2)
+
+    got = {
+        (r.qid, r.rank): r.neighbor_id
+        for r in ivfpq_index_topk(spark, idx, qs, k=5, nprobe=4).collect()
+    }
+    cb = pq_fit(corpus, m=8, ksub=16, iterations=2)
+    expect = {
+        (r.qid, r.rank): r.neighbor_id
+        for r in pq_adc_topk(pq_encode(corpus, cb), cb, qs, k=5).collect()
+    }
+    assert got == expect
+    assert len(got) == 15
+
+
+def test_ivfpq_codes_scan_is_partition_pruned(spark, sf_small, tmp_path):
+    """The probe's codes/ scan must carry a cell partition filter — at
+    scale that is the difference between an index lookup and reading
+    every code file."""
+    import re
+
+    from data_spark.operators.ann_index import build_ivfpq_index, ivfpq_index_topk
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    corpus, qs = emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 2)
+    idx = str(tmp_path / "ivfpq_pruned")
+    build_ivfpq_index(corpus, idx, num_centroids=8, m=8, ksub=16, iterations=1)
+
+    plan = (
+        ivfpq_index_topk(spark, idx, qs, k=3, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert pf and "cell" in pf.group(1)
+    # no raw vectors in the index: the codes schema is codes only
+    import os
+
+    cols = spark.read.parquet(os.path.join(idx, "codes")).columns
+    assert "cv" not in cols and "embedding" not in cols
+    assert set(cols) == {"cid", "sub", "code", "cell"}
+
+
+def test_ivfpq_small_nprobe_stays_inside_probed_cells(spark, sf_small, tmp_path):
+    """nprobe=1 results must all come from each query's single nearest
+    cell (the probe actually restricts candidates)."""
+    import os
+
+    from data_spark.operators.ann_index import (
+        _nearest_cells_l2,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    corpus, qs = emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivfpq_np1")
+    build_ivfpq_index(corpus, idx, num_centroids=8, m=8, ksub=16, iterations=1)
+
+    out = ivfpq_index_topk(spark, idx, qs, k=5, nprobe=1).collect()
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    q = qs.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    qcell = {
+        r.qid: r.cell for r in _nearest_cells_l2(q, cents, "qid", "qv", 1).collect()
+    }
+    member_cell = {
+        r.cid: r.cell
+        for r in spark.read.parquet(os.path.join(idx, "codes"))
+        .select("cid", "cell")
+        .distinct()
+        .collect()
+    }
+    for r in out:
+        assert member_cell[r.neighbor_id] == qcell[r.qid]
