@@ -395,3 +395,126 @@ def read_index_pruned(
     return spark.read.parquet(*files).filter(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
+
+
+def _versions_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_manifests")
+
+
+def table_versions(table_path: str) -> list[int]:
+    """Committed version numbers for a versioned table, ascending."""
+    vdir = _versions_dir(table_path)
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def write_versioned(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
+    """Commit ``df`` as a new table version — snapshot isolation and
+    time travel on plain parquet, the lakehouse commit-log idea
+    (Delta/Iceberg) without a table format dependency:
+
+    - data files are IMMUTABLE: each commit writes its rows into its
+      own ``data/commit-N/`` directory and never touches earlier ones;
+    - a version is a MANIFEST (``_manifests/vN.json``) listing the
+      commit directories visible at that version — ``overwrite`` lists
+      just the new commit, ``append`` extends the parent's list;
+    - the manifest write is the atomic commit point: readers resolving
+      version N never see later commits (snapshot isolation), and any
+      historical version stays readable until explicitly vacuumed.
+
+    The manifest is driver-side METADATA (a list of directory names,
+    bytes proportional to commit count — never to rows). Returns the
+    new version number."""
+    import json
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    existing = table_versions(table_path)
+    new_v = (existing[-1] + 1) if existing else 0
+    commit_dir = f"commit-{new_v}"
+    df.write.mode("overwrite").parquet(
+        os.path.join(table_path, "data", commit_dir)
+    )
+    if mode == "append" and existing:
+        import_json = os.path.join(_versions_dir(table_path), f"v{existing[-1]}.json")
+        with open(import_json) as f:
+            parents = json.load(f)["commits"]
+    else:
+        parents = []
+    os.makedirs(_versions_dir(table_path), exist_ok=True)
+    manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
+    tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
+    return new_v
+
+
+def read_versioned(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a versioned table at ``version`` (default: latest) — time
+    travel is just resolving that version's manifest to its commit
+    directories and scanning exactly those files."""
+    import json
+
+    versions = table_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
+        manifest = json.load(f)
+    paths = [os.path.join(table_path, "data", c) for c in manifest["commits"]]
+    return spark.read.parquet(*paths)
+
+
+def restore_version(table_path: str, version: int) -> int:
+    """Roll a versioned table back by COMMITTING a new version whose
+    manifest equals the old one — history stays intact (the rollback
+    itself is auditable and reversible), no data files move."""
+    import json
+
+    with open(os.path.join(_versions_dir(table_path), f"v{version}.json")) as f:
+        old = json.load(f)
+    versions = table_versions(table_path)
+    new_v = versions[-1] + 1
+    manifest = {"version": new_v, "mode": f"restore-{version}", "commits": old["commits"]}
+    tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
+    return new_v
+
+
+def vacuum_versions(table_path: str, keep_from: int) -> list[str]:
+    """Delete commit directories unreachable from every version >=
+    ``keep_from`` (and drop the older manifests). Returns the removed
+    commit dirs. The explicit retention bound is the safety contract:
+    time travel works until YOU declare history disposable."""
+    import json
+
+    versions = table_versions(table_path)
+    keep = [v for v in versions if v >= keep_from]
+    if not keep:
+        raise ValueError(f"keep_from={keep_from} would delete every version")
+    reachable: set[str] = set()
+    for v in keep:
+        with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
+            reachable.update(json.load(f)["commits"])
+    removed = []
+    data_dir = os.path.join(table_path, "data")
+    for c in sorted(os.listdir(data_dir)):
+        if c.startswith("commit-") and c not in reachable:
+            shutil.rmtree(os.path.join(data_dir, c))
+            removed.append(c)
+    for v in versions:
+        if v < keep_from:
+            os.remove(os.path.join(_versions_dir(table_path), f"v{v}.json"))
+    return removed

@@ -96,3 +96,51 @@ def test_file_index_prunes_non_overlapping_files(spark, tmp_path):
     empty = read_index_pruned(spark, path, idx, "k", 50000, 60000)
     assert empty.count() == 0
     assert empty.columns == ["k", "v"]
+
+
+def test_versioned_table_time_travel_and_restore(spark, tmp_path):
+    """Commit-log snapshots on plain parquet: append extends the parent
+    manifest, overwrite starts a new one, every historical version
+    stays readable (time travel), restore commits an old manifest as a
+    new version, and vacuum deletes exactly the unreachable commits."""
+    import os
+
+    from data_spark.io import (
+        read_versioned,
+        restore_version,
+        table_versions,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vtable")
+    df0 = spark.range(0, 5).select(F.col("id").alias("k"))
+    df1 = spark.range(5, 8).select(F.col("id").alias("k"))
+    df2 = spark.range(100, 102).select(F.col("id").alias("k"))
+
+    assert write_versioned(df0, path, "overwrite") == 0
+    assert write_versioned(df1, path, "append") == 1
+    assert write_versioned(df2, path, "overwrite") == 2
+    assert table_versions(path) == [0, 1, 2]
+
+    def ks(v=None):
+        return sorted(r["k"] for r in read_versioned(spark, path, v).collect())
+
+    assert ks(0) == [0, 1, 2, 3, 4]
+    assert ks(1) == [0, 1, 2, 3, 4, 5, 6, 7]  # append = parent + delta
+    assert ks(2) == [100, 101]  # overwrite snapshot
+    assert ks() == [100, 101]  # latest
+
+    # restore: history-preserving rollback to the append state
+    assert restore_version(path, 1) == 3
+    assert ks() == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert ks(2) == [100, 101]  # v2 still readable after restore
+
+    # vacuum everything older than the restore: commit-2 (only v2's)
+    # becomes unreachable; commits 0 and 1 survive via v3
+    removed = vacuum_versions(path, keep_from=3)
+    assert removed == ["commit-2"]
+    assert table_versions(path) == [3]
+    assert ks() == [0, 1, 2, 3, 4, 5, 6, 7]
+    data = os.listdir(os.path.join(path, "data"))
+    assert sorted(data) == ["commit-0", "commit-1"]
