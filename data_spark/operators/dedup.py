@@ -237,6 +237,30 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, sig, band, bucket): each signature split into ``bands``
+    row-slices, every slice hashed to its LSH bucket id. Shared by the
+    in-memory candidate join and the persistent near-dup index so both
+    bucket identically."""
+    return sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -259,21 +283,7 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width).cache()
-    banded = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = minhash_band_buckets(sig, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -1,0 +1,172 @@
+"""Persistent MinHash-LSH near-duplicate index: build once, probe many.
+
+The corpus-dedup operators (operators/dedup.py) answer "which existing
+documents duplicate each other" in one plan. Production training-data
+pipelines also need the ONLINE question — "is this NEW batch a
+near-dup of anything already ingested?" — answered without rescanning
+or re-shingling the historical corpus. This module persists the LSH
+structure:
+
+    <index>/meta.json      — {num_hashes, bands, shingle_width}
+    <index>/signatures/    — (doc_id, sig array<bigint>)
+    <index>/buckets/       — (doc_id, band, bucket) hive-partitioned
+                             by bucket_p = pmod(bucket, NUM_BUCKET_DIRS)
+
+and probes it with a plan whose buckets/ scan is PARTITION-PRUNED to
+the probe batch's bucket_p values (a probe batch touches at most
+|probe|·bands buckets, so the collected partition set is metadata,
+never corpus rows). Appends are O(|delta|): shingle/sign/bucket only
+the delta and append into the partition dirs — the historical corpus
+text is never read again.
+
+Banding and signatures are byte-shared with the in-memory operator
+(dedup.minhash_band_buckets / minhash_signatures), so index probes and
+one-shot candidate joins agree exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_spark.operators.dedup import minhash_band_buckets, minhash_signatures
+
+NUM_BUCKET_DIRS = 64
+
+
+def _signed_buckets(
+    docs: DataFrame,
+    meta: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    sig = minhash_signatures(
+        docs,
+        text_col,
+        id_col,
+        num_hashes=meta["num_hashes"],
+        shingle_width=meta["shingle_width"],
+    )
+    buckets = minhash_band_buckets(
+        sig, meta["bands"], meta["num_hashes"] // meta["bands"]
+    ).withColumn("bucket_p", F.pmod(F.col("bucket"), F.lit(NUM_BUCKET_DIRS)))
+    return sig, buckets.select("doc_id", "band", "bucket", "bucket_p")
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    index_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_width: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Shingle, sign, and bucket the corpus; persist signatures plus
+    the bucket table partitioned by ``pmod(bucket, NUM_BUCKET_DIRS)``
+    so probes prune to their buckets' directories."""
+    meta = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_width": shingle_width,
+    }
+    sig, buckets = _signed_buckets(docs, meta, text_col, id_col)
+    sig.write.mode("overwrite").parquet(os.path.join(index_path, "signatures"))
+    (
+        buckets.write.mode("overwrite")
+        .partitionBy("bucket_p")
+        .parquet(os.path.join(index_path, "buckets"))
+    )
+    with open(os.path.join(index_path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def append_to_minhash_index(
+    delta: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """O(|delta|) maintenance: sign + bucket only the new documents and
+    append into the existing partition layout — the indexed corpus is
+    never re-read."""
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    sig, buckets = _signed_buckets(delta, meta, text_col, id_col)
+    sig.write.mode("append").parquet(os.path.join(index_path, "signatures"))
+    (
+        buckets.write.mode("append")
+        .partitionBy("bucket_p")
+        .parquet(os.path.join(index_path, "buckets"))
+    )
+
+
+def probe_near_dups(
+    spark: SparkSession,
+    index_path: str,
+    probe_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup lookup for a probe batch against the indexed corpus:
+
+    1. sign + bucket the probes (the only shingling this query does);
+    2. collect the probes' distinct ``bucket_p`` values (bounded by
+       |probe|·bands ints — metadata) and scan ONLY those bucket
+       directories;
+    3. equi-join on (band, bucket) → candidate (probe, index-doc)
+       pairs, deduplicated;
+    4. fetch candidate signatures (a join against the skinny signature
+       table) and estimate Jaccard from matching minhash fraction.
+
+    Returns (probe_id, index_doc_id, est_jaccard) with est_jaccard >=
+    ``threshold``. Self-hits (same id) are excluded so a probe batch
+    that was itself appended earlier reports only its OTHER dups."""
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    sig, buckets = _signed_buckets(probe_docs, meta, text_col, id_col)
+    psig = sig.withColumnRenamed("doc_id", "probe_id").localCheckpoint(eager=True)
+    pbuckets = (
+        buckets.withColumnRenamed("doc_id", "probe_id").localCheckpoint(eager=True)
+    )
+    probed_dirs = [
+        r["bucket_p"] for r in pbuckets.select("bucket_p").distinct().collect()
+    ]
+    idx_buckets = spark.read.parquet(os.path.join(index_path, "buckets")).filter(
+        F.col("bucket_p").isin(probed_dirs)
+    )
+    cand = (
+        pbuckets.join(
+            idx_buckets.withColumnRenamed("doc_id", "index_doc_id"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("probe_id") != F.col("index_doc_id"))
+        .select("probe_id", "index_doc_id")
+        .dropDuplicates(["probe_id", "index_doc_id"])
+    )
+    isig = spark.read.parquet(os.path.join(index_path, "signatures")).select(
+        F.col("doc_id").alias("index_doc_id"), F.col("sig").alias("isig")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig"), F.col("isig"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / meta["num_hashes"]
+    )
+    return (
+        cand.join(isig, "index_doc_id")
+        .join(F.broadcast(psig), "probe_id")
+        .select(
+            "probe_id",
+            "index_doc_id",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -1,0 +1,87 @@
+"""Persistent MinHash-LSH near-dup index (operators/dedup_index.py):
+probes must agree with the in-memory candidate operator, appends must
+equal rebuilds, and the probe's bucket scan must be partition-pruned."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from data_spark.operators.dedup import minhash_lsh_candidates
+from data_spark.operators.dedup_index import (
+    append_to_minhash_index,
+    build_minhash_index,
+    probe_near_dups,
+)
+
+
+def _docs(spark, sf_small, lo, hi):
+    return spark.read.parquet(f"{sf_small}/documents.parquet").filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+
+
+def test_probe_agrees_with_in_memory_candidates(spark, sf_small, tmp_path):
+    """Indexed-corpus probe results == the cross pairs of the one-shot
+    LSH candidate join over (corpus ∪ probes) at the same threshold."""
+    corpus = _docs(spark, sf_small, 0, 200)
+    probes = _docs(spark, sf_small, 200, 260)
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, idx)
+
+    got = {
+        (r.probe_id, r.index_doc_id): r.est_jaccard
+        for r in probe_near_dups(spark, idx, probes, threshold=0.3).collect()
+    }
+
+    both = corpus.unionByName(probes)
+    cross = {}
+    for r in minhash_lsh_candidates(both).collect():
+        a, b = r.doc_a, r.doc_b
+        if a < 200 <= b < 260:  # (index, probe) cross pairs only
+            if r.est_jaccard >= 0.3:
+                cross[(b, a)] = r.est_jaccard
+    assert got == cross
+    assert got  # sf0.001 documents contain planted near-dups
+
+
+def test_append_equals_rebuild(spark, sf_small, tmp_path):
+    """Probing (build(A) + append(B)) == probing build(A ∪ B)."""
+    a = _docs(spark, sf_small, 0, 150)
+    b = _docs(spark, sf_small, 150, 200)
+    probes = _docs(spark, sf_small, 200, 230)
+
+    incr = str(tmp_path / "mh_incr")
+    build_minhash_index(a, incr)
+    append_to_minhash_index(b, incr)
+
+    full = str(tmp_path / "mh_full")
+    build_minhash_index(a.unionByName(b), full)
+
+    key = lambda rows: sorted(
+        (r.probe_id, r.index_doc_id, r.est_jaccard) for r in rows
+    )
+    assert key(probe_near_dups(spark, incr, probes, 0.2).collect()) == key(
+        probe_near_dups(spark, full, probes, 0.2).collect()
+    )
+
+
+def test_probe_bucket_scan_is_partition_pruned(spark, sf_small, tmp_path):
+    """The buckets/ scan must carry a bucket_p partition filter built
+    from the probe batch's own buckets."""
+    corpus = _docs(spark, sf_small, 0, 200)
+    probes = _docs(spark, sf_small, 200, 205)
+
+    idx = str(tmp_path / "mh_pruned")
+    build_minhash_index(corpus, idx)
+
+    plan = (
+        probe_near_dups(spark, idx, probes, threshold=0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert pf and "bucket_p" in pf.group(1)
