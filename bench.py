@@ -135,6 +135,7 @@ HEADLINE = [
     "dq_benford_digits",
     # r4 continuation: hybrid retrieval (two TakeOrdered arms + fusion)
     "v_rrf_hybrid",
+    "m_snapshot_diff",  # versioned store: 4 commits + time-travel anti-join diffs
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

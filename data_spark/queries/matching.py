@@ -503,3 +503,75 @@ def m_incr_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_o_totalprice").alias("min_price"),
         F.col("max_o_totalprice").alias("max_price"),
     )
+
+
+@_q(
+    "m_snapshot_diff",
+    """
+    WITH c AS (
+      SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_orderdate < DATE '1995-01-01') AS n_old,
+        (SELECT COUNT(*) FROM orders WHERE o_orderdate >= DATE '1995-01-01') AS n_new,
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS n_f,
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F') AS n_nonf
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS version, n_old AS n_rows,
+             n_old AS n_added, CAST(0 AS BIGINT) AS n_removed FROM c
+      UNION ALL
+      SELECT 1, n_old + n_new, n_new, 0 FROM c
+      UNION ALL
+      SELECT 2, n_f, 0, n_nonf FROM c
+      UNION ALL
+      SELECT 3, n_old + n_new, n_nonf, 0 FROM c
+    )
+    """,
+)
+def m_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-snapshot lifecycle, hash-verified end to end: commit
+    orders as v0 (pre-1995 overwrite) → v1 (append the rest) → v2
+    (overwrite with only status-F rows — a destructive rewrite) → v3
+    (restore v1 — the auditable rollback), then report each version's
+    row count plus added/removed keys vs its parent via LEFT ANTI
+    joins over the TIME-TRAVEL reads. The oracle recomputes every
+    count from the raw table, so a hash match proves the commit-log
+    store (io.write_versioned / read_versioned / restore_version)
+    preserved and resolved exactly the right rows at every version.
+
+    Scale shape: a version diff is two anti-joins on the key — shuffle
+    on o_orderkey, no full-row comparison; the manifests resolve on
+    the driver as metadata."""
+    import shutil  # noqa: PLC0415
+
+    from data_spark.io import (  # noqa: PLC0415
+        read_versioned,
+        restore_version,
+        write_versioned,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"data_spark_vdiff_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    cutoff = F.lit("1995-01-01").cast("date")
+    write_versioned(o.filter(F.col("o_orderdate") < cutoff), base, "overwrite")
+    write_versioned(o.filter(F.col("o_orderdate") >= cutoff), base, "append")
+    write_versioned(o.filter(F.col("o_orderstatus") == "F"), base, "overwrite")
+    restore_version(base, 1)
+
+    rows = []
+    prev = None
+    for v in (0, 1, 2, 3):
+        cur = read_versioned(spark, base, v).select("o_orderkey")
+        n = cur.count()
+        if prev is None:
+            added, removed = n, 0
+        else:
+            added = cur.join(prev, "o_orderkey", "left_anti").count()
+            removed = prev.join(cur, "o_orderkey", "left_anti").count()
+        rows.append((v, n, added, removed))
+        prev = cur
+    return spark.createDataFrame(
+        rows, "version bigint, n_rows bigint, n_added bigint, n_removed bigint"
+    )
