@@ -287,3 +287,34 @@ def ivfpq_index_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def append_to_ivfpq_index(
+    delta: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ maintenance: encode ONLY the delta against
+    the saved codebooks, assign it to cells against the saved
+    centroids, and append the new code rows into the cell partitions —
+    O(|delta|), untouched cell directories keep their files. Both
+    models are intentionally frozen (standard practice: retrain
+    offline when drift accumulates, then rebuild)."""
+    from data_spark.operators.pq import pq_encode
+
+    spark = delta.sparkSession
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codebooks = spark.read.parquet(os.path.join(index_path, "codebooks"))
+    d = delta.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    assigned = _nearest_cells_l2(d, cents, "cid", "cv", 1).select("cid", "cell")
+    codes = pq_encode(delta, codebooks, id_col=id_col, vec_col=vec_col)
+    (
+        codes.withColumnRenamed("id", "cid")
+        .join(assigned, "cid")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_path, "codes"))
+    )

@@ -315,3 +315,40 @@ def test_ivfpq_small_nprobe_stays_inside_probed_cells(spark, sf_small, tmp_path)
     }
     for r in out:
         assert member_cell[r.neighbor_id] == qcell[r.qid]
+
+
+def test_ivfpq_append_equals_rebuild(spark, sf_small, tmp_path):
+    """(build(A) + append(B)) probes == build(A ∪ B) probes when the
+    coarse centroids and codebooks come from the same corpus A (both
+    models are frozen at build time)."""
+    from data_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    a = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 5 != 0))
+    b = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 5 == 0))
+    qs = emb.filter(F.col("vec_id") < 3)
+
+    incr = str(tmp_path / "ivfpq_incr")
+    build_ivfpq_index(a, incr, num_centroids=4, m=8, ksub=16, iterations=1)
+    append_to_ivfpq_index(b, incr)
+
+    got = {
+        (r.qid, r.rank): r.neighbor_id
+        for r in ivfpq_index_topk(spark, incr, qs, k=5, nprobe=4).collect()
+    }
+    # rebuild path: same frozen models (trained on A) applied to A ∪ B
+    import os
+
+    from data_spark.operators.pq import pq_adc_topk, pq_encode
+
+    cb = spark.read.parquet(os.path.join(incr, "codebooks"))
+    both = a.unionByName(b)
+    expect = {
+        (r.qid, r.rank): r.neighbor_id
+        for r in pq_adc_topk(pq_encode(both, cb), cb, qs, k=5).collect()
+    }
+    assert got == expect
