@@ -333,3 +333,91 @@ def connected_components(
         )
     sym.unpersist()  # labels is already eagerly checkpointed
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over a directed edge list;
+    returns (id, hub, auth) with L1 normalization after every half-step.
+
+    Reference parity: the reference ranks FEC entities by aggregate
+    linkage in Cypher (graph/cypher.py's recipient/contributor rollups);
+    HITS is the same mutually-recursive "good source ↔ good target"
+    notion as an iterative operator.
+
+    Per iteration, two join+agg rounds over the cached, id-partitioned
+    edge frame: auth(v) = Σ hub(u) over in-edges, then hub(u) = Σ auth(v)
+    over out-edges, each L1-normalized by a 1-row aggregate broadcast
+    (deliberate scalar nested-loop join, same class as the PageRank
+    teleport constant). Cross-engine determinism: every SUM routes
+    through decimal(38,18) (exact, order-independent — the established
+    _dsum discipline at a scale fine enough for unit-mass vectors), so
+    hub/auth vectors stay bit-identical doubles in any engine that
+    mirrors the recurrence; see g_hits's unrolled-CTE oracle.
+
+    Scale: edges cached once, partitioned by the join key per half-step;
+    the skinny (id, score) frames move, the edge frame never reshuffles.
+    Lineage truncated every ``checkpoint_every`` iterations (reliable
+    checkpoint when the session has a checkpoint dir — plans/lineage).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().cache()
+    verts = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .repartition("id")
+        .cache()
+    )
+    verts.count()
+    e.count()
+
+    def _dsum18(col):
+        return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+    hub = verts.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for i in range(iterations):
+        auth_raw = (
+            e.join(hub.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(_dsum18(F.col("hub")).alias("raw"))
+        )
+        auth = verts.join(auth_raw, "id", "left").select(
+            "id", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        a_norm = auth.agg(_dsum18(F.col("raw")).alias("norm"))
+        auth = auth.crossJoin(F.broadcast(a_norm)).select(
+            "id", (F.col("raw") / F.col("norm")).alias("auth")
+        )
+        hub_raw = (
+            e.join(auth.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(_dsum18(F.col("auth")).alias("raw"))
+        )
+        hub = verts.join(hub_raw, "id", "left").select(
+            "id", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        h_norm = hub.agg(_dsum18(F.col("raw")).alias("norm"))
+        hub = hub.crossJoin(F.broadcast(h_norm)).select(
+            "id", (F.col("raw") / F.col("norm")).alias("hub")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            hub = hub.transform(truncate_lineage)
+            auth = auth.transform(truncate_lineage)
+    out = (
+        hub.join(auth, "id", "outer")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+        .transform(truncate_lineage)
+    )
+    verts.unpersist()
+    e.unpersist()
+    return out

@@ -420,3 +420,99 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("cid").alias("neighbor_id"), "rank")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick ``k`` results per query maximizing
+    ``lam·relevance − (1−lam)·max_sim_to_already_picked``, from a
+    cosine-relevance ``shortlist`` of the corpus.
+
+    Returns (qid, neighbor_id, pick_order). The training-data use case
+    is diversity selection — retrieval contexts or seed corpora where
+    near-duplicate top hits waste the budget.
+
+    Scale shape: the corpus is touched exactly once (the broadcast
+    relevance scan that builds the shortlist — identical to
+    cosine_topk); everything after operates on the shortlist frame,
+    which is CONSTANT-bounded at ``shortlist`` rows per query, so the
+    k greedy rounds are joins over tiny frames regardless of corpus
+    size. Pairwise candidate sims are materialized once (≤ shortlist²
+    rows per query), then each round is one max-agg + one anti-join +
+    one per-query row_number over ≤ shortlist rows. Both the pair and
+    selected frames are lineage-truncated so the k-round loop keeps an
+    O(1) plan. Ranking ties break by candidate id; scores never leave
+    the operator, so cross-engine float drift cannot leak into output.
+    """
+    from data_spark.plans.lineage import truncate_lineage
+
+    mu = 1.0 - lam
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    sims = c.join(F.broadcast(q)).select(
+        "qid", "cid", "cv", cosine_similarity(F.col("qv"), F.col("cv")).alias("rel")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    cand_v = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", "cid", "rel", "cv")
+        .transform(truncate_lineage)
+    )
+    a = cand_v.select(
+        "qid", F.col("cid").alias("ca"), F.col("cv").alias("va")
+    )
+    b = cand_v.select(
+        "qid", F.col("cid").alias("cb"), F.col("cv").alias("vb")
+    )
+    pair = (
+        a.join(b, ["qid"])
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("psim"),
+        )
+        .transform(truncate_lineage)
+    )
+    cand = cand_v.select("qid", "cid", "rel")
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w.orderBy(F.desc("rel"), F.asc("cid"))))
+        .filter(F.col("rn") == 1)
+        .select("qid", "cid", F.lit(1).alias("pick_order"))
+    )
+    for step in range(2, k + 1):
+        maxsim = (
+            pair.join(
+                selected.select("qid", F.col("cid").alias("cb")), ["qid", "cb"]
+            )
+            .groupBy("qid", F.col("ca").alias("cid"))
+            .agg(F.max("psim").alias("ms"))
+        )
+        remaining = cand.join(selected, ["qid", "cid"], "left_anti")
+        scored = remaining.join(maxsim, ["qid", "cid"]).select(
+            "qid",
+            "cid",
+            (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("ms")).alias("score"),
+        )
+        ws = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("qid", "cid", F.lit(step).alias("pick_order"))
+        )
+        selected = selected.union(pick).transform(truncate_lineage)
+    return selected.select("qid", F.col("cid").alias("neighbor_id"), "pick_order")

@@ -902,3 +902,83 @@ def d_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q_corpus"),
         F.round(p * F.log(p / q), 6).alias("kl_contrib"),
     )
+
+
+@_q(
+    "a_theilsen_slope",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE) - DATE '1970-01-01'
+    ), slopes AS (
+      SELECT a.event_type, (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+    ), ranked AS (
+      SELECT event_type, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM slopes
+    )
+    SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+           ROUND(s, 6) AS theilsen_slope
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    """,
+)
+def a_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the LOWER MEDIAN of all
+    pairwise slopes between daily totals — the estimator that shrugs
+    off the outlier days OLS (a_linreg_trend) tips over on; breakdown
+    point ~29%.
+
+    Determinism: daily totals are exact decimal sums cast to double and
+    day indexes are integers, so every pairwise slope is one identical
+    IEEE division in both engines; the lower median SELECTS one of
+    those exact values (never averages two), and equal-slope ordering
+    ambiguity cannot change the selected VALUE.
+
+    Scale: the self-join is per-type pairwise over DAILY points, so its
+    volume is bounded by (types × days²) — a calendar-bounded constant
+    independent of raw event volume; the raw table is reduced first by
+    one map-side-combinable aggregate. The median is a per-type window
+    over the same bounded frame, never a global sort."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+            F.col("value").cast("decimal(38,6)").alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").cast("double").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.d") - F.col("a.d")).cast("double")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(w.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "event_type",
+        F.col("cnt").cast("bigint").alias("n_pairs"),
+        F.round("s", 6).alias("theilsen_slope"),
+    )

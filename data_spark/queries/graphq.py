@@ -255,3 +255,83 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_spark.graph.algorithms import local_clustering
 
     return local_clustering(edges)
+
+
+_HITS_ITERATIONS = 3
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled fixed-iteration HITS mirroring graph.algorithms.hits
+    half-step by half-step. Float discipline: every SUM routes through
+    DECIMAL(38,18) — exact and order-independent inside each engine —
+    so the only cross-engine drift left is the double→decimal rounding
+    convention (Spark rounds the shortest decimal repr, DuckDB the
+    exact binary expansion: ≤1 ulp at the 18th decimal per addend).
+    That bounded drift is absorbed by the final FLOOR(score·1e8) grid,
+    the same contract g_pagerank's oracle documents."""
+    dsum = "CAST(SUM(CAST({expr} AS DECIMAL(38,18))) AS DOUBLE)"
+    parts = [
+        _SQL_EDGES,
+        """,
+  verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+  h0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub FROM verts)""",
+    ]
+    for k in range(1, _HITS_ITERATIONS + 1):
+        p = k - 1
+        parts.append(
+            f""",
+  ar{k} AS (
+    SELECT v.id, COALESCE(x.raw, CAST(0 AS DOUBLE)) AS raw
+    FROM verts v LEFT JOIN (
+      SELECT e.dst AS id, {dsum.format(expr='h.hub')} AS raw
+      FROM edges e JOIN h{p} h ON h.id = e.src GROUP BY e.dst
+    ) x ON x.id = v.id
+  ),
+  an{k} AS (SELECT {dsum.format(expr='raw')} AS norm FROM ar{k}),
+  a{k} AS MATERIALIZED (
+    SELECT id, raw / (SELECT norm FROM an{k}) AS auth FROM ar{k}
+  ),
+  hr{k} AS (
+    SELECT v.id, COALESCE(x.raw, CAST(0 AS DOUBLE)) AS raw
+    FROM verts v LEFT JOIN (
+      SELECT e.src AS id, {dsum.format(expr='a.auth')} AS raw
+      FROM edges e JOIN a{k} a ON a.id = e.dst GROUP BY e.src
+    ) x ON x.id = v.id
+  ),
+  hn{k} AS (SELECT {dsum.format(expr='raw')} AS norm FROM hr{k}),
+  h{k} AS MATERIALIZED (
+    SELECT id, raw / (SELECT norm FROM hn{k}) AS hub FROM hr{k}
+  )"""
+        )
+    parts.append(
+        f"""
+  SELECT h.id,
+         CAST(FLOOR(h.hub * CAST(100000000 AS DOUBLE)) AS BIGINT) AS hub_e8,
+         CAST(FLOOR(a.auth * CAST(100000000 AS DOUBLE)) AS BIGINT) AS auth_e8
+  FROM h{_HITS_ITERATIONS} h JOIN a{_HITS_ITERATIONS} a ON a.id = h.id
+    """
+    )
+    return "WITH" + "".join(parts)
+
+
+@_q("g_hits", _hits_oracle_sql())
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the supplier→customer graph
+    (3 iterations, L1-normalized half-steps — graph/algorithms.hits).
+    Suppliers accrue hub mass, customers authority mass; the recurrence
+    couples them so a supplier's score reflects the standing of the
+    customers it reaches, not just its degree.
+
+    Hash-oracled: the DuckDB oracle unrolls the same 3 iterations with
+    the same decimal(38,18)-summed, coalesce-0 recurrence, and both
+    engines emit scores snapped to a 1e-8 grid (FLOOR(score·1e8)) so
+    the ≤1-ulp double→decimal convention drift between engines cannot
+    flip the value hash."""
+    from data_spark.graph.algorithms import hits
+
+    edges = _supplier_customer_edges(spark, sf_dir)
+    return hits(edges, iterations=_HITS_ITERATIONS).select(
+        "id",
+        F.floor(F.col("hub") * F.lit(1e8)).cast("bigint").alias("hub_e8"),
+        F.floor(F.col("auth") * F.lit(1e8)).cast("bigint").alias("auth_e8"),
+    )

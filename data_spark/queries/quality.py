@@ -296,3 +296,137 @@ def h_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("subtree_price"),
         )
     )
+
+
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+def _profile_oracle_sql() -> str:
+    arms = []
+    for c in _PROFILE_STR_COLS:
+        arms.append(
+            f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN({c}) AS min_s,
+           MAX({c}) AS max_s,
+           CAST(FLOOR(CAST(SUM(length({c})) AS DOUBLE) / COUNT({c}) * 1000000)
+                AS BIGINT) AS avg_len_e6
+    FROM orders"""
+        )
+    arms.append(
+        """
+    SELECT 'o_orderdate' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_distinct,
+           strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_s,
+           strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS max_s,
+           CAST(NULL AS BIGINT) AS avg_len_e6
+    FROM orders"""
+    )
+    arms.append(
+        """
+    SELECT 'o_totalprice' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           CAST(CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS min_s,
+           CAST(CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS max_s,
+           CAST(NULL AS BIGINT) AS avg_len_e6
+    FROM orders"""
+    )
+    return "\nUNION ALL".join(arms)
+
+
+@_q("dq_profile", _profile_oracle_sql())
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (the Deequ/dbt profiling shape): for
+    each profiled column of orders — null count, distinct count,
+    min/max, average length — emitted as one (col_name, metrics) row
+    per column. Numeric min/max are snapped to cent-scaled integers so
+    the report is engine-portable; the numeric column's avg_len is NULL
+    by design.
+
+    Scale shape: ALL metrics for ALL columns come from ONE wide
+    aggregate over ONE scan of the table (the per-column distinct
+    counts expand to Spark's standard distinct-aggregate rewrite), and
+    the wide row is unpivoted to report rows by an explode over a
+    literal array — row volume equals the column count, never the data.
+    The oracle recomputes per column for readability; the engine never
+    rescans."""
+    o = t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_STR_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__n_null"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"{c}__n_distinct"),
+            F.min(F.col(c)).alias(f"{c}__min_s"),
+            F.max(F.col(c)).alias(f"{c}__max_s"),
+            F.floor(
+                F.sum(F.length(F.col(c))).cast("double")
+                / F.count(F.col(c))
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias(f"{c}__avg_len_e6"),
+        ]
+    aggs += [
+        F.count(F.lit(1)).cast("bigint").alias("o_orderdate__n_rows"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("o_orderdate__n_null"),
+        F.countDistinct(F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("o_orderdate__n_distinct"),
+        F.date_format(F.min(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+            "o_orderdate__min_s"
+        ),
+        F.date_format(F.max(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+            "o_orderdate__max_s"
+        ),
+        F.lit(None).cast("bigint").alias("o_orderdate__avg_len_e6"),
+    ]
+    aggs += [
+        F.count(F.lit(1)).cast("bigint").alias("o_totalprice__n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("o_totalprice__n_null"),
+        F.countDistinct(F.col("o_totalprice"))
+        .cast("bigint")
+        .alias("o_totalprice__n_distinct"),
+        F.floor(F.min("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("o_totalprice__min_s"),
+        F.floor(F.max("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("o_totalprice__max_s"),
+        F.lit(None).cast("bigint").alias("o_totalprice__avg_len_e6"),
+    ]
+    wide = o.agg(*aggs)
+    cols = list(_PROFILE_STR_COLS) + ["o_orderdate", "o_totalprice"]
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"{c}__n_rows").alias("n_rows"),
+                        F.col(f"{c}__n_null").alias("n_null"),
+                        F.col(f"{c}__n_distinct").alias("n_distinct"),
+                        F.col(f"{c}__min_s").alias("min_s"),
+                        F.col(f"{c}__max_s").alias("max_s"),
+                        F.col(f"{c}__avg_len_e6").alias("avg_len_e6"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")

@@ -608,3 +608,98 @@ def v_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_fit(corpus, m=8, ksub=16, iterations=2)
     codes = pq_encode(corpus, cb)
     return pq_adc_topk(codes, cb, qs, k=5)
+
+
+_MMR_K = 5
+_MMR_SHORTLIST = 20
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle_sql() -> str:
+    """Greedy MMR unrolled to _MMR_K rounds as chained CTEs. Each round
+    joins the candidate shortlist to the max-similarity-vs-selected
+    aggregate and picks the arg-max of lam·rel − (1−lam)·maxsim with an
+    id tiebreak. Scores never appear in the output, so (as with
+    v_cosine_topk / v_ivf_topk) cross-engine float drift can only
+    matter if two MMR scores collide within ~1e-15 — ranking ties are
+    broken by id before that."""
+    lam = repr(_MMR_LAM)
+    mu = repr(1.0 - _MMR_LAM)
+    parts = [
+        f"""
+  q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+  c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+  rels AS (
+    SELECT qid, cid, list_cosine_similarity(qv, cv) AS rel FROM q, c
+  ),
+  cand AS MATERIALIZED (
+    SELECT qid, cid, rel FROM (
+      SELECT qid, cid, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+      FROM rels) WHERE rn <= {_MMR_SHORTLIST}
+  ),
+  pair AS MATERIALIZED (
+    SELECT x.qid, x.cid AS ca, y.cid AS cb,
+           list_cosine_similarity(cx.cv, cy.cv) AS psim
+    FROM cand x
+    JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid
+    JOIN c cx ON cx.cid = x.cid
+    JOIN c cy ON cy.cid = y.cid
+  ),
+  s1 AS (
+    SELECT qid, cid, CAST(1 AS BIGINT) AS pick_order FROM (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+      FROM cand) WHERE rn = 1
+  )"""
+    ]
+    for step in range(2, _MMR_K + 1):
+        p = step - 1
+        parts.append(
+            f""",
+  s{step} AS MATERIALIZED (
+    SELECT * FROM s{p}
+    UNION ALL
+    SELECT qid, cid, CAST({step} AS BIGINT) AS pick_order FROM (
+      SELECT r.qid, r.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY r.qid
+               ORDER BY CAST('{lam}' AS DOUBLE) * r.rel
+                      - CAST('{mu}' AS DOUBLE) * m.ms DESC, r.cid) AS rn
+      FROM cand r
+      JOIN (SELECT p.qid, p.ca AS cid, MAX(p.psim) AS ms
+            FROM pair p JOIN s{p} s ON s.qid = p.qid AND s.cid = p.cb
+            GROUP BY p.qid, p.ca) m
+        ON m.qid = r.qid AND m.cid = r.cid
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s{p} z WHERE z.qid = r.qid AND z.cid = r.cid)
+    ) WHERE rn = 1
+  )"""
+        )
+    parts.append(
+        f"""
+  SELECT qid, cid AS neighbor_id, pick_order FROM s{_MMR_K}
+    """
+    )
+    return "WITH" + "".join(parts)
+
+
+@_q("v_mmr_rerank", _mmr_oracle_sql())
+def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR-greedy top-5 per query (λ=0.7) from a
+    cosine top-20 shortlist (operators/similarity.mmr_rerank). The
+    corpus is scanned exactly once — the same broadcast relevance pass
+    as v_cosine_topk — and the greedy rounds run on constant-bounded
+    shortlist frames, so the operator costs the same as brute top-k at
+    any corpus size. Hash-oracled against a DuckDB CTE chain unrolling
+    the identical greedy recurrence with identical IEEE constants."""
+    from data_spark.operators.similarity import mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 3),
+        k=_MMR_K,
+        shortlist=_MMR_SHORTLIST,
+        lam=_MMR_LAM,
+    )

@@ -267,3 +267,39 @@ def test_local_clustering_known_graph(spark):
     assert got[3]["n_triangles"] == 1 and abs(got[3]["coeff"] - 1 / 3) < 1e-12
     assert got[4]["n_triangles"] == 0 and got[4]["coeff"] == 0.0
     assert got[3]["degree"] == 3 and got[4]["degree"] == 1
+
+
+def test_hits_matches_reference_iteration(spark):
+    from data_spark.graph.algorithms import hits
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y"), ("c", "y"), ("c", "z")],
+        ["src", "dst"],
+    )
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(edges, iterations=3).collect()
+    }
+
+    # plain-python mirror of the same L1-normalized half-steps
+    verts = ["a", "b", "c", "x", "y", "z"]
+    links = [("a", "x"), ("a", "y"), ("b", "y"), ("c", "y"), ("c", "z")]
+    hub = {v: 1.0 for v in verts}
+    for _ in range(3):
+        auth = {v: 0.0 for v in verts}
+        for s, d in links:
+            auth[d] += hub[s]
+        n = sum(auth.values())
+        auth = {v: a / n for v, a in auth.items()}
+        hub = {v: 0.0 for v in verts}
+        for s, d in links:
+            hub[s] += auth[d]
+        n = sum(hub.values())
+        hub = {v: h / n for v, h in hub.items()}
+    for v in verts:
+        assert abs(got[v][0] - hub[v]) < 1e-9, (v, got[v][0], hub[v])
+        assert abs(got[v][1] - auth[v]) < 1e-9, (v, got[v][1], auth[v])
+    # y has the most in-links from the best hubs: top authority
+    assert got["y"][1] == max(a for _, a in got.values())
+    # pure sources have zero authority, pure sinks zero hub
+    assert got["a"][1] == 0.0 and got["y"][0] == 0.0

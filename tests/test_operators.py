@@ -665,3 +665,57 @@ def test_ivf_kmeans_centroids_recall(spark):
         for r in ivf_topk(corpus, queries, k=3, centroids=model, nprobe=2).collect()
     }
     assert approx == again
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """A near-duplicate of the top hit must NOT be picked second even
+    though it has the second-best relevance; a python mirror of the
+    greedy recurrence must agree on the full pick order."""
+    import math
+
+    from data_spark.operators.similarity import mmr_rerank
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus = [
+        (10, unit([1.0, 0.01, 0.0])),   # top relevance
+        (11, unit([1.0, 0.02, 0.0])),   # near-dup of 10, relevance #2
+        (12, unit([0.8, 0.6, 0.0])),    # diverse, decent relevance
+        (13, unit([0.7, 0.0, 0.7])),    # diverse
+        (14, unit([0.6, 0.8, 0.0])),    # diverse-ish
+        (15, unit([1.0, 0.03, 0.0])),   # another near-dup of 10
+    ]
+    queries = [(0, [1.0, 0.0, 0.0])]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    qdf = spark.createDataFrame(queries, ["vec_id", "embedding"])
+    got = {
+        r["pick_order"]: r["neighbor_id"]
+        for r in mmr_rerank(cdf, qdf, k=4, shortlist=6, lam=0.5).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    rel = {cid: cos(queries[0][1], v) for cid, v in corpus}
+    vecs = dict(corpus)
+    picked = [max(rel, key=lambda c: (rel[c], -c))]
+    while len(picked) < 4:
+        best = None
+        for cid in vecs:
+            if cid in picked:
+                continue
+            ms = max(cos(vecs[cid], vecs[p]) for p in picked)
+            score = 0.5 * rel[cid] - (1.0 - 0.5) * ms
+            if best is None or score > best[0] or (score == best[0] and cid < best[1]):
+                best = (score, cid)
+        picked.append(best[1])
+    assert [got[i] for i in range(1, 5)] == picked
+    # pick #1 is the most relevant; its near-dups are deferred behind
+    # the diverse candidates
+    assert got[1] == 10
+    assert got[2] not in (11, 15)
