@@ -136,6 +136,10 @@ HEADLINE = [
     # r4 continuation: hybrid retrieval (two TakeOrdered arms + fusion)
     "v_rrf_hybrid",
     "m_snapshot_diff",  # versioned store: 4 commits + time-travel anti-join diffs
+    "g_hits",  # second coupled-recurrence iterative member (2 agg rounds/iter)
+    "v_mmr_rerank",  # one corpus scan + constant-bounded greedy rounds
+    "a_theilsen_slope",  # calendar-bounded pairwise-slope median
+    "dq_profile",  # one-scan multi-column profiler
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query
