@@ -65,81 +65,27 @@ ORACLE = {
     **quality.ORACLE,
 }
 
-# Round-4 window (the driver records the first 50 entries; see
-# WITNESS.md for the per-query ledger this ordering is derived from):
-#   1-31: the 31 queries whose only driver-green row is from r1, three
-#         rounds of code churn ago (VERDICT r3 "Next round" #1) — the
-#         oldest hard signal re-witnesses first.
-#  32-42: the 11 queries ADDED in r4 (temporal joins + analytics/
-#         exact-sketch tier), never driver-witnessed.
-#  43-46: queries whose plan or oracle CHANGED in r4: g_pagerank /
-#         g_components (rows-only -> exact oracles), g_bfs_levels
-#         (partition sizing rewrite), e_anomaly_zscore (oracle decimal
-#         rescale, ADVICE r3).
-#  47-50: the first 4 of the 6 queries added LATE in r4 (bucketed SMB /
-#         blocked edit distance / k-core / weighted median) — never
-#         witnessed, so they outrank the r2-green re-witnesses that
-#         previously held these slots. The other 2 late additions
-#         (d_dup_passages, m_cdc_apply) land at #51-52 just past the
-#         window; r5 rotates them in first, then the oldest r2 greens
-#         (q12, q11, q20, q21, w_distinct_over_window,
-#         a_salted_skew_agg).
-# Everything r3-witnessed rotates out of the window this round.
+# Round-5 window (the driver records the first 50 entries; see
+# WITNESS.md for the per-query ledger this ordering is derived from).
+# Composition — exactly the never-driver-witnessed backlog (VERDICT r4
+# "Next round" #1), 47 + 3 = 50:
+#   1-15:  the 15 late-r4 additions that landed at ledger #51-65, just
+#          past the r4 window (d_dup_passages ... d_kl_source_drift).
+#  16-20:  the 5 post-snapshot sketch/graph/phrase additions
+#          (a_cms_heavy_hitters ... a_market_basket, ledger #159-163).
+#  21-40:  the 20 post-snapshot mining-tier additions
+#          (g_label_propagation ... dq_benford_digits, ledger #164-183).
+#  41-47:  the 7 r4-continuation additions (v_rrf_hybrid ... dq_profile,
+#          ledger #184-190).
+#  48-50:  the 3 late-r4 rows-only -> BIT-EXACT oracle conversions
+#          (d_kmeans / d_semantic_dedup / v_ivf_kmeans_topk) — their
+#          new oracles have never had a driver row.
+# Every r4-window query rotates out (all 48 witnessed green in r4); the
+# oldest remaining greens are r2-witnessed (q12, q11, q20, q21,
+# w_distinct_over_window, a_salted_skew_agg, ...) and open the r6
+# window after the backlog clears.
 _PRIORITY = [
-    # --- only driver-green row is r1 (re-witness for regression) ---
-    "p_pivot_status",
-    "j_anti_unloaded",
-    "j_left_join_dim",
-    "j_outer_coalesce",
-    "j_range_tier",
-    "j_semi_active",
-    "m_upsert_latest",
-    "w_first_per_group",
-    "w_lag_delta",
-    "w_ntile_decile",
-    "w_rank_in_group",
-    "w_running_total",
-    "w_sample_deterministic",
-    "w_stratified_sample",
-    "w_topk_global",
-    "a_collect_group_array",
-    "a_percentiles",
-    "a_approx_distinct",
-    "a_approx_percentiles",
-    "e_asof_latest_view",
-    "e_day_expand",
-    "e_json_extract",
-    "e_range_frame_7d",
-    "e_tumbling_hourly",
-    "e_watermark_split",
-    "f_epoch_roundtrip",
-    "f_scalar_repair",
-    "g_grouping_sets",
-    "g_rollup_region",
-    "s_intersect_except",
-    "sq_above_avg_price",
-    # --- added in r4, never witnessed ---
-    "j_asof_click_attrib",
-    "e_ohlc_hourly",
-    "e_sliding_1h_15m",
-    "j_interval_overlap",
-    "a_mode_per_group",
-    "a_corr_pearson",
-    "g_degree_distribution",
-    "d_minhash_sig",
-    "d_minhash_band_pairs",
-    "d_simhash_exact_pairs",
-    "v_int8_cosine_topk",
-    # --- plan or oracle changed in r4 ---
-    "g_pagerank",
-    "g_components",
-    "g_bfs_levels",
-    "e_anomaly_zscore",
-    # --- added LATE in r4, never witnessed ---
-    "j_bucketed_smb",
-    "d_edit_distance_block",
-    "g_kcore_peel",
-    "a_weighted_median",
+    # --- added late r4, missed the r4 window by 1-15 slots ---
     "d_dup_passages",
     "m_cdc_apply",
     "a_hll_exact_rollup",
@@ -155,7 +101,13 @@ _PRIORITY = [
     "m_incr_agg_maintain",
     "a_chi2_cells",
     "d_kl_source_drift",
-    # --- mining tier added post-snapshot r4, never witnessed ---
+    # --- post-snapshot r4: mergeable-sketch / graph / phrase tier ---
+    "a_cms_heavy_hitters",
+    "g_sssp_bellman",
+    "d_pmi_bigrams",
+    "a_hll_set_algebra",
+    "a_market_basket",
+    # --- post-snapshot r4: mining tier ---
     "g_label_propagation",
     "a_itemcf_recommend",
     "a_yoy_growth",
@@ -176,7 +128,21 @@ _PRIORITY = [
     "g_walk_sample",
     "d_er_score_fusion",
     "dq_benford_digits",
-    # --- oldest r2-witnessed greens rotate back in (r5 window) ---
+    # --- r4 continuation: retrieval / storage / profiling tier ---
+    "v_rrf_hybrid",
+    "v_pq_adc_topk",
+    "m_snapshot_diff",
+    "g_hits",
+    "v_mmr_rerank",
+    "a_theilsen_slope",
+    "dq_profile",
+    # --- late-r4 rows-only -> exact-oracle conversions, new oracle
+    #     never driver-witnessed ---
+    "d_kmeans",
+    "d_semantic_dedup",
+    "v_ivf_kmeans_topk",
+    # ---- window boundary (driver records the 50 above) ----
+    # oldest r2-witnessed greens queue here for the r6 window
     "q12_shipmode_case",
     "q11_important_parts",
     "q20_heavy_suppliers",
