@@ -1,8 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: cold_sec}, "queries_warm": {name: warm_median_sec},
-"reps": n, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE compact JSON line on stdout: {"metric": ..., "value": cold_total,
+"unit": "sec", "queries": {name: warm_median_2dp}, "warm_total": ...,
+"reps": n, "sf": ...}.  Full-precision cold AND warm per-query maps go
+to BENCH_local.json next to this file; everything else (progress, Spark
+chatter, anything a child process emits on fd 1) is routed to stderr so
+the JSON line is the entire stdout.
 
 Each query is executed to completion (count action) so lazy plans can't
 fake speed; per-query wall-clock includes planning. Every query runs
@@ -147,6 +150,21 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Driver-parseability contract (VERDICT r4 #3: BENCH_r03/r04 both
+    # recorded "parsed": null because the single stdout JSON line —
+    # two 98-entry maps at 4 decimals, ~6 KB — overflowed the driver's
+    # stdout capture buffer, whose surviving tail is ~3.5 KB).  Three
+    # defenses: (1) duplicate the real stdout fd, then point fd 1 at
+    # stderr for the whole run so nothing the JVM or a child process
+    # prints can precede the JSON line; (2) write the full-precision
+    # per-query detail to BENCH_local.json instead of stdout; (3) keep
+    # the one printed line compact (2-decimal warm medians) with a hard
+    # length guard that degrades to slowest-N + rollup if it would
+    # exceed 3000 bytes.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # partition-to-data-size discipline: at bench scale (<1 GB) 16 initial
@@ -178,8 +196,9 @@ def main() -> None:
             flush=True,
         )
 
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(cold.values()), 4),
@@ -188,10 +207,39 @@ def main() -> None:
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 4),
                 "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
         )
-    )
+
+    def summary_line(queries: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(cold.values()), 4),
+                "unit": "sec",
+                "queries": queries,
+                "warm_total": round(sum(warm.values()), 4),
+                "n_queries": len(HEADLINE),
+                "reps": reps,
+                "sf": sf_val,
+                "detail": "BENCH_local.json",
+            },
+            separators=(",", ":"),
+        )
+
+    # per-query values on stdout are the WARM medians (the scale-relevant
+    # signal; full cold/warm detail at 4 decimals is in BENCH_local.json)
+    line = summary_line({k: round(v, 2) for k, v in warm.items()})
+    if len(line) > 3000:
+        slowest = dict(sorted(warm.items(), key=lambda kv: -kv[1])[:40])
+        rest = round(sum(v for k, v in warm.items() if k not in slowest), 2)
+        line = summary_line(
+            {**{k: round(v, 2) for k, v in slowest.items()}, "_others_warm_total": rest}
+        )
+
+    os.write(real_stdout, line.encode() + b"\n")
 
 
 if __name__ == "__main__":

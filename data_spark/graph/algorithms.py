@@ -359,22 +359,34 @@ def hits(
     hub/auth vectors stay bit-identical doubles in any engine that
     mirrors the recurrence; see g_hits's unrolled-CTE oracle.
 
-    Scale: edges cached once, partitioned by the join key per half-step;
-    the skinny (id, score) frames move, the edge frame never reshuffles.
-    Lineage is truncated once per half-step (reliable checkpoint when
-    the session has a checkpoint dir — plans/lineage) because each raw
-    frame fans out to two consumers; see the loop comment.
+    Scale: the deduped edge list is cached TWICE, once repartitioned on
+    u (consumed by the auth half-step's join on u) and once on v (the
+    hub half-step's join on v) — the same pre-partition-per-join-key
+    discipline as pagerank's links frame, so each half-step exchanges
+    only the skinny (id, score) frame and the edge blocks never
+    reshuffle across iterations. Lineage is truncated once per
+    half-step (reliable checkpoint when the session has a checkpoint
+    dir — plans/lineage) because each raw frame fans out to two
+    consumers; see the loop comment.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().cache()
+    if iterations < 1:
+        # with 0 iterations auth is never computed and the output
+        # contract (L1-normalized hub AND auth) is unmeetable — fail
+        # loudly instead of returning a half-initialized frame
+        raise ValueError(f"hits() requires iterations >= 1, got {iterations}")
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e_u = e0.repartition("u").cache()
+    e_v = e0.repartition("v").cache()
     verts = (
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
+        e_u.select(F.col("u").alias("id"))
+        .union(e_u.select(F.col("v").alias("id")))
         .distinct()
         .repartition("id")
         .cache()
     )
     verts.count()
-    e.count()
+    e_u.count()
+    e_v.count()
 
     def _dsum18(col):
         return F.sum(col.cast("decimal(38,18)")).cast("double")
@@ -390,7 +402,7 @@ def hits(
     # per-half-step truncation is O(|V|) bytes.
     for i in range(iterations):
         auth_raw = (
-            e.join(hub.withColumnRenamed("id", "u"), "u")
+            e_u.join(hub.withColumnRenamed("id", "u"), "u")
             .groupBy(F.col("v").alias("id"))
             .agg(_dsum18(F.col("hub")).alias("raw"))
         )
@@ -404,7 +416,7 @@ def hits(
             "id", (F.col("raw") / F.col("norm")).alias("auth")
         )
         hub_raw = (
-            e.join(auth.withColumnRenamed("id", "v"), "v")
+            e_v.join(auth.withColumnRenamed("id", "v"), "v")
             .groupBy(F.col("u").alias("id"))
             .agg(_dsum18(F.col("auth")).alias("raw"))
         )
@@ -427,5 +439,6 @@ def hits(
         .transform(truncate_lineage)
     )
     verts.unpersist()
-    e.unpersist()
+    e_u.unpersist()
+    e_v.unpersist()
     return out

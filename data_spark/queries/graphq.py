@@ -59,8 +59,11 @@ def _pagerank_oracle_sql() -> str:
     double Python bakes into the Spark plan — ``(1-d)/n`` is embedded as
     the repr of Python's ``1.0 - 0.85`` then divided by n IN-ENGINE, so
     both engines perform identical exactly-rounded IEEE ops; the only
-    divergence left is SUM reassociation (~1e-16 relative), absorbed by
-    the final FLOOR(rank * 1e8) grid."""
+    divergence left is SUM reassociation (~1e-16 relative), made
+    invisible by the final FLOOR(rank * 1e8) grid except for ranks
+    within ~1e-16 of a 1e-8 grid boundary, which can floor to adjacent
+    integers — a ~1e-8-per-score chance documented as an acceptable
+    rare-flip at new scale factors (see g_hits's oracle note)."""
     one_minus_d = repr(1.0 - _PR_DAMPING)  # '0.15000000000000002'
     d = repr(_PR_DAMPING)
     parts = [
@@ -267,8 +270,14 @@ def _hits_oracle_sql() -> str:
     so the only cross-engine drift left is the double→decimal rounding
     convention (Spark rounds the shortest decimal repr, DuckDB the
     exact binary expansion: ≤1 ulp at the 18th decimal per addend).
-    That bounded drift is absorbed by the final FLOOR(score·1e8) grid,
-    the same contract g_pagerank's oracle documents."""
+    The final FLOOR(score·1e8) grid makes that bounded drift invisible
+    EXCEPT for scores landing within an ulp below a 1e-8 grid boundary,
+    which can floor to adjacent integers (ADVICE r4) — for a score to
+    hit that window the true value must sit within ~1e-16 of a 1e-8
+    multiple, a ~1e-8 chance per emitted score, so an occasional hash
+    flip at a NEW scale factor is this documented boundary case, not an
+    operator bug. Same contract (and same caveat) as g_pagerank's
+    oracle."""
     dsum = "CAST(SUM(CAST({expr} AS DECIMAL(38,18))) AS DOUBLE)"
     parts = [
         _SQL_EDGES,

@@ -619,10 +619,23 @@ def _mmr_oracle_sql() -> str:
     """Greedy MMR unrolled to _MMR_K rounds as chained CTEs. Each round
     joins the candidate shortlist to the max-similarity-vs-selected
     aggregate and picks the arg-max of lam·rel − (1−lam)·maxsim with an
-    id tiebreak. Scores never appear in the output, so (as with
-    v_cosine_topk / v_ivf_topk) cross-engine float drift can only
-    matter if two MMR scores collide within ~1e-15 — ranking ties are
-    broken by id before that."""
+    id tiebreak.
+
+    Parity contract (same class as v_cosine_topk's boundary note, per
+    ADVICE r4): scores never appear in the output, but Spark's
+    zip_with-fold cosine and DuckDB's list_cosine_similarity are
+    INDEPENDENT float implementations, so ulp-level relative drift is
+    expected, not exceptional. That drift is harmless except at two
+    decision boundaries: (a) the rank-_MMR_SHORTLIST shortlist cut —
+    two candidates whose rel values differ by less than the
+    cross-engine drift can swap across the cut; (b) a near-tie greedy
+    arg-max where lam·rel − mu·maxsim differs by less than the drift.
+    At the current fixture (vec_id<3 queries × 490-candidate corpus,
+    64-dim unit-ish vectors) the smallest observed boundary margins are
+    ~1e-7, ~8 orders above double-rounding drift, so the hash is
+    stable; at NEW scale factors a boundary collision would present as
+    a rare hash flip on this one query and should be triaged as this
+    documented sensitivity, not as an operator bug."""
     lam = repr(_MMR_LAM)
     mu = repr(1.0 - _MMR_LAM)
     parts = [
