@@ -220,21 +220,48 @@ def sample_frames(
     """Video payload → one row per sampled frame (1:N mapInPandas
     expansion — the batch-shape case the scalar ops don't cover).
 
-    Frame count is a deterministic function of payload size
-    (``2 + nbytes % 3`` in fake mode — stands in for duration/interval),
-    timestamps are ``frame_idx * frame_interval_ms``, frame bytes are
+    ``strict`` runs REAL video bytes through the vendored pure-stdlib
+    AVI codec (operators/avi.py — BI_RGB 24-bit subset): frames are
+    decoded to packed top-down RGB, ``frame_idx`` is the native frame
+    number, ``frame_ts_ms`` the sampling-grid target time, and the grid
+    picks the frame whose presentation window covers each
+    ``k·frame_interval_ms`` instant (avi.sample_frame_indices — pinned
+    by pure-function tests). Non-AVI payloads raise the honest
+    NotImplementedError, the production ffmpeg hook point.
+
+    ``fake``: frame count is a deterministic function of payload size
+    (``2 + nbytes % 3`` — stands in for duration/interval), timestamps
+    are ``frame_idx * frame_interval_ms``, frame bytes are
     content-derived. The (media_id, frame_idx, frame_ts_ms) skeleton is
     therefore exactly oracle-checkable even though payloads are stubs.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_spark.operators import avi  # noqa: PLC0415
+
         for pdf in it:
             ids, idxs, tss, frames = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
                 raw = bytes(p)
+                if decode_mode == "strict":
+                    if not avi.is_avi(raw):
+                        raise NotImplementedError(
+                            "decode_mode='strict' supports only BI_RGB AVI payloads "
+                            "(vendored codec, operators/avi.py); use decode_mode="
+                            "'fake' for the deterministic stand-in"
+                        )
+                    _w, _h, native_ms, decoded_frames = avi.decode_frames(raw)
+                    for idx, ts in avi.sample_frame_indices(
+                        len(decoded_frames), native_ms, frame_interval_ms
+                    ):
+                        ids.append(mid)
+                        idxs.append(idx)
+                        tss.append(ts)
+                        frames.append(decoded_frames[idx][2])
+                    continue
                 decoded = _decode(raw, decode_mode)
                 n_frames = 2 + len(raw) % 3
                 for i in range(n_frames):
