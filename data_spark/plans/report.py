@@ -43,6 +43,66 @@ def _codegen_spans(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _bracket_groups(line: str, start: int) -> list[str]:
+    """Top-level ``[...]`` group bodies from ``start`` to end of line —
+    window specs nest brackets inside aggregate expressions, so a plain
+    regex can't tell ``Window [fns], [order]`` (partition-less) from
+    ``Window [fns], [keys], [order]`` (partitioned) or ``Window [fns],
+    [keys]`` (partitioned, no order)."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in line[start:]:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def count_unpartitioned_windows(simple_plan: str) -> int:
+    """Window nodes with NO partition spec — these execute on a single
+    partition (WindowExec moves every row through one task), the serial
+    bottleneck the two-phase rank in operators/order.py exists to
+    avoid. A global Sort, by contrast, range-partitions and stays
+    parallel, so it is recorded separately, not gated."""
+    n = 0
+    for line in simple_plan.splitlines():
+        # WindowGroupLimit is excluded on purpose: it prints
+        # ``[partition], [order], rank_fn, k`` (2 groups when
+        # partitioned) and is itself a bounded rank-pushdown — the
+        # underlying Window node is what carries the partition spec.
+        m = re.search(r"\bWindow \[", line)
+        if not m:
+            continue
+        groups = _bracket_groups(line, m.end() - 1)
+        if len(groups) >= 3:
+            continue  # [fns], [partition], [order]
+        if len(groups) == 2:
+            # second group is an ORDER spec (sort directions) for a
+            # partition-less window, or a PARTITION spec (bare cols)
+            # for an order-less partitioned one
+            second = groups[1]
+            if second.strip() and not re.search(r"\b(ASC|DESC)\b", second):
+                continue
+        n += 1
+    return n
+
+
+def count_global_sorts(simple_plan: str) -> int:
+    return len(re.findall(r"\bSort \[[^\n]*\], true,", simple_plan))
+
+
 def plan_report(df: DataFrame) -> dict:
     """Summarize the physical plan into scale-relevant booleans/counts."""
     text = explain_text(df, "formatted")
@@ -61,6 +121,8 @@ def plan_report(df: DataFrame) -> dict:
         "pushed_filters": [p for p in pushed if p.strip()],
         "wholestage_codegen_spans": _codegen_spans(df),
         "partition_filters": bool(pf and pf.group(1).strip()),
+        "unpartitioned_windows": count_unpartitioned_windows(simple),
+        "global_sorts": count_global_sorts(simple),
     }
 
 
@@ -97,3 +159,32 @@ NESTED_LOOP_ALLOWED = frozenset(
         "v_rrf_hybrid",  # 1-row query-vector + 1-row BM25-stats broadcasts
     }
 )
+
+
+# Queries whose physical plan legitimately contains a PARTITION-LESS
+# Window node (single-task WindowExec — every row of its input crosses
+# one executor thread). Each entry documents the provable bound on that
+# input, converting the docstring convention into a regression gate
+# (VERDICT r4 "Next round" #4): test_plan_budget sweeps every registry
+# plan and fails on any unlisted occurrence, and on any listed query
+# that no longer has one (stale-entry guard). Canonical list —
+# tools/plan_audit.py enforces the same contract when regenerating
+# PLAN_AUDIT.json.
+#
+# Entries marked "exact-semantics member" are deliberate: the registry
+# pairs each with a sketch/distributed twin that IS the 100 TB path
+# (ntile → a_kll_quantile_sketch / a_percentiles; global rank at data
+# scale always goes through operators/order.global_row_number's
+# two-phase rank instead).
+UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {
+    "a_chi2_cells": "global sum over the |hour_band|x|event_type| lattice (20 cells)",
+    "a_histogram_equidepth": "exact-semantics member; KLL sketch is the scale path (docstring)",
+    "a_rfm_segments": "customer-grain NTILEs, documented exact member (quartile cut-points at scale)",
+    "a_seasonal_index": "calendar-bounded: one row per month of the fixture year (<=12)",
+    "a_yoy_growth": "calendar-bounded: month-grain frame (<=12 rows/year x years)",
+    "d_kl_source_drift": "vocabulary-bounded: corpus-head term frame (max_terms=400 by construction)",
+    "d_pmi_bigrams": "vocabulary-bounded: bigram/unigram frames capped by min_count + top-k cut",
+    "s_skyline_2d": "part-grain single sorted pass, documented frontier member (dimension table)",
+    "v_rrf_hybrid": "both arms TakeOrdered to top-100 before the fusion windows",
+    "w_ntile_decile": "exact-semantics member; a_percentiles cut-points are the scale path (docstring)",
+}

@@ -174,6 +174,60 @@ def test_exchange_budget(spark, sf_small, name):
     )
 
 
+def test_unpartitioned_window_allowlist(spark, sf_small):
+    """Every partition-less Window node in every registry plan must be
+    on UNPARTITIONED_WINDOW_ALLOWED with its bound documented (VERDICT
+    r4 #4 — the convention is now a gate). Sweeps all plans in one
+    test: a parametrize would rebuild the session context 190x.
+
+    Also guards the allowlist itself: an entry whose query no longer
+    exhibits an unpartitioned window is stale and must be removed, so
+    the list can only ever describe the actual plans at HEAD."""
+    from data_spark.plans.report import (
+        UNPARTITIONED_WINDOW_ALLOWED,
+        count_unpartitioned_windows,
+        explain_text,
+    )
+
+    found: dict[str, int] = {}
+    for name, fn in sorted(QUERIES.items()):
+        n = count_unpartitioned_windows(explain_text(fn(spark, sf_small), "simple"))
+        if n:
+            found[name] = n
+    unlisted = sorted(set(found) - set(UNPARTITIONED_WINDOW_ALLOWED))
+    assert not unlisted, (
+        f"partition-less Window nodes outside the allowlist: "
+        f"{ {q: found[q] for q in unlisted} } — a single-task WindowExec is a "
+        f"100 TB serialization point; either partition the window, route "
+        f"through operators/order.global_row_number, or document the bound "
+        f"in UNPARTITIONED_WINDOW_ALLOWED"
+    )
+    stale = sorted(set(UNPARTITIONED_WINDOW_ALLOWED) - set(found))
+    assert not stale, f"allowlist entries with no unpartitioned window at HEAD (remove them): {stale}"
+
+
+def test_plan_audit_artifact_matches_registry():
+    """PLAN_AUDIT.json must cover exactly the registry (VERDICT r4 #2:
+    the artifact went 7 queries stale without anything failing). A new
+    query, a renamed query, or a deleted one now breaks the suite until
+    tools/plan_audit.py is re-run."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json")
+    with open(path) as f:
+        audit = json.load(f)
+    audited = set(audit["queries"])
+    registry = set(QUERIES)
+    assert audited == registry, (
+        f"PLAN_AUDIT.json diverged from the registry — regenerate with "
+        f"`python tools/plan_audit.py > PLAN_AUDIT.json`; "
+        f"missing={sorted(registry - audited)} extra={sorted(audited - registry)}"
+    )
+    assert audit["nested_loop_outside_allowlist"] == []
+    assert audit.get("unpartitioned_window_outside_allowlist") == []
+
+
 def test_bench_headline_names_resolve():
     """A typo'd HEADLINE entry would crash the driver's bench run —
     catch it at test time instead."""

@@ -21,7 +21,11 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from data_spark.plans.report import NESTED_LOOP_ALLOWED, plan_report  # noqa: E402
+from data_spark.plans.report import (  # noqa: E402
+    NESTED_LOOP_ALLOWED,
+    UNPARTITIONED_WINDOW_ALLOWED,
+    plan_report,
+)
 from data_spark.queries import QUERIES  # noqa: E402
 from data_spark.session import get_spark  # noqa: E402
 
@@ -31,6 +35,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     rows = {}
     violations = []
+    window_violations = []
     for name, fn in sorted(QUERIES.items()):
         try:
             rep = plan_report(fn(spark, sf_dir))
@@ -42,14 +47,17 @@ def main() -> int:
         rows[name] = rep
         if rep["nested_loop_joins"] and name not in NESTED_LOOP_ALLOWED:
             violations.append(name)
+        if rep["unpartitioned_windows"] and name not in UNPARTITIONED_WINDOW_ALLOWED:
+            window_violations.append(name)
     summary = {
         "n_queries": len(rows),
         "total_exchanges": sum(r.get("exchanges", 0) for r in rows.values()),
         "nested_loop_outside_allowlist": violations,
+        "unpartitioned_window_outside_allowlist": window_violations,
         "queries": rows,
     }
     print(json.dumps(summary))
-    return 1 if violations else 0
+    return 1 if violations or window_violations else 0
 
 
 if __name__ == "__main__":
