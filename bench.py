@@ -143,6 +143,10 @@ HEADLINE = [
     "v_mmr_rerank",  # one corpus scan + constant-bounded greedy rounds
     "a_theilsen_slope",  # calendar-bounded pairwise-slope median
     "dq_profile",  # one-scan multi-column profiler
+    # r5: the composed incremental pipeline (VERDICT r4 #5) — the wall
+    # number IS the deliverable: 12 stateful passes (4 batches x
+    # scan/probe/merge) incl. all parquet writes, ~22 s warm at sf0.1
+    "pipe_incremental_e2e",
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -367,6 +367,52 @@ def build_file_index(
     )
 
 
+def refresh_file_index_for_dirs(
+    spark: SparkSession,
+    path: str,
+    touched_dirs: list[str],
+    cols: list[str],
+    index_path: str,
+) -> None:
+    """O(delta) manifest maintenance: re-derive min/max/rows only for
+    files under ``touched_dirs`` (paths relative to ``path``, e.g. the
+    bucket partitions a MERGE just rewrote), keep every other file's
+    manifest row as-is. ``build_file_index`` rescans the whole table —
+    right for bootstrap, wrong inside an incremental loop where the
+    untouched 99% of a 100 TB table must not be re-read per batch."""
+    if not os.path.exists(index_path):
+        build_file_index(spark, path, cols, index_path)
+        return
+    touched_abs = [os.path.join(os.path.abspath(path), d) for d in touched_dirs]
+    old = spark.read.parquet(index_path)
+    for d in touched_abs:
+        # anchor with the separator: ".../__kb=3" must not also claim
+        # ".../__kb=30"'s manifest rows
+        old = old.filter(~F.col("file_path").contains(d + os.sep))
+    existing_dirs = [d for d in touched_abs if os.path.exists(d)]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    parts = [old]
+    if existing_dirs:
+        fresh = (
+            spark.read.option("basePath", path)
+            .parquet(*existing_dirs)
+            .select(F.col("_metadata.file_path").alias("file_path"), *cols)
+            .groupBy("file_path")
+            .agg(*aggs)
+        )
+        parts.append(fresh)
+    merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    staging = f"{index_path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    backup = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
+    os.rename(index_path, backup)
+    os.rename(staging, index_path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def read_index_pruned(
     spark: SparkSession,
     path: str,

@@ -575,3 +575,77 @@ def m_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version bigint, n_rows bigint, n_added bigint, n_removed bigint"
     )
+
+
+@_q(
+    "pipe_incremental_e2e",
+    """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents)
+    SELECT * FROM (
+      SELECT 1 AS batch, c AS delta_rows, CAST(0 AS BIGINT) AS near_dups_dropped,
+             c AS merged_rows, c AS store_rows_total FROM n
+      UNION ALL
+      SELECT 2, c, c, 0, c FROM n
+      UNION ALL
+      SELECT 3, c, 0, c, 2 * c FROM n
+      UNION ALL
+      SELECT 4, 0, 0, 0, 2 * c FROM n
+    )
+    """,
+)
+def pipe_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed incremental pipeline (VERDICT r4 #5), hash-verified
+    end to end: pipelines/incremental_e2e runs scan→near-dup-gate→
+    bucketed-MERGE→manifest-refresh over a source built so every batch's
+    outcome is exactly derivable from the raw documents table —
+
+    - batch 1: the N originals — nothing in the index yet, all merged;
+    - batch 2: N near-dup variants (text + ' v2 dup' suffix, char-
+      shingle Jaccard ≈ 0.95) — the persistent MinHash index must drop
+      ALL of them against history (est-Jaccard is deterministic for a
+      fixed corpus; threshold 0.5 sits ~8 true-Jaccard sigmas below
+      0.95, verified at sf0.001/0.01/0.1);
+    - batch 3: N genuinely-new docs (hex-digest word soup, shingle
+      space disjoint from the corpus) — zero dropped, all merged;
+    - batch 4: drained log, the idempotent no-op.
+
+    A hash match therefore proves the processed-log anti-join batched
+    exactly by key order, the index answered the online near-dup
+    question correctly in both directions, and the bucketed MERGE
+    accreted exactly the surviving rows. The O(delta) cost side —
+    touched-bucket reads ≪ store, manifest upkeep without full rescans
+    — is pinned by test_incremental_e2e (those counts depend on the
+    engine's xxhash64 bucket layout, deliberately not part of the
+    cross-engine contract).
+
+    Reference parity: this is the reference's entire load loop in one
+    artifact — hash-log anti-join batching, dedup before write,
+    idempotent bulk upsert (SURVEY §2.1 S6/S10, §2.9)."""
+    import shutil  # noqa: PLC0415
+
+    from data_spark.pipelines.incremental_e2e import run_demo  # noqa: PLC0415
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"data_spark_incr_e2e_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    n = d.count()
+    variants = d.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2 dup")).alias("text"),
+        "lang",
+        "source",
+    )
+    fresh = d.select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.sha2(F.col("doc_id").cast("string"), 256),
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit("b")), 256),
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    source = d.unionByName(variants).unionByName(fresh)
+    return run_demo(spark, source, work, batch_limit=n, n_batches=4)
