@@ -198,22 +198,58 @@ def benchmark_contamination(
     )
 
 
+# Portable permutation family for hash_family="portable": the proven
+# cross-engine construction from the exact-sketch gate tier (md5-prefix
+# token hash reduced mod P, then (a·h+b) mod P permutations — both
+# expressible identically in Spark and DuckDB; see
+# queries/analytics.d_minhash_sig). Coefficients come from a fixed LCG
+# so both the Spark plan and a SQL oracle can embed the SAME literals;
+# a < P keeps a·h < ~1e18, int64-safe.
+MINHASH_PORTABLE_P = 1_000_000_007
+
+
+def _portable_coeffs(n: int, seed: int) -> list[int]:
+    out = []
+    x = seed
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x % (MINHASH_PORTABLE_P - 1) + 1)
+    return out
+
+
+MINHASH_PORTABLE_A = _portable_coeffs(64, 20250814)
+MINHASH_PORTABLE_B = _portable_coeffs(64, 41081502)
+
+
+def _portable_hash60(col):
+    """60-bit md5-prefix hash of a string column — matches DuckDB's
+    CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) bit-for-bit."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_width: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature table: (doc_id, sig array<bigint>[num_hashes]).
 
     Built the scale-friendly way: explode shingles → one codegen'd
-    xxhash64(shingle, seed) per permutation → groupBy(doc) MIN per
-    permutation. Every stage is whole-stage-codegen'd and the groupBy
-    gets map-side partial aggregation, unlike a nested higher-order-
-    function signature expression (which Spark interprets row-at-a-time
-    and cannot partial-agg). Input is repartitioned first so a
-    single-file corpus still uses every core.
+    hash per permutation → groupBy(doc) MIN per permutation. Every
+    stage is whole-stage-codegen'd and the groupBy gets map-side
+    partial aggregation, unlike a nested higher-order-function
+    signature expression (which Spark interprets row-at-a-time and
+    cannot partial-agg). Input is repartitioned first so a single-file
+    corpus still uses every core.
+
+    ``hash_family``: "xxhash64" (default — the engine-native 64-bit
+    path, one seeded hash per permutation) or "portable" (md5-prefix
+    base hash + (a·h+b) mod p permutations, the cross-engine-exact
+    family the gate oracles replay in DuckDB; same plan shape, ~2×
+    hash cost, identical banding downstream).
     """
     from data_spark.functions.hashing import _normalize, char_shingles
 
@@ -226,36 +262,56 @@ def minhash_signatures(
             F.explode(char_shingles(F.col("__norm"), shingle_width)).alias("shingle"),
         )
     )
-    mins = shingled.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    if hash_family == "portable":
+        if num_hashes > 64:
+            raise ValueError("portable family defines 64 permutations")
+        p = MINHASH_PORTABLE_P
+        hashed = shingled.select(
+            "doc_id", (_portable_hash60(F.col("shingle")) % p).alias("hm")
+        )
+        mins = hashed.groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(a) * F.col("hm") + F.lit(b)) % p).alias(f"h{i}")
+                for i, (a, b) in enumerate(
+                    zip(MINHASH_PORTABLE_A[:num_hashes], MINHASH_PORTABLE_B[:num_hashes])
+                )
+            ]
+        )
+    else:
+        mins = shingled.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
     return mins.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
 def minhash_band_buckets(
-    sig: DataFrame, bands: int, rows_per_band: int
+    sig: DataFrame, bands: int, rows_per_band: int, hash_family: str = "xxhash64"
 ) -> DataFrame:
     """(doc_id, sig, band, bucket): each signature split into ``bands``
     row-slices, every slice hashed to its LSH bucket id. Shared by the
     in-memory candidate join and the persistent near-dup index so both
-    bucket identically."""
+    bucket identically. ``hash_family="portable"`` buckets with the
+    md5-prefix hash so a SQL oracle can replay the banding exactly."""
+    def bucket_of(b):
+        slice_str = F.concat_ws(
+            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        )
+        if hash_family == "portable":
+            return _portable_hash60(slice_str)
+        return F.xxhash64(slice_str)
+
     return sig.select(
         "doc_id",
         "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -268,6 +324,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_width: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidates.
 
@@ -282,8 +339,10 @@ def minhash_lsh_candidates(
     Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_width).cache()
-    banded = minhash_band_buckets(sig, bands, rows_per_band)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_width, hash_family
+    ).cache()
+    banded = minhash_band_buckets(sig, bands, rows_per_band, hash_family)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

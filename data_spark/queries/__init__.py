@@ -142,7 +142,14 @@ _PRIORITY = [
     "d_semantic_dedup",
     "v_ivf_kmeans_topk",
     # ---- window boundary (driver records the 50 above) ----
-    # oldest r2-witnessed greens queue here for the r6 window
+    # r6 opens with the r5 additions/oracle conversions that missed
+    # this window (pipe_incremental_e2e is new; the three portable-hash
+    # conversions changed oracle+plan, so their old rows-only greens no
+    # longer witness them), then the oldest r2-witnessed greens
+    "pipe_incremental_e2e",
+    "d_minhash_lsh",
+    "v_lsh_ann",
+    "d_embed_near_dup_lsh",
     "q12_shipmode_case",
     "q11_important_parts",
     "q20_heavy_suppliers",

@@ -113,16 +113,88 @@ def d_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("doc_id")
 
 
-@_q("d_minhash_lsh")  # approximate — pytest oracle (tests/test_dedup.py)
+def _minhash_lsh_oracle_sql() -> str:
+    """Full-pipeline MinHash-LSH oracle over the PORTABLE hash family
+    (operators/dedup.MINHASH_PORTABLE_*): char-4-shingles → 64
+    (a·h+b) mod p permutation MINs → 16 md5-bucketed bands →
+    bucket-join candidates → est_jaccard from matching-minhash
+    fraction. Every literal is shared with the Spark plan, so the
+    whole LSH pipeline — not just the signature step — hash-verifies
+    (VERDICT r4 'Next round' #6)."""
+    from data_spark.operators.dedup import (  # noqa: PLC0415
+        MINHASH_PORTABLE_A as A,
+        MINHASH_PORTABLE_B as B,
+        MINHASH_PORTABLE_P as P,
+    )
+
+    h60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    mins = ", ".join(
+        f"MIN(({A[i]} * hm + {B[i]}) % {P}) AS h{i}" for i in range(64)
+    )
+    band_arms = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sigs".format(
+            b=b,
+            bucket=h60.format(
+                x=" || ',' || ".join(f"h{4 * b + j}" for j in range(4))
+            ),
+        )
+        for b in range(16)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(64)
+    )
+    return f"""
+    WITH nrm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nrm
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, substr(nrm, CAST(i AS INT), 4) AS shingle
+      FROM nrm, UNNEST(range(1, greatest(len(nrm) - 3, 1) + 1)) AS r(i)
+    ), hashed AS (
+      SELECT doc_id, {h60.format(x='shingle')} % {P} AS hm FROM sh
+    ), sigs AS (
+      SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    ), bands AS (
+      {band_arms}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(({matches}) / 64.0, 6) AS est_jaccard
+    FROM cand JOIN sigs x ON cand.doc_a = x.doc_id
+              JOIN sigs y ON cand.doc_b = y.doc_id
+    """
+
+
+@_q("d_minhash_lsh", _minhash_lsh_oracle_sql())
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join).
-    Rows-only driver check; exact-Jaccard containment is pytest-gated."""
-    return minhash_lsh_candidates(t(spark, sf_dir, "documents"))
+    """MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join),
+    run through the PRODUCTION operator with hash_family='portable' so
+    the whole pipeline hash-verifies against a DuckDB replay
+    (converted from rows-only in r5 — VERDICT r4 #6). The plan shape is
+    byte-identical to the xxhash64 engine path (same explode/groupBy/
+    band-equi-join; only the hash expressions differ); the xxhash64
+    family keeps its recall/containment pytests in test_operators.
+    est_jaccard = matches/64 is exact in binary (64 = 2^6), so the
+    ROUND(…, 6) is drift-free in both engines."""
+    return minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), hash_family="portable"
+    )
 
 
-@_q("d_simhash_near")  # approximate — pytest oracle (tests/test_dedup.py)
+@_q("d_simhash_near")  # rows-only BY DESIGN — see docstring
 def d_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (band-bucketed Hamming ≤ 3)."""
+    """SimHash near-duplicate pairs (band-bucketed Hamming ≤ 3).
+
+    Deliberately NOT oracle-converted (VERDICT r4 #6 triage): this
+    query's purpose is exercising the repo's single pandas UDF path —
+    the sha512-based ``simhash64`` Arrow batch hash — and DuckDB has no
+    sha512, so an exact replay would require swapping the hash and with
+    it the thing under test. The cross-engine-EXACT simhash member is
+    ``d_simhash_exact_pairs`` (pure column algebra, same chunk-banding
+    pigeonhole, full DuckDB oracle); this one stays rows-only with its
+    known-digest + banding-recall pytests (test_operators/test_dedup)."""
     return simhash_near_duplicates(t(spark, sf_dir, "documents"))
 
 

@@ -103,10 +103,73 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("v_lsh_ann")  # approximate — recall gated in tests/test_similarity.py
+def _lsh_ann_oracle_sql() -> str:
+    """Full multi-probe hyperplane-LSH replay (VERDICT r4 #6 — the last
+    ANN family member without an oracle). Every stage is the portable
+    construction the Spark operator already uses: ±1 plane signs from
+    sha256("p:i") first-byte parity (identical in DuckDB), projections
+    summed as DECIMAL(18,9) (exact, order-independent — the sign bit of
+    a near-zero projection cannot flip between engines), 8-bit
+    signature strings, the identity + 8 Hamming-1 probe set, bucket
+    equi-join, exact cosine rerank. Rank boundaries inherit
+    v_cosine_topk's documented float-drift contract."""
+    sign = (
+        "CASE WHEN CAST(('0x' || substr(sha256((pi // 64) || ':' || (pi % 64)), 1, 2))"
+        " AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+    WITH planes AS (
+      SELECT CAST(pi // 64 AS INT) AS p, CAST(pi % 64 AS INT) AS i, {sign} AS s
+      FROM UNNEST(range(0, 512)) AS t(pi)
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS v FROM embeddings WHERE vec_id >= 10
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS v FROM embeddings WHERE vec_id < 10
+    ), csig AS (
+      SELECT cid, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+      FROM (
+        SELECT cid, p, SUM(CAST(CAST(v[i + 1] AS DOUBLE) * s AS DECIMAL(18,9))) AS proj
+        FROM c, planes GROUP BY cid, p
+      ) GROUP BY cid
+    ), qsig AS (
+      SELECT qid, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+      FROM (
+        SELECT qid, p, SUM(CAST(CAST(v[i + 1] AS DOUBLE) * s AS DECIMAL(18,9))) AS proj
+        FROM q, planes GROUP BY qid, p
+      ) GROUP BY qid
+    ), probes AS (
+      SELECT qid, sig AS bucket FROM qsig
+      UNION ALL
+      SELECT qid,
+             substr(sig, 1, CAST(k AS INT)) ||
+             (CASE WHEN substr(sig, CAST(k AS INT) + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+             substr(sig, CAST(k AS INT) + 2) AS bucket
+      FROM qsig, UNNEST(range(0, 8)) AS t(k)
+    ), cand AS (
+      SELECT DISTINCT pr.qid, cs.cid FROM probes pr JOIN csig cs ON cs.sig = pr.bucket
+    ), sims AS (
+      SELECT cand.qid, cand.cid,
+             list_cosine_similarity(qv.embedding, cv.embedding) AS sim
+      FROM cand
+      JOIN embeddings qv ON qv.vec_id = cand.qid
+      JOIN embeddings cv ON cv.vec_id = cand.cid
+    )
+    SELECT qid, cid AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """
+
+
+@_q("v_lsh_ann", _lsh_ann_oracle_sql())
 def v_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-bucketed approximate top-5 (the 100 TB path:
-    each query scans one bucket, not the corpus)."""
+    each query scans its probed buckets, not the corpus). Converted
+    from rows-only in r5: the operator's determinism machinery —
+    sha256-derived plane signs, DECIMAL(18,9) projection sums, string
+    signatures — was built to be engine-portable, so the DuckDB oracle
+    replays signatures, multi-probe, bucket join AND rerank exactly;
+    recall-vs-exact stays pytest-gated (test_similarity)."""
     emb = t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(
         emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
@@ -131,12 +194,53 @@ def d_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicate_pairs(emb, threshold=0.4)
 
 
-@_q("d_embed_near_dup_lsh")  # approximate — subset/recall gated in pytest
+def _embed_lsh_oracle_sql() -> str:
+    """Banded hyperplane-LSH near-dup replay: 48 sha256-parity planes,
+    DECIMAL(18,9) projection sums, per-band bit-strings (band = p÷6,
+    bits ordered by p), band equi-join candidates, exact cosine ≥ 0.4
+    verification — the same portable construction as v_lsh_ann's
+    oracle, at d_embed_near_dup's proven threshold margin."""
+    sign = (
+        "CASE WHEN CAST(('0x' || substr(sha256((pi // 64) || ':' || (pi % 64)), 1, 2))"
+        " AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+    WITH planes AS (
+      SELECT CAST(pi // 64 AS INT) AS p, CAST(pi % 64 AS INT) AS i, {sign} AS s
+      FROM UNNEST(range(0, {48 * 64})) AS t(pi)
+    ), e AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), bandkeys AS (
+      SELECT id, p // 6 AS bno,
+             string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bits
+      FROM (
+        SELECT id, p, SUM(CAST(CAST(v[i + 1] AS DOUBLE) * s AS DECIMAL(18,9))) AS proj
+        FROM e, planes GROUP BY id, p
+      ) GROUP BY id, p // 6
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bandkeys a JOIN bandkeys b
+        ON a.bno = b.bno AND a.bits = b.bits AND a.id < b.id
+    )
+    SELECT cand.id_a, cand.id_b
+    FROM cand
+    JOIN embeddings x ON x.vec_id = cand.id_a
+    JOIN embeddings y ON y.vec_id = cand.id_b
+    WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+    """
+
+
+@_q("d_embed_near_dup_lsh", _embed_lsh_oracle_sql())
 def d_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via banded random-hyperplane LSH with
     exact verification (the 100 TB path: equi-join on band bits instead
     of the O(N²) pair join; every emitted pair is exactly verified, so
-    precision is 1 and only recall is approximate)."""
+    precision is 1 and only recall is approximate). Converted from
+    rows-only in r5: the operator's plane signs, decimal projection
+    sums and band keys were already engine-portable, so the DuckDB
+    oracle replays banding AND verification exactly (threshold margin
+    inherited from d_embed_near_dup's contract); recall-vs-exact stays
+    pytest-gated."""
     emb = t(spark, sf_dir, "embeddings")
     return embedding_near_duplicate_pairs(emb, threshold=0.4, bands=8, rows_per_band=6)
 
