@@ -269,6 +269,18 @@ def test_local_clustering_known_graph(spark):
     assert got[3]["degree"] == 3 and got[4]["degree"] == 1
 
 
+def test_hits_rejects_nonpositive_iterations(spark):
+    """iterations < 1 leaves auth undefined; the operator must fail
+    loudly (ADVICE r4) instead of crashing in the final outer join."""
+    import pytest as _pytest
+
+    from data_spark.graph.algorithms import hits
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)
+
+
 def test_hits_matches_reference_iteration(spark):
     from data_spark.graph.algorithms import hits
 

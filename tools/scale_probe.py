@@ -237,9 +237,77 @@ def synth(sizes: list[int]) -> None:
         )
 
 
+def incr(sizes: list[int], delta: int = 100) -> None:
+    """VERDICT r4 #5's cost claim, measured against GROWING history:
+    ingest a history of H docs through pipelines/incremental_e2e, then
+    time a fixed ``delta``-doc second batch (~2/3 clones/near-dup
+    variants of history — the index must drop them — ~1/3 genuinely
+    fresh group-bases). If the
+    composition is O(delta), the second-batch wall-clock exponent vs H
+    stays far below 1 while the first batch (which really is O(H))
+    scales ~linearly; store_rows_read must track delta/num_buckets of
+    the store, never the store. The probe's bucket-table scan is the
+    one honestly H-proportional read left (skinny int rows, never
+    re-shingled text) — the exponent shows how little it costs."""
+    import shutil
+    import tempfile
+
+    from data_spark.pipelines.incremental_e2e import run_batch
+
+    spark = get_spark("scale_probe_incr")
+    spark.sparkContext.setLogLevel("ERROR")
+    points = []
+    for h in sizes:
+        parts = max(8, h // 5000)
+        docs = _synth_documents(spark, h + delta).repartition(parts)
+        # history = the first h ids; delta = half near-dups (variant
+        # structure already in _synth_documents), half fresh tail ids
+        src = docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("synth"))
+        work = tempfile.mkdtemp(prefix="incr_probe_")
+        start = time.perf_counter()
+        m1 = run_batch(spark, src, work, batch_limit=h, num_buckets=64)
+        t1 = time.perf_counter() - start
+        start = time.perf_counter()
+        m2 = run_batch(spark, src, work, batch_limit=delta, num_buckets=64)
+        t2 = time.perf_counter() - start
+        point = {
+            "history": h,
+            "delta": delta,
+            "batch1_sec": round(t1, 3),
+            "batch2_sec": round(t2, 3),
+            "batch2_rows_read": m2["store_rows_read"],
+            "batch2_dropped": m2["near_dups_dropped"],
+            "store_total": m2["store_rows_total"],
+        }
+        points.append(point)
+        print(f"incr: {point}", file=sys.stderr, flush=True)
+        shutil.rmtree(work, ignore_errors=True)
+    for key in ("batch1_sec", "batch2_sec"):
+        xs = [math.log(p["history"]) for p in points]
+        ys = [math.log(max(p[key], 1e-3)) for p in points]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        print(
+            json.dumps(
+                {
+                    "operator": f"incremental_e2e:{key}",
+                    "mode": "incr",
+                    "points": points,
+                    "scaling_exponent": round(slope, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "curve":
         curve(sys.argv[2:] or list(_CURVE_DEFAULTS))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "incr":
+        incr([int(x) for x in sys.argv[2:]] or [500, 5_000, 50_000])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "synth":
         synth([int(x) for x in sys.argv[2:]] or [500, 5_000, 50_000])
