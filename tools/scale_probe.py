@@ -240,9 +240,9 @@ def synth(sizes: list[int]) -> None:
 def incr(sizes: list[int], delta: int = 100) -> None:
     """VERDICT r4 #5's cost claim, measured against GROWING history:
     ingest a history of H docs through pipelines/incremental_e2e, then
-    time a fixed ``delta``-doc second batch (~2/3 clones/near-dup
-    variants of history — the index must drop them — ~1/3 genuinely
-    fresh group-bases). If the
+    time a fixed ``delta``-doc second batch — delta/2 near-dup variants
+    of history docs (the index must drop them) + delta/2 genuinely
+    fresh docs (disjoint hex shingle space; all merged). If the
     composition is O(delta), the second-batch wall-clock exponent vs H
     stays far below 1 while the first batch (which really is O(H))
     scales ~linearly; store_rows_read must track delta/num_buckets of
@@ -259,10 +259,22 @@ def incr(sizes: list[int], delta: int = 100) -> None:
     points = []
     for h in sizes:
         parts = max(8, h // 5000)
-        docs = _synth_documents(spark, h + delta).repartition(parts)
-        # history = the first h ids; delta = half near-dups (variant
-        # structure already in _synth_documents), half fresh tail ids
-        src = docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("synth"))
+        docs = _synth_documents(spark, h).repartition(parts)
+        half = delta // 2
+        variants = docs.filter(F.col("doc_id") < half).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" v2 dup")).alias("text"),
+        )
+        fresh = docs.filter(F.col("doc_id") < delta - half).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.sha2(F.col("doc_id").cast("string"), 256).alias("text"),
+        )
+        src = (
+            docs.unionByName(variants)
+            .unionByName(fresh)
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("synth"))
+        )
         work = tempfile.mkdtemp(prefix="incr_probe_")
         start = time.perf_counter()
         m1 = run_batch(spark, src, work, batch_limit=h, num_buckets=64)
