@@ -147,6 +147,12 @@ HEADLINE = [
     # number IS the deliverable: 12 stateful passes (4 batches x
     # scan/probe/merge) incl. all parquet writes, ~22 s warm at sf0.1
     "pipe_incremental_e2e",
+    # r5 additions: link prediction / drift / classifier / evolution / binary ANN
+    "g_resource_alloc",  # witness-centric RA-index self-join, deg<=50 cutoff
+    "e_cusum_changepoint",  # CUSUM via prefix-min closed form, 2 windows
+    "d_quality_classifier",  # hashing-trick linear scorer, 1024 fixed buckets
+    "m_schema_evolution",  # versioned store: merge-schema read + NULL backfill
+    "v_hamming_topk",  # 8-byte binary codes, broadcast queries, XOR+popcount
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

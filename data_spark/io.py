@@ -502,11 +502,20 @@ def write_versioned(df: DataFrame, table_path: str, mode: str = "overwrite") -> 
 
 
 def read_versioned(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just resolving that version's manifest to its commit
-    directories and scanning exactly those files."""
+    directories and scanning exactly those files.
+
+    ``merge_schema=True`` unions the per-commit parquet schemas (the
+    lakehouse schema-evolution read: commits written before a column
+    existed surface it as NULL). Off by default because schema merging
+    reads every commit's footer at planning time — at 100 TB you opt
+    into that only on tables that actually evolved."""
     import json
 
     versions = table_versions(table_path)
@@ -518,7 +527,10 @@ def read_versioned(
     with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
         manifest = json.load(f)
     paths = [os.path.join(table_path, "data", c) for c in manifest["commits"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def restore_version(table_path: str, version: int) -> int:

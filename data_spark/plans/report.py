@@ -157,6 +157,7 @@ NESTED_LOOP_ALLOWED = frozenset(
         "a_median_via_rank",  # 1-row total-count broadcast onto the ranked frame
         "dq_benford_digits",  # 1-row digit-total broadcast onto the 9-row lattice
         "v_rrf_hybrid",  # 1-row query-vector + 1-row BM25-stats broadcasts
+        "v_hamming_topk",  # deliberate query-code x corpus broadcast (8 B/code)
     }
 )
 

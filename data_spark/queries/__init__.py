@@ -14,6 +14,7 @@ rotate to the tail.
 from data_spark.queries import (
     analytics,
     analytics2,
+    analytics3,
     documents,
     events,
     graphq,
@@ -42,6 +43,7 @@ _ALL_QUERIES = {
     **temporal.QUERIES,
     **analytics.QUERIES,
     **analytics2.QUERIES,
+    **analytics3.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -60,6 +62,7 @@ ORACLE = {
     **temporal.ORACLE,
     **analytics.ORACLE,
     **analytics2.ORACLE,
+    **analytics3.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,
@@ -143,10 +146,16 @@ _PRIORITY = [
     "v_ivf_kmeans_topk",
     # ---- window boundary (driver records the 50 above) ----
     # r6 opens with the r5 additions/oracle conversions that missed
-    # this window (pipe_incremental_e2e is new; the three portable-hash
-    # conversions changed oracle+plan, so their old rows-only greens no
-    # longer witness them), then the oldest r2-witnessed greens
+    # this window (pipe_incremental_e2e and the five analytics3 queries
+    # are new; the three portable-hash conversions changed oracle+plan,
+    # so their old rows-only greens no longer witness them), then the
+    # oldest r2-witnessed greens
     "pipe_incremental_e2e",
+    "g_resource_alloc",
+    "e_cusum_changepoint",
+    "d_quality_classifier",
+    "m_schema_evolution",
+    "v_hamming_topk",
     "d_minhash_lsh",
     "v_lsh_ann",
     "d_embed_near_dup_lsh",

@@ -330,6 +330,38 @@ _SQL_SIMHASH = (
 )
 
 
+def _spark_simhash_sigs(docs: DataFrame) -> DataFrame:
+    """60-bit column-algebra simhash per document over 3-word shingles,
+    (doc_id, sig) — the cross-engine twin of ``_SQL_SIMHASH`` (same
+    md5-prefix shingle hash both engines compute bit-identically).
+    Shared by d_simhash_exact_pairs and v_hamming_topk (analytics3)."""
+    toks = docs.select("doc_id", _words(F.col("text")).alias("__words"))
+    tok = toks.select(
+        "doc_id", F.explode(ngrams_from_words(F.col("__words"), 3)).alias("term")
+    ).distinct()
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("hm"),
+    )
+    bitsums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hm"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(_SH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return bitsums.select("doc_id", sig.alias("sig"))
+
+
 @_q(
     "d_simhash_exact_pairs",
     "WITH"
@@ -358,33 +390,7 @@ def d_simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle check covers sketch construction AND candidate generation
     AND the exact Hamming verify. Candidates are an equi-join on
     (chunk_idx, chunk); nothing all-pairs anywhere."""
-    toks = t(spark, sf_dir, "documents").select(
-        "doc_id", _words(F.col("text")).alias("__words")
-    )
-    tok = toks.select(
-        "doc_id", F.explode(ngrams_from_words(F.col("__words"), 3)).alias("term")
-    ).distinct()
-    hashed = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint").alias("hm"),
-    )
-    bitsums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("hm"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(_SH_BITS)
-        ]
-    )
-    sig = None
-    for b in range(_SH_BITS):
-        term = F.when(
-            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    sigs = bitsums.select("doc_id", sig.alias("sig"))
+    sigs = _spark_simhash_sigs(t(spark, sf_dir, "documents"))
     chunks = sigs.select(
         "doc_id",
         "sig",

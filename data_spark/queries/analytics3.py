@@ -1,0 +1,418 @@
+"""Round-5 additions: link prediction, sequential drift detection, a
+hashing-trick quality classifier, versioned-store schema evolution, and
+binary-embedding top-k retrieval. Every query carries an exact DuckDB
+oracle; the cross-engine tricks are the established ones — integer /
+decimal arithmetic end to end, the md5-prefix portable hash (see
+queries/analytics.py module docstring), and double expressions only
+over operands both engines compute bit-identically.
+
+Reference parity: the reference scores and links entities (Cypher
+rollups over the FEC graph, newspaper-article scoring) — link
+prediction and model-based quality scoring are those capabilities as
+set-oriented operators (graph/cypher.py, pipelines/news scoring);
+CUSUM is the monitoring counterpart of its anomaly screens; schema
+evolution is the load-pipeline reality of its year-over-year FEC
+schema drift (fec/schemas.py carries 13 prefix schemas for this
+reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.operators.dedup import _words
+from data_spark.queries.analytics import (
+    _MH_P,
+    _SQL_SIMHASH,
+    _spark_simhash_sigs,
+)
+from data_spark.queries.common import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Link prediction: resource-allocation index (Zhou/Lü/Zhang 2009) over
+# the supplier↔customer co-purchase graph. RA instead of Adamic-Adar
+# deliberately: 1/deg needs no ln(), so the score is one double divide
+# over identical integer operands (bit-equal cross-engine) instead of a
+# transcendental both engines implement independently.
+# --------------------------------------------------------------------------
+
+_RA_SCALE = 1_000_000_000_000  # score unit = FLOOR(1e12 / deg) per witness
+_RA_MAX_DEG = 50  # hub cutoff: bounds pair fan-out at deg^2 per witness
+
+
+@_q(
+    "g_resource_alloc",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY c
+    ), ok AS (
+      SELECT c, d FROM deg WHERE d <= {_RA_MAX_DEG}
+    ), scored AS (
+      SELECT a.s AS s1, b.s AS s2,
+             CAST(SUM(CAST(FLOOR(CAST({_RA_SCALE} AS DOUBLE) / d) AS BIGINT)) AS BIGINT) AS score
+      FROM e a JOIN ok USING (c) JOIN e b USING (c)
+      WHERE a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, score FROM scored ORDER BY score DESC, s1, s2 LIMIT 100
+    """,
+)
+def g_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted supplier links by resource-allocation index:
+    for supplier pairs sharing a customer, score = Σ_w 1/deg(w) over
+    common-neighbor customers w — each witness's evidence diluted by
+    its promiscuity. Scores are integers (FLOOR(1e12/deg); the divide
+    is one double op over identical operands, so the floor is
+    bit-equal cross-engine).
+
+    Scale posture: pair generation is the witness-centric self-join —
+    cost Σ_w deg(w)², NEVER all-pairs — and the deg ≤ {50} hub cutoff
+    (part of the operator's semantics, standard in link prediction:
+    a customer of everyone witnesses nothing) makes that sum ≤
+    50·|E|. Top-100 is TakeOrderedAndProject; only (s1, s2, partial
+    score) ever shuffles. Reference parity: graph/cypher.py's
+    shared-recipient contributor rollups."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = (
+        e.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= _RA_MAX_DEG)
+    )
+    a = e.select(F.col("c"), F.col("s").alias("s1"))
+    b = e.select(F.col("c"), F.col("s").alias("s2"))
+    contrib = F.floor(F.lit(_RA_SCALE).cast("double") / F.col("d")).cast("bigint")
+    scored = (
+        a.join(deg, "c")
+        .join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "s1", "s2").limit(100)
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection — the recursion S_d = max(0, S_{d-1} + z_d) is
+# NOT window-expressible directly, but its closed form is:
+# S_d = P_d - min(0, min_{j<=d} P_j) with P the prefix sum of z.
+# Everything is integer-scaled, so the oracle is bit-exact.
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "e_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS sx
+      FROM daily GROUP BY event_type
+    ), z AS (
+      SELECT d.event_type, d.day, 10 * t.nd * d.x - 11 * t.sx AS z, 50 * t.sx AS h
+      FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ), p AS (
+      SELECT event_type, day, h,
+             SUM(z) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pz
+      FROM z
+    )
+    SELECT event_type, day,
+           CAST(pz - LEAST(CAST(0 AS BIGINT),
+                           MIN(pz) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN pz - LEAST(CAST(0 AS BIGINT),
+                                     MIN(pz) OVER (PARTITION BY event_type ORDER BY day
+                                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                          > h THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM p
+    """,
+)
+def e_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over daily event counts per type — the classic
+    sequential changepoint detector (Page 1954), alarm when cumulative
+    positive drift beyond a slack of 0.1·mean exceeds 5·mean. The
+    recursion S_d = max(0, S_{d-1} + x_d - 1.1·μ) is rewritten to its
+    prefix closed form S_d = P_d - min(0, min_{j≤d} P_j), so the whole
+    detector is two same-spec window functions — no recursion, no UDF.
+    Integer-exact throughout: z is scaled by 10·n_days (clearing both
+    the 1.1 slack and the mean's denominator), threshold h = 50·Σx.
+
+    Scale posture: the windowed frame is (type, day) — calendar-
+    bounded, partitioned by type; the raw facts are reduced by one
+    map-side-combinable count first. The same closed form runs
+    unchanged as a streaming aggregate (prefix sums maintain
+    incrementally)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sx")
+    )
+    z = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        (10 * F.col("nd") * F.col("x") - 11 * F.col("sx")).alias("z"),
+        (50 * F.col("sx")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = z.withColumn("pz", F.sum("z").over(w))
+    cusum = F.col("pz") - F.least(
+        F.lit(0).cast("long"), F.min("pz").over(w)
+    )
+    return p.select(
+        "event_type",
+        "day",
+        cusum.cast("bigint").alias("cusum_scaled"),
+        F.when(cusum > F.col("h"), 1).otherwise(0).cast("bigint").alias("alarm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (the fastText-style scorer):
+# token → portable hash → one of 1024 feature buckets → fixed integer
+# weight; document score = Σ weights over tokens WITH multiplicity
+# (term frequency). In production the weight vector is LEARNED and
+# arrives as a 1024-row broadcast; here it is derived from the bucket
+# id by the same (a·b + c) mod p generator the MinHash permutations
+# use, which keeps the oracle self-contained without changing the
+# plan shape by one node.
+# --------------------------------------------------------------------------
+
+_QC_BUCKETS = 1024
+_QC_A = 516575261  # first MinHash permutation pair, reused as the
+_QC_B = 423630757  # deterministic weight generator (± 1000 range)
+
+
+@_q(
+    "d_quality_classifier",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\s+') AS words
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, words[i] AS term
+      FROM toks, UNNEST(range(1, len(words) + 1)) AS r(i)
+      WHERE words[i] <> ''
+    ), feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {_QC_BUCKETS} AS b
+      FROM tok
+    ), scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM((({_QC_A} * b + {_QC_B}) % {_MH_P}) % 2001 - 1000) AS BIGINT) AS score
+      FROM feat GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+           COALESCE(score, CAST(0 AS BIGINT)) AS score,
+           CAST(CASE WHEN COALESCE(score, CAST(0 AS BIGINT)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    """,
+)
+def d_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier with the hashing trick: every token is
+    hashed into one of 1024 feature buckets (portable md5-prefix hash)
+    and the document score is the tf-weighted sum of per-bucket integer
+    weights; keep = score > 0. This is the plan shape of every
+    large-corpus model-based quality filter (fastText and friends):
+    tokenize → hash → sum a broadcast weight vector — one explode and
+    one map-side-combinable groupBy, zero UDFs, score arithmetic all
+    int64. Tokenless documents classify as (0 tokens, score 0, drop)
+    via the left join, not silently vanish.
+
+    Scale posture: the feature space is FIXED (1024 buckets) no matter
+    the vocabulary, which is the point of the hashing trick at 100 TB —
+    no vocabulary shuffle, no dictionary join; the only wide column
+    (text) dies at the explode. Reference parity: pipelines/news.py's
+    per-article score matrix."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _words(F.col("text")).alias("w"))
+    tok = toks.select("doc_id", F.explode("w").alias("term")).filter(
+        F.col("term") != ""
+    )
+    feat = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
+            % _QC_BUCKETS
+        ).alias("b"),
+    )
+    weight = (F.lit(_QC_A) * F.col("b") + F.lit(_QC_B)) % _MH_P % 2001 - 1000
+    scored = feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(weight).cast("bigint").alias("score"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            F.coalesce("score", zero).alias("score"),
+            F.when(F.coalesce("score", zero) > 0, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Versioned-store schema evolution: commit 0 predates the
+# quality_tier column, commit 1 introduces it, and the merge-schema
+# read surfaces pre-evolution rows with NULL backfill — the lakehouse
+# ALTER TABLE ADD COLUMN story on plain parquet.
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "m_schema_evolution",
+    """
+    WITH v0 AS (
+      SELECT lang, 'none' AS tier FROM documents
+    ), v1 AS (
+      SELECT lang, CASE WHEN n_chars >= 400 THEN 'long' ELSE 'short' END AS tier
+      FROM documents
+    )
+    SELECT lang, tier, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    GROUP BY lang, tier
+    """,
+)
+def m_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the versioned snapshot store
+    (data_spark/io.py), hash-verified end to end like m_snapshot_diff:
+    commit v0 writes (doc_id, lang); commit v1 APPENDS rows that carry
+    a new quality_tier column; the merge-schema read unions both
+    commits' schemas, backfilling v0 rows with NULL. The gate output is
+    the (lang, tier) census of the merged read — derivable exactly from
+    the raw documents table, so a hash match proves the store kept both
+    schemas intact AND the merged scan null-backfilled precisely the
+    pre-evolution rows (tier 'none' = COALESCE over v0 rows only).
+
+    Scale posture: schema merging is a planning-time footer union
+    (opt-in — read_versioned(merge_schema=True)); data files are never
+    rewritten to evolve the schema, which is the only viable ALTER at
+    100 TB. Reference parity: fec/schemas.py's 13 year-variant prefix
+    schemas are exactly this drift, handled there by hand."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_spark.io import read_versioned, write_versioned  # noqa: PLC0415
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"data_spark_schema_evo_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    d = t(spark, sf_dir, "documents")
+    write_versioned(d.select("doc_id", "lang"), base, "overwrite")
+    evolved = d.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "lang",
+        F.when(F.col("n_chars") >= 400, "long")
+        .otherwise("short")
+        .alias("quality_tier"),
+    )
+    write_versioned(evolved, base, "append")
+    merged = read_versioned(spark, base, merge_schema=True)
+    return merged.groupBy(
+        "lang", F.coalesce("quality_tier", F.lit("none")).alias("tier")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Binary-embedding retrieval: exact Hamming top-k over the 60-bit
+# cross-engine simhash codes. Brute force IS the baseline contract
+# (like v_cosine_topk); the radius-bounded scale path over the same
+# codes is d_simhash_exact_pairs's pigeonhole chunk banding.
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "v_hamming_topk",
+    "WITH"
+    + _SQL_SIMHASH
+    + """
+    , q AS (
+      SELECT doc_id AS qid, sig AS qsig FROM sigs WHERE doc_id % 50 = 0
+    ), c AS (
+      SELECT doc_id AS cid, sig AS csig FROM sigs WHERE doc_id % 50 <> 0
+    ), ranked AS (
+      SELECT qid, cid, CAST(bit_count(xor(qsig, csig)) AS BIGINT) AS hamming,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY bit_count(xor(qsig, csig)), cid) AS rank
+      FROM q, c
+    )
+    SELECT qid, cid AS neighbor_id, hamming, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def v_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming top-5 per query over binary document codes (the
+    60-bit column-algebra simhash shared with d_simhash_exact_pairs):
+    binary embeddings are the 8-bytes-per-document retrieval mode —
+    XOR + popcount per comparison, two JVM instructions, no float math
+    anywhere, so the oracle is exact with no drift contract at all.
+    Queries are every 50th document; ties break on neighbor id.
+
+    Scale posture: same class as v_cosine_topk — the query set
+    broadcasts (8 bytes/code makes the broadcast ~10⁶× smaller than
+    float vectors at equal corpus) and the corpus streams through
+    codegen once; top-5 leaves each partition before the qid window.
+    For radius-bounded (rather than top-k) retrieval the pigeonhole
+    chunk index bounds candidates instead (d_simhash_exact_pairs)."""
+    # One sig pass, not two: the query and corpus branches both hang off
+    # the cached code table (16 bytes/doc), so the expensive explode →
+    # 60-bitsum aggregation runs once — at scale the codes would be a
+    # persisted index table anyway (the dedup_index pattern).
+    sigs = _spark_simhash_sigs(t(spark, sf_dir, "documents")).cache()
+    q = sigs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    c = sigs.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("cid"), F.col("sig").alias("csig")
+    )
+    ham = F.bit_count(F.col("qsig").bitwiseXOR(F.col("csig")))
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", ham.cast("bigint").alias("hamming")
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "cid")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", F.col("cid").alias("neighbor_id"), "hamming", "rank")
+    )

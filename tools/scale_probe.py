@@ -60,6 +60,12 @@ _CURVE_DEFAULTS = {
     "d_bm25_search": "documents",
     "v_tfidf_cosine_pairs": "documents",
     "v_pca_project": "embeddings",
+    # round-5 additions: RA link prediction grows with Σdeg² over the
+    # edge table; the rest are linear scans/windows by construction
+    "g_resource_alloc": "lineitem",
+    "e_cusum_changepoint": "events",
+    "d_quality_classifier": "documents",
+    "v_hamming_topk": "documents",
 }
 
 
