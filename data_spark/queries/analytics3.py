@@ -124,6 +124,40 @@ def g_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM closed form over an (event_type, day, x) daily-count frame
+    — the detector HALF of e_cusum_changepoint, separated so it can run
+    over any source of daily counts: the batch groupBy below, or an
+    incrementally-maintained count state (operators/incremental_agg —
+    daily counts are a monoid, so the detector's input maintains in
+    O(delta); test_analytics3 proves the composition equals the batch
+    path exactly)."""
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sx")
+    )
+    z = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        (10 * F.col("nd") * F.col("x") - 11 * F.col("sx")).alias("z"),
+        (50 * F.col("sx")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = z.withColumn("pz", F.sum("z").over(w))
+    cusum = F.col("pz") - F.least(
+        F.lit(0).cast("long"), F.min("pz").over(w)
+    )
+    return p.select(
+        "event_type",
+        "day",
+        cusum.cast("bigint").alias("cusum_scaled"),
+        F.when(cusum > F.col("h"), 1).otherwise(0).cast("bigint").alias("alarm"),
+    )
+
+
 @_q(
     "e_cusum_changepoint",
     """
@@ -166,37 +200,14 @@ def e_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the windowed frame is (type, day) — calendar-
     bounded, partitioned by type; the raw facts are reduced by one
-    map-side-combinable count first. The same closed form runs
-    unchanged as a streaming aggregate (prefix sums maintain
-    incrementally)."""
+    map-side-combinable count first. The detector runs unchanged over
+    an incrementally-maintained daily-count state (cusum_from_daily +
+    operators/incremental_agg; the composition law is pytest-gated)."""
     e = t(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    tot = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("sx")
-    )
-    z = daily.join(tot, "event_type").select(
-        "event_type",
-        "day",
-        (10 * F.col("nd") * F.col("x") - 11 * F.col("sx")).alias("z"),
-        (50 * F.col("sx")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    p = z.withColumn("pz", F.sum("z").over(w))
-    cusum = F.col("pz") - F.least(
-        F.lit(0).cast("long"), F.min("pz").over(w)
-    )
-    return p.select(
-        "event_type",
-        "day",
-        cusum.cast("bigint").alias("cusum_scaled"),
-        F.when(cusum > F.col("h"), 1).otherwise(0).cast("bigint").alias("alarm"),
-    )
+    return cusum_from_daily(daily)
 
 
 # --------------------------------------------------------------------------

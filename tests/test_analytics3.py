@@ -139,6 +139,39 @@ def test_cusum_fires_on_injected_level_shift(spark, tmp_path):
     assert all(a == 1 for a in alarms[first:]), "drift alarm must latch upward here"
 
 
+def test_cusum_composes_with_incremental_state(spark, sf_small):
+    """The docstring claim, enforced: daily counts are a monoid, so the
+    detector's input can be MAINTAINED (state ⊕ delta) instead of
+    recomputed, and the closed form over the folded state equals the
+    batch detector bit for bit."""
+    from data_spark.operators.incremental_agg import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+    from data_spark.queries.analytics3 import cusum_from_daily
+
+    e = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .select("event_id", "event_type", F.to_date("ts").alias("day"))
+    )
+    batch1 = e.filter(F.col("event_id") % 2 == 0)
+    batch2 = e.filter(F.col("event_id") % 2 == 1)
+
+    state = aggregate_state(batch1, ["event_type", "day"])
+    folded = merge_aggregate_state(
+        state, aggregate_state(batch2, ["event_type", "day"]), ["event_type", "day"]
+    )
+    incr = cusum_from_daily(folded.select("event_type", "day", F.col("cnt").alias("x")))
+    batch = cusum_from_daily(
+        e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    )
+    k = lambda r: (r.event_type, str(r.day))
+    got = {k(r): (r.cusum_scaled, r.alarm) for r in incr.collect()}
+    want = {k(r): (r.cusum_scaled, r.alarm) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 # -------------------------------------------------------------- classifier
 
 
