@@ -1,11 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE compact JSON line on stdout: {"metric": ..., "value": cold_total,
-"unit": "sec", "queries": {name: warm_median_2dp}, "warm_total": ...,
-"reps": n, "sf": ...}.  Full-precision cold AND warm per-query maps go
-to BENCH_local.json next to this file; everything else (progress, Spark
-chatter, anything a child process emits on fd 1) is routed to stderr so
-the JSON line is the entire stdout.
+"unit": "sec", "queries": {8 slowest warm medians + _others_warm_total},
+"warm_total": ..., "reps": n, "sf": ..., "detail": "BENCH_local.json"}.
+The line is guarded ≤1,500 bytes because the driver keeps only a
+~2,000-byte stdout tail (VERDICT r5 #3). Full-precision cold AND warm
+per-query maps go to BENCH_local.json next to this file; everything
+else (progress, Spark chatter, anything a child process emits on fd 1)
+is routed to stderr so the JSON line is the entire stdout.
 
 Each query is executed to completion (count action) so lazy plans can't
 fake speed; per-query wall-clock includes planning. Every query runs
@@ -159,24 +161,70 @@ HEADLINE = [
 ]
 
 
+def stdout_line(
+    cold_total: float,
+    warm: dict[str, float],
+    n_queries: int,
+    reps: int,
+    sf_val,
+    top_n: int = 8,
+) -> str:
+    """The ONE line printed to real stdout. The driver's capture keeps
+    only a ~2,000-byte TAIL of stdout, so a long line survives with its
+    FRONT cut off and parses as null (BENCH_r03..r05 — VERDICT r5 #3).
+    Envelope + the ``top_n`` slowest warm medians + a rollup of the
+    rest stays well under the tail budget; the full per-query cold/warm
+    maps live exclusively in BENCH_local.json."""
+    slowest = dict(sorted(warm.items(), key=lambda kv: -kv[1])[:top_n])
+    rest = round(sum(v for k, v in warm.items() if k not in slowest), 2)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(cold_total, 4),
+            "unit": "sec",
+            "queries": {
+                **{k: round(v, 2) for k, v in slowest.items()},
+                "_others_warm_total": rest,
+            },
+            "warm_total": round(sum(warm.values()), 4),
+            "n_queries": n_queries,
+            "reps": reps,
+            "sf": sf_val,
+            "detail": "BENCH_local.json",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1500, f"bench stdout line {len(line)}B > 1500B tail budget"
+    return line
+
+
 def main() -> None:
-    # Driver-parseability contract (VERDICT r4 #3: BENCH_r03/r04 both
-    # recorded "parsed": null because the single stdout JSON line —
-    # two 98-entry maps at 4 decimals, ~6 KB — overflowed the driver's
-    # stdout capture buffer, whose surviving tail is ~3.5 KB).  Three
+    # Driver-parseability contract (VERDICT r4 #3 / r5 #3: BENCH_r03
+    # through r05 all recorded "parsed": null because the stdout JSON
+    # line overflowed the driver's ~2,000-byte surviving tail). Three
     # defenses: (1) duplicate the real stdout fd, then point fd 1 at
     # stderr for the whole run so nothing the JVM or a child process
     # prints can precede the JSON line; (2) write the full-precision
-    # per-query detail to BENCH_local.json instead of stdout; (3) keep
-    # the one printed line compact (2-decimal warm medians) with a hard
-    # length guard that degrades to slowest-N + rollup if it would
-    # exceed 3000 bytes.
+    # per-query detail to BENCH_local.json instead of stdout; (3) the
+    # printed line is envelope-only (stdout_line above, guarded at
+    # 1,500 bytes).
     real_stdout = os.dup(1)
     os.dup2(2, 1)
     sys.stdout = sys.stderr
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Shuffle/scratch to tmpfs when available: this box's root disk is
+    # shared and shows transient multi-second IO stalls
+    # (/proc/pressure/io "full" >10% observed mid-run), which inflate
+    # the shuffle-heavy tail 2-3x through no fault of the plans. At
+    # cluster scale shuffle goes to dedicated local NVMe; scratch in
+    # /dev/shm is the local[32] equivalent. Table reads/writes (the
+    # incremental pipeline's store) still hit the real filesystem.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        scratch = "/dev/shm/data_spark_bench_scratch"
+        os.makedirs(scratch, exist_ok=True)
+        os.environ["SPARK_LOCAL_DIRS"] = scratch
     # partition-to-data-size discipline: at bench scale (<1 GB) 16 initial
     # shuffle partitions + AQE coalescing beats the 32 default tuned for
     # bigger inputs; override with SPARK_GRAFT_SHUFFLE
@@ -223,32 +271,7 @@ def main() -> None:
             indent=1,
         )
 
-    def summary_line(queries: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(cold.values()), 4),
-                "unit": "sec",
-                "queries": queries,
-                "warm_total": round(sum(warm.values()), 4),
-                "n_queries": len(HEADLINE),
-                "reps": reps,
-                "sf": sf_val,
-                "detail": "BENCH_local.json",
-            },
-            separators=(",", ":"),
-        )
-
-    # per-query values on stdout are the WARM medians (the scale-relevant
-    # signal; full cold/warm detail at 4 decimals is in BENCH_local.json)
-    line = summary_line({k: round(v, 2) for k, v in warm.items()})
-    if len(line) > 3000:
-        slowest = dict(sorted(warm.items(), key=lambda kv: -kv[1])[:40])
-        rest = round(sum(v for k, v in warm.items() if k not in slowest), 2)
-        line = summary_line(
-            {**{k: round(v, 2) for k, v in slowest.items()}, "_others_warm_total": rest}
-        )
-
+    line = stdout_line(sum(cold.values()), warm, len(HEADLINE), reps, sf_val)
     os.write(real_stdout, line.encode() + b"\n")
 
 

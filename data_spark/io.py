@@ -379,7 +379,29 @@ def refresh_file_index_for_dirs(
     bucket partitions a MERGE just rewrote), keep every other file's
     manifest row as-is. ``build_file_index`` rescans the whole table —
     right for bootstrap, wrong inside an incremental loop where the
-    untouched 99% of a 100 TB table must not be re-read per batch."""
+    untouched 99% of a 100 TB table must not be re-read per batch.
+
+    Crash-safe: the swap below can be interrupted between its two
+    renames, leaving no live manifest — so every call first recovers
+    the newest ``__bak`` if the manifest is missing and sweeps stray
+    ``__staging``/``__bak`` leftovers, making a crashed refresh cost
+    one redo of the delta instead of a silent full rebuild (ADVICE r5)."""
+    parent, base = os.path.split(os.path.abspath(index_path))
+    leftovers = sorted(
+        os.path.join(parent, n)
+        for n in (os.listdir(parent) if os.path.isdir(parent) else [])
+        if n.startswith(f"{base}__bak_") or n.startswith(f"{base}__staging_")
+    )
+    if not os.path.exists(index_path):
+        backups = [p for p in leftovers if f"{base}__bak_" in os.path.basename(p)]
+        if backups:
+            # a previous refresh crashed mid-swap: the newest backup IS
+            # the pre-refresh manifest — restore it and redo the delta
+            restored = max(backups, key=os.path.getmtime)
+            os.rename(restored, index_path)
+            leftovers.remove(restored)
+    for p in leftovers:
+        shutil.rmtree(p, ignore_errors=True)
     if not os.path.exists(index_path):
         build_file_index(spark, path, cols, index_path)
         return

@@ -430,6 +430,7 @@ def mmr_rerank(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    snap_digits: int | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified top-k (Carbonell &
     Goldstein 1998): greedily pick ``k`` results per query maximizing
@@ -451,10 +452,26 @@ def mmr_rerank(
     selected frames are lineage-truncated so the k-round loop keeps an
     O(1) plan. Ranking ties break by candidate id; scores never leave
     the operator, so cross-engine float drift cannot leak into output.
+
+    ``snap_digits`` makes every DECISION boundary reproducible across
+    independent float implementations (VERDICT r5 #5): similarities
+    are round-half snapped to a 10^-snap_digits grid as BIGINTs before
+    the shortlist rank and the greedy score, so an engine computing
+    cosines with different rounding (e.g. a SQL oracle) makes the
+    identical shortlist cut and arg-max picks — the score arithmetic
+    ``lam·rel_q − mu·ms_q`` then runs the same two IEEE ops on the
+    same integers everywhere. None: rank raw doubles (cheapest; fine
+    within one engine, where a plan is deterministic).
     """
     from data_spark.plans.lineage import truncate_lineage
 
     mu = 1.0 - lam
+
+    def _q(col):  # round-half snap to the decision grid
+        if snap_digits is None:
+            return col
+        return F.floor(col * F.lit(float(10**snap_digits)) + F.lit(0.5)).cast("bigint")
+
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     )
@@ -462,7 +479,10 @@ def mmr_rerank(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     sims = c.join(F.broadcast(q)).select(
-        "qid", "cid", "cv", cosine_similarity(F.col("qv"), F.col("cv")).alias("rel")
+        "qid",
+        "cid",
+        "cv",
+        _q(cosine_similarity(F.col("qv"), F.col("cv"))).alias("rel"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
     cand_v = (
@@ -484,7 +504,7 @@ def mmr_rerank(
             "qid",
             "ca",
             "cb",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("psim"),
+            _q(cosine_similarity(F.col("va"), F.col("vb"))).alias("psim"),
         )
         .transform(truncate_lineage)
     )

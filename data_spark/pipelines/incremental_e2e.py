@@ -72,6 +72,24 @@ def run_batch(
     log = ProcessedLog(spark, os.path.join(work_dir, "processed_log"), key="doc_id")
     index_path = os.path.join(work_dir, "dedup_index")
     store_path = os.path.join(work_dir, "store")
+    manifest_path = os.path.join(work_dir, "store_manifest")
+
+    def store_rows_total() -> int:
+        # The store total comes from the manifest the pipeline already
+        # maintains (per-file n_rows, one metadata-sized table) — a
+        # full-store count() here would be the one O(|history|) action
+        # in the loop (VERDICT r5 #4). Fall back to counting only when
+        # the caller opted out of manifest upkeep.
+        if not os.path.exists(store_path):
+            return 0
+        if refresh_manifest and os.path.exists(manifest_path):
+            row = (
+                spark.read.parquet(manifest_path)
+                .agg(F.sum("n_rows").alias("n"))
+                .collect()[0]
+            )
+            return int(row["n"] or 0)
+        return spark.read.parquet(store_path).count()
 
     # 1. incremental scan: never-processed rows only
     delta = load_unprocessed(source, log, limit=batch_limit).localCheckpoint(eager=True)
@@ -84,9 +102,7 @@ def run_batch(
         "store_rows_read": 0,
     }
     if delta_rows == 0:
-        metrics["store_rows_total"] = (
-            spark.read.parquet(store_path).count() if os.path.exists(store_path) else 0
-        )
+        metrics["store_rows_total"] = store_rows_total()
         return metrics
 
     # 2. near-dup gate against ALL history via the persistent index —
@@ -143,9 +159,9 @@ def run_batch(
             store_path,
             [f"{BUCKET_COL}={kb}" for kb in touched],
             ["doc_id"],
-            os.path.join(work_dir, "store_manifest"),
+            manifest_path,
         )
-    metrics["store_rows_total"] = spark.read.parquet(store_path).count()
+    metrics["store_rows_total"] = store_rows_total()
     return metrics
 
 
@@ -156,6 +172,7 @@ def run_demo(
     batch_limit: int,
     n_batches: int = 4,
     num_buckets: int = 16,
+    near_dup_threshold: float = 0.7,
 ) -> DataFrame:
     """The gate/bench shape: ``n_batches`` consecutive passes over
     ``source``, returned as one metrics frame — (batch, delta_rows,
@@ -171,7 +188,12 @@ def run_demo(
     rows = []
     for batch_no in range(1, n_batches + 1):
         m = run_batch(
-            spark, source, work_dir, batch_limit=batch_limit, num_buckets=num_buckets
+            spark,
+            source,
+            work_dir,
+            batch_limit=batch_limit,
+            num_buckets=num_buckets,
+            near_dup_threshold=near_dup_threshold,
         )
         rows.append(
             (

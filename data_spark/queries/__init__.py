@@ -68,88 +68,34 @@ ORACLE = {
     **quality.ORACLE,
 }
 
-# Round-5 window (the driver records the first 50 entries; see
+# Round-6 window (the driver records the first 50 entries; see
 # WITNESS.md for the per-query ledger this ordering is derived from).
-# Composition — exactly the never-driver-witnessed backlog (VERDICT r4
-# "Next round" #1), 47 + 3 = 50:
-#   1-15:  the 15 late-r4 additions that landed at ledger #51-65, just
-#          past the r4 window (d_dup_passages ... d_kl_source_drift).
-#  16-20:  the 5 post-snapshot sketch/graph/phrase additions
-#          (a_cms_heavy_hitters ... a_market_basket, ledger #159-163).
-#  21-40:  the 20 post-snapshot mining-tier additions
-#          (g_label_propagation ... dq_benford_digits, ledger #164-183).
-#  41-47:  the 7 r4-continuation additions (v_rrf_hybrid ... dq_profile,
-#          ledger #184-190).
-#  48-50:  the 3 late-r4 rows-only -> BIT-EXACT oracle conversions
-#          (d_kmeans / d_semantic_dedup / v_ivf_kmeans_topk) — their
-#          new oracles have never had a driver row.
-# Every r4-window query rotates out (all 48 witnessed green in r4); the
-# oldest remaining greens are r2-witnessed (q12, q11, q20, q21,
-# w_distinct_over_window, a_salted_skew_agg, ...) and open the r6
-# window after the backlog clears.
+# Composition — VERDICT r5 "Next round" #2, exactly as pre-planned in
+# the r5 WITNESS.md:
+#   1-9:   the 9 entries with no driver row for their CURRENT contract:
+#          the 6 r5-created queries (pipe_incremental_e2e + the five
+#          analytics3 additions; v_hamming_topk additionally changed
+#          plan this round — truncate_lineage replaced the leaked
+#          session cache, VERDICT r5 #1) and the 3 r5 rows-only →
+#          portable-hash EXACT oracle conversions (d_minhash_lsh /
+#          v_lsh_ann / d_embed_near_dup_lsh) whose old greens witnessed
+#          the retired oracle.
+#  10-13:  the 4 queries whose oracle CONTRACT changed in r6 —
+#          g_pagerank / g_hits / g_ppr_personalized moved from plain
+#          FLOOR(·1e8) to the boundary-safe round-half snap, and
+#          v_mmr_rerank now takes its shortlist/arg-max decisions on
+#          e6-snapped similarities (VERDICT r5 #5) — their r4/r5 rows
+#          witnessed the retired contract.
+#  14-50:  the 37 oldest stale greens, oldest-first in ledger order —
+#          all r2-witnessed (q12 ... mm_frame_sample). The remaining 7
+#          r2-witnessed queries (d_bigram_lm, v_cosine_topk,
+#          v_ivf_topk, d_embed_near_dup, j_suffix_containment,
+#          g_triangles, g_clustering_coeff) did not fit and MUST open
+#          the r7 window together with anything added or changed later
+#          in r6.
 _PRIORITY = [
-    # --- added late r4, missed the r4 window by 1-15 slots ---
-    "d_dup_passages",
-    "m_cdc_apply",
-    "a_hll_exact_rollup",
-    "a_autocorr_lag1",
-    "a_linreg_trend",
-    "a_mad_outliers",
-    "e_pattern_seq",
-    "e_transition_matrix",
-    "f_null_semantics",
-    "dq_constraint_audit",
-    "s_spatial_grid_join",
-    "h_bom_rollup",
-    "m_incr_agg_maintain",
-    "a_chi2_cells",
-    "d_kl_source_drift",
-    # --- post-snapshot r4: mergeable-sketch / graph / phrase tier ---
-    "a_cms_heavy_hitters",
-    "g_sssp_bellman",
-    "d_pmi_bigrams",
-    "a_hll_set_algebra",
-    "a_market_basket",
-    # --- post-snapshot r4: mining tier ---
-    "g_label_propagation",
-    "a_itemcf_recommend",
-    "a_yoy_growth",
-    "d_sorted_neighborhood",
-    "d_containment_pairs",
-    "d_rake_keywords",
-    "d_winsorize",
-    "g_ppr_personalized",
-    "a_seasonal_index",
-    "j_multitouch_attrib",
-    "f_phonetic_block",
-    "d_bpe_train",
-    "d_bpe_apply",
-    "w_max_drawdown",
-    "a_gini_revenue",
-    "m_incr_join_maintain",
-    "a_median_via_rank",
-    "g_walk_sample",
-    "d_er_score_fusion",
-    "dq_benford_digits",
-    # --- r4 continuation: retrieval / storage / profiling tier ---
-    "v_rrf_hybrid",
-    "v_pq_adc_topk",
-    "m_snapshot_diff",
-    "g_hits",
-    "v_mmr_rerank",
-    "a_theilsen_slope",
-    "dq_profile",
-    # --- late-r4 rows-only -> exact-oracle conversions, new oracle
-    #     never driver-witnessed ---
-    "d_kmeans",
-    "d_semantic_dedup",
-    "v_ivf_kmeans_topk",
-    # ---- window boundary (driver records the 50 above) ----
-    # r6 opens with the r5 additions/oracle conversions that missed
-    # this window (pipe_incremental_e2e and the five analytics3 queries
-    # are new; the three portable-hash conversions changed oracle+plan,
-    # so their old rows-only greens no longer witness them), then the
-    # oldest r2-witnessed greens
+    # --- never driver-witnessed under current contract (r5 additions
+    #     + r5 oracle conversions) ---
     "pipe_incremental_e2e",
     "g_resource_alloc",
     "e_cusum_changepoint",
@@ -159,12 +105,62 @@ _PRIORITY = [
     "d_minhash_lsh",
     "v_lsh_ann",
     "d_embed_near_dup_lsh",
+    # --- r6 oracle-contract changes (round-half / snapped decisions) ---
+    "g_pagerank",
+    "g_hits",
+    "g_ppr_personalized",
+    "v_mmr_rerank",
+    # --- oldest stale greens: the r2-witnessed block, ledger order ---
     "q12_shipmode_case",
     "q11_important_parts",
     "q20_heavy_suppliers",
     "q21_lone_returned_supplier",
     "w_distinct_over_window",
     "a_salted_skew_agg",
+    "j_salted_skew_join",
+    "q6_forecast_revenue",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "m_scd2_history",
+    "w_analytic_battery",
+    "e_sessionize",
+    "e_session_window_native",
+    "e_gap_fill_ffill",
+    "e_rollup_hierarchy",
+    "d_dedup_exact",
+    "d_ngram_jaccard",
+    "d_dedup_resolve",
+    "d_token_stats",
+    "d_bpe_tokens",
+    "d_quality",
+    "d_repetition",
+    "d_source_quota",
+    "d_contamination",
+    "d_pii_redact",
+    "d_split_assign",
+    "d_pack_sequences",
+    "d_lang_id",
+    "d_fingerprint",
+    "d_top_terms",
+    "d_curation_e2e",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    # ---- window boundary (driver records the 50 above) ----
+    # r7 must open with: d_bigram_lm, v_cosine_topk, v_ivf_topk,
+    # d_embed_near_dup, j_suffix_containment, g_triangles,
+    # g_clustering_coeff (r2-witnessed, displaced from this window by
+    # the r6 contract changes), then any r6-created/changed queries,
+    # then the r3-witnessed block.
+    "d_bigram_lm",
+    "v_cosine_topk",
+    "v_ivf_topk",
+    "d_embed_near_dup",
+    "j_suffix_containment",
+    "g_triangles",
+    "g_clustering_coeff",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -19,7 +19,6 @@ from data_spark.operators.dedup import (
     exact_duplicate_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash_near_duplicates,
 )
 from data_spark.operators.textstats import (
     language_id,
@@ -183,19 +182,16 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("d_simhash_near")  # rows-only BY DESIGN — see docstring
-def d_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (band-bucketed Hamming ≤ 3).
-
-    Deliberately NOT oracle-converted (VERDICT r4 #6 triage): this
-    query's purpose is exercising the repo's single pandas UDF path —
-    the sha512-based ``simhash64`` Arrow batch hash — and DuckDB has no
-    sha512, so an exact replay would require swapping the hash and with
-    it the thing under test. The cross-engine-EXACT simhash member is
-    ``d_simhash_exact_pairs`` (pure column algebra, same chunk-banding
-    pigeonhole, full DuckDB oracle); this one stays rows-only with its
-    known-digest + banding-recall pytests (test_operators/test_dedup)."""
-    return simhash_near_duplicates(t(spark, sf_dir, "documents"))
+# The former d_simhash_near gate entry (sha512 pandas-UDF simhash,
+# rows-only because DuckDB has no sha512) was RETIRED in r6 per VERDICT
+# r5 #6: its algorithm is hash-verified cross-engine by its exact twin
+# d_simhash_exact_pairs (same chunk-banding pigeonhole, column-algebra
+# signature), and the production pandas-UDF path it exercised stays
+# pinned by test_operators/test_dedup (known sha512 digests, banding
+# recall) plus test_operators.test_simhash_paths_agree_on_planted_dups,
+# which checks BOTH paths against ground-truth n-gram Jaccard — the two
+# hash functions legitimately disagree only on borderline pairs, so
+# equality of outputs is not the law; agreement on true near-dups is.
 
 
 @_q(

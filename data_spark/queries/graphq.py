@@ -60,10 +60,15 @@ def _pagerank_oracle_sql() -> str:
     the repr of Python's ``1.0 - 0.85`` then divided by n IN-ENGINE, so
     both engines perform identical exactly-rounded IEEE ops; the only
     divergence left is SUM reassociation (~1e-16 relative), made
-    invisible by the final FLOOR(rank * 1e8) grid except for ranks
-    within ~1e-16 of a 1e-8 grid boundary, which can floor to adjacent
-    integers — a ~1e-8-per-score chance documented as an acceptable
-    rare-flip at new scale factors (see g_hits's oracle note)."""
+    invisible by the final round-half snap FLOOR(rank·1e8 + 0.5)
+    (VERDICT r5 #5). Round-half, not FLOOR: PageRank's structural
+    values — the teleport floor (1−d)/n, leaf ranks — are short
+    decimals that sit ON the 1e-8 grid, exactly where FLOOR's decision
+    boundary is, so ulp drift around them COULD flip the floored
+    integer. The half-grid boundary at k+0.5 has no structural
+    attractor, leaving only the ~1e-16-coincidence window
+    (test_graph's ±1-ulp perturbation check pins every emitted score
+    clear of it at the test SFs); see g_hits's oracle note."""
     one_minus_d = repr(1.0 - _PR_DAMPING)  # '0.15000000000000002'
     d = repr(_PR_DAMPING)
     parts = [
@@ -93,7 +98,8 @@ def _pagerank_oracle_sql() -> str:
         )
     parts.append(
         f"""
-  SELECT id, CAST(FLOOR(rank * CAST(100000000 AS DOUBLE)) AS BIGINT) AS rank_e8
+  SELECT id,
+         CAST(FLOOR(rank * CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rank_e8
   FROM r{_PR_ITERATIONS}
     """
     )
@@ -107,12 +113,15 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-oracled since r4 (previously rows-only): the DuckDB oracle
     unrolls the same 6 iterations as chained CTEs with bit-identical
-    IEEE constants, and both engines emit ranks snapped to a 1e-8 grid
-    (FLOOR(rank·1e8) AS BIGINT) so double-sum reassociation between
-    engines — bounded ~1e-16 relative — cannot flip the value hash."""
+    IEEE constants, and both engines emit ranks round-half snapped to a
+    1e-8 grid (FLOOR(rank·1e8 + 0.5) AS BIGINT — boundary-safe vs the
+    grid-sitting structural values, VERDICT r5 #5) so double-sum
+    reassociation between engines — bounded ~1e-16 relative — cannot
+    flip the value hash."""
     edges = _supplier_customer_edges(spark, sf_dir)
     return pagerank(edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING).select(
-        "id", F.floor(F.col("rank") * F.lit(1e8)).cast("bigint").alias("rank_e8")
+        "id",
+        F.floor(F.col("rank") * F.lit(1e8) + F.lit(0.5)).cast("bigint").alias("rank_e8"),
     )
 
 
@@ -270,14 +279,15 @@ def _hits_oracle_sql() -> str:
     so the only cross-engine drift left is the double→decimal rounding
     convention (Spark rounds the shortest decimal repr, DuckDB the
     exact binary expansion: ≤1 ulp at the 18th decimal per addend).
-    The final FLOOR(score·1e8) grid makes that bounded drift invisible
-    EXCEPT for scores landing within an ulp below a 1e-8 grid boundary,
-    which can floor to adjacent integers (ADVICE r4) — for a score to
-    hit that window the true value must sit within ~1e-16 of a 1e-8
-    multiple, a ~1e-8 chance per emitted score, so an occasional hash
-    flip at a NEW scale factor is this documented boundary case, not an
-    operator bug. Same contract (and same caveat) as g_pagerank's
-    oracle."""
+    The final round-half snap FLOOR(score·1e8 + 0.5) makes that
+    bounded drift invisible (VERDICT r5 #5): HITS's structural values
+    — L1-normalized scores of symmetric vertices, exact decimal shares
+    like 0.25 — sit ON the 1e-8 grid where plain FLOOR's boundary is,
+    so ulp drift around them could flip the floored integer; the
+    half-grid boundary at k+0.5 has no structural attractor, leaving
+    only a ~1e-16-coincidence window (pinned clear by test_graph's
+    ±1-ulp perturbation check at the test SFs). Same contract as
+    g_pagerank's oracle."""
     dsum = "CAST(SUM(CAST({expr} AS DECIMAL(38,18))) AS DOUBLE)"
     parts = [
         _SQL_EDGES,
@@ -315,8 +325,8 @@ def _hits_oracle_sql() -> str:
     parts.append(
         f"""
   SELECT h.id,
-         CAST(FLOOR(h.hub * CAST(100000000 AS DOUBLE)) AS BIGINT) AS hub_e8,
-         CAST(FLOOR(a.auth * CAST(100000000 AS DOUBLE)) AS BIGINT) AS auth_e8
+         CAST(FLOOR(h.hub * CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS hub_e8,
+         CAST(FLOOR(a.auth * CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS auth_e8
   FROM h{_HITS_ITERATIONS} h JOIN a{_HITS_ITERATIONS} a ON a.id = h.id
     """
     )
@@ -333,14 +343,15 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-oracled: the DuckDB oracle unrolls the same 3 iterations with
     the same decimal(38,18)-summed, coalesce-0 recurrence, and both
-    engines emit scores snapped to a 1e-8 grid (FLOOR(score·1e8)) so
-    the ≤1-ulp double→decimal convention drift between engines cannot
-    flip the value hash."""
+    engines emit scores round-half snapped to a 1e-8 grid
+    (FLOOR(score·1e8 + 0.5) — boundary-safe vs grid-sitting structural
+    values, VERDICT r5 #5) so the ≤1-ulp double→decimal convention
+    drift between engines cannot flip the value hash."""
     from data_spark.graph.algorithms import hits
 
     edges = _supplier_customer_edges(spark, sf_dir)
     return hits(edges, iterations=_HITS_ITERATIONS).select(
         "id",
-        F.floor(F.col("hub") * F.lit(1e8)).cast("bigint").alias("hub_e8"),
-        F.floor(F.col("auth") * F.lit(1e8)).cast("bigint").alias("auth_e8"),
+        F.floor(F.col("hub") * F.lit(1e8) + F.lit(0.5)).cast("bigint").alias("hub_e8"),
+        F.floor(F.col("auth") * F.lit(1e8) + F.lit(0.5)).cast("bigint").alias("auth_e8"),
     )

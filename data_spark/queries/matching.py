@@ -648,4 +648,9 @@ def pipe_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     source = d.unionByName(variants).unionByName(fresh)
-    return run_demo(spark, source, work, batch_limit=n, n_batches=4)
+    # threshold 0.5 (not run_batch's 0.7 default) so the gate really
+    # carries the documented ~8-sigma margin below the variants' 0.95
+    # and above the fresh docs' 0.0 (ADVICE r5)
+    return run_demo(
+        spark, source, work, batch_limit=n, n_batches=4, near_dup_threshold=0.5
+    )

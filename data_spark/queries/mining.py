@@ -625,7 +625,9 @@ def d_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expansion of a_itemcf_recommend. Same fixed-iteration + IEEE-constant
 # + 1e-8-grid-snap discipline that made global g_pagerank hash-oracle
 # able (graphq.py): double-SUM reassociation between engines is bounded
-# ~1e-16 relative and absorbed by the FLOOR(rank·1e8) snap.
+# ~1e-16 relative and absorbed by the round-half FLOOR(rank·1e8 + 0.5)
+# snap — half-grid boundary, clear of the grid-sitting structural
+# values like the seed's (1−d) teleport share (VERDICT r5 #5).
 # ---------------------------------------------------------------------------
 
 _PPR_SOURCE = "s1"
@@ -672,7 +674,8 @@ def _ppr_oracle() -> str:
         )
     parts.append(
         f"""
-  SELECT id, CAST(FLOOR(rank * CAST(100000000 AS DOUBLE)) AS BIGINT) AS rank_e8
+  SELECT id,
+         CAST(FLOOR(rank * CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rank_e8
   FROM r{_PPR_ITERATIONS}
     """
     )
@@ -686,7 +689,8 @@ def g_ppr_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed and teleports back to it each step, so the scores measure
     random-walk proximity to the seed. Per-iteration plan identical to
     global PageRank (links pre-partitioned and cached, two shuffles);
-    output snapped to the 1e-8 grid for the cross-engine hash."""
+    output round-half snapped to the 1e-8 grid (FLOOR(·1e8 + 0.5),
+    boundary-safe — VERDICT r5 #5) for the cross-engine hash."""
     from data_spark.graph.algorithms import pagerank  # noqa: PLC0415
 
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -705,7 +709,8 @@ def g_ppr_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=_PPR_DAMPING,
         source=_PPR_SOURCE,
     ).select(
-        "id", F.floor(F.col("rank") * F.lit(1e8)).cast("bigint").alias("rank_e8")
+        "id",
+        F.floor(F.col("rank") * F.lit(1e8) + F.lit(0.5)).cast("bigint").alias("rank_e8"),
     )
 
 

@@ -725,21 +725,24 @@ def _mmr_oracle_sql() -> str:
     aggregate and picks the arg-max of lam·rel − (1−lam)·maxsim with an
     id tiebreak.
 
-    Parity contract (same class as v_cosine_topk's boundary note, per
-    ADVICE r4): scores never appear in the output, but Spark's
+    Parity contract (boundary-safe since r6, VERDICT r5 #5): Spark's
     zip_with-fold cosine and DuckDB's list_cosine_similarity are
     INDEPENDENT float implementations, so ulp-level relative drift is
-    expected, not exceptional. That drift is harmless except at two
-    decision boundaries: (a) the rank-_MMR_SHORTLIST shortlist cut —
-    two candidates whose rel values differ by less than the
-    cross-engine drift can swap across the cut; (b) a near-tie greedy
-    arg-max where lam·rel − mu·maxsim differs by less than the drift.
-    At the current fixture (vec_id<3 queries × 490-candidate corpus,
-    64-dim unit-ish vectors) the smallest observed boundary margins are
-    ~1e-7, ~8 orders above double-rounding drift, so the hash is
-    stable; at NEW scale factors a boundary collision would present as
-    a rare hash flip on this one query and should be triaged as this
-    documented sensitivity, not as an operator bug."""
+    expected, not exceptional. Both decision boundaries are therefore
+    taken on round-half SNAPPED similarities — rel_q = FLOOR(rel·1e6 +
+    0.5) and psim_q likewise, as BIGINTs: (a) the rank-_MMR_SHORTLIST
+    shortlist cut ranks (rel_q DESC, cid), so near-equal cosines
+    collapse to the same grid value and the id tiebreak decides
+    identically in both engines; (b) the greedy arg-max score
+    lam·rel_q − mu·ms_q is the same two IEEE double ops on the same
+    integers with the same repr'd constants — bit-identical across
+    engines. The ONLY residual sensitivity is a cosine sitting within
+    ~1 ulp of a HALF-grid boundary (k+0.5)·1e-6 — a ~1e-10-per-value
+    coincidence with no structural attractor (cosines structurally hit
+    0 and 1, which round-half handles exactly); test_vector_snap's
+    ±1-ulp perturbation check pins every fixture similarity clear of
+    it. A hash flip here at a new SF means that coincidence, not an
+    operator bug."""
     lam = repr(_MMR_LAM)
     mu = repr(1.0 - _MMR_LAM)
     parts = [
@@ -747,7 +750,10 @@ def _mmr_oracle_sql() -> str:
   q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
   c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
   rels AS (
-    SELECT qid, cid, list_cosine_similarity(qv, cv) AS rel FROM q, c
+    SELECT qid, cid,
+           CAST(FLOOR(list_cosine_similarity(qv, cv) * CAST(1000000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rel
+    FROM q, c
   ),
   cand AS MATERIALIZED (
     SELECT qid, cid, rel FROM (
@@ -757,7 +763,8 @@ def _mmr_oracle_sql() -> str:
   ),
   pair AS MATERIALIZED (
     SELECT x.qid, x.cid AS ca, y.cid AS cb,
-           list_cosine_similarity(cx.cv, cy.cv) AS psim
+           CAST(FLOOR(list_cosine_similarity(cx.cv, cy.cv) * CAST(1000000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS psim
     FROM cand x
     JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid
     JOIN c cx ON cx.cid = x.cid
@@ -809,7 +816,10 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     as v_cosine_topk — and the greedy rounds run on constant-bounded
     shortlist frames, so the operator costs the same as brute top-k at
     any corpus size. Hash-oracled against a DuckDB CTE chain unrolling
-    the identical greedy recurrence with identical IEEE constants."""
+    the identical greedy recurrence with identical IEEE constants;
+    both engines take every rank/arg-max decision on e6-snapped
+    similarities so independent cosine implementations cannot diverge
+    at the decision boundaries (see _mmr_oracle_sql)."""
     from data_spark.operators.similarity import mmr_rerank
 
     emb = t(spark, sf_dir, "embeddings")
@@ -819,4 +829,5 @@ def v_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MMR_K,
         shortlist=_MMR_SHORTLIST,
         lam=_MMR_LAM,
+        snap_digits=6,
     )

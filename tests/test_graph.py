@@ -315,3 +315,55 @@ def test_hits_matches_reference_iteration(spark):
     assert got["y"][1] == max(a for _, a in got.values())
     # pure sources have zero authority, pure sinks zero hub
     assert got["a"][1] == 0.0 and got["y"][0] == 0.0
+
+
+def test_e8_snap_is_ulp_stable(spark, sf_small):
+    """The e8-grid oracle contract for g_pagerank / g_hits /
+    g_ppr_personalized is round-half, FLOOR(x·1e8 + 0.5), precisely so
+    that cross-engine ulp drift cannot flip a snapped value (VERDICT
+    r5 #5: plain FLOOR put its decision boundary ON the grid, where
+    structural values like the teleport floor (1−d)/n sit). Pin the
+    claim: perturb every emitted raw score by ±1 ulp and require the
+    snapped integer unchanged — no score at this SF lives within an
+    ulp of a half-grid boundary."""
+    import math
+
+    from data_spark.graph.algorithms import hits, pagerank
+    from data_spark.queries.graphq import (
+        _HITS_ITERATIONS,
+        _PR_DAMPING,
+        _PR_ITERATIONS,
+        _supplier_customer_edges,
+    )
+    from data_spark.queries.mining import _PPR_DAMPING, _PPR_ITERATIONS, _PPR_SOURCE
+
+    def snap(x: float) -> int:
+        return math.floor(x * 1e8 + 0.5)
+
+    edges = _supplier_customer_edges(spark, sf_small)
+    vals = [
+        r["rank"]
+        for r in pagerank(edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING).collect()
+    ]
+    vals += [
+        x
+        for r in hits(edges, iterations=_HITS_ITERATIONS).collect()
+        for x in (r["hub"], r["auth"])
+    ]
+    vals += [
+        r["rank"]
+        for r in pagerank(
+            edges,
+            iterations=_PPR_ITERATIONS,
+            damping=_PPR_DAMPING,
+            source=_PPR_SOURCE,
+        ).collect()
+    ]
+    assert len(vals) > 100
+    unstable = [
+        v
+        for v in vals
+        if snap(math.nextafter(v, math.inf)) != snap(v)
+        or snap(math.nextafter(v, -math.inf)) != snap(v)
+    ]
+    assert unstable == [], f"{len(unstable)} scores within 1 ulp of a half-grid boundary: {unstable[:5]}"

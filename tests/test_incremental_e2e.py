@@ -119,3 +119,47 @@ def test_fresh_docs_pass_the_gate(spark, docs, tmp_path):
     assert m2["near_dups_dropped"] == 0
     assert m2["merged_rows"] == 40
     assert m2["store_rows_total"] == 80
+
+
+def test_manifest_refresh_recovers_from_crashed_swap(spark, tmp_path):
+    """The manifest swap is two renames; a crash between them leaves
+    NO live manifest plus a __bak of the pre-refresh state (ADVICE r5).
+    The next refresh must restore that backup, redo the delta, and
+    sweep leftovers — never silently fall back to a full rebuild with
+    stale rows or leave junk directories accumulating."""
+    import shutil
+    import uuid
+
+    from data_spark.io import refresh_file_index_for_dirs
+
+    path = str(tmp_path / "store")
+    idx = str(tmp_path / "idx")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("__kb")
+    )
+    df.write.partitionBy("__kb").parquet(path)
+    refresh_file_index_for_dirs(spark, path, [], ["doc_id"], idx)  # bootstrap
+    before = sorted(map(tuple, spark.read.parquet(idx).collect()))
+
+    # rewrite bucket 1, then simulate a refresh that crashed BETWEEN the
+    # two renames: manifest moved to __bak, fresh staging left behind
+    shutil.rmtree(os.path.join(path, "__kb=1"))
+    spark.range(200, 230).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("__kb")
+    ).write.partitionBy("__kb").mode("append").parquet(path)
+    os.rename(idx, f"{idx}__bak_{uuid.uuid4().hex[:8]}")
+    os.makedirs(f"{idx}__staging_{uuid.uuid4().hex[:8]}")
+    assert not os.path.exists(idx)
+
+    refresh_file_index_for_dirs(spark, path, ["__kb=1"], ["doc_id"], idx)
+    got = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    # rows for untouched buckets survive the recovery unchanged...
+    untouched = [r for r in before if "__kb=1" not in r[0]]
+    assert [r for r in got if "__kb=1" not in r[0]] == untouched
+    # ...and bucket 1's rows describe the REWRITTEN files
+    kb1 = [r for r in got if "__kb=1" in r[0]]
+    assert kb1 and all(200 <= r[2] and r[3] <= 229 for r in kb1)
+    # leftover staging/backup dirs are gone
+    parent = os.path.dirname(idx)
+    junk = [n for n in os.listdir(parent) if "__bak_" in n or "__staging_" in n]
+    assert junk == []

@@ -158,6 +158,22 @@ EXCHANGE_BUDGET = {
 }
 
 
+@pytest.fixture(autouse=True)
+def _no_leaked_cache(spark):
+    """Audited plans must be what a fresh session would produce: a
+    query that leaves frames in the session cache substitutes an
+    InMemoryRelation into any other query sharing that subtree and
+    silently changes ITS plan (VERDICT r5 #1: v_hamming_topk's leaked
+    sig cache flipped d_simhash_exact_pairs from 5 to 9 exchanges in
+    full-suite runs only — the budget gate was session-order-dependent).
+    Clearing before AND after each case makes every audited plan
+    independent of which tests ran earlier, and keeps this module from
+    leaking cache state into later modules."""
+    spark.catalog.clearCache()
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
 def test_exchange_budget(spark, sf_small, name):
     plan = (
@@ -238,3 +254,27 @@ def test_bench_headline_names_resolve():
     # and the headline has no duplicates (a dup would double-count a
     # query in the totals)
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_bench_stdout_line_survives_driver_tail():
+    """The driver keeps only a ~2,000-byte TAIL of bench stdout; three
+    rounds of BENCH_r*.json recorded "parsed": null because the line's
+    FRONT was cut off (VERDICT r5 #3). Simulate the worst case — every
+    headline query present with a long name and a large warm value —
+    and require that the tail of a full captured stream still parses."""
+    import json as _json
+
+    import bench
+
+    warm = {f"{n}_{'x' * 10}": 123.456 for n in bench.HEADLINE}
+    line = bench.stdout_line(1234.5678, warm, len(bench.HEADLINE), 3, 0.1)
+    # the line itself fits the tail budget with headroom
+    assert len(line) <= 1500
+    # and survives the driver's capture: last 2000 bytes of the full
+    # stdout stream (line + newline) must contain the complete line
+    captured = (line + "\n").encode()[-2000:]
+    parsed = _json.loads(captured.decode().strip())
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert "_others_warm_total" in parsed["queries"]
+    assert parsed["detail"] == "BENCH_local.json"

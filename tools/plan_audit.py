@@ -37,6 +37,11 @@ def main() -> int:
     violations = []
     window_violations = []
     for name, fn in sorted(QUERIES.items()):
+        # Each plan must be what a fresh session would produce: cached
+        # frames left behind by an earlier query get substituted as
+        # InMemoryRelation into structurally identical subtrees and
+        # rewrite later queries' plans (VERDICT r5 #1).
+        spark.catalog.clearCache()
         try:
             rep = plan_report(fn(spark, sf_dir))
         except Exception as e:  # pragma: no cover - surfaced in the artifact
