@@ -214,17 +214,13 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # Shuffle/scratch to tmpfs when available: this box's root disk is
-    # shared and shows transient multi-second IO stalls
-    # (/proc/pressure/io "full" >10% observed mid-run), which inflate
-    # the shuffle-heavy tail 2-3x through no fault of the plans. At
-    # cluster scale shuffle goes to dedicated local NVMe; scratch in
-    # /dev/shm is the local[32] equivalent. Table reads/writes (the
-    # incremental pipeline's store) still hit the real filesystem.
-    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
-        scratch = "/dev/shm/data_spark_bench_scratch"
-        os.makedirs(scratch, exist_ok=True)
-        os.environ["SPARK_LOCAL_DIRS"] = scratch
+    # Shuffle scratch stays on the default local disk. A /dev/shm
+    # redirect was tried in r6 to dodge the host's transient IO stalls
+    # and measured SLOWER (d_ngram_jaccard warm 1.2-1.5 s on disk vs
+    # 3-8 s on tmpfs across interleaved A/B runs): this box's hypervisor
+    # appears memory-overcommitted, so tmpfs page writes trigger host
+    # reclaim that costs more than the disk ever did. Leaving the knob
+    # to the environment (SPARK_LOCAL_DIRS) rather than hardcoding it.
     # partition-to-data-size discipline: at bench scale (<1 GB) 16 initial
     # shuffle partitions + AQE coalescing beats the 32 default tuned for
     # bigger inputs; override with SPARK_GRAFT_SHUFFLE

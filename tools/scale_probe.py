@@ -320,7 +320,76 @@ def incr(sizes: list[int], delta: int = 100) -> None:
         )
 
 
+def graph_mode(sizes: list[int]) -> None:
+    """r6: the iterative graph tier is the slowest bench family at
+    sf0.1, and every verdict so far has ASSERTED (not measured) that
+    the cost there is per-iteration job-scheduling constant that
+    amortizes at scale. Measure it: deterministic hash-derived edge
+    sets at each size (|V| ≈ |E|/8, 10%% of edges rerouted to a hub
+    vertex so the shuffle sees real skew), fixed-iteration PageRank(6)
+    and connected components, exponent b in t ≈ a·|E|^b. b ≈ 1 on a
+    100× range means the constant dominates at bench scale and the
+    design scales linearly; an all-pairs or re-planning pathology
+    would show b → 2 (or planning blowup growth per round)."""
+    from data_spark.graph.algorithms import connected_components, pagerank
+
+    spark = get_spark("scale_probe_graph")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, list[dict]] = {"pagerank6": [], "components": []}
+    for m in sizes:
+        nv = max(64, m // 8)
+        edges = (
+            spark.range(m)
+            .select(
+                (F.xxhash64(F.col("id")) % nv).alias("s"),
+                (F.xxhash64(F.col("id"), F.lit(1)) % nv).alias("d"),
+            )
+            .select(
+                F.concat(F.lit("v"), F.abs(F.col("s"))).alias("src"),
+                F.when(F.xxhash64(F.col("d")) % 10 == 0, F.lit("v0"))
+                .otherwise(F.concat(F.lit("v"), F.abs(F.col("d"))))
+                .alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        edges = edges.repartition(
+            min(32, max(4, m // 250_000 + 4))
+        ).localCheckpoint(eager=True)
+        me = edges.count()
+        for name, run in (
+            ("pagerank6", lambda e: pagerank(e, iterations=6)),
+            ("components", lambda e: connected_components(e)),
+        ):
+            run(edges).count()  # warm: pay codegen/compile once
+            t0 = time.perf_counter()
+            out_rows = run(edges).count()
+            sec = round(time.perf_counter() - t0, 3)
+            results[name].append({"edges": me, "rows": out_rows, "sec": sec})
+            print(f"graph: {name} |E|={me} {sec}s", file=sys.stderr, flush=True)
+    for name, points in results.items():
+        xs = [math.log(p["edges"]) for p in points]
+        ys = [math.log(max(p["sec"], 1e-3)) for p in points]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        print(
+            json.dumps(
+                {
+                    "operator": f"graph:{name}",
+                    "mode": "graph",
+                    "points": points,
+                    "scaling_exponent": round(slope, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "graph":
+        graph_mode([int(x) for x in sys.argv[2:]] or [100_000, 1_000_000, 10_000_000])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "curve":
         curve(sys.argv[2:] or list(_CURVE_DEFAULTS))
         return
