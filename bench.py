@@ -155,6 +155,12 @@ HEADLINE = [
     "d_quality_classifier",  # hashing-trick linear scorer, 1024 fixed buckets
     "m_schema_evolution",  # versioned store: merge-schema read + NULL backfill
     "v_hamming_topk",  # 8-byte binary codes, broadcast queries, XOR+popcount
+    # r6 additions: statistical-testing & corpus-scoring tier
+    "a_ks_two_sample",  # exact-integer KS over per-value histograms
+    "a_mann_whitney_u",  # doubled-midrank rank-sum, same histogram scan
+    "g_modularity",  # integer-unit community quality over LPA(3) labels
+    "d_perplexity_filter",  # bigram-LM self-scoring (model groupBy + equi-join)
+    "d_cdc_chunking",  # content-defined chunk fingerprint dedup
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -158,6 +158,10 @@ NESTED_LOOP_ALLOWED = frozenset(
         "dq_benford_digits",  # 1-row digit-total broadcast onto the 9-row lattice
         "v_rrf_hybrid",  # 1-row query-vector + 1-row BM25-stats broadcasts
         "v_hamming_topk",  # deliberate query-code x corpus broadcast (8 B/code)
+        "a_ks_two_sample",  # |langs|^2-row pair lattice over bounded languages
+        "a_mann_whitney_u",  # same bounded language-pair lattice
+        "g_modularity",  # 1-row directed-edge-count broadcast
+        "d_perplexity_filter",  # 1-row vocabulary-size broadcast
     }
 )
 

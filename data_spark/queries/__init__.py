@@ -15,6 +15,7 @@ from data_spark.queries import (
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     documents,
     events,
     graphq,
@@ -44,6 +45,7 @@ _ALL_QUERIES = {
     **analytics.QUERIES,
     **analytics2.QUERIES,
     **analytics3.QUERIES,
+    **analytics4.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -63,6 +65,7 @@ ORACLE = {
     **analytics.ORACLE,
     **analytics2.ORACLE,
     **analytics3.ORACLE,
+    **analytics4.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,
@@ -152,8 +155,10 @@ _PRIORITY = [
     # r7 must open with: d_bigram_lm, v_cosine_topk, v_ivf_topk,
     # d_embed_near_dup, j_suffix_containment, g_triangles,
     # g_clustering_coeff (r2-witnessed, displaced from this window by
-    # the r6 contract changes), then any r6-created/changed queries,
-    # then the r3-witnessed block.
+    # the r6 contract changes), PLUS the 5 never-witnessed mid-r6
+    # additions (a_ks_two_sample, a_mann_whitney_u, g_modularity,
+    # d_perplexity_filter, d_cdc_chunking — analytics4.py), then the
+    # r3-witnessed block.
     "d_bigram_lm",
     "v_cosine_topk",
     "v_ivf_topk",

@@ -663,3 +663,124 @@ def read_kll_state_quantiles(
             ).alias(f"est_p{int(round(q * 100)):02d}")
         )
     return state.select(*keys, *cols)
+
+
+def fold_hist_batch_into_state(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    group_col: str,
+    value_col: str,
+) -> None:
+    """One foreachBatch fold of per-(group, value) exact histograms:
+    count the micro-batch (one map-side-combinable groupBy), SUM-merge
+    into the state histogram (a groupBy over state+batch HISTOGRAM rows
+    — bounded by |groups|·|value domain|, never by streamed facts), and
+    promote with the shared stage-and-swap + batch-id replay guard.
+
+    The streaming face of queries/analytics4.a_ks_two_sample: the state
+    is everything KS needs, and integer-count merge is exactly
+    associative, so the folded state EQUALS the one-shot histogram over
+    all streamed rows (stronger than the sketch sinks' estimate-level
+    mergeability — pytest pins row-level equality). For unbounded value
+    domains use kll_state_sink and compare quantiles instead; for the
+    bounded discrete measures drift monitors actually watch (lengths,
+    token counts, scores on a grid) the exact histogram is smaller than
+    a sketch and admits the exact-integer KS below."""
+    import os
+
+    spark = batch.sparkSession
+    marker = os.path.join(state_path, "_last_folded_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # crash-replay of an already-applied batch
+    batch_hist = batch.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path)
+        new_state = (
+            state.unionByName(batch_hist)
+            .groupBy("grp", "v")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+    else:
+        new_state = batch_hist
+    _promote_state(new_state, state_path, batch_id)
+
+
+def hist_state_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_col: str,
+    value_col: str,
+) -> StreamingQuery:
+    """Exact-histogram maintenance as a streaming sink — the drift
+    monitor's state. Read KS drift vs a reference group with
+    :func:`read_ks_drift`."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        fold_hist_batch_into_state(batch, batch_id, state_path, group_col, value_col)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ks_drift(spark: SparkSession, state_path: str, ref_group: str) -> DataFrame:
+    """Per-group exact-integer KS distance vs ``ref_group``, computed
+    from the histogram state alone (a metadata-sized scan): for each
+    group g ≠ ref, D = max_v |F_g(v)·n_ref − F_ref(v)·n_g| — the same
+    boundary-free statistic as a_ks_two_sample, so the admit/quarantine
+    decision for a streamed shard never depends on float CDFs. Columns:
+    (grp, n, n_ref, d_num, v_at, ks_d)."""
+    state = spark.read.parquet(state_path)
+    ref = state.filter(F.col("grp") == ref_group).select(
+        "v", F.col("c").alias("c_ref")
+    )
+    others = state.filter(F.col("grp") != ref_group)
+    merged = (
+        others.select("grp", "v", F.col("c").alias("c_g"), F.lit(0).cast("bigint").alias("c_ref"))
+        .unionByName(
+            others.select("grp").distinct().join(
+                ref.select("v", "c_ref"), how="cross"
+            ).select("grp", "v", F.lit(0).cast("bigint").alias("c_g"), "c_ref")
+        )
+        .groupBy("grp", "v")
+        .agg(F.sum("c_g").alias("c_g"), F.sum("c_ref").alias("c_ref"))
+    )
+    w_cum = Window.partitionBy("grp").orderBy("v")
+    w_all = Window.partitionBy("grp")
+    cum = merged.select(
+        "grp",
+        "v",
+        F.sum("c_g").over(w_cum).alias("f_g"),
+        F.sum("c_ref").over(w_cum).alias("f_ref"),
+        F.sum("c_g").over(w_all).alias("n"),
+        F.sum("c_ref").over(w_all).alias("n_ref"),
+    )
+    scored = cum.select(
+        "grp",
+        "v",
+        "n",
+        "n_ref",
+        F.abs(F.col("f_g") * F.col("n_ref") - F.col("f_ref") * F.col("n")).alias("d_num"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("grp").orderBy(F.desc("d_num"), F.asc("v"))),
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "grp",
+        "n",
+        "n_ref",
+        "d_num",
+        F.col("v").alias("v_at"),
+        (
+            F.col("d_num").cast("double") / (F.col("n").cast("double") * F.col("n_ref").cast("double"))
+        ).alias("ks_d"),
+    )

@@ -23,3 +23,8 @@ SF_GATE = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def sf_small():
     return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_gate():
+    return SF_GATE

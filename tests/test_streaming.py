@@ -922,3 +922,79 @@ def test_kll_state_sink_folds_quantile_sketches(spark, tmp_path):
         for r in read_kll_state_quantiles(spark, state_path).collect()
     }
     assert after == got
+
+
+def test_hist_state_sink_ks_drift(spark, tmp_path):
+    """Micro-batch histograms SUM-fold into the state table: the folded
+    state row-equals the one-shot histogram over everything streamed
+    (integer merge is exact, stronger than sketch-level mergeability);
+    read_ks_drift computes the same exact-integer KS a python mirror
+    does; a crash-replay of an applied batch id is a no-op."""
+    from data_spark.streaming.jobs import (
+        fold_hist_batch_into_state,
+        hist_state_sink,
+        read_ks_drift,
+    )
+
+    src = str(tmp_path / "src")
+    # 'ref' is the admitted distribution; 'new' drifts upward
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "event_type": "ref", "value": 10.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "event_type": "ref", "value": 20.0},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "event_type": "new", "value": 20.0},
+    ])
+    _write_events(src, [
+        {"event_id": 4, "ts": "2024-01-01T00:03:00", "event_type": "ref", "value": 20.0},
+        {"event_id": 5, "ts": "2024-01-01T00:04:00", "event_type": "new", "value": 30.0},
+        {"event_id": 6, "ts": "2024-01-01T00:05:00", "event_type": "new", "value": 40.0},
+        {"event_id": 7, "ts": "2024-01-01T00:06:00", "event_type": "ref", "value": 30.0},
+    ])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+        .json(src)
+    )
+    state_path = str(tmp_path / "state")
+    q = hist_state_sink(
+        stream, state_path, str(tmp_path / "ckpt"),
+        group_col="event_type", value_col="value",
+    )
+    q.awaitTermination(120)
+
+    # folded state == one-shot histogram (row-level exactness)
+    state = {
+        (r.grp, r.v): r.c for r in spark.read.parquet(state_path).collect()
+    }
+    oneshot = {
+        (r.event_type, int(r.value)): r.c
+        for r in spark.read.schema(EVENT_SCHEMA).json(src)
+        .groupBy("event_type", F.col("value").cast("bigint").alias("value"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    }
+    assert state == oneshot
+
+    # KS vs python mirror: ref=[10,20,20,30], new=[20,30,40]
+    drift = {r.grp: r for r in read_ks_drift(spark, state_path, "ref").collect()}
+    assert set(drift) == {"new"}
+    ref_vals, new_vals = [10, 20, 20, 30], [20, 30, 40]
+    best, best_v = -1, None
+    for v in sorted(set(ref_vals) | set(new_vals)):
+        fg = sum(1 for x in new_vals if x <= v)
+        fr = sum(1 for x in ref_vals if x <= v)
+        d = abs(fg * len(ref_vals) - fr * len(new_vals))
+        if d > best:
+            best, best_v = d, v
+    r = drift["new"]
+    assert (r.n, r.n_ref) == (len(new_vals), len(ref_vals))
+    assert r.d_num == best and r.v_at == best_v
+    assert r.ks_d == best / (len(new_vals) * len(ref_vals))
+
+    # crash-replay of the last applied batch id must not change state
+    replay = spark.createDataFrame(
+        [(99, "new", 999.0)], "event_id long, event_type string, value double"
+    )
+    fold_hist_batch_into_state(replay, 1, state_path, "event_type", "value")
+    assert {
+        (r.grp, r.v): r.c for r in spark.read.parquet(state_path).collect()
+    } == oneshot

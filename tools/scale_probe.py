@@ -386,6 +386,62 @@ def graph_mode(sizes: list[int]) -> None:
         )
 
 
+
+def text_mode(sizes: list[int]) -> None:
+    """Round-6 additions probed at 100x the gate corpus: bigram-LM
+    self-scoring (model groupBy + bigram equi-join — honestly linear in
+    corpus bigrams) and content-defined chunking (per-doc window + one
+    fingerprint groupBy). The synthetic corpus's 3-variant clusters give
+    the chunk dedup real repeated passages at every n. The number that
+    matters at 100 TB is the exponent: both ops' work is a constant
+    number of shuffles over frames proportional to corpus tokens, so
+    warm wall must stay ~linear (exponent ~1 once real work dominates
+    the fixed per-job constant, never super-linear)."""
+    from data_spark.queries.analytics4 import bigram_nll, cdc_chunks  # noqa: PLC0415
+
+    spark = get_spark("scale_probe_text")
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = {
+        "bigram_nll": lambda docs: bigram_nll(docs),
+        "cdc_chunks": lambda docs: cdc_chunks(docs),
+    }
+    results = {name: [] for name in ops}
+    for n in sizes:
+        parts = max(8, n // 5000)
+        docs = _synth_documents(spark, n).repartition(parts).cache()
+        docs.count()
+        for name, fn in ops.items():
+            fn(docs).count()  # cold: pay codegen/compile once
+            start = time.perf_counter()
+            rows = fn(docs).count()
+            point = {
+                "n": n,
+                "rows_out": rows,
+                "warm_sec": round(time.perf_counter() - start, 4),
+            }
+            results[name].append(point)
+            print(f"text: {name} {point}", file=sys.stderr, flush=True)
+        docs.unpersist()
+    for name, points in results.items():
+        xs = [math.log(p["n"]) for p in points]
+        ys = [math.log(max(p["warm_sec"], 1e-4)) for p in points]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        print(
+            json.dumps(
+                {
+                    "operator": name,
+                    "mode": "text",
+                    "points": points,
+                    "scaling_exponent": round(slope, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "graph":
         graph_mode([int(x) for x in sys.argv[2:]] or [100_000, 1_000_000, 10_000_000])
@@ -395,6 +451,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "incr":
         incr([int(x) for x in sys.argv[2:]] or [500, 5_000, 50_000])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "text":
+        text_mode([int(x) for x in sys.argv[2:]] or [1_000, 10_000, 100_000])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "synth":
         synth([int(x) for x in sys.argv[2:]] or [500, 5_000, 50_000])
