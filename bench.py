@@ -161,6 +161,7 @@ HEADLINE = [
     "g_modularity",  # integer-unit community quality over LPA(3) labels
     "d_perplexity_filter",  # bigram-LM self-scoring (model groupBy + equi-join)
     "d_cdc_chunking",  # content-defined chunk fingerprint dedup
+    "d_curation_ppl_e2e",  # composed LM-score rank-cut + chunk-dedup disposition
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -162,6 +162,7 @@ NESTED_LOOP_ALLOWED = frozenset(
         "a_mann_whitney_u",  # same bounded language-pair lattice
         "g_modularity",  # 1-row directed-edge-count broadcast
         "d_perplexity_filter",  # 1-row vocabulary-size broadcast
+        "d_curation_ppl_e2e",  # same 1-row vocabulary broadcast via bigram_nll
     }
 )
 

@@ -570,3 +570,144 @@ def d_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation v2: perplexity rank-cut + CDC chunk dedup, one
+# disposition row per document.
+# ---------------------------------------------------------------------------
+
+_CURATE_DROP_FRAC = 10  # drop the worst 1/10 by avg_nll
+
+
+@_q(
+    "d_curation_ppl_e2e",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+    ),
+    cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM big GROUP BY 1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT unnest(ws) AS w FROM toks
+      ) WHERE w <> ''
+    ),
+    lp AS (
+      SELECT b.doc_id,
+             ROUND(ln(CAST(c.n12 + 1 AS DOUBLE) / CAST(x.n1 + vocab.v AS DOUBLE)), 6) AS lp6
+      FROM big b
+      JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+      JOIN ctx x ON x.w1 = b.w1
+      CROSS JOIN vocab
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(-lp6 AS DECIMAL(38,6))) AS DOUBLE) AS nll
+      FROM lp GROUP BY 1
+    ),
+    ranked AS (
+      SELECT doc_id, n_bigrams, nll / n_bigrams AS avg_nll,
+             ROW_NUMBER() OVER (ORDER BY nll / n_bigrams ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER () AS n_scored
+      FROM per_doc
+    ),
+    disp1 AS (
+      SELECT d.doc_id,
+             COALESCE(r.n_bigrams, 0) AS n_bigrams,
+             r.avg_nll,
+             (r.doc_id IS NULL OR r.rn > r.n_scored - r.n_scored // {_CURATE_DROP_FRAC})
+               AS dropped_ppl
+      FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+    ),
+    kept1 AS (SELECT doc_id FROM disp1 WHERE NOT dropped_ppl),
+    tok AS (
+      SELECT t0.doc_id, i AS pos, ws[i] AS tok
+      FROM toks t0 JOIN kept1 k ON k.doc_id = t0.doc_id,
+           UNNEST(range(1, len(ws) + 1)) AS u(i)
+      WHERE ws[i] <> ''
+    ),
+    cid AS (
+      SELECT doc_id, pos, tok,
+             SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_CDC_MOD} = 0
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos)
+             - CASE WHEN CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_CDC_MOD} = 0
+                    THEN 1 ELSE 0 END AS chunk_id
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+      FROM cid GROUP BY 1, 2
+    ),
+    firsts AS (SELECT chunk_md5, MIN(doc_id) AS first_doc FROM chunks GROUP BY 1),
+    dups AS (
+      SELECT DISTINCT c.doc_id
+      FROM chunks c JOIN firsts f ON f.chunk_md5 = c.chunk_md5
+      WHERE f.first_doc < c.doc_id
+    )
+    SELECT d1.doc_id, d1.n_bigrams, d1.avg_nll, d1.dropped_ppl,
+           (NOT d1.dropped_ppl AND du.doc_id IS NOT NULL) AS dropped_dup,
+           (NOT d1.dropped_ppl AND du.doc_id IS NULL) AS kept
+    FROM disp1 d1 LEFT JOIN dups du ON du.doc_id = d1.doc_id
+    """,
+)
+def d_curation_ppl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation v2 — the round-6 tier as ONE pipeline, a
+    disposition row per document:
+
+    1. score every doc under the corpus bigram LM (``bigram_nll``);
+    2. drop the worst 1/{_CURATE_DROP_FRAC} by avg_nll via a RANK cut
+       ((avg_nll, doc_id) total order through the two-phase distributed
+       global rank — a deterministic integer decision, no float
+       threshold to sit on a boundary) plus every unscoreable
+       (<2-token) doc;
+    3. among survivors, drop any doc sharing a content-defined chunk
+       fingerprint with a smaller-id survivor (first-doc-wins, the
+       shift-robust passage dedup).
+
+    The output is the audit record a curation run must produce: WHY
+    each doc was kept or dropped, not just the survivor list. The only
+    driver-side values are the scored-doc count (one scalar) and the
+    distributed rank's per-partition offsets."""
+    from data_spark.operators.order import global_row_number
+
+    docs = t(spark, sf_dir, "documents")
+    scores = bigram_nll(docs).select("doc_id", "n_bigrams", "avg_nll")
+    ranked = global_row_number(scores, ["avg_nll", "doc_id"], out="rn")
+    n_scored = ranked.count()
+    cut = n_scored - n_scored // _CURATE_DROP_FRAC
+    disp1 = (
+        docs.select("doc_id")
+        .join(ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "avg_nll",
+            (F.col("rn").isNull() | (F.col("rn") > F.lit(cut))).alias("dropped_ppl"),
+        )
+    )
+    kept1 = disp1.filter(~F.col("dropped_ppl")).select("doc_id")
+    chunks = cdc_chunks(docs.join(kept1, "doc_id")).select("doc_id", "chunk_md5")
+    firsts = chunks.groupBy("chunk_md5").agg(F.min("doc_id").alias("first_doc"))
+    dups = (
+        chunks.join(firsts, "chunk_md5")
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        disp1.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_nll",
+            "dropped_ppl",
+            (~F.col("dropped_ppl") & F.col("_dup").isNotNull()).alias("dropped_dup"),
+            (~F.col("dropped_ppl") & F.col("_dup").isNull()).alias("kept"),
+        )
+    )

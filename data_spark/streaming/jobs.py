@@ -784,3 +784,52 @@ def read_ks_drift(spark: SparkSession, state_path: str, ref_group: str) -> DataF
             F.col("d_num").cast("double") / (F.col("n").cast("double") * F.col("n_ref").cast("double"))
         ).alias("ks_d"),
     )
+
+
+def read_quantile_drift(
+    spark: SparkSession,
+    state_path: str,
+    ref_key: str,
+    quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-key quantile drift vs ``ref_key`` from a KLL sketch-state
+    table — the UNBOUNDED-domain companion to :func:`read_ks_drift`
+    (exact histograms need a bounded value domain; quantile sketches
+    don't). For each non-reference key, every probe quantile's estimate
+    is compared to the reference's and the largest absolute gap is
+    reported: (key..., n, max_gap, at_p). Sketch estimates, so the gap
+    is approximate (KLL rank error, not value error) — a drift ALARM
+    signal, not a test statistic; the exact-KS reader is the
+    adjudicator where the domain allows it."""
+    state = spark.read.parquet(state_path)
+    keys = [c for c in state.columns if c != "sk"]
+    if len(keys) != 1:
+        raise ValueError(f"read_quantile_drift expects one key column, got {keys}")
+    key = keys[0]
+    cols = [F.kll_sketch_get_n_double("sk").cast("bigint").alias("n")]
+    for q in quantiles:
+        cols.append(
+            F.kll_sketch_get_quantile_double("sk", F.lit(float(q))).alias(
+                f"_q{int(round(q * 1000)):04d}"
+            )
+        )
+    est = state.select(key, *cols)
+    ref = est.filter(F.col(key) == ref_key).drop(key, "n")
+    ref = ref.select([F.col(c).alias(f"{c}_ref") for c in ref.columns])
+    others = est.filter(F.col(key) != ref_key)
+    joined = others.crossJoin(F.broadcast(ref))  # 1-row reference frame
+    gap_struct = F.greatest(
+        *[
+            F.struct(
+                F.abs(F.col(f"_q{int(round(q * 1000)):04d}") - F.col(f"_q{int(round(q * 1000)):04d}_ref")).alias("gap"),
+                F.lit(float(q)).alias("p"),
+            )
+            for q in quantiles
+        ]
+    )
+    return joined.select(
+        key,
+        "n",
+        gap_struct.getField("gap").alias("max_gap"),
+        gap_struct.getField("p").alias("at_p"),
+    )

@@ -9,6 +9,8 @@ from __future__ import annotations
 import re
 from collections import Counter, defaultdict
 
+from pyspark.sql import functions as F
+
 from data_spark.queries.analytics4 import (
     _CDC_MOD,
     _PPL_THRESHOLD,
@@ -251,3 +253,57 @@ def test_cdc_dup_report_consistency(spark, sf_gate):
         assert r.n_occurrences >= r.n_docs
         assert r.min_doc <= r.max_doc
         assert r.n_tokens >= 1
+
+
+# ------------------------------------------------------- curation v2
+
+
+def test_curation_ppl_e2e_disposition_laws(spark, sf_small):
+    from data_spark.queries.analytics4 import _CURATE_DROP_FRAC, d_curation_ppl_e2e
+
+    rows = d_curation_ppl_e2e(spark, sf_small).collect()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(rows) == len(docs)
+
+    # exactly one disposition per doc
+    for r in rows:
+        assert int(r.dropped_ppl) + int(r.dropped_dup) + int(r.kept) == 1
+
+    # the rank cut drops exactly floor(n_scored/frac) scored docs, plus
+    # every unscoreable (<2-token) doc
+    scored = [r for r in rows if r.avg_nll is not None]
+    unscoreable = [r for r in rows if r.avg_nll is None]
+    n_scored = len(scored)
+    assert sum(1 for r in scored if r.dropped_ppl) == n_scored // _CURATE_DROP_FRAC
+    assert all(r.dropped_ppl for r in unscoreable)
+    assert all(len(_tokens(d.text)) < 2 for d in docs
+               if any(r.doc_id == d.doc_id for r in unscoreable))
+
+    # the dropped docs are exactly the top avg_nll tail (doc_id tiebreak)
+    order = sorted(scored, key=lambda r: (r.avg_nll, r.doc_id))
+    k = n_scored // _CURATE_DROP_FRAC
+    expect_dropped = {r.doc_id for r in order[n_scored - k:]}
+    assert {r.doc_id for r in scored if r.dropped_ppl} == expect_dropped
+
+
+def test_curation_ppl_e2e_dedup_mirror(spark, sf_small):
+    """Survivor set mirror: among ppl-kept docs, a doc is dropped_dup
+    iff it shares a chunk fingerprint with a smaller-id ppl-kept doc."""
+    from data_spark.queries.analytics4 import d_curation_ppl_e2e
+
+    rows = {r.doc_id: r for r in d_curation_ppl_e2e(spark, sf_small).collect()}
+    kept1_ids = [i for i, r in rows.items() if not r.dropped_ppl]
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kept_docs = docs.filter(F.col("doc_id").isin(kept1_ids))
+    by_chunk = defaultdict(list)
+    for c in cdc_chunks(kept_docs).collect():
+        by_chunk[c.chunk_md5].append(c.doc_id)
+    expect_dup = set()
+    for ids in by_chunk.values():
+        m = min(ids)
+        expect_dup.update(i for i in ids if i > m)
+    assert {i for i, r in rows.items() if r.dropped_dup} == expect_dup

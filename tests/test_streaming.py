@@ -998,3 +998,37 @@ def test_hist_state_sink_ks_drift(spark, tmp_path):
     assert {
         (r.grp, r.v): r.c for r in spark.read.parquet(state_path).collect()
     } == oneshot
+
+
+def test_read_quantile_drift(spark, tmp_path):
+    """KLL quantile drift vs a reference key: a key with the same
+    distribution reports ~zero gap, a shifted key reports ~the shift
+    (exact here — at this cardinality the sketch is exact)."""
+    from data_spark.streaming.jobs import kll_state_sink, read_quantile_drift
+
+    src = str(tmp_path / "src")
+    base = [float(v) for v in range(1, 101)]
+    rows = []
+    eid = 0
+    for v in base:
+        for grp, val in (("ref", v), ("same", v), ("shifted", v + 50.0)):
+            eid += 1
+            rows.append({
+                "event_id": eid, "ts": "2024-01-01T00:00:00",
+                "event_type": grp, "value": val,
+            })
+    _write_events(src, rows)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    state_path = str(tmp_path / "state")
+    q = kll_state_sink(
+        stream, state_path, str(tmp_path / "ckpt"),
+        keys=["event_type"], value_col="value",
+    )
+    q.awaitTermination(120)
+
+    drift = {r.event_type: r for r in read_quantile_drift(spark, state_path, "ref").collect()}
+    assert set(drift) == {"same", "shifted"}
+    assert drift["same"].max_gap == 0.0
+    assert drift["same"].n == 100 and drift["shifted"].n == 100
+    assert 40.0 <= drift["shifted"].max_gap <= 60.0
+    assert drift["shifted"].at_p in (0.1, 0.25, 0.5, 0.75, 0.9)
