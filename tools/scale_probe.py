@@ -442,6 +442,66 @@ def text_mode(sizes: list[int]) -> None:
         )
 
 
+
+def ann_mode(sizes: list[int]) -> None:
+    """The persistent-ANN pruning claim, measured: build an IVF-PQ
+    index (nlist=64 coarse cells, m=8 sub-codes) over n synthetic
+    vectors, then time the SAME 16-query top-k twice — nprobe=2
+    (partition-pruned to 2/64 of the code partitions per query) vs
+    nprobe=64 (probe everything, the flat-ADC equivalent). The wall
+    ratio is the number the billion-vector story rests on: if pruning
+    is real, probe cost tracks the probed share of codes, not the
+    corpus; build cost (one-time) may grow ~linearly. Also checks the
+    pruned result is contained in the probe-all result's cells story
+    by reporting both row counts."""
+    import shutil
+    import tempfile
+
+    from data_spark.operators.ann_index import build_ivfpq_index, ivfpq_index_topk
+
+    spark = get_spark("scale_probe_ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    points = []
+    for n in sizes:
+        parts = max(8, n // 50_000)
+        emb = _synth_embeddings(spark, n).repartition(parts).cache()
+        emb.count()
+        queries = emb.filter(F.col("vec_id") % (n // 16) == 0).limit(16).cache()
+        queries.count()
+        idx = tempfile.mkdtemp(prefix="ann_probe_")
+        try:
+            start = time.perf_counter()
+            build_ivfpq_index(emb, idx, num_centroids=64, m=8, ksub=16, iterations=2)
+            build_sec = round(time.perf_counter() - start, 3)
+            timings = {}
+            for label, nprobe in (("pruned_nprobe2", 2), ("all_nprobe64", 64)):
+                ivfpq_index_topk(spark, idx, queries, k=5, nprobe=nprobe).count()
+                start = time.perf_counter()
+                rows = ivfpq_index_topk(spark, idx, queries, k=5, nprobe=nprobe).count()
+                timings[label] = {
+                    "sec": round(time.perf_counter() - start, 3),
+                    "rows": rows,
+                }
+            point = {
+                "n": n,
+                "build_sec": build_sec,
+                "probe": timings,
+                "prune_speedup": round(
+                    timings["all_nprobe64"]["sec"] / timings["pruned_nprobe2"]["sec"], 2
+                ),
+            }
+            points.append(point)
+            print(f"ann: {point}", file=sys.stderr, flush=True)
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+        emb.unpersist()
+        queries.unpersist()
+    print(
+        json.dumps({"operator": "ivfpq_index", "mode": "ann", "points": points}),
+        flush=True,
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "graph":
         graph_mode([int(x) for x in sys.argv[2:]] or [100_000, 1_000_000, 10_000_000])
@@ -451,6 +511,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "incr":
         incr([int(x) for x in sys.argv[2:]] or [500, 5_000, 50_000])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ann":
+        ann_mode([int(x) for x in sys.argv[2:]] or [100_000, 1_000_000])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "text":
         text_mode([int(x) for x in sys.argv[2:]] or [1_000, 10_000, 100_000])
