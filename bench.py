@@ -162,6 +162,7 @@ HEADLINE = [
     "d_perplexity_filter",  # bigram-LM self-scoring (model groupBy + equi-join)
     "d_cdc_chunking",  # content-defined chunk fingerprint dedup
     "d_curation_ppl_e2e",  # composed LM-score rank-cut + chunk-dedup disposition
+    "d_shard_assign",  # serpentine token-balanced sharding over the global rank
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

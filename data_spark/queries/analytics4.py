@@ -711,3 +711,67 @@ def d_curation_ppl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("dropped_ppl") & F.col("_dup").isNull()).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced shard assignment (serpentine over the global rank).
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@_q(
+    "d_shard_assign",
+    f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sized AS (
+      SELECT doc_id,
+             CAST(len(list_filter(ws, w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM toks
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rnk
+      FROM sized
+    )
+    SELECT doc_id, n_tokens, rnk,
+           CAST(CASE WHEN ((rnk - 1) // {_N_SHARDS}) % 2 = 0
+                     THEN (rnk - 1) % {_N_SHARDS}
+                     ELSE {_N_SHARDS} - 1 - ((rnk - 1) % {_N_SHARDS})
+                END AS BIGINT) AS shard
+    FROM ranked
+    """,
+)
+def d_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment — the "write S training shards
+    of equal work" step: docs ranked by (n_tokens DESC, doc_id) through
+    the two-phase distributed global rank, then dealt serpentine
+    (block b = (rank−1)//S goes left-to-right when even, right-to-left
+    when odd). Serpentine beats plain round-robin because each
+    consecutive block reverses direction, so a shard that got the
+    largest doc of one block gets the smallest of the next: per-shard
+    token totals differ by at most the largest document (law-tested),
+    with zero data movement beyond the rank's range shuffle. The
+    assignment is a pure integer function of the rank — deterministic,
+    engine-independent, and oracle-exact."""
+    from data_spark.operators.order import global_row_number
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.filter(_words(F.col("text")), lambda w: w != "")).cast("bigint").alias("n_tokens"),
+    )
+    ranked = global_row_number(
+        sized, [F.col("n_tokens").desc(), F.col("doc_id").asc()], out="rnk"
+    )
+    block = ((F.col("rnk") - 1) / _N_SHARDS).cast("bigint")
+    pos = (F.col("rnk") - 1) % _N_SHARDS
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "rnk",
+        F.when(block % 2 == 0, pos)
+        .otherwise(F.lit(_N_SHARDS - 1) - pos)
+        .cast("bigint")
+        .alias("shard"),
+    )

@@ -307,3 +307,43 @@ def test_curation_ppl_e2e_dedup_mirror(spark, sf_small):
         m = min(ids)
         expect_dup.update(i for i in ids if i > m)
     assert {i for i, r in rows.items() if r.dropped_dup} == expect_dup
+
+
+# ----------------------------------------------------------- shard assign
+
+
+def test_shard_assign_matches_python_mirror(spark, sf_small):
+    from data_spark.queries.analytics4 import _N_SHARDS, d_shard_assign
+
+    rows = {r.doc_id: r for r in d_shard_assign(spark, sf_small).collect()}
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    sized = sorted(
+        ((len(_tokens(d.text)), d.doc_id) for d in docs),
+        key=lambda x: (-x[0], x[1]),
+    )
+    for rnk0, (n_tok, doc_id) in enumerate(sized):
+        block, pos = divmod(rnk0, _N_SHARDS)
+        shard = pos if block % 2 == 0 else _N_SHARDS - 1 - pos
+        r = rows[doc_id]
+        assert (r.n_tokens, r.rnk, r.shard) == (n_tok, rnk0 + 1, shard)
+
+
+def test_shard_assign_balance(spark, sf_gate):
+    from collections import Counter as C
+
+    from data_spark.queries.analytics4 import _N_SHARDS, d_shard_assign
+
+    rows = d_shard_assign(spark, sf_gate).collect()
+    totals = C()
+    for r in rows:
+        totals[r.shard] += r.n_tokens
+    assert set(totals) == set(range(_N_SHARDS))
+    max_doc = max(r.n_tokens for r in rows)
+    spread = max(totals.values()) - min(totals.values())
+    # serpentine dealing keeps per-shard work within ~one document of even
+    assert spread <= 2 * max_doc
+    # doc counts per shard are within 1 of each other by construction
+    counts = C(r.shard for r in rows)
+    assert max(counts.values()) - min(counts.values()) <= 1
