@@ -443,3 +443,66 @@ def test_global_row_number_fuzz(engines, keys, n_parts):
     ranked = global_row_number(df, ["k", "tie"], num_partitions=n_parts)
     got = [(r.k, r.tie) for r in ranked.orderBy("rn").collect()]
     assert got == sorted(rows)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred_a=predicate,
+    pred_b=predicate,
+    op=st.sampled_from(["INTERSECT", "EXCEPT", "UNION"]),
+    cols=st.sets(st.sampled_from(KEY_COLS + STR_COLS), min_size=1, max_size=3),
+)
+def test_setop_parity(engines, pred_a, pred_b, op, cols):
+    """Fuzzed set operations: two generated predicates over the same
+    scan, combined with INTERSECT/EXCEPT/UNION (all set-dedup
+    semantics) — the relational algebra the reference's queue-dedup
+    and master-list code paths rely on."""
+    spark, con = engines
+    proj = ", ".join(sorted(cols))
+    sql = (
+        f"SELECT {proj} FROM li_fuzz WHERE {pred_a} "
+        f"{op} SELECT {proj} FROM li_fuzz WHERE {pred_b}"
+    )
+    _parity(spark, con, sql)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicate,
+    shape=st.sampled_from(
+        ["ROLLUP(l_returnflag, l_linestatus)",
+         "CUBE(l_returnflag, l_linestatus)",
+         "GROUPING SETS ((l_returnflag), (l_linestatus), ())"]
+    ),
+    min_n=st.integers(min_value=1, max_value=50),
+)
+def test_rollup_having_parity(engines, pred, shape, min_n):
+    """Fuzzed multi-level aggregation lattices with a HAVING cut: the
+    NULL indicator rows ROLLUP/CUBE emit must canonicalize identically
+    across engines, and the HAVING predicate must apply after the
+    lattice expansion in both.
+
+    KNOWN DIVERGENCE this family documents (caught by its first run):
+    on an EMPTY filtered input, DuckDB's ROLLUP/CUBE emits the
+    SQL-standard grand-total row (NULL, NULL, 0, NULL) for the ()
+    grouping set while Spark emits no rows at all. min_n >= 1 keeps
+    the generated queries inside the semantics the engines share; any
+    registry query that rolls up a possibly-empty filter must force a
+    non-empty input or avoid the () grouping set."""
+    spark, con = engines
+    sql = (
+        f"SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        f"SUM(l_orderkey) AS s FROM li_fuzz WHERE {pred} "
+        f"GROUP BY {shape} HAVING COUNT(*) >= {min_n}"
+    )
+    _parity(spark, con, sql)

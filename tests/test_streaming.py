@@ -1032,3 +1032,73 @@ def test_read_quantile_drift(spark, tmp_path):
     assert drift["same"].n == 100 and drift["shifted"].n == 100
     assert 40.0 <= drift["shifted"].max_gap <= 60.0
     assert drift["shifted"].at_p in (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def test_state_sink_fold_survives_task_failure():
+    """Retry-stability of the sketch-state sinks' fold path: a fresh
+    local[4,2] session folds two histogram batches into state with a
+    Python UDF injected upstream that hard-fails partition 0's FIRST
+    attempt in batch 2 — the promoted state must equal the clean run's
+    (the stage-and-swap promotes only after the retried job succeeds,
+    so a task retry can neither drop nor double-count rows)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import shutil, sys, tempfile
+sys.path.insert(0, "/root/repo")
+from pyspark import TaskContext
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[4,2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .appName("sink_retry_test")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from data_spark.streaming.jobs import fold_hist_batch_into_state
+
+rows1 = [(i, "g%d" % (i % 3), float(i % 7)) for i in range(200)]
+rows2 = [(i, "g%d" % (i % 3), float(i % 5)) for i in range(200, 500)]
+schema = "event_id long, event_type string, value double"
+b1 = spark.createDataFrame(rows1, schema).repartition(4)
+b2 = spark.createDataFrame(rows2, schema).repartition(4)
+
+def run(inject):
+    path = tempfile.mkdtemp(prefix="hist_state_")
+    shutil.rmtree(path, ignore_errors=True)
+    fold_hist_batch_into_state(b1, 1, path, "event_type", "value")
+    batch = b2
+    if inject:
+        @F.udf("string")
+        def fail_first(s):
+            tc = TaskContext.get()
+            if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+                raise RuntimeError("injected task failure")
+            return s
+        batch = b2.withColumn("event_type", fail_first(F.col("event_type")))
+    fold_hist_batch_into_state(batch, 2, path, "event_type", "value")
+    state = sorted((r.grp, r.v, r.c) for r in spark.read.parquet(path).collect())
+    shutil.rmtree(path, ignore_errors=True)
+    return state
+
+clean = run(inject=False)
+got = run(inject=True)
+assert len(clean) > 10, len(clean)
+assert got == clean, "state diverged after an injected task failure"
+print("SINK_RETRY_OK", len(got))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "SINK_RETRY_OK" in out.stdout, (
+        f"stdout={out.stdout[-500:]}\nstderr={out.stderr[-2000:]}"
+    )
+    assert "injected task failure" in out.stderr
