@@ -163,6 +163,7 @@ HEADLINE = [
     "d_cdc_chunking",  # content-defined chunk fingerprint dedup
     "d_curation_ppl_e2e",  # composed LM-score rank-cut + chunk-dedup disposition
     "d_shard_assign",  # serpentine token-balanced sharding over the global rank
+    "pipe_stream_drift_e2e",  # real file stream -> hist-state fold -> KS reader
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

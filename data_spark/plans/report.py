@@ -163,6 +163,7 @@ NESTED_LOOP_ALLOWED = frozenset(
         "g_modularity",  # 1-row directed-edge-count broadcast
         "d_perplexity_filter",  # 1-row vocabulary-size broadcast
         "d_curation_ppl_e2e",  # same 1-row vocabulary broadcast via bigram_nll
+        "pipe_stream_drift_e2e",  # |types|x24-row bounded state x 1-ref-histogram join
     }
 )
 

@@ -158,7 +158,8 @@ _PRIORITY = [
     # the r6 contract changes), PLUS the 5 never-witnessed mid-r6
     # additions (a_ks_two_sample, a_mann_whitney_u, g_modularity,
     # d_perplexity_filter, d_cdc_chunking, d_curation_ppl_e2e,
-    # d_shard_assign — analytics4.py), then the r3-witnessed block.
+    # d_shard_assign, pipe_stream_drift_e2e — analytics4.py), then the
+    # r3-witnessed block.
     "d_bigram_lm",
     "v_cosine_topk",
     "v_ivf_topk",

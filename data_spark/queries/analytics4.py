@@ -775,3 +775,91 @@ def d_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift-monitor pipeline, gate-verified end to end.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pipe_stream_drift_e2e",
+    """
+    WITH hist AS (
+      SELECT event_type AS grp, CAST(hour(ts) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ref AS (SELECT MIN(grp) AS rg FROM hist),
+    others AS (SELECT h.* FROM hist h, ref WHERE h.grp <> ref.rg),
+    refh AS (SELECT v, c AS c_ref FROM hist h, ref WHERE h.grp = ref.rg),
+    merged AS (
+      SELECT grp, v, SUM(c_g) AS c_g, SUM(c_ref) AS c_ref FROM (
+        SELECT grp, v, c AS c_g, 0 AS c_ref FROM others
+        UNION ALL
+        SELECT o.grp, r.v, 0, r.c_ref
+        FROM (SELECT DISTINCT grp FROM others) o CROSS JOIN refh r
+      ) GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, v,
+             SUM(c_g) OVER (PARTITION BY grp ORDER BY v) AS f_g,
+             SUM(c_ref) OVER (PARTITION BY grp ORDER BY v) AS f_ref,
+             SUM(c_g) OVER (PARTITION BY grp) AS n,
+             SUM(c_ref) OVER (PARTITION BY grp) AS n_ref
+      FROM merged
+    ),
+    scored AS (
+      SELECT grp, v, n, n_ref, ABS(f_g * n_ref - f_ref * n) AS d_num,
+             ROW_NUMBER() OVER (
+               PARTITION BY grp ORDER BY ABS(f_g * n_ref - f_ref * n) DESC, v
+             ) AS rn
+      FROM cum
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(d_num AS BIGINT) AS d_num, v AS v_at,
+           CAST(d_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n_ref AS DOUBLE)) AS ks_d
+    FROM scored WHERE rn = 1
+    """,
+)
+def pipe_stream_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor, gate-verified END TO END: the
+    events table is consumed as a REAL file stream (availableNow
+    trigger), each micro-batch's (event_type, hour-of-day) counts fold
+    into the persistent histogram state (stage-and-swap + replay
+    guard), and the result is read_ks_drift over the FOLDED STATE —
+    every event type's hour-of-day activity profile KS-tested against
+    the reference type (smallest name). Because integer-count folding
+    is exactly associative, the state equals the one-shot histogram
+    and the DuckDB oracle can recompute the identical statistic from
+    the raw table: the hash match verifies the whole streaming path
+    (source → fold → promote → reader), not a batch re-derivation.
+    Hour-of-day is a bounded integer domain — exactly the histogram
+    sink's contract (unbounded domains use the KLL sink +
+    read_quantile_drift)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from data_spark.streaming.jobs import hist_state_sink, read_ks_drift
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"data_spark_sdrift_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        .select("event_type", F.hour("ts").alias("hr"))
+    )
+    q = hist_state_sink(stream, state, ckpt, group_col="event_type", value_col="hr")
+    q.awaitTermination(300)
+
+    ref = spark.read.parquet(state).agg(F.min("grp")).first()[0]
+    return read_ks_drift(spark, state, ref)
