@@ -102,17 +102,11 @@ def _lpa_oracle() -> str:
     )
 
 
-@_q("g_label_propagation", _lpa_oracle())
-def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K=3 synchronous label-propagation rounds: per round, join the
-    label frame to the symmetric edge list (labels flow b→a), count
-    (node, label) votes with map-side combine, then fold the argmax
-    with ONE more aggregate — ``MIN(STRUCT(-count, label))`` realizes
-    the (count DESC, label ASC) total order without a window, so the
-    round costs two key-partitioned shuffles and no global sort. Label
-    frames are lineage-truncated every round. Every node has >=1
-    neighbor by construction (it appears in an edge), so the argmax is
-    total."""
+def _lpa_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(sym, labels): the materialized symmetric edge frame and the
+    LPA(3) community labels built over it — factored so downstream
+    consumers (g_modularity) reuse the SAME truncated edge frame
+    instead of re-deriving the joins."""
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
@@ -146,7 +140,22 @@ def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", F.col("m.l").alias("lbl"))
             .transform(truncate_lineage)
         )
-    return lbl.select("id", F.col("lbl").alias("community"))
+    return sym, lbl.select("id", F.col("lbl").alias("community"))
+
+
+@_q("g_label_propagation", _lpa_oracle())
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3 synchronous label-propagation rounds: per round, join the
+    label frame to the symmetric edge list (labels flow b→a), count
+    (node, label) votes with map-side combine, then fold the argmax
+    with ONE more aggregate — ``MIN(STRUCT(-count, label))`` realizes
+    the (count DESC, label ASC) total order without a window, so the
+    round costs two key-partitioned shuffles and no global sort. Label
+    frames are lineage-truncated every round. Every node has >=1
+    neighbor by construction (it appears in an edge), so the argmax is
+    total. Body lives in :func:`_lpa_frames` so g_modularity can reuse
+    the same materialized edge frame."""
+    return _lpa_frames(spark, sf_dir)[1]
 
 
 # ---------------------------------------------------------------------------
