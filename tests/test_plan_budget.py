@@ -155,6 +155,26 @@ EXCHANGE_BUDGET = {
     "d_er_score_fusion": 2,
     # digit count + 1-row total broadcast + 9-row expected lattice join
     "dq_benford_digits": 5,
+    # r6 statistical-testing tier (executedPlan counts both the lang
+    # histogram legs the two merged sides re-scan): histogram x2 +
+    # lattice distinct x2 + merged regroup + pair windows; both tests
+    # share the shape
+    "a_ks_two_sample": 12,
+    "a_mann_whitney_u": 12,
+    # bigram explode feeds 3 aggregates (cnt/ctx/vocab) + scoring join
+    # legs + final doc agg
+    "d_perplexity_filter": 8,
+    # per-doc chunk window + fingerprint groupBy
+    "d_cdc_chunking": 2,
+    # perplexity stages + the distributed rank's range exchange +
+    # chunk-dedup joins over the ppl-kept survivors (rank materialized)
+    "d_curation_ppl_e2e": 17,
+    # token-size projection + the rank's range exchange + final join-back
+    "d_shard_assign": 2,
+    # reader over the folded state: dense-merge regroup + per-group
+    # windows + argmax window (the streaming fold runs before the
+    # returned plan; state is metadata-sized)
+    "pipe_stream_drift_e2e": 4,
 }
 
 
