@@ -16,6 +16,7 @@ from data_spark.queries import (
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     documents,
     events,
     graphq,
@@ -46,6 +47,7 @@ _ALL_QUERIES = {
     **analytics2.QUERIES,
     **analytics3.QUERIES,
     **analytics4.QUERIES,
+    **analytics5.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -66,6 +68,7 @@ ORACLE = {
     **analytics2.ORACLE,
     **analytics3.ORACLE,
     **analytics4.ORACLE,
+    **analytics5.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,

@@ -478,12 +478,21 @@ _CDC_MOD = 16
 
 
 def cdc_chunks(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", mod: int = _CDC_MOD
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = _CDC_MOD,
+    with_text: bool = False,
 ) -> DataFrame:
     """(id, chunk_id, chunk_md5, n_tokens) content-defined chunk table:
     boundaries fall AFTER tokens whose portable hash ≡ 0 (mod ``mod``),
     so they depend only on token content — a prefix insertion re-chunks
-    nothing past the next boundary. Per-doc windows only."""
+    nothing past the next boundary. Per-doc windows only.
+
+    ``with_text=True`` additionally emits the chunk's text (needed by
+    corpus REWRITING consumers that reassemble documents from surviving
+    chunks); the default plan is unchanged for fingerprint-only callers.
+    """
     tok = (
         df.select(F.col(id_col).alias("doc_id"), F.posexplode(_words(F.col(text_col))).alias("pos0", "tok"))
         .filter(F.col("tok") != "")
@@ -495,18 +504,21 @@ def cdc_chunks(
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     cid = hashed.withColumn("chunk_id", F.sum("b").over(w) - F.col("b"))
-    return cid.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s.tok,
-                ),
-                " ",
-            )
-        ).alias("chunk_md5"),
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s.tok,
+        ),
+        " ",
     )
+    n_tok = F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    if with_text:
+        return (
+            cid.groupBy("doc_id", "chunk_id")
+            .agg(joined.alias("chunk_text"), n_tok)
+            .withColumn("chunk_md5", F.md5(F.col("chunk_text")))
+        )
+    return cid.groupBy("doc_id", "chunk_id").agg(F.md5(joined).alias("chunk_md5"), n_tok)
 
 
 @_q(

@@ -1,0 +1,287 @@
+"""Round-6 continuation tier: corpus rewriting + resampling inference.
+
+Two capabilities a production training-data pipeline needs that the
+earlier tiers only approach:
+
+- ``d_chunk_dedup_rewrite``: C4/RefinedWeb-style duplicated-span
+  REMOVAL. Every other dedup query in the inventory *reports*
+  duplication (pair lists, ratios, dispositions); this one rewrites the
+  corpus — content-defined chunks (shift-robust boundaries, shared with
+  ``d_cdc_chunking``), global first-occurrence-wins on the chunk
+  fingerprint, then each document is REASSEMBLED from its surviving
+  chunks in order. Spans shorter than ``_MIN_SPAN`` tokens are never
+  removed (a three-word collocation repeating across documents is
+  language, not duplication — the C4 rule dedupes three-SENTENCE spans,
+  RefinedWeb substrings of ≥50 tokens).
+- ``a_bootstrap_ci``: deterministic bootstrap confidence interval for
+  total daily order revenue. The resample universe is the DAILY
+  AGGREGATE, not the fact table, so the bootstrap costs
+  O(B · |days|) — a calendar-bounded constant — regardless of corpus
+  size; draws are keyed by the portable md5 hash so both engines select
+  identical days; the CI bounds are order statistics of exact DECIMAL
+  resample sums (no division, no float percentile, no RNG state).
+
+Scale posture: chunk dedup shuffles on (doc, chunk) and on the chunk
+fingerprint — both value keys, no global sort (the within-doc order is
+a per-doc ``array_sort``); the bootstrap's only non-broadcast shuffle
+is the per-resample sum over B·|days| rows, and its single-group order
+statistic collects exactly B=200 decimals.
+
+Reference parity: span removal generalizes the reference's
+document-level hash dedup (`news_find_duplicates/main.py`) to
+sub-document spans; the bootstrap generalizes its point-estimate count
+validations (`federal_fec_compute_load/main.py`) to interval estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.operators.dedup import _portable_hash60
+from data_spark.operators.order import global_row_number
+from data_spark.queries.analytics4 import _CDC_MOD, _TOKS_SQL, cdc_chunks
+from data_spark.queries.common import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# Spans shorter than this many tokens are exempt from removal even when
+# their fingerprint repeats (short repeats are collocations, not
+# duplicated passages).
+_MIN_SPAN = 4
+
+# The shared chunk table (text + fingerprint), as SQL — the same
+# tokenizer / boundary rule the d_cdc_chunking oracle replays.
+_CHUNKS_SQL = f"""
+    toks0 AS ({_TOKS_SQL}),
+    tok AS (
+      SELECT doc_id, i AS pos, ws[i] AS tok
+      FROM toks0, UNNEST(range(1, len(ws) + 1)) AS t(i)
+      WHERE ws[i] <> ''
+    ),
+    hashed AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM tok
+    ),
+    cid AS (
+      SELECT doc_id, pos, tok,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk_id
+      FROM hashed
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM cid GROUP BY 1, 2
+    )
+"""
+
+
+def chunk_dedup_rewrite(
+    docs: DataFrame, min_span: int = _MIN_SPAN, mod: int = _CDC_MOD
+) -> DataFrame:
+    """Remove every repeated content-defined chunk (global
+    first-occurrence-wins by (doc_id, chunk_id)) of at least
+    ``min_span`` tokens, then reassemble each document from its
+    surviving chunks. Returns one row per chunked document:
+    (doc_id, n_chunks, n_dropped, orig_tokens, kept_tokens,
+    cleaned_md5) — ``cleaned_md5`` fingerprints the rewritten text so
+    the whole rewrite is hash-verifiable without shipping the text.
+    """
+    chunks = cdc_chunks(docs, mod=mod, with_text=True)
+    occ_w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("occ", F.row_number().over(occ_w))
+    kept = ranked.filter((F.col("occ") == 1) | (F.col("n_tokens") < min_span))
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("orig_tokens"),
+    )
+    survived = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return totals.join(survived, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce(F.col("kept_chunks"), F.lit(0))).alias("n_dropped"),
+        "orig_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+    )
+
+
+@_q(
+    "d_chunk_dedup_rewrite",
+    f"""
+    WITH {_CHUNKS_SQL},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_id) AS occ
+      FROM chunks
+    ),
+    kept AS (SELECT * FROM ranked WHERE occ = 1 OR n_tokens < {_MIN_SPAN}),
+    totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(n_tokens) AS BIGINT) AS orig_tokens
+      FROM chunks GROUP BY 1
+    ),
+    survived AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+             CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+             md5(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS cleaned_md5
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_chunks,
+           t.n_chunks - COALESCE(s.kept_chunks, 0) AS n_dropped,
+           t.orig_tokens,
+           CAST(COALESCE(s.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(s.cleaned_md5, md5('')) AS cleaned_md5
+    FROM totals t LEFT JOIN survived s USING (doc_id)
+    """,
+)
+def d_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal with document reassembly.
+
+    Rewrites the documents corpus: content-defined chunks (the
+    d_cdc_chunking boundary rule, so an insertion shifting offsets
+    re-chunks nothing downstream), repeated fingerprints of >= 4 tokens
+    keep only their globally-first occurrence, and every document is
+    rebuilt from its surviving chunks. Cited parity:
+    news_find_duplicates/main.py dedupes whole documents by hash; this
+    is the sub-document generalization the C4/RefinedWeb pipelines use.
+    """
+    return chunk_dedup_rewrite(t(spark, sf_dir, "documents"))
+
+
+# Number of bootstrap resamples; bounds every frame after the daily
+# aggregate at B · |days| rows and the order-statistic collect at B.
+_N_BOOT = 200
+# 95% CI as order statistics of the B sorted resample totals:
+# floor(0.025·B) = 5th smallest and the symmetric 196th.
+_LO_IDX = 5
+_HI_IDX = _N_BOOT + 1 - _LO_IDX
+
+
+def bootstrap_daily_total_ci(orders: DataFrame, n_boot: int = _N_BOOT) -> DataFrame:
+    """One-row frame (n_days, n_boot, point_total, lo95_total,
+    hi95_total): deterministic bootstrap CI for the total of daily
+    order-revenue sums, resampling days with replacement.
+
+    Draw (b, slot) selects day index ``md5hash(b ':' slot) mod n_days``
+    — a pure function of the draw coordinates, so any engine (and any
+    partitioning / retry schedule) picks identical days. Totals stay
+    DECIMAL end to end; the CI bounds are element_at() order statistics
+    of the B resample sums, so no float percentile interpolation.
+    """
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total")
+    )
+    ranked = global_row_number(daily, ["o_orderdate"], out="rk")
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("day_total").alias("point_total"),
+    ).withColumn("_k", F.lit(1))
+    # B draw slots per day row (sequence+explode — no cross join), each
+    # mapped to a drawn day by the portable hash mod n_days.
+    slots = ranked.select(
+        F.col("rk").alias("slot"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_boot))).alias("b"),
+    ).withColumn("_k", F.lit(1))
+    draws = slots.join(F.broadcast(stats.select("_k", "n_days")), "_k").select(
+        "b",
+        (_portable_hash60(F.concat_ws(":", F.col("b"), F.col("slot"))) % F.col("n_days") + 1).alias("idx"),
+    )
+    boots = (
+        draws.join(
+            F.broadcast(ranked.select(F.col("rk"), F.col("day_total"))),
+            draws.idx == F.col("rk"),
+        )
+        .groupBy("b")
+        .agg(F.sum("day_total").alias("boot_total"))
+    )
+    arr = (
+        boots.withColumn("_k", F.lit(1))
+        .groupBy("_k")
+        .agg(F.array_sort(F.collect_list("boot_total")).alias("a"))
+    )
+    cents = lambda c: (c * 100).cast("bigint")  # noqa: E731 — 2-dp decimals, exact in BIGINT
+    return arr.join(F.broadcast(stats), "_k").select(
+        "n_days",
+        F.lit(n_boot).cast("bigint").alias("n_boot"),
+        cents(F.col("point_total")).alias("point_total_cents"),
+        cents(F.element_at("a", _LO_IDX)).alias("lo95_total_cents"),
+        cents(F.element_at("a", _HI_IDX)).alias("hi95_total_cents"),
+    )
+
+
+@_q(
+    "a_bootstrap_ci",
+    f"""
+    WITH daily AS (
+      SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day_total, ROW_NUMBER() OVER (ORDER BY o_orderdate) AS rk FROM daily
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days, SUM(day_total) AS point_total FROM daily
+    ),
+    slots AS (
+      SELECT r.rk AS slot, i.b
+      FROM ranked r, UNNEST(range(1, {_N_BOOT} + 1)) AS i(b)
+    ),
+    draws AS (
+      SELECT b,
+             CAST(('0x' || substr(md5(b || ':' || slot), 1, 15)) AS BIGINT)
+               % (SELECT n_days FROM stats) + 1 AS idx
+      FROM slots
+    ),
+    boots AS (
+      SELECT d.b, SUM(r.day_total) AS boot_total
+      FROM draws d JOIN ranked r ON r.rk = d.idx
+      GROUP BY d.b
+    ),
+    arr AS (SELECT list_sort(list(boot_total)) AS a FROM boots)
+    SELECT s.n_days, CAST({_N_BOOT} AS BIGINT) AS n_boot,
+           CAST(s.point_total * 100 AS BIGINT) AS point_total_cents,
+           CAST(a[{_LO_IDX}] * 100 AS BIGINT) AS lo95_total_cents,
+           CAST(a[{_HI_IDX}] * 100 AS BIGINT) AS hi95_total_cents
+    FROM arr, stats s
+    """,
+)
+def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap 95% CI for total daily order revenue.
+
+    The resample universe is the daily aggregate (calendar-bounded), so
+    the bootstrap is O(B·|days|) whatever the fact-table size; draws
+    are portable-hash-keyed so Spark and DuckDB resample identically;
+    bounds are exact-decimal order statistics. Cited parity: interval
+    generalization of the reference's count-gate validations
+    (federal_fec_compute_load/main.py).
+    """
+    return bootstrap_daily_total_ci(t(spark, sf_dir, "orders"))
