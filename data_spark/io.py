@@ -14,7 +14,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -463,6 +463,124 @@ def read_index_pruned(
     return spark.read.parquet(*files).filter(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
+
+
+# Bloom sizing: with k hashes and m bits over n distinct values per
+# file, fpp ≈ (1 − e^(−k·n/m))^k — the default 4096 bits / 5 hashes
+# gives ~2% at n=500 and ~0.1% at n=200; size m ≈ 10·n_distinct for
+# ~1% as a rule of thumb.
+_BLOOM_BITS = 4096
+_BLOOM_K = 5
+
+
+def _bloom_positions(col: Column, bits: int, k: int) -> list[Column]:
+    """k bit positions for a value via double hashing
+    (h1 + i·h2 mod m) — two xxhash64 evaluations, not k. Both hashes
+    are reduced mod m BEFORE the i-multiply (i·raw64 overflows a long
+    under ANSI arithmetic; mod-m arithmetic is overflow-free)."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(bits)) for i in range(k)]
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    index_path: str,
+    bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> None:
+    """Build a per-file BLOOM manifest over ``col`` — data skipping for
+    POINT lookups on columns the layout is NOT clustered by, where the
+    min/max manifest (``build_file_index``) can't prune because every
+    file's envelope spans the whole domain.
+
+    One distributed scan: each value contributes k bit positions
+    (double hashing over xxhash64), folded per (file, 64-bit word) with
+    ``bit_or`` — so the shuffle carries at most
+    ``files × bits/64`` one-long rows, metadata-sized at any table
+    size. Words with no set bits are simply absent (missing row ≡ 0).
+    NULLs set no bits: an equality probe can never match NULL, so
+    all-NULL files prune away entirely.
+
+    Incremental upkeep follows the min/max manifest's pattern
+    (``refresh_file_index_for_dirs``): blooms are per-file and
+    immutable, so a MERGE that rewrites a bucket dir only needs that
+    dir's rows rebuilt."""
+    df = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file_path"), F.col(col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    pos = df.select(
+        "file_path",
+        F.explode(F.array(*_bloom_positions(F.col("_v"), bits, k))).alias("pos"),
+    )
+    (
+        pos.select(
+            "file_path",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            # shiftleft() the SQL function takes a column shift amount;
+            # the python F.shiftleft wrapper only accepts an int literal
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("file_path", "w")
+        .agg(F.bit_or("m").alias("word"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    path: str,
+    index_path: str,
+    col: str,
+    value,
+    bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Bloom-pruned point lookup: read only the files whose bloom has
+    ALL k bits of ``value`` set, with the equality predicate kept as a
+    residual filter so false positives cost an extra file read, never a
+    wrong row. The probe touches planning METADATA only — k positions
+    from a 1-row frame and at most ``files × k`` index rows — before
+    the data scan opens the surviving files."""
+    # xxhash64 hashes by TYPE as well as value: the probe literal must
+    # carry the indexed column's exact type (an int 42 and a bigint 42
+    # hash differently). Resolving the schema is a listing, not a read.
+    col_type = spark.read.parquet(path).schema[col].dataType
+    probe = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*_bloom_positions(F.lit(value).cast(col_type), bits, k))
+            ).alias("pos")
+        )
+        .collect()
+    )
+    wanted: dict[int, int] = {}
+    for r in probe:
+        wanted[r["pos"] // 64] = wanted.get(r["pos"] // 64, 0) | (1 << (r["pos"] % 64))
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("w").isin(list(wanted)))
+        .collect()
+    )
+    words = {(r["file_path"], r["w"]): r["word"] for r in idx}
+    files = sorted(
+        {f for f, _ in words}
+        - {
+            f
+            for f, _ in words
+            if any(words.get((f, w), 0) & m != m for w, m in wanted.items())
+        }
+    )
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
 
 
 def _versions_dir(table_path: str) -> str:

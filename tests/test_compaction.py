@@ -144,3 +144,71 @@ def test_versioned_table_time_travel_and_restore(spark, tmp_path):
     assert ks() == [0, 1, 2, 3, 4, 5, 6, 7]
     data = os.listdir(os.path.join(path, "data"))
     assert sorted(data) == ["commit-0", "commit-1"]
+
+
+def test_bloom_index_prunes_point_lookups_on_unclustered_column(spark, tmp_path):
+    """Bloom data skipping: the layout is range-clustered by k, so every
+    file's min/max envelope for the UNCLUSTERED column u spans the whole
+    domain (min/max pruning would open everything) — the per-file bloom
+    still prunes a point probe on u down to the file(s) that can contain
+    it, and the residual equality filter keeps false positives harmless."""
+    from data_spark.io import build_bloom_index, read_bloom_pruned
+
+    path = str(tmp_path / "facts")
+    idx = str(tmp_path / "facts_bloom")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        # u is a permuted id: uniformly spread across files, unsorted
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000003))).alias("u"),
+        (F.col("id") % 97).alias("v"),
+    )
+    df.repartitionByRange(8, "k").sortWithinPartitions("k").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    # min/max on u can't prune: every file's envelope covers the probe
+    full = spark.read.parquet(path)
+    n_files = len(full.inputFiles())
+    assert n_files == 8
+    probe_u = full.filter(F.col("k") == 1234).select("u").first()["u"]
+    env = (
+        full.select(F.col("_metadata.file_path").alias("f"), "u")
+        .groupBy("f")
+        .agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+        .filter((F.col("lo") <= probe_u) & (F.col("hi") >= probe_u))
+        .count()
+    )
+    assert env == n_files  # envelopes are useless here — bloom's case
+
+    build_bloom_index(spark, path, "u", idx)
+    pruned = read_bloom_pruned(spark, path, idx, "u", probe_u)
+    opened = pruned.inputFiles()
+    assert 0 < len(opened) < n_files  # skipped files min/max never could
+    expect = sorted(tuple(r) for r in full.filter(F.col("u") == probe_u).collect())
+    got = sorted(tuple(r) for r in pruned.collect())
+    assert got == expect and len(got) >= 1
+
+    # absent value: no file's bloom has all k bits -> empty, schema kept
+    # (false positives may open a file; the residual filter still yields 0 rows)
+    absent = read_bloom_pruned(spark, path, idx, "u", 999999999)
+    assert absent.count() == 0
+    assert absent.columns == ["k", "u", "v"]
+
+
+def test_bloom_index_null_column_files_prune_away(spark, tmp_path):
+    """Files whose indexed column is entirely NULL set no bloom bits and
+    are never opened by an equality probe (NULL can't equal anything)."""
+    from data_spark.io import build_bloom_index, read_bloom_pruned
+
+    path = str(tmp_path / "facts")
+    idx = str(tmp_path / "facts_bloom")
+    some = spark.range(0, 100).select(F.col("id").alias("u"), F.lit("a").alias("s"))
+    nulls = spark.range(0, 100).select(
+        F.lit(None).cast("bigint").alias("u"), F.lit("b").alias("s")
+    )
+    some.coalesce(1).write.mode("overwrite").parquet(path)
+    nulls.coalesce(1).write.mode("append").parquet(path)
+    build_bloom_index(spark, path, "u", idx)
+    got = read_bloom_pruned(spark, path, idx, "u", 42)
+    assert len(got.inputFiles()) == 1
+    assert [tuple(r) for r in got.collect()] == [(42, "a")]
