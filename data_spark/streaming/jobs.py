@@ -833,3 +833,117 @@ def read_quantile_drift(
         gap_struct.getField("gap").alias("max_gap"),
         gap_struct.getField("p").alias("at_p"),
     )
+
+
+def fold_mg_batch_into_state(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    item_col: str,
+    capacity: int = 16,
+) -> None:
+    """One foreachBatch fold of per-group Misra–Gries heavy-hitter
+    summaries — the TOP-K SET companion to the CMS sink (which answers
+    counts for KNOWN probe items, but can't enumerate the heavy set):
+    count the micro-batch's items, SUM-merge with the state counters,
+    then apply the mergeable-summaries prune (Agarwal et al.): per
+    group, subtract the (capacity+1)-th largest count from every
+    counter and drop the non-positive ones, leaving at most
+    ``capacity`` counters.
+
+    State is bounded by |groups|·(capacity+1) rows — never item
+    cardinality — and every surviving count is a LOWER bound that
+    undercounts its item's true frequency by at most
+    N_group/(capacity+1), so any item with true share above
+    1/(capacity+1) is guaranteed present (pytest pins both laws). The
+    per-group total N rides along as a sentinel row (``item`` NULL) so
+    the reader can report the bound; NULL stream items are ignored
+    (they'd be indistinguishable from the sentinel).
+    """
+    import os
+
+    spark = batch.sparkSession
+    marker = os.path.join(state_path, "_last_folded_batch")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if batch_id <= int(f.read().strip()):
+                return  # crash-replay of an already-applied batch
+    rows = batch.filter(F.col(item_col).isNotNull())
+    bcounts = rows.groupBy(
+        *keys, F.col(item_col).cast("string").alias("item")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    btotals = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).select(*keys, F.lit(None).cast("string").alias("item"), "cnt")
+    merged = bcounts.unionByName(btotals)
+    if os.path.exists(state_path):
+        merged = merged.unionByName(spark.read.parquet(state_path).select(*keys, "item", "cnt"))
+    summed = merged.groupBy(*keys, "item").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    items = summed.filter(F.col("item").isNotNull())
+    totals = summed.filter(F.col("item").isNull())
+    w = Window.partitionBy(*keys).orderBy(F.col("cnt").desc(), F.col("item"))
+    ranked = items.withColumn("rk", F.row_number().over(w))
+    deduct = ranked.filter(F.col("rk") == capacity + 1).select(
+        *keys, F.col("cnt").alias("d")
+    )
+    pruned = (
+        ranked.filter(F.col("rk") <= capacity)
+        .join(deduct, list(keys), "left")
+        .select(
+            *keys,
+            "item",
+            (F.col("cnt") - F.coalesce(F.col("d"), F.lit(0))).cast("bigint").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    _promote_state(pruned.unionByName(totals), state_path, batch_id)
+
+
+def mg_state_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    item_col: str,
+    capacity: int = 16,
+) -> StreamingQuery:
+    """Heavy-hitter SET maintenance as a streaming sink: each
+    micro-batch folds into per-group Misra–Gries counters. Read the
+    current heavy set (with deterministic error bounds) via
+    :func:`read_mg_heavy_hitters`."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        fold_mg_batch_into_state(batch, batch_id, state_path, keys, item_col, capacity)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_mg_heavy_hitters(
+    spark: SparkSession, state_path: str, capacity: int = 16
+) -> DataFrame:
+    """Per-group heavy-hitter candidates from MG state — a
+    metadata-sized scan. ``cnt_lower`` is a guaranteed lower bound on
+    the item's true count; ``err_bound = floor(n_total/(capacity+1))``
+    bounds the undercount, so ``true ∈ [cnt_lower, cnt_lower +
+    err_bound]``. Pass the SAME capacity the sink folded with."""
+    state = spark.read.parquet(state_path)
+    keys = [c for c in state.columns if c not in ("item", "cnt")]
+    items = state.filter(F.col("item").isNotNull()).select(
+        *keys, "item", F.col("cnt").alias("cnt_lower")
+    )
+    totals = state.filter(F.col("item").isNull()).select(
+        *keys, F.col("cnt").alias("n_total")
+    )
+    return items.join(totals, keys).select(
+        *keys,
+        "item",
+        "cnt_lower",
+        "n_total",
+        F.floor(F.col("n_total") / (capacity + 1)).cast("bigint").alias("err_bound"),
+    )

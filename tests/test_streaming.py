@@ -1102,3 +1102,63 @@ print("SINK_RETRY_OK", len(got))
         f"stdout={out.stdout[-500:]}\nstderr={out.stderr[-2000:]}"
     )
     assert "injected task failure" in out.stderr
+
+
+def test_mg_state_sink_heavy_hitter_laws(spark, tmp_path):
+    """Misra–Gries state sink: folded counters obey the mergeable-
+    summaries guarantees — every surviving count is a lower bound
+    within N/(capacity+1) of the truth, every item with true share
+    above 1/(capacity+1) survives, the state never holds more than
+    `capacity` item counters per group, and a crash-replay of an
+    applied batch id is a no-op."""
+    from collections import Counter
+
+    from data_spark.streaming.jobs import (
+        fold_mg_batch_into_state,
+        mg_state_sink,
+        read_mg_heavy_hitters,
+    )
+
+    src = str(tmp_path / "src")
+    cap = 3
+    batch1 = [1, 1, 1, 1, 1, 1, 2, 3, 4, 5]
+    batch2 = [1, 1, 1, 1, 2, 2, 2, 6, 7, 8]
+    for i, batch in enumerate((batch1, batch2)):
+        _write_events(src, [
+            {"event_id": 100 * i + j, "ts": f"2024-01-01T00:0{i}:00",
+             "event_type": "a", "value": float(v)}
+            for j, v in enumerate(batch)
+        ])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batch folds
+        .json(src)
+    )
+    state_path = str(tmp_path / "state")
+    q = mg_state_sink(
+        stream, state_path, str(tmp_path / "ckpt"),
+        keys=["event_type"], item_col="value", capacity=cap,
+    )
+    q.awaitTermination(120)
+
+    truth = Counter(float(v) for v in batch1 + batch2)
+    n = sum(truth.values())
+    hh = {r.item: r for r in read_mg_heavy_hitters(spark, state_path, cap).collect()}
+    assert 0 < len(hh) <= cap  # counter budget respected
+    for item, r in hh.items():
+        true_cnt = truth[float(item)]
+        assert r.n_total == n
+        assert r.cnt_lower <= true_cnt <= r.cnt_lower + r.err_bound, (item, r)
+    # every item above the guaranteed threshold must be present
+    for v, c in truth.items():
+        if c > n / (cap + 1):
+            assert str(v) in hh, (v, c)
+
+    # crash-replay of an applied batch id leaves the state untouched
+    before = sorted(map(tuple, spark.read.parquet(state_path).collect()), key=repr)
+    replay = spark.createDataFrame(
+        [("a", 9.0)], "event_type string, value double"
+    )
+    fold_mg_batch_into_state(replay, 0, state_path, ["event_type"], "value", cap)
+    after = sorted(map(tuple, spark.read.parquet(state_path).collect()), key=repr)
+    assert before == after
