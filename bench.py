@@ -164,6 +164,9 @@ HEADLINE = [
     "d_curation_ppl_e2e",  # composed LM-score rank-cut + chunk-dedup disposition
     "d_shard_assign",  # serpentine token-balanced sharding over the global rank
     "pipe_stream_drift_e2e",  # real file stream -> hist-state fold -> KS reader
+    # r6 continuation: corpus rewriting + resampling inference
+    "d_chunk_dedup_rewrite",  # C4-style duplicated-span removal + reassembly
+    "a_bootstrap_ci",  # deterministic bootstrap CI over the daily aggregate
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 
 from data_spark.operators.dedup import _portable_hash60
 from data_spark.operators.order import global_row_number
+from data_spark.plans.lineage import truncate_lineage
 from data_spark.queries.analytics4 import _CDC_MOD, _TOKS_SQL, cdc_chunks
 from data_spark.queries.common import t
 
@@ -200,8 +201,11 @@ def bootstrap_daily_total_ci(orders: DataFrame, n_boot: int = _N_BOOT) -> DataFr
     daily = orders.groupBy("o_orderdate").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total")
     )
-    ranked = global_row_number(daily, ["o_orderdate"], out="rk")
-    stats = daily.agg(
+    # The ranked day table fans out to three consumers (stats, slots,
+    # the draw join); it is calendar-bounded, so materialize it once
+    # instead of re-deriving the fact-table aggregate per consumer.
+    ranked = truncate_lineage(global_row_number(daily, ["o_orderdate"], out="rk"))
+    stats = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("day_total").alias("point_total"),
     ).withColumn("_k", F.lit(1))

@@ -175,6 +175,13 @@ EXCHANGE_BUDGET = {
     # windows + argmax window (the streaming fold runs before the
     # returned plan; state is metadata-sized)
     "pipe_stream_drift_e2e": 4,
+    # chunk window + chunk-fingerprint regroup + occurrence window +
+    # per-doc totals/survivor aggs + join-back
+    "d_chunk_dedup_rewrite": 5,
+    # daily agg + the rank's range exchange (ranked table materialized
+    # once for its three consumers) + slot explode + resample groupBy +
+    # single-group order-statistic collect
+    "a_bootstrap_ci": 7,
 }
 
 
