@@ -289,3 +289,149 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (federal_fec_compute_load/main.py).
     """
     return bootstrap_daily_total_ci(t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window HLL: trailing-7-day distinct users per (type, day)
+# from DAILY max-rank registers — the sketch×window composition a
+# metrics store runs ("7-day actives") without ever re-scanning facts:
+# per-day registers are built once (the hll_state_sink's state shape),
+# and every day's answer is a register-wise MAX over a value-RANGE
+# window. Same cross-engine-exact register discipline as
+# a_hll_exact_rollup (queries/analytics.py): 60-bit md5-prefix hash,
+# 256 registers, integer-scaled harmonic denominator.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_W = 60 - _HLL_P  # 52-bit rank window; empty-register term = 2^53
+_SLIDE_DAYS = 6  # trailing window: current day + 6 preceding
+
+
+@_q(
+    "a_hll_sliding_7d",
+    f"""
+    WITH hashed AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    regs_daily AS (
+      SELECT event_type, day, h % {_HLL_M} AS bucket,
+             MAX(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+                      ELSE {_HLL_W + 1} - length(bin(h // {_HLL_M})) END) AS rho
+      FROM hashed GROUP BY 1, 2, 3
+    ),
+    type_days AS (SELECT DISTINCT event_type, day FROM regs_daily),
+    lattice AS (
+      SELECT t.event_type, t.day, b.bucket
+      FROM type_days t, UNNEST(range(0, {_HLL_M})) AS b(bucket)
+    ),
+    joined AS (
+      SELECT l.event_type, l.day, l.bucket, r.rho,
+             datediff('day', DATE '1970-01-01', l.day) AS dn
+      FROM lattice l
+      LEFT JOIN regs_daily r
+        ON r.event_type = l.event_type AND r.day = l.day AND r.bucket = l.bucket
+    ),
+    merged AS (
+      SELECT event_type, day, bucket,
+             MAX(rho) OVER (
+               PARTITION BY event_type, bucket ORDER BY dn
+               RANGE BETWEEN {_SLIDE_DAYS} PRECEDING AND CURRENT ROW
+             ) AS mrho
+      FROM joined
+    ),
+    sums AS (
+      SELECT event_type, day,
+             CAST(COUNT(mrho) AS BIGINT) AS used,
+             SUM(CASE WHEN mrho IS NOT NULL
+                      THEN CAST(1 AS BIGINT) << ({_HLL_W + 1} - mrho) END) AS s_used
+      FROM merged GROUP BY 1, 2
+    ),
+    raw AS (
+      SELECT event_type, day, used,
+             CAST(s_used + ({_HLL_M} - used) * (CAST(1 AS BIGINT) << {_HLL_W + 1}) AS BIGINT) AS denom_scaled,
+             (0.7213 / (1.0 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M}
+               * CAST(CAST(1 AS BIGINT) << {_HLL_W + 1} AS DOUBLE)
+               / CAST(s_used + ({_HLL_M} - used) * (CAST(1 AS BIGINT) << {_HLL_W + 1}) AS DOUBLE)
+               AS raw_est
+      FROM sums
+    )
+    SELECT event_type, day, used AS buckets_used, denom_scaled,
+           ROUND(CASE WHEN raw_est <= 2.5 * {_HLL_M} AND used < {_HLL_M}
+                      THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - used))
+                      ELSE raw_est END, 4) AS est_distinct
+    FROM raw
+    """,
+)
+def a_hll_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per (event_type, day) by register-
+    MAX over a value-RANGE window of per-day HLL registers.
+
+    The day×register lattice is BOUNDED (|type-days|·256 rows — the
+    unused registers must be present so a register set 3 days ago still
+    counts today), the window is keyed by (type, bucket), and the only
+    float math is the final harmonic estimate over identical operands
+    (4-dp rounded) — facts are scanned exactly once for the daily
+    registers, the answer for every day derives from register state.
+    Scale shape matches the streaming hll_state_sink: at 100 TB the
+    daily register table IS the maintained state; this query is its
+    reader."""
+    e = t(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    rest = F.expr(f"h div {_HLL_M}")
+    rho = F.when(rest == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(rest))
+    )
+    regs_daily = (
+        e.select("event_type", F.to_date("ts").alias("day"), h.alias("h"))
+        .groupBy("event_type", "day", (F.col("h") % _HLL_M).alias("bucket"))
+        .agg(F.max(rho).alias("rho"))
+    )
+    type_days = regs_daily.select("event_type", "day").distinct()
+    lattice = type_days.withColumn(
+        "bucket", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1)))
+    )
+    joined = lattice.join(
+        regs_daily, ["event_type", "day", "bucket"], "left"
+    ).withColumn("dn", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("dn")
+        .rangeBetween(-_SLIDE_DAYS, 0)
+    )
+    merged = joined.withColumn("mrho", F.max("rho").over(w))
+    term = F.when(
+        F.col("mrho").isNotNull(),
+        F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - mrho)"),
+    )
+    sums = merged.groupBy("event_type", "day").agg(
+        F.count("mrho").cast("bigint").alias("used"),
+        F.sum(term).alias("s_used"),
+    )
+    empty_term = F.lit(1 << (_HLL_W + 1)).cast("bigint")
+    denom = F.col("s_used") + (F.lit(_HLL_M) - F.col("used")) * empty_term
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    raw_est = (
+        F.lit(alpha)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(float(1 << (_HLL_W + 1)))
+        / denom.cast("double")
+    )
+    est = F.when(
+        (raw_est <= 2.5 * _HLL_M) & (F.col("used") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("used"))),
+    ).otherwise(raw_est)
+    return sums.select(
+        "event_type",
+        "day",
+        F.col("used").alias("buckets_used"),
+        denom.cast("bigint").alias("denom_scaled"),
+        F.round(est, 4).alias("est_distinct"),
+    )

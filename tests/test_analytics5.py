@@ -196,3 +196,70 @@ def test_bootstrap_partition_invariant(spark):
     a = bootstrap_daily_total_ci(base.repartition(1)).collect()
     b = bootstrap_daily_total_ci(base.repartition(7)).collect()
     assert a == b
+
+
+def test_hll_sliding_window_equals_oneshot_per_window(spark, tmp_path):
+    """Law: the register-MAX over the trailing 7-day window of DAILY
+    registers equals the one-shot register build over the window's raw
+    facts (HLL mergeability specialized to the sliding case), so the
+    per-day estimate matches a from-scratch python HLL over exactly
+    those days — and in the linear-counting regime it tracks the true
+    distinct count closely."""
+    import datetime as dt
+    import math
+
+    from data_spark.queries.analytics5 import _HLL_M, _HLL_W, a_hll_sliding_7d
+
+    rows = []
+    eid = 0
+    for d in range(12):
+        ts = dt.datetime(2024, 5, 1 + d)
+        for u in range(100 + 7 * d):
+            eid += 1
+            # users overlap across days: ids drawn from a rolling range
+            rows.append((eid, ts, (3 * d + u) % 211, "click", 1.0, None))
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        (r.event_type, str(r.day)): r
+        for r in a_hll_sliding_7d(spark, sf).collect()
+    }
+
+    def h60(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    by_day = defaultdict(set)
+    for _, ts, u, *_ in rows:
+        by_day[ts.date()].add(u)
+    days = sorted(by_day)
+    for d in days:
+        window_users = set()
+        for back in range(7):
+            window_users |= by_day.get(d - dt.timedelta(days=back), set())
+        regs = {}
+        for u in window_users:
+            h = h60(u)
+            b, rest = h % _HLL_M, h // _HLL_M
+            rho = (_HLL_W + 1) if rest == 0 else (_HLL_W + 1) - rest.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        used = len(regs)
+        s_used = sum(1 << (_HLL_W + 1 - r) for r in regs.values())
+        denom = s_used + (_HLL_M - used) * (1 << (_HLL_W + 1))
+        alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+        raw = alpha * _HLL_M * _HLL_M * float(1 << (_HLL_W + 1)) / denom
+        if raw <= 2.5 * _HLL_M and used < _HLL_M:
+            est = _HLL_M * math.log(_HLL_M / (_HLL_M - used))
+        else:
+            est = raw
+        r = got[("click", str(d))]
+        assert r.buckets_used == used
+        assert r.denom_scaled == denom
+        assert abs(r.est_distinct - round(est, 4)) < 1e-9
+        # linear-counting regime: estimate within 15% of truth
+        assert abs(est - len(window_users)) / len(window_users) < 0.15

@@ -182,6 +182,9 @@ EXCHANGE_BUDGET = {
     # once for its three consumers) + slot explode + resample groupBy +
     # single-group order-statistic collect
     "a_bootstrap_ci": 7,
+    # daily-register groupBy + type-day distinct + lattice join legs +
+    # (type,bucket)-keyed sliding window + per-day harmonic regroup
+    "a_hll_sliding_7d": 5,
 }
 
 
