@@ -502,7 +502,136 @@ def ann_mode(sizes: list[int]) -> None:
     )
 
 
+def rewrite_mode(sizes: list[int]) -> None:
+    """r6-continuation probe: the C4-style duplicated-span rewrite over
+    1k -> 100k synthetic docs (3-variant clusters supply real repeated
+    passages at every n). The rewrite adds one chunk-fingerprint window
+    and one reassembly groupBy over the chunk table, so warm wall must
+    stay ~linear in corpus tokens — the exponent is the claim."""
+    from data_spark.queries.analytics5 import chunk_dedup_rewrite  # noqa: PLC0415
+
+    spark = get_spark("scale_probe_rewrite")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for n in sizes:
+        parts = max(8, n // 5000)
+        docs = _synth_documents(spark, n).repartition(parts).cache()
+        docs.count()
+        chunk_dedup_rewrite(docs).count()  # cold: pay codegen once
+        start = time.perf_counter()
+        out = chunk_dedup_rewrite(docs)
+        rows = out.count()
+        dropped = out.agg(F.sum("n_dropped")).first()[0]
+        point = {
+            "n": n,
+            "rows_out": rows,
+            "chunks_dropped": int(dropped),
+            "warm_sec": round(time.perf_counter() - start, 4),
+        }
+        results.append(point)
+        print(f"rewrite: {point}", file=sys.stderr, flush=True)
+        docs.unpersist()
+    xs = [math.log(p["n"]) for p in results]
+    ys = [math.log(max(p["warm_sec"], 1e-4)) for p in results]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    print(
+        json.dumps(
+            {
+                "operator": "chunk_dedup_rewrite",
+                "mode": "rewrite",
+                "points": results,
+                "scaling_exponent": round(slope, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bloom_mode(n_rows: int = 1_000_000, n_files: int = 64) -> None:
+    """r6-continuation probe: per-file bloom data skipping measured at
+    1M rows / 64 files. The probed column is a permuted id — every
+    file's min/max envelope spans the whole domain, so envelope pruning
+    opens ALL files; the bloom probe should open ~1 (+ false positives)
+    and the wall-clock gap is the number that matters: at a million
+    files the full scan is the difference between a point lookup and a
+    table scan."""
+    import shutil
+    import tempfile
+
+    spark = get_spark("scale_probe_bloom")
+    spark.sparkContext.setLogLevel("ERROR")
+    from data_spark.io import build_bloom_index, read_bloom_pruned  # noqa: PLC0415
+
+    tmp = tempfile.mkdtemp(prefix="bloom_probe_")
+    path, idx = f"{tmp}/facts", f"{tmp}/bloom"
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(1_000_000_007)).alias("u"),
+    )
+    df.repartitionByRange(n_files, "k").write.mode("overwrite").parquet(path)
+    # size the bloom to the file: m ~ 10 bits per distinct value
+    # (docstring rule in io.build_bloom_index) rounded up to a power of
+    # two — under-sized blooms saturate and prune nothing
+    per_file = n_rows // n_files
+    bits = 1 << max(12, (10 * per_file - 1).bit_length())
+    t0 = time.perf_counter()
+    build_bloom_index(spark, path, "u", idx, bits=bits)
+    build_sec = time.perf_counter() - t0
+
+    probe_u = (
+        spark.read.parquet(path).filter(F.col("k") == n_rows // 2).first()["u"]
+    )
+    full = spark.read.parquet(path).filter(F.col("u") == probe_u)
+    full.count()  # warm the scan once
+    t0 = time.perf_counter()
+    full_rows = full.count()
+    full_sec = time.perf_counter() - t0
+
+    # end-to-end probe (index read + planning + data scan) ...
+    t0 = time.perf_counter()
+    pruned = read_bloom_pruned(spark, path, idx, "u", probe_u, bits=bits)
+    pruned_rows = pruned.count()
+    probe_e2e_sec = time.perf_counter() - t0
+    opened = len(pruned.inputFiles())
+    # ... and the data-scan term alone (what a reader amortizing the
+    # index over a probe batch pays per probe): 1 file vs all of them
+    pruned.count()
+    t0 = time.perf_counter()
+    pruned.count()
+    pruned_scan_sec = time.perf_counter() - t0
+    assert pruned_rows == full_rows
+
+    print(
+        json.dumps(
+            {
+                "mode": "bloom",
+                "n_rows": n_rows,
+                "n_files": n_files,
+                "bloom_bits_per_file": bits,
+                "index_build_sec": round(build_sec, 4),
+                "full_scan_sec": round(full_sec, 4),
+                "probe_e2e_sec": round(probe_e2e_sec, 4),
+                "pruned_scan_sec": round(pruned_scan_sec, 4),
+                "files_opened": opened,
+                "scan_speedup": round(full_sec / max(pruned_scan_sec, 1e-4), 2),
+                "files_skipped_ratio": round(n_files / max(opened, 1), 1),
+            }
+        ),
+        flush=True,
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "rewrite":
+        rewrite_mode([int(x) for x in sys.argv[2:]] or [1_000, 10_000, 100_000])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bloom":
+        bloom_mode(*([int(x) for x in sys.argv[2:]] or [1_000_000, 64]))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "graph":
         graph_mode([int(x) for x in sys.argv[2:]] or [100_000, 1_000_000, 10_000_000])
         return
