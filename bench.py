@@ -168,6 +168,7 @@ HEADLINE = [
     "d_chunk_dedup_rewrite",  # C4-style duplicated-span removal + reassembly
     "a_bootstrap_ci",  # deterministic bootstrap CI over the daily aggregate
     "a_hll_sliding_7d",  # trailing-7d distinct via register-MAX RANGE window
+    "g_mis_luby",  # derandomized Luby MIS, 3 hash-priority rounds
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

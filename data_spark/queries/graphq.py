@@ -355,3 +355,140 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("hub") * F.lit(1e8) + F.lit(0.5)).cast("bigint").alias("hub_e8"),
         F.floor(F.col("auth") * F.lit(1e8) + F.lit(0.5)).cast("bigint").alias("auth_e8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Luby's maximal-independent-set, derandomized: the classic O(log n)-
+# round distributed-greedy MIS (Luby 1986) with the random priorities
+# replaced by the portable md5-prefix hash (id tiebreak), so every
+# engine / partitioning / retry picks the identical set. Fixed
+# _MIS_ROUNDS rounds — vertices still active afterwards are reported
+# 'undecided' (the honest fixed-iteration contract BFS/k-core also
+# use), never silently guessed. Per round: one neighbor-min join+agg
+# over the active frame, one neighbor expansion of the round's
+# winners, two anti-joins — all equi-keyed, nothing all-pairs.
+# MIS is the scheduling primitive behind conflict-free parallel
+# application (e.g. applying near-dup merge decisions so no two
+# adjacent merges run in the same wave).
+# ---------------------------------------------------------------------------
+
+_MIS_ROUNDS = 3
+
+
+def _mis_oracle() -> str:
+    parts = [
+        _SQL_EDGES,
+        """,
+        sym AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
+        ),
+        a0 AS (
+          SELECT DISTINCT a AS id,
+                 lpad(CAST(CAST(('0x' || substr(md5(a), 1, 15)) AS BIGINT) AS VARCHAR),
+                      19, '0') || '|' || a AS pri
+          FROM sym
+        )
+        """,
+    ]
+    for k in range(1, _MIS_ROUNDS + 1):
+        parts.append(
+            f"""
+            , nmin{k} AS (
+              SELECT s.a AS id, MIN(x.pri) AS mn
+              FROM sym s JOIN a{k - 1} x ON x.id = s.b
+              GROUP BY 1
+            ), cand{k} AS MATERIALIZED (
+              SELECT v.id FROM a{k - 1} v LEFT JOIN nmin{k} n ON n.id = v.id
+              WHERE n.mn IS NULL OR v.pri < n.mn
+            ), rem{k} AS MATERIALIZED (
+              SELECT DISTINCT s.b AS id
+              FROM sym s JOIN cand{k} c ON c.id = s.a
+              WHERE s.b IN (SELECT id FROM a{k - 1})
+            ), a{k} AS MATERIALIZED (
+              SELECT v.id, v.pri FROM a{k - 1} v
+              WHERE v.id NOT IN (SELECT id FROM cand{k})
+                AND v.id NOT IN (SELECT id FROM rem{k})
+            )
+            """
+        )
+    finals = [
+        f"SELECT id, 'mis' AS status, CAST({k} AS BIGINT) AS rnd FROM cand{k}"
+        for k in range(1, _MIS_ROUNDS + 1)
+    ] + [
+        f"SELECT id, 'out' AS status, CAST({k} AS BIGINT) AS rnd FROM rem{k}"
+        for k in range(1, _MIS_ROUNDS + 1)
+    ] + [
+        f"SELECT id, 'undecided' AS status, CAST(0 AS BIGINT) AS rnd FROM a{_MIS_ROUNDS}"
+    ]
+    return "WITH " + "".join(parts) + " " + " UNION ALL ".join(finals)
+
+
+@_q("g_mis_luby", _mis_oracle())
+def g_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized Luby MIS over the supplier-customer graph: 3
+    synchronous rounds, hash priorities, (id, status, rnd) output —
+    status 'mis' (joined the set in round rnd), 'out' (lost to an MIS
+    neighbor in round rnd), or 'undecided' (still active after the
+    fixed rounds, rnd 0).
+
+    Hash-verified against the unrolled round-by-round CTE oracle;
+    independence/maximality laws + python mirror in tests/test_graph.py.
+    Cited parity: the reference's graph dedup batches conflict-free
+    Cypher MERGE waves by hand (graph/fec.py amendment batching); MIS
+    is that wave-scheduling primitive as an operator."""
+    from data_spark.operators.dedup import _portable_hash60
+    from data_spark.plans.lineage import truncate_lineage
+
+    edges = _supplier_customer_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    active = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "pri",
+        F.concat(
+            F.lpad(_portable_hash60(F.col("id")).cast("string"), 19, "0"),
+            F.lit("|"),
+            F.col("id"),
+        ),
+    ).transform(truncate_lineage)
+    out_parts = []
+    for k in range(1, _MIS_ROUNDS + 1):
+        nmin = (
+            sym.join(active.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("pri").alias("mn"))
+        )
+        cand = (
+            active.join(nmin, "id", "left")
+            .filter(F.col("mn").isNull() | (F.col("pri") < F.col("mn")))
+            .select("id")
+            .transform(truncate_lineage)
+        )
+        rem = (
+            sym.join(cand.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(active.select("id"), "id")  # only still-active neighbors
+            .transform(truncate_lineage)
+        )
+        out_parts.append(
+            cand.select("id", F.lit("mis").alias("status"), F.lit(k).cast("bigint").alias("rnd"))
+        )
+        out_parts.append(
+            rem.select("id", F.lit("out").alias("status"), F.lit(k).cast("bigint").alias("rnd"))
+        )
+        active = (
+            active.join(cand, "id", "left_anti")
+            .join(rem, "id", "left_anti")
+            .transform(truncate_lineage)
+        )
+    out_parts.append(
+        active.select("id", F.lit("undecided").alias("status"), F.lit(0).cast("bigint").alias("rnd"))
+    )
+    res = out_parts[0]
+    for p in out_parts[1:]:
+        res = res.unionByName(p)
+    return res

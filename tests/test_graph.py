@@ -367,3 +367,66 @@ def test_e8_snap_is_ulp_stable(spark, sf_small):
         or snap(math.nextafter(v, -math.inf)) != snap(v)
     ]
     assert unstable == [], f"{len(unstable)} scores within 1 ulp of a half-grid boundary: {unstable[:5]}"
+
+
+def test_mis_luby_laws_and_python_mirror(spark, tmp_path):
+    """Derandomized Luby MIS: statuses partition the vertex set, the
+    'mis' set is INDEPENDENT (no edge inside), every 'out' vertex lost
+    to an adjacent 'mis' vertex chosen no later than its own removal
+    round, and the whole run equals a from-scratch python mirror of the
+    hash-priority rounds."""
+    import hashlib
+    import os
+
+    from data_spark.queries.graphq import _MIS_ROUNDS, g_mis_luby
+
+    # small bipartite fixture written as (lineitem, orders) so the gate
+    # query's own edge derivation runs
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    pairs = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4), (4, 1), (4, 4), (5, 5)]
+    spark.createDataFrame(
+        [(ok, s) for ok, (s, _) in enumerate(pairs)],
+        "l_orderkey bigint, l_suppkey bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(ok, c) for ok, (_, c) in enumerate(pairs)],
+        "o_orderkey bigint, o_custkey bigint",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    got = {r.id: (r.status, r.rnd) for r in g_mis_luby(spark, sf).collect()}
+
+    edges = {(f"s{s}", f"c{c}") for s, c in pairs}
+    sym = edges | {(b, a) for a, b in edges}
+    verts = {a for a, _ in sym}
+    assert set(got) == verts  # statuses partition the vertex set
+
+    def pri(v):
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        return f"{h:019d}|{v}"
+
+    # python mirror of the fixed rounds
+    active, want = set(verts), {}
+    for k in range(1, _MIS_ROUNDS + 1):
+        cand = {
+            v
+            for v in active
+            if all(pri(v) < pri(u) for u in verts if (v, u) in sym and u in active)
+        }
+        rem = {u for v in cand for (a, u) in sym if a == v} & active
+        for v in cand:
+            want[v] = ("mis", k)
+        for v in rem - cand:
+            want[v] = ("out", k)
+        active -= cand | rem
+    for v in active:
+        want[v] = ("undecided", 0)
+    assert got == want
+
+    mis = {v for v, (s, _) in got.items() if s == "mis"}
+    assert all(not (a in mis and b in mis) for a, b in sym)  # independence
+    for v, (s, k) in got.items():
+        if s == "out":  # lost to an adjacent winner, no later than round k
+            assert any(
+                u in mis and got[u][1] <= k for (a, u) in sym if a == v
+            ), v

@@ -185,6 +185,9 @@ EXCHANGE_BUDGET = {
     # daily-register groupBy + type-day distinct + lattice join legs +
     # (type,bucket)-keyed sliding window + per-day harmonic regroup
     "a_hll_sliding_7d": 5,
+    # the returned frame unions per-round checkpointed outputs — every
+    # round's joins are materialized behind truncate_lineage
+    "g_mis_luby": 0,
 }
 
 
