@@ -716,3 +716,64 @@ def vacuum_versions(table_path: str, keep_from: int) -> list[str]:
         if v < keep_from:
             os.remove(os.path.join(_versions_dir(table_path), f"v{v}.json"))
     return removed
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str] | None = None,
+    minmax_index: tuple[str, list[str]] | None = None,
+    bloom_index: tuple[str, str, int] | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """The lakehouse ``OPTIMIZE`` composition over plain parquet: one
+    maintenance call that (1) rewrites fragmented layout — Z-order
+    clustered when ``zorder_cols`` is given (tight multi-column footer
+    stats), plain bin-packing compaction otherwise — then rebuilds the
+    derived skipping metadata so it can never go stale against the new
+    files: (2) the min/max manifest (``minmax_index=(index_path,
+    cols)``) and (3) the per-file bloom (``bloom_index=(index_path,
+    col, bits)``).
+
+    Layout rewrite and index rebuild are one unit on purpose: both
+    file-skipping indexes key on ``file_path``, so any rewrite
+    invalidates them — callers composing the pieces by hand eventually
+    ship the stale-index read. Content is preserved (the compaction
+    path validates row counts before its swap; the Z-order path is a
+    staged count-validated overwrite here). Returns a report of what
+    ran."""
+    report: dict = {}
+    if zorder_cols:
+        before = spark.read.parquet(path)
+        n_before = before.count()
+        est_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-est_bytes // target_file_bytes))
+        staging = f"{path}__zorder_{uuid.uuid4().hex[:8]}"
+        write_zordered(before, staging, zorder_cols, num_files=n_files)
+        n_after = spark.read.parquet(staging).count()
+        if n_after != n_before:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"z-order rewrite row mismatch: {n_before} -> {n_after}"
+            )
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+        report["zorder"] = {"rows": n_before, "files": n_files}
+    else:
+        report["compact"] = compact_files(spark, path, target_file_bytes)
+    if minmax_index:
+        idx_path, cols = minmax_index
+        build_file_index(spark, path, cols, idx_path)
+        report["minmax_index"] = {"path": idx_path, "cols": cols}
+    if bloom_index:
+        idx_path, col, bits = bloom_index
+        build_bloom_index(spark, path, col, idx_path, bits=bits)
+        report["bloom_index"] = {"path": idx_path, "col": col, "bits": bits}
+    return report

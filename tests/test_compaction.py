@@ -212,3 +212,55 @@ def test_bloom_index_null_column_files_prune_away(spark, tmp_path):
     got = read_bloom_pruned(spark, path, idx, "u", 42)
     assert len(got.inputFiles()) == 1
     assert [tuple(r) for r in got.collect()] == [(42, "a")]
+
+
+def test_optimize_table_rewrites_layout_and_rebuilds_indexes(spark, tmp_path):
+    """The OPTIMIZE composition: a fragmented table is z-order rewritten
+    (content preserved), and BOTH skipping indexes are rebuilt against
+    the new file paths in the same call — a by-hand composition that
+    rewrote the layout but kept the old indexes would prune on paths
+    that no longer exist."""
+    from data_spark.io import optimize_table, read_bloom_pruned, read_index_pruned
+
+    path = str(tmp_path / "facts")
+    mm_idx = str(tmp_path / "mm")
+    bl_idx = str(tmp_path / "bloom")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(1000003)).alias("u"),
+        (F.col("id") % 13).alias("x"),
+        ((F.col("id") * 7) % 17).alias("y"),
+    )
+    # fragment: 40 tiny files
+    df.repartition(40).write.mode("overwrite").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    n_files_before = len(spark.read.parquet(path).inputFiles())
+    assert n_files_before == 40
+
+    report = optimize_table(
+        spark,
+        path,
+        zorder_cols=["x", "y"],
+        minmax_index=(mm_idx, ["k"]),
+        bloom_index=(bl_idx, "u", 1 << 15),
+    )
+    assert report["zorder"]["rows"] == 20000
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before  # content preserved through the rewrite
+    n_files_after = len(spark.read.parquet(path).inputFiles())
+    assert n_files_after < n_files_before  # actually defragmented
+
+    # both indexes were rebuilt against the NEW files and prune correctly
+    probe_u = after[12345][1]
+    got_bloom = read_bloom_pruned(spark, path, bl_idx, "u", probe_u, bits=1 << 15)
+    assert sorted(tuple(r) for r in got_bloom.collect()) == sorted(
+        t for t in after if t[1] == probe_u
+    )
+    got_mm = read_index_pruned(spark, path, mm_idx, "k", 100, 200)
+    assert sorted(r.k for r in got_mm.collect()) == list(range(100, 201))
+
+    # compaction-only path (no zorder): same guarantees, report differs
+    df.repartition(30).write.mode("overwrite").parquet(path)
+    report2 = optimize_table(spark, path, minmax_index=(mm_idx, ["k"]))
+    assert "compact" in report2 and "zorder" not in report2
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
