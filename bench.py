@@ -169,6 +169,7 @@ HEADLINE = [
     "a_bootstrap_ci",  # deterministic bootstrap CI over the daily aggregate
     "a_hll_sliding_7d",  # trailing-7d distinct via register-MAX RANGE window
     "g_mis_luby",  # derandomized Luby MIS, 3 hash-priority rounds
+    "d_weighted_jaccard",  # exact multiset Jaccard over the guarded inverted index
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

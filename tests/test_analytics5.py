@@ -263,3 +263,49 @@ def test_hll_sliding_window_equals_oneshot_per_window(spark, tmp_path):
         assert abs(r.est_distinct - round(est, 4)) < 1e-9
         # linear-counting regime: estimate within 15% of truth
         assert abs(est - len(window_users)) / len(window_users) < 0.15
+
+
+def test_weighted_jaccard_matches_python_mirror(spark):
+    """Exact multiset Jaccard: engine pairs equal a from-scratch python
+    Σmin/Σmax over the df-guarded vocabulary, repeated tokens count
+    proportionally (two docs sharing one copy of a token score lower
+    than two docs sharing all its copies), and the max_df guard drops
+    ubiquitous tokens from the measure in BOTH engines."""
+    from collections import Counter
+
+    from data_spark.queries.analytics5 import weighted_jaccard_pairs
+
+    docs = {
+        1: "spark spark spark rows table join join filter",
+        2: "spark spark spark rows table join join merge",
+        3: "spark rows cats dogs birds fish mice deer",
+        4: "unrelated words entirely different content here now",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_w, r.union_w, r.jacc_micro)
+        for r in weighted_jaccard_pairs(df, max_df=3, min_micro=1).collect()
+    }
+
+    tf = {i: Counter(_tokens(t)) for i, t in docs.items()}
+    docfreq = Counter(tok for c in tf.values() for tok in c)
+    guarded = {
+        i: Counter({t: n for t, n in c.items() if docfreq[t] <= 3})
+        for i, c in tf.items()
+    }
+    want = {}
+    ids = sorted(docs)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            inter = sum((guarded[x] & guarded[y]).values())
+            union = sum((guarded[x] | guarded[y]).values())
+            if inter:
+                want[(x, y)] = (inter, union, 10**6 * inter // union)
+    assert got == want
+    # multiset semantics: (1,2) share 3x spark + 2x join etc. -> high;
+    # (1,3) share only 1x spark + 1x rows -> much lower
+    assert got[(1, 2)][2] > got[(1, 3)][2]

@@ -188,6 +188,9 @@ EXCHANGE_BUDGET = {
     # the returned frame unions per-round checkpointed outputs — every
     # round's joins are materialized behind truncate_lineage
     "g_mis_luby": 0,
+    # guarded posting table materialized once; 6 = totals groupBy +
+    # shared-term self-join alignment + pair groupBy + the totals joins
+    "d_weighted_jaccard": 6,
 }
 
 
