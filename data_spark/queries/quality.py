@@ -430,3 +430,66 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m")
     ).select("m.*")
+
+
+@_q(
+    "dq_langid_eval",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+                 w -> w IN ('the','and','of','to','is','in'))) AS en_score,
+             len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+                 w -> w IN ('el','la','de','que','y','en'))) AS es_score,
+             len(list_filter(str_split_regex(trim(lower(text)), '\s+'),
+                 w -> w IN ('le','la','de','et','est','un'))) AS fr_score
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS actual,
+             CASE WHEN en_score >= es_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+                  WHEN es_score >= fr_score AND es_score > 0 THEN 'es'
+                  WHEN fr_score > 0 THEN 'fr'
+                  ELSE 'unknown' END AS predicted
+      FROM scored
+    ),
+    cells AS (
+      SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT actual, predicted, n,
+           CAST(1000000 * n // SUM(n) OVER (PARTITION BY actual) AS BIGINT) AS share_of_actual_ppm,
+           CAST(1000000 * n // SUM(n) OVER (PARTITION BY predicted) AS BIGINT) AS share_of_predicted_ppm
+    FROM cells
+    """,
+)
+def dq_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the lang-ID heuristic's
+    confusion matrix against the corpus's ground-truth ``lang`` column,
+    with per-cell recall/precision shares in exact integer ppm
+    (diagonal cells' share_of_actual = recall, share_of_predicted =
+    precision). The evaluation-harness member of the quality tier —
+    model quality gates at 100 TB are this exact shape: one prediction
+    pass, one confusion groupBy over the bounded label lattice, window
+    totals over |labels|² rows. Cited parity: generalizes the
+    reference's per-shard count validations to labeled-accuracy gates."""
+    from data_spark.operators.textstats import language_id
+    from pyspark.sql.window import Window
+
+    pred = language_id(t(spark, sf_dir, "documents")).select(
+        F.col("lang").alias("actual"), F.col("predicted_lang").alias("predicted")
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return cells.select(
+        "actual",
+        "predicted",
+        "n",
+        F.expr("1000000 * n DIV SUM(n) OVER (PARTITION BY actual)").alias(
+            "share_of_actual_ppm"
+        ),
+        F.expr("1000000 * n DIV SUM(n) OVER (PARTITION BY predicted)").alias(
+            "share_of_predicted_ppm"
+        ),
+    )

@@ -314,3 +314,80 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@_q(
+    "e_m4_downsample",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hr,
+             event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                                ORDER BY ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_last,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                                ORDER BY value, ts, event_id) AS rn_min,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                                ORDER BY value DESC, ts, event_id) AS rn_max
+      FROM events
+    )
+    SELECT event_type, {SQL_TS.format(expr='hr')} AS bucket,
+           event_id, {SQL_TS.format(expr='ts')} AS ts, value,
+           concat_ws(',',
+             CASE WHEN rn_first = 1 THEN 'first' END,
+             CASE WHEN rn_last  = 1 THEN 'last'  END,
+             CASE WHEN rn_max   = 1 THEN 'max'   END,
+             CASE WHEN rn_min   = 1 THEN 'min'   END) AS roles
+    FROM ranked
+    WHERE rn_first = 1 OR rn_last = 1 OR rn_min = 1 OR rn_max = 1
+    """,
+)
+def e_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, pixel-bucket) keep exactly the rows a line plot needs —
+    first, last, min, and max, WITH their real timestamps (unlike the
+    OHLC rollup, which aggregates the values away). Error-free
+    line-chart rendering at any zoom from ~4 rows per bucket instead of
+    the raw stream.
+
+    One window pass keyed by (series, bucket) — four ROW_NUMBERs over
+    the same partition share a single Exchange; ties broken by
+    (ts, event_id) so every selection is a total order. Roles are
+    emitted per selected row ('first,max' when one row wins several),
+    making the selection itself hash-verifiable."""
+    e = t(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    base = e.select("event_type", hr.alias("hr"), "event_id", "ts", "value")
+    pw = Window.partitionBy("event_type", "hr")
+    ranked = base.select(
+        "event_type",
+        "hr",
+        "event_id",
+        "ts",
+        "value",
+        F.row_number().over(pw.orderBy("ts", "event_id")).alias("rn_first"),
+        F.row_number().over(pw.orderBy(F.col("ts").desc(), F.col("event_id").desc())).alias("rn_last"),
+        F.row_number().over(pw.orderBy("value", "ts", "event_id")).alias("rn_min"),
+        F.row_number().over(pw.orderBy(F.col("value").desc(), "ts", "event_id")).alias("rn_max"),
+    )
+    roles = F.concat_ws(
+        ",",
+        F.when(F.col("rn_first") == 1, F.lit("first")),
+        F.when(F.col("rn_last") == 1, F.lit("last")),
+        F.when(F.col("rn_max") == 1, F.lit("max")),
+        F.when(F.col("rn_min") == 1, F.lit("min")),
+    )
+    return ranked.filter(
+        (F.col("rn_first") == 1)
+        | (F.col("rn_last") == 1)
+        | (F.col("rn_min") == 1)
+        | (F.col("rn_max") == 1)
+    ).select(
+        "event_type",
+        ts_str(F.col("hr")).alias("bucket"),
+        "event_id",
+        ts_str(F.col("ts")).alias("ts"),
+        "value",
+        roles.alias("roles"),
+    )

@@ -191,6 +191,10 @@ EXCHANGE_BUDGET = {
     # guarded posting table materialized once; 6 = totals groupBy +
     # shared-term self-join alignment + pair groupBy + the totals joins
     "d_weighted_jaccard": 6,
+    # all four M4 ROW_NUMBERs share the (series, bucket) Exchange
+    "e_m4_downsample": 1,
+    # prediction pass + confusion groupBy + the two label-keyed share windows
+    "dq_langid_eval": 3,
 }
 
 
