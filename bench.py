@@ -172,6 +172,7 @@ HEADLINE = [
     "d_weighted_jaccard",  # exact multiset Jaccard over the guarded inverted index
     "e_m4_downsample",  # M4 pixel-bucket min/max/first/last row selection
     "dq_langid_eval",  # confusion matrix + ppm precision/recall shares
+    "e_asof_tolerance",  # merge_asof tolerance semantics, one keyed shuffle
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

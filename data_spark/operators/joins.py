@@ -62,10 +62,14 @@ def as_of_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """As-of join: each left row picks the LATEST right row with the same
     ``on`` key whose ``right_ts`` <= ``left_ts`` (inclusive); left rows
-    with no prior right row are dropped (inner as-of).
+    with no prior right row are dropped (inner as-of). ``tolerance_us``
+    bounds the match's staleness (pandas ``merge_asof(tolerance=...)``
+    semantics): a best match older than the bound is no match at all,
+    and the row drops like any other unmatched left row.
 
     Scale shape: instead of a time-range theta join (which explodes into
     a nested loop or an interval cross product), both sides are unioned
@@ -110,6 +114,11 @@ def as_of_join(
         "__match", F.last("__r", ignorenulls=True).over(w)
     )
     out = carried.filter((F.col("__side") == 1) & F.col("__match").isNotNull())
+    if tolerance_us is not None:
+        out = out.filter(
+            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__match.__rts"))
+            <= F.lit(tolerance_us)
+        )
     return out.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         F.col("__match.__rts").alias(f"{right_ts}{suffix}"),

@@ -789,3 +789,46 @@ def e_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
         ).alias("p"),
     )
+
+
+@_q(
+    "e_asof_tolerance",
+    """
+    SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    WHERE epoch_us(c.ts) - epoch_us(v.ts) <= 86400000000
+    """,
+)
+def e_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)):
+    a click only attributes to its latest prior view when that view is
+    at most 24 hours stale — a best match older than the bound is NO
+    match, and the click drops like any unmatched row. Same one-shuffle
+    union+window plan as e_asof_latest_view with a post-carry staleness
+    filter; the oracle states the identical semantics as DuckDB's
+    native ASOF JOIN plus the gap bound (filtering the best match is
+    exactly the tolerance rule — a nearer non-best match can't exist,
+    or it would BE the best match)."""
+    from data_spark.operators.joins import as_of_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = as_of_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        tolerance_us=86_400_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("view_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias("gap_us"),
+    )

@@ -443,6 +443,27 @@ def test_as_of_join_semantics(spark):
     assert 3 not in got  # no prior right row → dropped (inner as-of)
     assert got[4] == 103  # equal timestamps match (inclusive)
 
+    # tolerance (pandas merge_asof semantics): a best match older than
+    # the bound is NO match — the 10:00 click's 9:30 view survives a
+    # 30-min bound, the noon click's 11:00 view survives, but with a
+    # 10-min bound both drop while the exact-tie (gap 0) still matches
+    tight = {
+        r["event_id"]: r["rid_right"]
+        for r in as_of_join(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            right_cols=["rid"], tolerance_us=10 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert tight == {4: 103}
+    mid = {
+        r["event_id"]: r["rid_right"]
+        for r in as_of_join(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            right_cols=["rid"], tolerance_us=30 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert mid == {1: 100, 4: 103}  # noon click's best is 60 min stale -> drops
+
 
 def test_approx_percentiles_error_bound(spark, sf_small):
     from data_spark.queries import QUERIES

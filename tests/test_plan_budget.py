@@ -195,6 +195,8 @@ EXCHANGE_BUDGET = {
     "e_m4_downsample": 1,
     # prediction pass + confusion groupBy + the two label-keyed share windows
     "dq_langid_eval": 3,
+    # same single user-keyed union+window shuffle as the untolerated as-of
+    "e_asof_tolerance": 1,
 }
 
 
