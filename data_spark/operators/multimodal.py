@@ -92,7 +92,7 @@ def _decode(payload: bytes, mode: str) -> bytes:
 
             with image_mod.open(io.BytesIO(payload)) as im:
                 return im.convert("RGB").tobytes()
-        from data_spark.operators import gif, png  # noqa: PLC0415
+        from data_spark.operators import bmp, gif, png  # noqa: PLC0415
 
         if png.is_png(payload):
             _w, _h, rgb = png.decode_rgb(payload)
@@ -100,11 +100,14 @@ def _decode(payload: bytes, mode: str) -> bytes:
         if gif.is_gif(payload):
             _w, _h, rgb = gif.decode_rgb(payload)
             return rgb
+        if bmp.is_bmp(payload):
+            _w, _h, rgb = bmp.decode_rgb(payload)
+            return rgb
         raise NotImplementedError(
-            "decode_mode='strict' without Pillow supports only PNG and GIF "
-            "payloads (vendored codecs, operators/png.py + gif.py); install "
-            "Pillow for other formats or use decode_mode='fake' for the "
-            "deterministic stand-in"
+            "decode_mode='strict' without Pillow supports only PNG, GIF and "
+            "BMP payloads (vendored codecs, operators/png.py + gif.py + "
+            "bmp.py); install Pillow for other formats or use "
+            "decode_mode='fake' for the deterministic stand-in"
         )
     # 'fake': deterministic payload-derived pseudo-decode
     return hashlib.sha256(payload).digest()
@@ -178,17 +181,19 @@ def resize_images(
                 im.convert("RGB").resize((width, height)).save(out, format="PNG")
                 return out.getvalue()
         if decode_mode == "strict":
-            from data_spark.operators import gif, png  # noqa: PLC0415
+            from data_spark.operators import bmp, gif, png  # noqa: PLC0415
 
+            decoded_rgb = None
             if png.is_png(raw):
-                w0, h0, rgb = png.decode_rgb(raw)
-                return png.encode_rgb(
-                    width, height, png.resize_rgb_nearest(w0, h0, rgb, width, height)
-                )
-            if gif.is_gif(raw):
-                # decode GIF, resize, re-encode as PNG (the pipeline's
+                decoded_rgb = png.decode_rgb(raw)
+            elif gif.is_gif(raw):
+                decoded_rgb = gif.decode_rgb(raw)
+            elif bmp.is_bmp(raw):
+                decoded_rgb = bmp.decode_rgb(raw)
+            if decoded_rgb is not None:
+                # decode, resize, re-encode as PNG (the pipeline's
                 # normalized strict output format)
-                w0, h0, rgb = gif.decode_rgb(raw)
+                w0, h0, rgb = decoded_rgb
                 return png.encode_rgb(
                     width, height, png.resize_rgb_nearest(w0, h0, rgb, width, height)
                 )
