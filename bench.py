@@ -173,6 +173,7 @@ HEADLINE = [
     "e_m4_downsample",  # M4 pixel-bucket min/max/first/last row selection
     "dq_langid_eval",  # confusion matrix + ppm precision/recall shares
     "e_asof_tolerance",  # merge_asof tolerance semantics, one keyed shuffle
+    "pipe_stream_mg_e2e",  # file stream -> MG fold/prune/promote -> reader
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -550,3 +550,80 @@ def d_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted-MinHash dedup (news_find_duplicates/main.py's hash dedup
     is the unweighted, whole-document special case)."""
     return weighted_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+_MG_CAP = 16
+
+
+@_q(
+    "pipe_stream_mg_e2e",
+    f"""
+    WITH items AS (
+      SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_total FROM items GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, item
+             ) AS rn
+      FROM items
+    ),
+    deduct AS (
+      SELECT event_type, MAX(CASE WHEN rn = {_MG_CAP + 1} THEN cnt ELSE 0 END) AS d
+      FROM ranked GROUP BY 1
+    )
+    SELECT r.event_type, r.item,
+           CAST(r.cnt - dd.d AS BIGINT) AS cnt_lower,
+           t.n_total,
+           CAST(t.n_total // {_MG_CAP + 1} AS BIGINT) AS err_bound
+    FROM ranked r
+    JOIN deduct dd USING (event_type)
+    JOIN totals t USING (event_type)
+    WHERE r.rn <= {_MG_CAP} AND r.cnt - dd.d > 0
+    """,
+)
+def pipe_stream_mg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Misra–Gries heavy-hitter sink, gate-verified END TO END: the
+    events table is consumed as a REAL file stream (availableNow), the
+    micro-batch's per-(event_type, user) counts fold into MG state
+    (prune to 16 counters/type, stage-and-swap + replay guard), and the
+    result is read_mg_heavy_hitters over the PROMOTED STATE. The table
+    is one parquet file, so the fold is exactly one micro-batch and the
+    state is the deterministic one-prune summary the DuckDB oracle
+    replays (exact counts → rank → subtract the 17th-largest → drop
+    non-positive); the hash match verifies the whole streaming path —
+    source → fold → prune → promote → reader — not a re-derivation.
+    Multi-batch folds are the laws' job (test_streaming pins the
+    mergeable-summaries bounds there; batch boundaries aren't
+    deterministic enough for a hash contract)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from data_spark.streaming.jobs import mg_state_sink, read_mg_heavy_hitters
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"data_spark_smg_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        .select("event_type", "user_id")
+    )
+    q = mg_state_sink(
+        stream, state, ckpt, keys=["event_type"], item_col="user_id", capacity=_MG_CAP
+    )
+    q.awaitTermination(300)
+    return read_mg_heavy_hitters(spark, state, _MG_CAP)

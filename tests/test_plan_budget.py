@@ -197,6 +197,9 @@ EXCHANGE_BUDGET = {
     "dq_langid_eval": 3,
     # same single user-keyed union+window shuffle as the untolerated as-of
     "e_asof_tolerance": 1,
+    # reader over the promoted MG state: one keys-join alignment
+    # (the streaming fold runs before the returned plan)
+    "pipe_stream_mg_e2e": 1,
 }
 
 
