@@ -386,22 +386,7 @@ def refresh_file_index_for_dirs(
     the newest ``__bak`` if the manifest is missing and sweeps stray
     ``__staging``/``__bak`` leftovers, making a crashed refresh cost
     one redo of the delta instead of a silent full rebuild (ADVICE r5)."""
-    parent, base = os.path.split(os.path.abspath(index_path))
-    leftovers = sorted(
-        os.path.join(parent, n)
-        for n in (os.listdir(parent) if os.path.isdir(parent) else [])
-        if n.startswith(f"{base}__bak_") or n.startswith(f"{base}__staging_")
-    )
-    if not os.path.exists(index_path):
-        backups = [p for p in leftovers if f"{base}__bak_" in os.path.basename(p)]
-        if backups:
-            # a previous refresh crashed mid-swap: the newest backup IS
-            # the pre-refresh manifest — restore it and redo the delta
-            restored = max(backups, key=os.path.getmtime)
-            os.rename(restored, index_path)
-            leftovers.remove(restored)
-    for p in leftovers:
-        shutil.rmtree(p, ignore_errors=True)
+    _recover_index(index_path)
     if not os.path.exists(index_path):
         build_file_index(spark, path, cols, index_path)
         return
@@ -427,12 +412,107 @@ def refresh_file_index_for_dirs(
         )
         parts.append(fresh)
     merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    _swap_index(merged, index_path)
+
+
+def _recover_index(index_path: str) -> None:
+    """Shared crash recovery for the file-skipping indexes: if a
+    previous refresh crashed between its two swap renames, the newest
+    ``__bak`` IS the pre-refresh index — restore it so the caller redoes
+    one delta instead of silently falling back to a full rebuild; sweep
+    every other stray ``__staging``/``__bak`` leftover (ADVICE r5)."""
+    parent, base = os.path.split(os.path.abspath(index_path))
+    leftovers = sorted(
+        os.path.join(parent, n)
+        for n in (os.listdir(parent) if os.path.isdir(parent) else [])
+        if n.startswith(f"{base}__bak_") or n.startswith(f"{base}__staging_")
+    )
+    if not os.path.exists(index_path):
+        backups = [p for p in leftovers if f"{base}__bak_" in os.path.basename(p)]
+        if backups:
+            restored = max(backups, key=os.path.getmtime)
+            os.rename(restored, index_path)
+            leftovers.remove(restored)
+    for p in leftovers:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _swap_index(merged: DataFrame, index_path: str) -> None:
+    """Stage → backup-rename → live-rename swap shared by the index
+    refreshers; _recover_index undoes a crash between the renames."""
     staging = f"{index_path}__staging_{uuid.uuid4().hex[:8]}"
     merged.coalesce(1).write.mode("overwrite").parquet(staging)
     backup = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
     os.rename(index_path, backup)
     os.rename(staging, index_path)
     shutil.rmtree(backup, ignore_errors=True)
+
+
+# Bloom sizing: with k hashes and m bits over n distinct values per
+# file, fpp ≈ (1 − e^(−k·n/m))^k — the default 4096 bits / 5 hashes
+# gives ~2% at n=500 and ~0.1% at n=200; size m ≈ 10·n_distinct for
+# ~1% as a rule of thumb.
+_BLOOM_BITS = 4096
+_BLOOM_K = 5
+
+
+def _bloom_positions(col: Column, bits: int, k: int) -> list[Column]:
+    """k bit positions for a value via double hashing
+    (h1 + i·h2 mod m) — two xxhash64 evaluations, not k. Both hashes
+    are reduced mod m BEFORE the i-multiply (i·raw64 overflows a long
+    under ANSI arithmetic; mod-m arithmetic is overflow-free)."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(bits)) for i in range(k)]
+
+
+def refresh_bloom_index_for_dirs(
+    spark: SparkSession,
+    path: str,
+    touched_dirs: list[str],
+    col: str,
+    index_path: str,
+    bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> None:
+    """O(delta) bloom upkeep, the per-file-immutability twin of
+    :func:`refresh_file_index_for_dirs`: recompute bloom rows only for
+    files under ``touched_dirs``, keep every other file's words as-is.
+    Same crash-safe swap; pass the SAME bits/k the index was built
+    with (word positions are a function of them)."""
+    _recover_index(index_path)
+    if not os.path.exists(index_path):
+        build_bloom_index(spark, path, col, index_path, bits=bits, k=k)
+        return
+    touched_abs = [os.path.join(os.path.abspath(path), d) for d in touched_dirs]
+    old = spark.read.parquet(index_path)
+    for d in touched_abs:
+        old = old.filter(~F.col("file_path").contains(d + os.sep))
+    existing_dirs = [d for d in touched_abs if os.path.exists(d)]
+    parts = [old]
+    if existing_dirs:
+        df = (
+            spark.read.option("basePath", path)
+            .parquet(*existing_dirs)
+            .select(F.col("_metadata.file_path").alias("file_path"), F.col(col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+        )
+        pos = df.select(
+            "file_path",
+            F.explode(F.array(*_bloom_positions(F.col("_v"), bits, k))).alias("pos"),
+        )
+        fresh = (
+            pos.select(
+                "file_path",
+                (F.col("pos") / 64).cast("int").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+            )
+            .groupBy("file_path", "w")
+            .agg(F.bit_or("m").alias("word"))
+        )
+        parts.append(fresh)
+    merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    _swap_index(merged, index_path)
 
 
 def read_index_pruned(
@@ -463,24 +543,6 @@ def read_index_pruned(
     return spark.read.parquet(*files).filter(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
-
-
-# Bloom sizing: with k hashes and m bits over n distinct values per
-# file, fpp ≈ (1 − e^(−k·n/m))^k — the default 4096 bits / 5 hashes
-# gives ~2% at n=500 and ~0.1% at n=200; size m ≈ 10·n_distinct for
-# ~1% as a rule of thumb.
-_BLOOM_BITS = 4096
-_BLOOM_K = 5
-
-
-def _bloom_positions(col: Column, bits: int, k: int) -> list[Column]:
-    """k bit positions for a value via double hashing
-    (h1 + i·h2 mod m) — two xxhash64 evaluations, not k. Both hashes
-    are reduced mod m BEFORE the i-multiply (i·raw64 overflows a long
-    under ANSI arithmetic; mod-m arithmetic is overflow-free)."""
-    h1 = F.pmod(F.xxhash64(col), F.lit(bits))
-    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(bits))
-    return [F.pmod(h1 + F.lit(i) * h2, F.lit(bits)) for i in range(k)]
 
 
 def build_bloom_index(

@@ -264,3 +264,50 @@ def test_optimize_table_rewrites_layout_and_rebuilds_indexes(spark, tmp_path):
     report2 = optimize_table(spark, path, minmax_index=(mm_idx, ["k"]))
     assert "compact" in report2 and "zorder" not in report2
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+
+def test_bloom_refresh_for_dirs_is_o_delta_and_equals_rebuild(spark, tmp_path):
+    """O(delta) bloom upkeep: after one partition dir is rewritten,
+    refreshing ONLY that dir yields an index row-equal to a full
+    rebuild, untouched files' words survive byte-identically, and a
+    probe for a value that only exists in the rewritten dir finds it."""
+    from data_spark.io import (
+        build_bloom_index,
+        read_bloom_pruned,
+        refresh_bloom_index_for_dirs,
+    )
+
+    path = str(tmp_path / "facts")
+    idx = str(tmp_path / "bloom")
+    bits = 1 << 14
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 4).alias("part"),
+        F.pmod(F.col("id") * 2654435761, F.lit(999983)).alias("u"),
+    )
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+    build_bloom_index(spark, path, "u", idx, bits=bits)
+    before = {
+        (r.file_path, r.w): r.word for r in spark.read.parquet(idx).collect()
+    }
+
+    # rewrite partition 2 with brand-new values
+    spark.range(0, 500).select(
+        F.lit(2).alias("part"), (F.col("id") + 5_000_000).alias("u")
+    ).write.mode("overwrite").parquet(f"{path}/part=2")
+    refresh_bloom_index_for_dirs(spark, path, ["part=2"], "u", idx, bits=bits)
+
+    after = {(r.file_path, r.w): r.word for r in spark.read.parquet(idx).collect()}
+    untouched_before = {k: v for k, v in before.items() if "part=2" not in k[0]}
+    untouched_after = {k: v for k, v in after.items() if "part=2" not in k[0]}
+    assert untouched_before == untouched_after  # O(delta): others untouched
+
+    # refresh == rebuild (same per-file words, new file paths included)
+    idx2 = str(tmp_path / "bloom_rebuilt")
+    build_bloom_index(spark, path, "u", idx2, bits=bits)
+    rebuilt = {(r.file_path, r.w): r.word for r in spark.read.parquet(idx2).collect()}
+    assert after == rebuilt
+
+    # the refreshed bloom serves probes for the NEW values
+    got = read_bloom_pruned(spark, path, idx, "u", 5_000_123, bits=bits)
+    assert [r.u for r in got.collect()] == [5_000_123]
+    assert 0 < len(got.inputFiles()) < len(spark.read.parquet(path).inputFiles())
