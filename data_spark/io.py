@@ -661,7 +661,9 @@ def table_versions(table_path: str) -> list[int]:
     )
 
 
-def write_versioned(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
+def write_versioned(
+    df: DataFrame, table_path: str, mode: str = "overwrite", meta: dict | None = None
+) -> int:
     """Commit ``df`` as a new table version — snapshot isolation and
     time travel on plain parquet, the lakehouse commit-log idea
     (Delta/Iceberg) without a table format dependency:
@@ -696,11 +698,28 @@ def write_versioned(df: DataFrame, table_path: str, mode: str = "overwrite") -> 
         parents = []
     os.makedirs(_versions_dir(table_path), exist_ok=True)
     manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
+    if meta:
+        manifest["meta"] = meta
     tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
     return new_v
+
+
+def version_meta(table_path: str, version: int | None = None) -> dict:
+    """The caller-supplied metadata recorded in a version's manifest
+    (empty dict when none). Because the manifest rename IS the commit
+    point, this metadata is exactly as durable as the version itself —
+    which is what makes it usable as a streaming replay guard."""
+    import json
+
+    versions = table_versions(table_path)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
+        return json.load(f).get("meta", {})
 
 
 def read_versioned(

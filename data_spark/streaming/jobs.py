@@ -947,3 +947,39 @@ def read_mg_heavy_hitters(
         "n_total",
         F.floor(F.col("n_total") / (capacity + 1)).cast("bigint").alias("err_bound"),
     )
+
+
+def versioned_stream_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Exactly-once streaming appends into the versioned snapshot store
+    (io.write_versioned): every micro-batch commits one table version
+    with its batch id recorded in the version MANIFEST — and since the
+    manifest rename IS the commit's atomic point, the replay guard and
+    the data are one durable object. A crash after the manifest lands
+    replays the batch, sees its id already committed, and no-ops; a
+    crash before it leaves no manifest, so the redo is the first
+    commit. (The marker-file guard the state sinks use would leave a
+    window between data-commit and marker-write; here that window is
+    zero by construction.)
+
+    This is the lakehouse streaming-ingest shape: readers time-travel
+    any micro-batch boundary (read_versioned(v)), restore/vacuum work
+    unchanged, and downstream snapshot-diff (m_snapshot_diff) audits
+    exactly what each batch added."""
+    from data_spark.io import version_meta, write_versioned
+
+    def _commit(batch: DataFrame, batch_id: int) -> None:
+        last = version_meta(table_path).get("batch_id")
+        if last is not None and batch_id <= last:
+            return  # crash-replay of an already-committed batch
+        write_versioned(batch, table_path, mode="append", meta={"batch_id": batch_id})
+
+    return (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

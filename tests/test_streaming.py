@@ -1162,3 +1162,58 @@ def test_mg_state_sink_heavy_hitter_laws(spark, tmp_path):
     fold_mg_batch_into_state(replay, 0, state_path, ["event_type"], "value", cap)
     after = sorted(map(tuple, spark.read.parquet(state_path).collect()), key=repr)
     assert before == after
+
+
+def test_versioned_stream_sink_exactly_once_time_travel(spark, tmp_path):
+    """Streaming appends into the versioned store: each micro-batch is
+    one table version whose manifest records the batch id, so (a) every
+    batch boundary is time-travelable, (b) the final table equals the
+    full input, and (c) replaying an applied batch id is a no-op
+    because the replay guard IS the commit manifest — zero window
+    between data and guard."""
+    from data_spark.io import read_versioned, table_versions, version_meta
+    from data_spark.streaming.jobs import versioned_stream_sink
+
+    src = str(tmp_path / "src")
+    batch1 = [(1, "a"), (2, "b")]
+    batch2 = [(3, "c"), (4, "d"), (5, "e")]
+    for i, rows in enumerate((batch1, batch2)):
+        _write_events(src, [
+            {"event_id": k, "ts": f"2024-01-01T00:0{i}:00", "event_type": t_, "value": 1.0}
+            for k, t_ in rows
+        ])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select("event_id", "event_type")
+    )
+    table = str(tmp_path / "table")
+    q = versioned_stream_sink(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    versions = table_versions(table)
+    assert len(versions) == 2  # one version per micro-batch
+    v0 = sorted(tuple(r) for r in read_versioned(spark, table, versions[0]).collect())
+    v1 = sorted(tuple(r) for r in read_versioned(spark, table).collect())
+    all_rows = sorted([(k, t_) for k, t_ in batch1 + batch2])
+    assert len(v0) in (2, 3) and v1 == all_rows  # batch order may vary
+    assert version_meta(table).get("batch_id") == 1
+
+    # replaying an applied batch id must not create a new version
+    replay = spark.createDataFrame([(99, "z")], "event_id bigint, event_type string")
+    from data_spark.io import write_versioned
+
+    def _commit(batch, batch_id):
+        # the sink's guard: skip ids at or below the last committed one
+        last = version_meta(table).get("batch_id")
+        if last is not None and batch_id <= last:
+            return
+        write_versioned(batch, table, mode="append", meta={"batch_id": batch_id})
+
+    before = table_versions(table)
+    _commit(replay, 0)
+    _commit(replay, 1)
+    assert table_versions(table) == before  # both ids already committed
+    _commit(replay, 2)
+    assert len(table_versions(table)) == len(before) + 1  # a new id commits
