@@ -134,6 +134,7 @@ def write_zordered(
     cols: list[str],
     num_files: int = 16,
     bits: int = 16,
+    scaling: str = "minmax",
 ) -> None:
     """Z-order-clustered parquet write: range-partition + sort by the
     Morton value of ``cols`` so every file's min/max footer stats are
@@ -142,18 +143,58 @@ def write_zordered(
     partition directories are too coarse and a single-column sort only
     helps one predicate).
 
-    Column levels come from min-max scaling against a broadcast 1-row
-    bounds aggregate — one extra scan, NO global sort/rank (the skew
-    caveat: heavily skewed keys cluster less tightly; swap the bounds
-    for sampled quantile boundaries if that matters)."""
-    bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"{c}__min") for c in cols],
-        *[F.max(c).cast("double").alias(f"{c}__max") for c in cols],
-    )
+    ``scaling`` picks how column values map to interleave levels:
+
+    - ``"minmax"`` (default): min-max scaling against a broadcast 1-row
+      bounds aggregate — one extra scan, NO global sort/rank. The skew
+      caveat: a heavy value cluster collapses into one level and the
+      z-curve can't separate it.
+    - ``"rank"``: equi-DEPTH levels from each column's distributed
+      global rank (operators.order.global_row_number — the two-phase
+      range-partitioned rank, never a single-partition window). Every
+      level holds ~n/2^bits rows REGARDLESS of the value distribution,
+      so skewed keys cluster as tightly as uniform ones; costs one
+      range-shuffle per cluster key, the right trade for a
+      maintenance-time rewrite of a skewed table."""
+    if scaling == "minmax":
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"{c}__min") for c in cols],
+            *[F.max(c).cast("double").alias(f"{c}__max") for c in cols],
+        )
+        leveled = df.join(F.broadcast(bounds)).withColumn(
+            "__z", zorder_value(cols, bits)
+        )
+        drop_cols = [f"{c}__min" for c in cols] + [f"{c}__max" for c in cols]
+    elif scaling == "rank":
+        from data_spark.operators.order import global_row_number  # noqa: PLC0415
+
+        n_rows = df.count()
+        leveled = df
+        for c in cols:
+            # total order: tiebreak on every original column via a hash
+            leveled = global_row_number(
+                leveled, [c, F.xxhash64(*df.columns)], out=f"__rn_{c}"
+            ).withColumn(
+                f"__lvl_{c}",
+                F.least(
+                    ((F.col(f"__rn_{c}") - 1) * (1 << bits) / max(n_rows, 1)).cast("bigint"),
+                    F.lit((1 << bits) - 1),
+                ),
+            )
+        z = F.lit(0).cast("bigint")
+        for b in range(bits):
+            for ci, c in enumerate(cols):
+                pos = b * len(cols) + ci
+                z = z + (
+                    F.shiftright(F.col(f"__lvl_{c}"), b).bitwiseAND(F.lit(1))
+                    * F.lit(1 << pos)
+                )
+        leveled = leveled.withColumn("__z", z)
+        drop_cols = [f"__rn_{c}" for c in cols] + [f"__lvl_{c}" for c in cols]
+    else:
+        raise ValueError(f"scaling must be minmax|rank, got {scaling!r}")
     (
-        df.join(F.broadcast(bounds))
-        .withColumn("__z", zorder_value(cols, bits))
-        .drop(*[f"{c}__min" for c in cols], *[f"{c}__max" for c in cols])
+        leveled.drop(*drop_cols)
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

@@ -311,3 +311,44 @@ def test_bloom_refresh_for_dirs_is_o_delta_and_equals_rebuild(spark, tmp_path):
     got = read_bloom_pruned(spark, path, idx, "u", 5_000_123, bits=bits)
     assert [r.u for r in got.collect()] == [5_000_123]
     assert 0 < len(got.inputFiles()) < len(spark.read.parquet(path).inputFiles())
+
+
+def test_rank_scaled_zorder_clusters_skewed_keys(spark, tmp_path):
+    """Skew resistance: with 90% of u in a tiny dense range, min-max
+    z-order collapses the cluster into one interleave level and a dense
+    sub-range probe overlaps almost every file's envelope; rank (equi-
+    depth) levels spread the cluster, so the same probe overlaps far
+    fewer files. Content is identical either way."""
+    from data_spark.io import build_file_index, write_zordered
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        # 90% dense in [0, 100), 10% flung to [1e8, 1e9)
+        F.when(F.col("id") % 10 < 9, F.pmod(F.col("id") * 37, F.lit(100)))
+        .otherwise(F.col("id") * 50000 + 100_000_000)
+        .alias("u"),
+        F.pmod(F.col("id") * 2654435761, F.lit(10000)).alias("v"),
+    )
+
+    def overlapping_files(mode):
+        # probe a sub-range INSIDE the dense cluster (u in [40,60], any
+        # v): min-max scaling maps the whole cluster to interleave
+        # level ~0, so u contributes nothing to the layout and nearly
+        # every file's envelope covers the probe; rank levels keep
+        # separating values inside the cluster
+        path = str(tmp_path / f"z_{mode}")
+        idx = str(tmp_path / f"z_{mode}_idx")
+        write_zordered(df, path, ["u", "v"], num_files=16, scaling=mode)
+        build_file_index(spark, path, ["u"], idx)
+        index = spark.read.parquet(idx)
+        n = index.filter(
+            (F.col("u__min") <= 60) & (F.col("u__max") >= 40)
+        ).count()
+        rows = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        return n, rows
+
+    n_minmax, rows_minmax = overlapping_files("minmax")
+    n_rank, rows_rank = overlapping_files("rank")
+    assert rows_minmax == rows_rank  # a layout choice, never a data change
+    assert n_minmax >= 14, n_minmax  # cluster collapse: ~no u-pruning
+    assert n_rank <= n_minmax - 4, (n_rank, n_minmax)
