@@ -847,6 +847,7 @@ def optimize_table(
     minmax_index: tuple[str, list[str]] | None = None,
     bloom_index: tuple[str, str, int] | None = None,
     target_file_bytes: int = 128 << 20,
+    zorder_scaling: str = "minmax",
 ) -> dict:
     """The lakehouse ``OPTIMIZE`` composition over plain parquet: one
     maintenance call that (1) rewrites fragmented layout — Z-order
@@ -876,7 +877,9 @@ def optimize_table(
         )
         n_files = max(1, -(-est_bytes // target_file_bytes))
         staging = f"{path}__zorder_{uuid.uuid4().hex[:8]}"
-        write_zordered(before, staging, zorder_cols, num_files=n_files)
+        write_zordered(
+            before, staging, zorder_cols, num_files=n_files, scaling=zorder_scaling
+        )
         n_after = spark.read.parquet(staging).count()
         if n_after != n_before:
             shutil.rmtree(staging, ignore_errors=True)
