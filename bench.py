@@ -174,6 +174,7 @@ HEADLINE = [
     "dq_langid_eval",  # confusion matrix + ppm precision/recall shares
     "e_asof_tolerance",  # merge_asof tolerance semantics, one keyed shuffle
     "pipe_stream_mg_e2e",  # file stream -> MG fold/prune/promote -> reader
+    "a_welch_t",  # parametric drift member: integer sufficient stats, one float
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

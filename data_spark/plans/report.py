@@ -165,6 +165,7 @@ NESTED_LOOP_ALLOWED = frozenset(
         "d_curation_ppl_e2e",  # same 1-row vocabulary broadcast via bigram_nll
         "pipe_stream_drift_e2e",  # |types|x24-row bounded state x 1-ref-histogram join
         "a_bootstrap_ci",  # 1-row (n_days, point_total) stats broadcasts
+        "a_welch_t",  # |langs|^2-row pair lattice over bounded languages
     }
 )
 

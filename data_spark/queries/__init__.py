@@ -158,14 +158,14 @@ _PRIORITY = [
     # r7 must open with: d_bigram_lm, v_cosine_topk, v_ivf_topk,
     # d_embed_near_dup, j_suffix_containment, g_triangles,
     # g_clustering_coeff (r2-witnessed, displaced from this window by
-    # the r6 contract changes), PLUS the 17 never-witnessed r6
+    # the r6 contract changes), PLUS the 18 never-witnessed r6
     # additions (a_ks_two_sample, a_mann_whitney_u, g_modularity,
     # d_perplexity_filter, d_cdc_chunking, d_curation_ppl_e2e,
     # d_shard_assign, pipe_stream_drift_e2e — analytics4.py;
     # d_chunk_dedup_rewrite, a_bootstrap_ci, a_hll_sliding_7d,
     # d_weighted_jaccard — analytics5.py; g_mis_luby — graphq.py;
     # e_m4_downsample — temporal.py; dq_langid_eval — quality.py;
-    # e_asof_tolerance — events.py; pipe_stream_mg_e2e —
+    # e_asof_tolerance — events.py; pipe_stream_mg_e2e, a_welch_t —
     # analytics5.py), then the r3-witnessed block.
     "d_bigram_lm",
     "v_cosine_topk",

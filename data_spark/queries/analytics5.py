@@ -627,3 +627,80 @@ def pipe_stream_mg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return read_mg_heavy_hitters(spark, state, _MG_CAP)
+
+
+@_q(
+    "a_welch_t",
+    """
+    WITH stats AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+      FROM documents GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             a.n AS n_a, a.s AS s_a, a.q AS q_a,
+             b.n AS n_b, b.s AS s_b, b.q AS q_b
+      FROM stats a JOIN stats b ON a.lang < b.lang
+      WHERE a.n >= 2 AND b.n >= 2
+    )
+    SELECT lang_a, lang_b, n_a, n_b,
+           ROUND((CAST(s_a AS DOUBLE) / n_a) - (CAST(s_b AS DOUBLE) / n_b), 6) AS mean_diff,
+           ROUND(
+             ((CAST(s_a AS DOUBLE) / n_a) - (CAST(s_b AS DOUBLE) / n_b))
+             * ((CAST(s_a AS DOUBLE) / n_a) - (CAST(s_b AS DOUBLE) / n_b))
+             / (
+               ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
+               + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b
+             ), 6) AS t2
+    FROM pairs
+    """,
+)
+def a_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t² between every language pair's
+    document-length distributions — the PARAMETRIC member of the drift
+    family (a_ks_two_sample tests shape, a_mann_whitney_u location by
+    rank; Welch is the mean test a metrics pipeline reaches for first).
+
+    Exactness discipline: the per-group sufficient statistics (n, Σx,
+    Σx²) are exact BIGINTs (lengths are integers), the pair lattice is
+    a broadcast join over the bounded language set, and t² is ONE
+    double expression over identical integer operands in both engines,
+    6-dp-rounded — the same one-final-float rule the HLL estimate uses.
+    t² is reported instead of t so no square root enters the contract."""
+    d = t(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("q"),
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.lang") < F.col("b.lang"))
+        .filter((F.col("a.n") >= 2) & (F.col("b.n") >= 2))
+        .select(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"),
+            F.col("a.n").alias("n_a"), F.col("a.s").alias("s_a"), F.col("a.q").alias("q_a"),
+            F.col("b.n").alias("n_b"), F.col("b.s").alias("s_b"), F.col("b.q").alias("q_b"),
+        )
+    )
+    mean_diff = (
+        F.col("s_a").cast("double") / F.col("n_a")
+        - F.col("s_b").cast("double") / F.col("n_b")
+    )
+    var_term = lambda s, q, n: (  # noqa: E731
+        (F.col(q).cast("double") - F.col(s).cast("double") * F.col(s) / F.col(n))
+        / (F.col(n) - 1)
+    ) / F.col(n)
+    return pairs.select(
+        "lang_a",
+        "lang_b",
+        "n_a",
+        "n_b",
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(
+            mean_diff * mean_diff / (var_term("s_a", "q_a", "n_a") + var_term("s_b", "q_b", "n_b")),
+            6,
+        ).alias("t2"),
+    )

@@ -309,3 +309,46 @@ def test_weighted_jaccard_matches_python_mirror(spark):
     # multiset semantics: (1,2) share 3x spark + 2x join etc. -> high;
     # (1,3) share only 1x spark + 1x rows -> much lower
     assert got[(1, 2)][2] > got[(1, 3)][2]
+
+
+def test_welch_t_matches_python_mirror(spark, tmp_path):
+    """Welch t² from exact integer sufficient statistics equals a
+    from-scratch python Welch computation (6-dp rounded), and the
+    planted mean shift dominates every same-mean pair."""
+    import os
+
+    from data_spark.queries.analytics5 import a_welch_t
+
+    rows = []
+    doc = 0
+    # en/es share a mean; fr is shifted well above both
+    for lang, base in (("en", 100), ("es", 100), ("fr", 220)):
+        for j in range(40):
+            doc += 1
+            rows.append((doc, "x", lang, "s", base + (j * 7) % 25))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    got = {(r.lang_a, r.lang_b): r for r in a_welch_t(spark, sf).collect()}
+
+    by_lang = defaultdict(list)
+    for _, _, lang, _, n in rows:
+        by_lang[lang].append(n)
+
+    def welch(xs, ys):
+        nx, ny = len(xs), len(ys)
+        mx, my = sum(xs) / nx, sum(ys) / ny
+        vx = (sum(v * v for v in xs) - sum(xs) ** 2 / nx) / (nx - 1)
+        vy = (sum(v * v for v in ys) - sum(ys) ** 2 / ny) / (ny - 1)
+        return (mx - my) ** 2 / (vx / nx + vy / ny)
+
+    for (a, b), r in got.items():
+        want = welch(by_lang[a], by_lang[b])
+        assert abs(r.t2 - round(want, 6)) < 1e-6, (a, b, r.t2, want)
+        assert r.n_a == len(by_lang[a]) and r.n_b == len(by_lang[b])
+    # the shifted language dominates: both fr pairs far exceed en-es
+    assert got[("en", "fr")].t2 > 100 * got[("en", "es")].t2
+    assert got[("es", "fr")].t2 > 100 * got[("en", "es")].t2

@@ -200,6 +200,9 @@ EXCHANGE_BUDGET = {
     # reader over the promoted MG state: one keys-join alignment
     # (the streaming fold runs before the returned plan)
     "pipe_stream_mg_e2e": 1,
+    # per-lang sufficient-stats groupBy + its broadcast legs; the pair
+    # lattice is the allowlisted bounded-language NLJ
+    "a_welch_t": 3,
 }
 
 
