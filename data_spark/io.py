@@ -104,6 +104,17 @@ def read_headed_csv(spark: SparkSession, path: str, schema: StructType) -> DataF
     )
 
 
+def _fit_zorder_bits(bits: int, n_cols: int) -> int:
+    """Largest per-column level width whose interleave fits a signed
+    BIGINT: ``bits * n_cols <= 63``. 63 levels-bits of clustering
+    resolution is far beyond what parquet row-group pruning can use, so
+    shrinking silently (rather than raising) is the right contract for
+    a maintenance-time rewrite."""
+    if n_cols < 1:
+        raise ValueError("z-order needs at least one column")
+    return max(1, min(bits, 63 // n_cols))
+
+
 def zorder_value(cols: list[str], bits: int = 16):
     """Z-order (Morton) interleave of up to 4 numeric columns: each
     column is min-max-scaled into ``2^bits`` levels (``<col>__min`` /
@@ -112,7 +123,13 @@ def zorder_value(cols: list[str], bits: int = 16):
     LSB-first into one BIGINT. Rows close in z-value are close in
     EVERY keyed dimension, so range-sorting by it clusters parquet
     row-groups for min/max data skipping on ANY of the keys — the
-    multi-dimensional generalization of sort-by-one-column."""
+    multi-dimensional generalization of sort-by-one-column.
+
+    ``bits`` is auto-shrunk so the interleaved value fits a signed
+    BIGINT: the highest bit position is ``bits*len(cols)-1``, which must
+    stay below 63 (at 4 columns the default 16 bits would place a bit at
+    position 63 — ``1 << 63`` overflows the signed long literal)."""
+    bits = _fit_zorder_bits(bits, len(cols))
     levels = []
     for c in cols:
         lo, hi = F.col(f"{c}__min"), F.col(f"{c}__max")
@@ -168,6 +185,7 @@ def write_zordered(
     elif scaling == "rank":
         from data_spark.operators.order import global_row_number  # noqa: PLC0415
 
+        bits = _fit_zorder_bits(bits, len(cols))
         n_rows = df.count()
         leveled = df
         for c in cols:
@@ -293,6 +311,7 @@ def validated_overwrite(
     extra shuffle.
     """
     spark = df.sparkSession
+    _recover_table(path)
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
     new_rows = spark.read.parquet(staging).count()
@@ -309,12 +328,53 @@ def validated_overwrite(
         raise ValueError(
             f"validated_overwrite rollback: new rows {new_rows} < expected {threshold}"
         )
-    backup = f"{path}__archive_{uuid.uuid4().hex[:8]}"
+    _swap_table(path, staging)
+    return new_rows
+
+
+def _recover_table(path: str) -> None:
+    """Crash recovery shared by the staged table swaps
+    (:func:`validated_overwrite`, :func:`compact_files`,
+    :func:`optimize_table`): a swap is stage → backup-rename →
+    live-rename, so a crash between the two renames leaves NO directory
+    at ``path`` and the newest backup IS the pre-swap table. Restore it
+    (the caller then redoes one rewrite instead of losing the table),
+    and sweep every other stray staging/backup leftover. Mirrors
+    ``_recover_index`` (ADVICE r6)."""
+    parent, base = os.path.split(os.path.abspath(path))
+    prefixes = tuple(
+        f"{base}{tag}"
+        for tag in ("__bak_", "__archive_", "__old_", "__staging_", "__zorder_")
+    )
+    leftovers = sorted(
+        os.path.join(parent, n)
+        for n in (os.listdir(parent) if os.path.isdir(parent) else [])
+        if n.startswith(prefixes)
+    )
+    if not os.path.exists(path):
+        backups = [
+            p
+            for p in leftovers
+            if any(
+                t in os.path.basename(p) for t in ("__bak_", "__archive_", "__old_")
+            )
+        ]
+        if backups:
+            restored = max(backups, key=os.path.getmtime)
+            os.rename(restored, path)
+            leftovers.remove(restored)
+    for p in leftovers:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _swap_table(path: str, staging: str) -> None:
+    """Backup-rename → live-rename swap shared by the table rewriters;
+    ``_recover_table`` undoes a crash between the renames."""
+    backup = f"{path}__bak_{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup, ignore_errors=True)
-    return new_rows
 
 
 def compact_files(
@@ -339,6 +399,7 @@ def compact_files(
     ``validated_overwrite``, so a failed rewrite leaves the table
     untouched. Already-compact directories return without rewriting.
     """
+    _recover_table(path)
     inventory = []
     for root, _dirs, names in os.walk(path):
         for name in names:
@@ -365,10 +426,7 @@ def compact_files(
         raise ValueError(
             f"compact_files rollback: rewrote {new_rows} rows != {old_rows}"
         )
-    backup = f"{path}__archive_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup, ignore_errors=True)
+    _swap_table(path, staging)
     stats["files_after"] = sum(
         1
         for root, _dirs, names in os.walk(path)
@@ -501,9 +559,13 @@ def _bloom_positions(col: Column, bits: int, k: int) -> list[Column]:
     """k bit positions for a value via double hashing
     (h1 + i·h2 mod m) — two xxhash64 evaluations, not k. Both hashes
     are reduced mod m BEFORE the i-multiply (i·raw64 overflows a long
-    under ANSI arithmetic; mod-m arithmetic is overflow-free)."""
+    under ANSI arithmetic; mod-m arithmetic is overflow-free). h2 is
+    forced into [1, m-1]: with h2 ≡ 0 (mod m) all k probes collapse to
+    h1 and that value's effective fpp jumps (extra file reads, never
+    wrong rows). Build and probe share this function, so the stride
+    convention is applied identically on both sides."""
     h1 = F.pmod(F.xxhash64(col), F.lit(bits))
-    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(bits - 1)) + F.lit(1)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(bits)) for i in range(k)]
 
 
@@ -763,6 +825,25 @@ def version_meta(table_path: str, version: int | None = None) -> dict:
         return json.load(f).get("meta", {})
 
 
+def last_committed_batch_id(table_path: str) -> int | None:
+    """Max ``meta["batch_id"]`` across ALL version manifests — the
+    streaming replay guard. Reading only the LATEST version's meta is
+    not enough: a meta-less commit (manual append, a maintenance job)
+    landing between a batch's commit and its crash-replay would hide
+    the recorded id and the batch would append twice (ADVICE r6).
+    Manifests are driver-side metadata — one small JSON per commit —
+    so the full scan is O(commits), never O(rows)."""
+    import json
+
+    ids = []
+    for v in table_versions(table_path):
+        with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
+            bid = json.load(f).get("meta", {}).get("batch_id")
+        if bid is not None:
+            ids.append(int(bid))
+    return max(ids) if ids else None
+
+
 def read_versioned(
     spark: SparkSession,
     table_path: str,
@@ -867,6 +948,7 @@ def optimize_table(
     ran."""
     report: dict = {}
     if zorder_cols:
+        _recover_table(path)
         before = spark.read.parquet(path)
         n_before = before.count()
         est_bytes = sum(
@@ -886,10 +968,7 @@ def optimize_table(
             raise ValueError(
                 f"z-order rewrite row mismatch: {n_before} -> {n_after}"
             )
-        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_table(path, staging)
         report["zorder"] = {"rows": n_before, "files": n_files}
     else:
         report["compact"] = compact_files(spark, path, target_file_bytes)

@@ -871,7 +871,11 @@ def pipe_stream_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.hour("ts").alias("hr"))
     )
     q = hist_state_sink(stream, state, ckpt, group_col="event_type", value_col="hr")
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timed out: the reader below would silently consume absent or
+        # partial state — fail loudly instead (ADVICE r6)
+        q.stop()
+        raise TimeoutError("pipe_stream_drift_e2e: stream did not drain within 300s")
 
     ref = spark.read.parquet(state).agg(F.min("grp")).first()[0]
     return read_ks_drift(spark, state, ref)

@@ -625,7 +625,11 @@ def pipe_stream_mg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = mg_state_sink(
         stream, state, ckpt, keys=["event_type"], item_col="user_id", capacity=_MG_CAP
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timed out: the reader below would silently consume absent or
+        # partial state — fail loudly instead (ADVICE r6)
+        q.stop()
+        raise TimeoutError("pipe_stream_mg_e2e: stream did not drain within 300s")
     return read_mg_heavy_hitters(spark, state, _MG_CAP)
 
 

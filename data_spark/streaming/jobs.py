@@ -969,10 +969,14 @@ def versioned_stream_sink(
     any micro-batch boundary (read_versioned(v)), restore/vacuum work
     unchanged, and downstream snapshot-diff (m_snapshot_diff) audits
     exactly what each batch added."""
-    from data_spark.io import version_meta, write_versioned
+    from data_spark.io import last_committed_batch_id, write_versioned
 
     def _commit(batch: DataFrame, batch_id: int) -> None:
-        last = version_meta(table_path).get("batch_id")
+        # Guard against the MAX batch id over ALL manifests, not just the
+        # newest version's meta: a meta-less commit (manual append,
+        # maintenance) landing between commit and crash-replay must not
+        # hide the recorded id (ADVICE r6).
+        last = last_committed_batch_id(table_path)
         if last is not None and batch_id <= last:
             return  # crash-replay of an already-committed batch
         write_versioned(batch, table_path, mode="append", meta={"batch_id": batch_id})

@@ -352,3 +352,123 @@ def test_rank_scaled_zorder_clusters_skewed_keys(spark, tmp_path):
     assert rows_minmax == rows_rank  # a layout choice, never a data change
     assert n_minmax >= 14, n_minmax  # cluster collapse: ~no u-pruning
     assert n_rank <= n_minmax - 4, (n_rank, n_minmax)
+
+
+def test_zorder_four_columns_fits_bigint(spark, tmp_path):
+    """4 cluster keys at the default bits=16 would place an interleave
+    bit at position 63 — ``1 << 63`` overflows the signed-long literal
+    and the whole rewrite died with NumberFormatException (ADVICE r6).
+    The level width now auto-shrinks to ``63 // n_cols``; content is
+    preserved and the layout still prunes on every key."""
+    from data_spark.io import build_file_index, optimize_table, write_zordered
+
+    df = spark.range(0, 8000).select(
+        (F.col("id") % 97).alias("a"),
+        ((F.col("id") * 7) % 89).alias("b"),
+        ((F.col("id") * 13) % 83).alias("c"),
+        ((F.col("id") * 29) % 79).alias("d"),
+    )
+    before = sorted(tuple(r) for r in df.collect())
+
+    for mode in ("minmax", "rank"):
+        path = str(tmp_path / f"z4_{mode}")
+        write_zordered(df, path, ["a", "b", "c", "d"], num_files=8, scaling=mode)
+        assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+        # the min/max envelopes must actually separate on a key. With 8
+        # files only ~3 interleave bits order the range partitioning,
+        # and LSB-first interleave puts the LAST column's top bit
+        # highest — so `d` is the strongest-pruned key here.
+        idx = str(tmp_path / f"z4_{mode}_idx")
+        build_file_index(spark, path, ["d"], idx)
+        n_overlap = (
+            spark.read.parquet(idx)
+            .filter((F.col("d__min") <= 5) & (F.col("d__max") >= 0))
+            .count()
+        )
+        assert n_overlap < 8, (mode, n_overlap)
+
+    # and through the OPTIMIZE composition (the reproduced failure path)
+    path = str(tmp_path / "z4_opt")
+    df.repartition(20).write.parquet(path)
+    report = optimize_table(spark, path, zorder_cols=["a", "b", "c", "d"])
+    assert report["zorder"]["rows"] == 8000
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+
+def test_table_swap_crash_recovery(spark, tmp_path):
+    """A crash between a table swap's two renames leaves NO directory at
+    `path` and the pre-swap table under a backup name. Every staged
+    rewriter (validated_overwrite / compact_files / optimize_table) must
+    restore it on the next call instead of failing on a missing table —
+    the same discipline _recover_index gives the skipping indexes
+    (ADVICE r6)."""
+    from data_spark.io import optimize_table, validated_overwrite
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("x"))
+    rows = sorted(tuple(r) for r in df.collect())
+
+    def crash_mid_swap(path):
+        # backup-rename happened, live-rename did not; a stale staging
+        # from the crashed rewrite is also lying around
+        os.rename(path, f"{path}__bak_deadbeef")
+        spark.range(3).write.parquet(f"{path}__staging_deadbeef")
+
+    # compact_files recovers and still compacts
+    path = str(tmp_path / "t1")
+    df.repartition(20).write.parquet(path)
+    crash_mid_swap(path)
+    stats = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert stats["rewritten"] and stats["files_after"] < 20
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+    assert not os.path.exists(f"{path}__bak_deadbeef")
+    assert not os.path.exists(f"{path}__staging_deadbeef")
+
+    # optimize_table's z-order path recovers too
+    path = str(tmp_path / "t2")
+    df.repartition(20).write.parquet(path)
+    crash_mid_swap(path)
+    optimize_table(spark, path, zorder_cols=["k", "x"])
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == rows
+
+    # validated_overwrite recovers the baseline BEFORE the shrink check:
+    # a shrinking load must roll back against the restored table
+    path = str(tmp_path / "t3")
+    df.repartition(4).write.parquet(path)
+    crash_mid_swap(path)
+    with pytest.raises(ValueError, match="rollback"):
+        validated_overwrite(spark.range(5).select(F.col("id").alias("k")), path)
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == list(range(1000))
+
+
+def test_bloom_double_hash_stride_never_degenerates(spark, tmp_path):
+    """Double hashing h1 + i·h2 collapses all k probes onto h1 whenever
+    h2 ≡ 0 (mod m) — those values effectively get a 1-hash bloom and a
+    far higher fpp (extra file reads). The stride is now forced into
+    [1, m-1]; build and probe share the expression, so lookups stay
+    exact either way."""
+    from data_spark.io import _bloom_positions, build_bloom_index, read_bloom_pruned
+
+    bits, k = 4096, 5
+    # find values whose OLD stride xxhash64(v,1) % bits was 0
+    probe = spark.range(0, 500_000).select(
+        F.col("id").alias("v"), F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(bits)).alias("h2_old")
+    )
+    degenerate = [r.v for r in probe.filter("h2_old = 0").limit(5).collect()]
+    assert degenerate, "expected ~1/4096 of values to have h2 ≡ 0"
+
+    # the new stride spreads every degenerate value over >1 position
+    pos_df = spark.createDataFrame([(v,) for v in degenerate], "v long").select(
+        F.array(*_bloom_positions(F.col("v"), bits, k)).alias("pos")
+    )
+    for r in pos_df.collect():
+        assert len(set(r.pos)) > 1, r.pos
+
+    # and a build+probe round trip on such a value stays exact
+    path = str(tmp_path / "facts")
+    idx = str(tmp_path / "bloom")
+    spark.range(0, 2000).select(
+        F.when(F.col("id") == 0, F.lit(degenerate[0])).otherwise(F.col("id") + 10_000_000).alias("u")
+    ).repartition(8).write.parquet(path)
+    build_bloom_index(spark, path, "u", idx, bits=bits, k=k)
+    got = read_bloom_pruned(spark, path, idx, "u", degenerate[0], bits=bits, k=k)
+    assert [r.u for r in got.collect()] == [degenerate[0]]

@@ -1202,11 +1202,12 @@ def test_versioned_stream_sink_exactly_once_time_travel(spark, tmp_path):
 
     # replaying an applied batch id must not create a new version
     replay = spark.createDataFrame([(99, "z")], "event_id bigint, event_type string")
-    from data_spark.io import write_versioned
+    from data_spark.io import last_committed_batch_id, write_versioned
 
     def _commit(batch, batch_id):
-        # the sink's guard: skip ids at or below the last committed one
-        last = version_meta(table).get("batch_id")
+        # the sink's guard: skip ids at or below the MAX committed over
+        # ALL manifests (not just the newest version's meta — ADVICE r6)
+        last = last_committed_batch_id(table)
         if last is not None and batch_id <= last:
             return
         write_versioned(batch, table, mode="append", meta={"batch_id": batch_id})
@@ -1215,5 +1216,17 @@ def test_versioned_stream_sink_exactly_once_time_travel(spark, tmp_path):
     _commit(replay, 0)
     _commit(replay, 1)
     assert table_versions(table) == before  # both ids already committed
+
+    # a meta-less commit (manual append / maintenance job) landing
+    # between a batch's commit and its crash-replay must NOT hide the
+    # recorded ids: the latest version's meta is now empty, but the
+    # guard scans every manifest
+    write_versioned(replay, table, mode="append")  # no meta
+    assert version_meta(table).get("batch_id") is None  # latest meta empty
+    assert last_committed_batch_id(table) == 1  # guard still sees max id
+    n_after_manual = len(table_versions(table))
+    _commit(replay, 0)
+    _commit(replay, 1)
+    assert len(table_versions(table)) == n_after_manual  # replays no-op
     _commit(replay, 2)
-    assert len(table_versions(table)) == len(before) + 1  # a new id commits
+    assert len(table_versions(table)) == n_after_manual + 1  # a new id commits
