@@ -175,6 +175,9 @@ HEADLINE = [
     "e_asof_tolerance",  # merge_asof tolerance semantics, one keyed shuffle
     "pipe_stream_mg_e2e",  # file stream -> MG fold/prune/promote -> reader
     "a_welch_t",  # parametric drift member: integer sufficient stats, one float
+    "a_spearman_rank",  # tie-averaged rank correlation, two partitioned windows
+    "dq_skew_profile",  # key-frequency concentration: the salting decision input
+    "e_holt_winters",  # level+trend fold over per-series daily arrays
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

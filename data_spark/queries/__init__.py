@@ -17,6 +17,7 @@ from data_spark.queries import (
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     documents,
     events,
     graphq,
@@ -48,6 +49,7 @@ _ALL_QUERIES = {
     **analytics3.QUERIES,
     **analytics4.QUERIES,
     **analytics5.QUERIES,
+    **analytics6.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -69,6 +71,7 @@ ORACLE = {
     **analytics3.ORACLE,
     **analytics4.ORACLE,
     **analytics5.ORACLE,
+    **analytics6.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,

@@ -1,0 +1,332 @@
+"""Round-7 tier: rank statistics, skew diagnostics, and sequential
+smoothing.
+
+- ``a_spearman_rank``: Spearman rank correlation per group — the
+  robust (monotone, outlier-insensitive) member of the correlation
+  family next to ``a_corr_pearson``. Tie-averaged ranks are kept as
+  DOUBLED integers (2·rank_min + ties − 1), so every sufficient
+  statistic is an exact integer sum and the final rho is one identical
+  double expression in both engines.
+- ``dq_skew_profile``: the pre-shuffle skew diagnostic — for each
+  high-cardinality join/agg key, row count, distinct keys, the heaviest
+  key's frequency and share, and the Herfindahl concentration index
+  (sum of squared frequency shares). This is the measurement that
+  decides when a join needs salting (a_salted_skew_agg /
+  j_salted_skew_join are the treatments; this is the diagnosis). At
+  100 TB the profile costs one map-side-combinable groupBy per key —
+  run it BEFORE committing to a shuffle strategy, not after the skewed
+  stage straggles.
+- ``e_holt_winters``: Holt double exponential smoothing (level +
+  trend) over the per-type daily revenue series. The recurrence is
+  inherently sequential per series, so the engine folds each series'
+  ordered day array once (parallel ACROSS series, exact order WITHIN);
+  the oracle replays the identical recurrence as a recursive CTE.
+  Smoothing constants are binary fractions and both engines execute
+  the same double expression tree in the same order, so outputs are
+  bit-identical without rounding.
+
+Scale posture: spearman shuffles once per group key for the two rank
+windows (both partitioned — never a global window); the skew profile
+is a union of per-key counted aggregates (map-side combine, output
+rows = number of profiled keys); holt-winters state per series is two
+doubles and the fold input is the per-series DAILY aggregate — a
+calendar-bounded array, never the fact rows.
+
+Reference parity: the reference computes pandas ``corr``/rolling
+means in driver memory (news_analyze_*); these re-express the same
+statistics as set-oriented plans with exact cross-engine contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_spark.queries.common import t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-averaged, exact integer rank statistics)
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+    WITH ranked AS (
+      SELECT l_returnflag AS flag,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry2
+      FROM lineitem
+    ), stats AS (
+      SELECT flag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM ranked GROUP BY 1
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE (n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS spearman_rho
+    FROM stats ORDER BY flag
+"""
+
+
+@_q("a_spearman_rank", _SPEARMAN_SQL)
+def a_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho per return flag between quantity and extended
+    price. Tie handling uses average ranks, carried as the DOUBLED
+    integer 2·rank_min + ties − 1 (rho is invariant under the linear
+    rescale), so the sufficient statistics are exact DECIMAL integer
+    sums; the closing Pearson-on-ranks expression runs on identical
+    doubles in both engines. Two partitioned rank windows, one grouped
+    aggregate — no global sort, no collect."""
+    li = t(spark, sf_dir, "lineitem")
+    rx = (
+        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity"))
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_quantity")
+        )
+        - 1
+    )
+    ry = (
+        2
+        * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_extendedprice")
+        )
+        - 1
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"), rx.alias("rx2"), ry.alias("ry2")
+    )
+
+    def d(c):
+        return F.sum(c.cast("decimal(38,0)")).cast("double")
+
+    stats = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d(F.col("rx2")).alias("sx"),
+        d(F.col("ry2")).alias("sy"),
+        d(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        d(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        d(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    denom_sq = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return stats.select(
+        "flag",
+        n.cast("bigint").alias("n_rows"),
+        F.when(denom_sq == 0, F.lit(None).cast("double"))
+        .otherwise(rho)
+        .alias("spearman_rho"),
+    ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile (the salting decision input)
+# ---------------------------------------------------------------------------
+
+# (label, table, key expression) — the join/agg keys whose distribution
+# decides shuffle strategy downstream.
+_SKEW_KEYS = [
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+]
+
+_SKEW_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{label}' AS key_name,
+           CAST(SUM(f) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(f) AS BIGINT) AS max_freq,
+           CAST(MAX(f) AS DOUBLE) / CAST(SUM(f) AS DOUBLE) AS top1_share,
+           CAST(SUM(f * f) AS DOUBLE)
+             / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE)) AS hhi,
+           CAST(MAX(f) AS DOUBLE)
+             / (CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS skew_factor
+    FROM (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS f
+          FROM {table} WHERE {key} IS NOT NULL GROUP BY {key})
+    """
+    for label, table, key in _SKEW_KEYS
+)
+
+
+@_q("dq_skew_profile", f"SELECT * FROM ({_SKEW_SQL}) ORDER BY key_name")
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of the hot join/agg keys: rows, distinct
+    keys, heaviest key's frequency and share, Herfindahl concentration
+    (Σ share² — 1/n_keys when uniform, →1 when one key dominates), and
+    skew_factor = max_freq / mean_freq (the straggler multiplier a
+    hash-shuffle on this key would suffer). Each profile is one
+    map-side-combinable count per key then a 5-row summary — the cheap
+    measurement that justifies (or rules out) salting BEFORE the
+    expensive shuffle, which is exactly how you pick join strategy at
+    100 TB. All ratios divide identical exact integers, so the doubles
+    hash-match cross-engine."""
+    frames = []
+    for label, table, key in _SKEW_KEYS:
+        f = (
+            t(spark, sf_dir, table)
+            .filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("f"))
+        )
+        n_rows = F.sum("f").cast("double")
+        n_keys = F.count(F.lit(1)).cast("double")
+        max_f = F.max("f").cast("double")
+        frames.append(
+            f.agg(
+                F.lit(label).alias("key_name"),
+                F.sum("f").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("f").cast("bigint").alias("max_freq"),
+                (max_f / n_rows).alias("top1_share"),
+                (
+                    F.sum(F.col("f") * F.col("f")).cast("double")
+                    / (n_rows * n_rows)
+                ).alias("hhi"),
+                (max_f / (n_rows / n_keys)).alias("skew_factor"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("key_name")
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend), per-series fold
+# ---------------------------------------------------------------------------
+
+# Binary-fraction smoothing constants (exactly representable doubles).
+_HW_ALPHA = 0.5
+_HW_BETA = 0.25
+
+_HW_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ts AS DATE)) AS i
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), hw AS (
+      SELECT event_type, day, i, v,
+             v AS level, CAST(0 AS DOUBLE) AS trend
+      FROM daily WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.day, d.i, d.v,
+             0.5 * d.v + 0.5 * (hw.level + hw.trend),
+             0.25 * ((0.5 * d.v + 0.5 * (hw.level + hw.trend)) - hw.level)
+               + 0.75 * hw.trend
+      FROM hw JOIN daily d
+        ON d.event_type = hw.event_type AND d.i = hw.i + 1
+    )
+    SELECT event_type, day, v, level, trend FROM hw
+    ORDER BY event_type, day
+"""
+
+
+@_q("e_holt_winters", _HW_SQL)
+def e_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear smoothing over per-type daily revenue:
+    level_i = α·v_i + (1−α)(level + trend),
+    trend_i = β(level_i − level) + (1−β)·trend, seeded (v_1, 0).
+    The recurrence is sequential per series, so each series' ordered
+    day array is folded ONCE with ``aggregate`` (state: level, trend;
+    output rows re-exploded) — series run in parallel, the fold is
+    exact order within. The array is the per-series DAILY aggregate —
+    calendar-bounded, never fact-sized. The oracle replays the same
+    recurrence as a recursive CTE; both engines evaluate the identical
+    double expression tree in the identical order, so no rounding is
+    needed."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    a, b = F.lit(_HW_ALPHA), F.lit(_HW_BETA)
+
+    # fold state: (level, trend, rows seen so far)
+    init = F.struct(
+        F.element_at("s", 1)["v"].alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.array(
+            F.struct(
+                F.element_at("s", 1)["day"].alias("day"),
+                F.element_at("s", 1)["v"].alias("v"),
+                F.element_at("s", 1)["v"].alias("level"),
+                F.lit(0.0).alias("trend"),
+            )
+        ).alias("out"),
+    )
+
+    def step(acc, x):
+        lvl = a * x["v"] + (F.lit(1.0) - a) * (acc["level"] + acc["trend"])
+        tr = b * (lvl - acc["level"]) + (F.lit(1.0) - b) * acc["trend"]
+        return F.struct(
+            lvl.alias("level"),
+            tr.alias("trend"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["v"].alias("v"),
+                        lvl.alias("level"),
+                        tr.alias("trend"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.aggregate(
+            F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0))),
+            init,
+            step,
+            lambda acc: acc["out"],
+        ).alias("out"),
+    )
+    return (
+        folded.select("event_type", F.explode("out").alias("o"))
+        .select(
+            "event_type",
+            F.col("o.day").alias("day"),
+            F.col("o.v").alias("v"),
+            F.col("o.level").alias("level"),
+            F.col("o.trend").alias("trend"),
+        )
+        .orderBy("event_type", "day")
+    )
