@@ -796,11 +796,18 @@ def write_versioned(
     if mode == "append" and existing:
         import_json = os.path.join(_versions_dir(table_path), f"v{existing[-1]}.json")
         with open(import_json) as f:
-            parents = json.load(f)["commits"]
+            parent = json.load(f)
+        parents = parent["commits"]
+        # tombstones survive appends: they keep applying to the commits
+        # they covered (`upto` indexes are positions in the commit list,
+        # which appends only extend)
+        deletes = parent.get("deletes", [])
     else:
-        parents = []
+        parents, deletes = [], []
     os.makedirs(_versions_dir(table_path), exist_ok=True)
     manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
+    if deletes:
+        manifest["deletes"] = deletes
     if meta:
         manifest["meta"] = meta
     tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
@@ -823,6 +830,100 @@ def version_meta(table_path: str, version: int | None = None) -> dict:
     v = versions[-1] if version is None else version
     with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
         return json.load(f).get("meta", {})
+
+
+def delete_versioned(keys_df: DataFrame, table_path: str) -> int:
+    """Row-level DELETE on the versioned store, merge-on-read — the
+    deletion-vector idea (Delta/Iceberg v2 position deletes) expressed
+    as KEY tombstones on plain parquet:
+
+    - the tombstone keys are written to ``deletes/delete-N/`` (their
+      own immutable directory, like data commits);
+    - the new manifest carries the parent's commit list unchanged plus
+      a delete entry ``{dir, upto}`` where ``upto`` = number of parent
+      commits — the tombstone applies ONLY to commits that existed when
+      the delete ran. A later append that re-inserts a deleted key is
+      a NEW fact and survives (CDC replays depend on this);
+    - no data file is rewritten: a delete costs O(tombstone), never
+      O(table) — the only viable DELETE at 100 TB. Readers anti-join
+      the tombstones at scan time (``read_versioned``); a maintenance
+      rewrite can physically purge later without changing results.
+
+    ``keys_df``'s columns ARE the delete key (already projected by the
+    caller). Returns the new version number."""
+    import json
+
+    existing = table_versions(table_path)
+    if not existing:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    new_v = existing[-1] + 1
+    delete_dir = f"delete-{new_v}"
+    keys_df.dropDuplicates().write.mode("overwrite").parquet(
+        os.path.join(table_path, "deletes", delete_dir)
+    )
+    with open(os.path.join(_versions_dir(table_path), f"v{existing[-1]}.json")) as f:
+        parent = json.load(f)
+    manifest = {
+        "version": new_v,
+        "mode": "delete",
+        "commits": parent["commits"],
+        "deletes": parent.get("deletes", [])
+        + [{"dir": delete_dir, "upto": len(parent["commits"])}],
+    }
+    tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
+    return new_v
+
+
+def purge_deletes(spark: SparkSession, table_path: str) -> int:
+    """Physically apply the latest version's tombstones — the
+    maintenance rewrite that turns merge-on-read deletes back into
+    clean scans. Only commits actually covered by a tombstone are
+    rewritten (anti-joined and written to fresh ``commit-Np<i>``
+    dirs); uncovered commits are referenced as-is, so the cost is
+    O(covered data + tombstones), not O(table). Commits a new version
+    with NO delete entries; after it, ``vacuum_versions`` can reclaim
+    the superseded commit dirs and the tombstones themselves. Readers
+    of the purged version and the pre-purge version see identical
+    rows — purging is a layout change, never a data change."""
+    import json
+
+    versions = table_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    with open(os.path.join(_versions_dir(table_path), f"v{versions[-1]}.json")) as f:
+        manifest = json.load(f)
+    deletes = manifest.get("deletes", [])
+    if not deletes:
+        return versions[-1]
+    new_v = versions[-1] + 1
+    new_commits = []
+    for i, c in enumerate(manifest["commits"]):
+        applicable = [d["dir"] for d in deletes if d["upto"] > i]
+        if not applicable:
+            new_commits.append(c)
+            continue
+        df = spark.read.parquet(os.path.join(table_path, "data", c))
+        tomb = spark.read.parquet(
+            *[os.path.join(table_path, "deletes", d) for d in applicable]
+        ).dropDuplicates()
+        cond = None
+        for k in tomb.columns:
+            eq = df[k].eqNullSafe(tomb[k])
+            cond = eq if cond is None else cond & eq
+        purged_dir = f"commit-{new_v}p{i}"
+        df.join(tomb, cond, "left_anti").write.mode("overwrite").parquet(
+            os.path.join(table_path, "data", purged_dir)
+        )
+        new_commits.append(purged_dir)
+    new_manifest = {"version": new_v, "mode": "purge", "commits": new_commits}
+    tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_manifest, f)
+    os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
+    return new_v
 
 
 def last_committed_batch_id(table_path: str) -> int | None:
@@ -869,11 +970,43 @@ def read_versioned(
         raise ValueError(f"version {v} not in {versions}")
     with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
         manifest = json.load(f)
-    paths = [os.path.join(table_path, "data", c) for c in manifest["commits"]]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+
+    def data_paths(commits):
+        return [os.path.join(table_path, "data", c) for c in commits]
+
+    deletes = manifest.get("deletes", [])
+    if not deletes:
+        return reader.parquet(*data_paths(manifest["commits"]))
+
+    # Merge-on-read: a tombstone applies only to commits that existed
+    # when the delete ran (commit index < upto). Group commits by their
+    # applicable tombstone set — one scan + one anti-join per group,
+    # groups <= n_deletes + 1 (deletes are rare; appends don't grow
+    # this). Null-safe equality so NULL keys tombstone too.
+    groups: dict[tuple, list] = {}
+    for i, c in enumerate(manifest["commits"]):
+        applicable = tuple(d["dir"] for d in deletes if d["upto"] > i)
+        groups.setdefault(applicable, []).append(c)
+    parts = []
+    for applicable, commits in groups.items():
+        df = reader.parquet(*data_paths(commits))
+        if applicable:
+            tomb = spark.read.parquet(
+                *[os.path.join(table_path, "deletes", d) for d in applicable]
+            ).dropDuplicates()
+            cond = None
+            for k in tomb.columns:
+                c = df[k].eqNullSafe(tomb[k])
+                cond = c if cond is None else cond & c
+            df = df.join(tomb, cond, "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
 
 
 def restore_version(table_path: str, version: int) -> int:
@@ -887,6 +1020,8 @@ def restore_version(table_path: str, version: int) -> int:
     versions = table_versions(table_path)
     new_v = versions[-1] + 1
     manifest = {"version": new_v, "mode": f"restore-{version}", "commits": old["commits"]}
+    if old.get("deletes"):
+        manifest["deletes"] = old["deletes"]
     tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -906,15 +1041,24 @@ def vacuum_versions(table_path: str, keep_from: int) -> list[str]:
     if not keep:
         raise ValueError(f"keep_from={keep_from} would delete every version")
     reachable: set[str] = set()
+    live_deletes: set[str] = set()
     for v in keep:
         with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
-            reachable.update(json.load(f)["commits"])
+            m = json.load(f)
+        reachable.update(m["commits"])
+        live_deletes.update(d["dir"] for d in m.get("deletes", []))
     removed = []
     data_dir = os.path.join(table_path, "data")
     for c in sorted(os.listdir(data_dir)):
         if c.startswith("commit-") and c not in reachable:
             shutil.rmtree(os.path.join(data_dir, c))
             removed.append(c)
+    deletes_dir = os.path.join(table_path, "deletes")
+    if os.path.isdir(deletes_dir):
+        for c in sorted(os.listdir(deletes_dir)):
+            if c.startswith("delete-") and c not in live_deletes:
+                shutil.rmtree(os.path.join(deletes_dir, c))
+                removed.append(c)
     for v in versions:
         if v < keep_from:
             os.remove(os.path.join(_versions_dir(table_path), f"v{v}.json"))

@@ -330,3 +330,96 @@ def e_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse row-level DELETE: key tombstones, merge-on-read, physical purge
+# ---------------------------------------------------------------------------
+
+_TOMB_FINAL_SQL = """
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderkey % 22 = 0
+"""
+
+_TOMB_AGG_SQL = """
+      SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      FROM final GROUP BY 1
+"""
+
+
+@_q(
+    "m_tombstone_delete",
+    f"""
+    WITH final AS ({_TOMB_FINAL_SQL})
+    SELECT 'mor' AS phase, * FROM ({_TOMB_AGG_SQL})
+    UNION ALL
+    SELECT 'purged' AS phase, * FROM ({_TOMB_AGG_SQL})
+    ORDER BY phase, status
+    """,
+)
+def m_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the versioned store, gate-verified end to
+    end: commit v0+v1 load the orders facts, v2 tombstones every even
+    'F' order (O(tombstone), zero rewrite), v3 re-APPENDS a subset of
+    the deleted keys — new facts that must SURVIVE because a tombstone
+    covers only the commits that existed when the delete ran. The
+    output is the per-status census read twice: once merge-on-read
+    (anti-join at scan) and once after ``purge_deletes`` physically
+    rewrote the covered commits — the two phases must agree exactly,
+    which is the whole purge contract (layout change, never a data
+    change). Oracle replays the delete algebra relationally.
+
+    Scale posture: the delete writes only its keys; merge-on-read adds
+    one broadcast-sized anti-join per tombstone generation; the purge
+    rewrites only covered commits. No path is O(table) except the purge
+    the operator explicitly schedules."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_spark.io import (  # noqa: PLC0415
+        delete_versioned,
+        purge_deletes,
+        read_versioned,
+        write_versioned,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"data_spark_tomb_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_versioned(o.filter(F.col("o_orderkey") % 7 < 5), base, "overwrite")
+    write_versioned(o.filter(F.col("o_orderkey") % 7 >= 5), base, "append")
+    delete_versioned(
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+        .select("o_orderkey"),
+        base,
+    )
+    write_versioned(
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 22 == 0)),
+        base,
+        "append",
+    )
+
+    def census(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+        ).select(F.lit(phase).alias("phase"), "status", "n", "total")
+
+    mor = census(read_versioned(spark, base), "mor")
+    purge_deletes(spark, base)
+    purged = census(read_versioned(spark, base), "purged")
+    return mor.unionByName(purged).orderBy("phase", "status")

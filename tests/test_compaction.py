@@ -472,3 +472,55 @@ def test_bloom_double_hash_stride_never_degenerates(spark, tmp_path):
     build_bloom_index(spark, path, "u", idx, bits=bits, k=k)
     got = read_bloom_pruned(spark, path, idx, "u", degenerate[0], bits=bits, k=k)
     assert [r.u for r in got.collect()] == [degenerate[0]]
+
+
+def test_tombstone_delete_lifecycle(spark, tmp_path):
+    """Key tombstones on the versioned store: merge-on-read delete,
+    history-position semantics (a later re-insert of a deleted key
+    survives), time travel to pre-delete versions, physical purge
+    equivalence, and vacuum reclaiming both superseded commits and the
+    tombstones themselves."""
+    from data_spark.io import (
+        delete_versioned,
+        purge_deletes,
+        read_versioned,
+        table_versions,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "g" if i % 2 else "h", float(i)) for i in range(100)], "k long, g string, x double"
+    )
+    write_versioned(df.filter("k < 60"), table, "overwrite")          # v0
+    write_versioned(df.filter("k >= 60"), table, "append")            # v1
+    delete_versioned(df.filter("k % 10 = 0").select("k"), table)      # v2
+    write_versioned(df.filter("k in (20, 40)"), table, "append")      # v3: re-insert
+
+    def keys(version=None):
+        return sorted(r.k for r in read_versioned(spark, table, version).collect())
+
+    expected = sorted([k for k in range(100) if k % 10 != 0] + [20, 40])
+    assert keys() == expected                       # re-inserts survive
+    assert keys(2) == [k for k in range(100) if k % 10 != 0]
+    assert keys(1) == list(range(100))              # time travel: pre-delete
+    assert keys(0) == list(range(60))
+
+    # delete costs O(tombstone): no data commit was rewritten by v2
+    assert table_versions(table) == [0, 1, 2, 3]
+
+    # physical purge: identical rows, no delete entries left
+    v4 = purge_deletes(spark, table)
+    assert keys(v4) == expected
+    import json
+    with open(f"{table}/_manifests/v{v4}.json") as f:
+        assert "deletes" not in json.load(f)
+
+    # vacuum to the purged version reclaims old commits AND tombstones
+    removed = vacuum_versions(table, keep_from=v4)
+    assert any(c.startswith("delete-") for c in removed)
+    assert keys() == expected
+
+    # a second purge with nothing to do is a no-op version-wise
+    assert purge_deletes(spark, table) == v4
