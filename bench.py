@@ -178,6 +178,9 @@ HEADLINE = [
     "a_spearman_rank",  # tie-averaged rank correlation, two partitioned windows
     "dq_skew_profile",  # key-frequency concentration: the salting decision input
     "e_holt_winters",  # level+trend fold over per-series daily arrays
+    "m_tombstone_delete",  # key-tombstone DELETE: merge-on-read + purge equivalence
+    "d_dsir_select",  # hashed-unigram importance selection, broadcast weights
+    "v_kcenter_coreset",  # greedy farthest-point diversity coreset, O(n*k)
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -536,3 +536,59 @@ def mmr_rerank(
         )
         selected = selected.union(pick).transform(truncate_lineage)
     return selected.select("qid", F.col("cid").alias("neighbor_id"), "pick_order")
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    snap_digits: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point
+    traversal): seed with the lowest id, then k−1 times add the
+    candidate FARTHEST from the chosen set — i.e. with the smallest
+    max-cosine to any chosen center (id tiebreak). The classic
+    2-approximation for diversity selection: the coreset that seeds
+    diverse fine-tuning subsets, kmeans++-style centroids, and
+    facility-location curation.
+
+    Every distance decision is taken on round-half e-``snap_digits``
+    snapped similarities (the mmr_rerank parity contract), so an
+    independent float cosine on the oracle side picks identical
+    centers. The chosen set is k (id, vector) pairs — metadata-bounded
+    driver state, same class as IVF centroids; each round is one
+    broadcast-join scan over the corpus (O(n·k) sims total, never a
+    candidate-candidate pair join)."""
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scale = float(10**snap_digits)
+
+    def snap(col: Column) -> Column:
+        return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("bigint")
+
+    seed = c.orderBy("cid").limit(1).collect()[0]
+    chosen = [(int(seed["cid"]), list(seed["cv"]))]
+    for _step in range(2, k + 1):
+        ch = spark.createDataFrame(chosen, "sid long, sv array<double>")
+        pick = (
+            c.filter(~F.col("cid").isin([i for i, _ in chosen]))
+            .crossJoin(F.broadcast(ch))
+            .select(
+                "cid",
+                "cv",
+                snap(cosine_similarity(F.col("cv"), F.col("sv"))).alias("s"),
+            )
+            .groupBy("cid")
+            .agg(F.max("s").alias("ms"), F.first("cv").alias("cv"))
+            .orderBy(F.asc("ms"), F.asc("cid"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(pick["cid"]), list(pick["cv"])))
+    return spark.createDataFrame(
+        [(cid, i + 1) for i, (cid, _) in enumerate(chosen)],
+        "vec_id long, sel_order int",
+    )

@@ -423,3 +423,186 @@ def m_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     purge_deletes(spark, base)
     purged = census(read_versioned(spark, base), "purged")
     return mor.unionByName(purged).orderBy("phase", "status")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection: hashed-unigram importance resampling
+# ---------------------------------------------------------------------------
+
+# Hashed feature space (fixed — no vocabulary shuffle at any corpus
+# size) and selection budget.
+_DSIR_B = 256
+_DSIR_K = 50
+
+_DSIR_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\s+') AS words
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(words[i]), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+      FROM toks, UNNEST(range(1, len(words) + 1)) AS r(i)
+      WHERE words[i] <> ''
+    ), raw AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY 1
+    ), tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM tok WHERE lang = 'en' GROUP BY 1
+    ), tots AS (
+      SELECT (SELECT SUM(r) FROM raw) AS rn, (SELECT COALESCE(SUM(tc), 0) FROM tgt) AS tn
+    ), w AS (
+      SELECT raw.b,
+             CAST(ROUND(ln(
+               (CAST(COALESCE(tgt.tc, 0) + 1 AS DOUBLE) * CAST(tots.rn + {_DSIR_B} AS DOUBLE))
+               / (CAST(raw.r + 1 AS DOUBLE) * CAST(tots.tn + {_DSIR_B} AS DOUBLE))
+             ), 6) AS DECIMAL(20,6)) AS w6
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+    ), doc_feat AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ), scored AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(c AS DECIMAL(18,0)) * w.w6) AS DOUBLE) AS score
+      FROM doc_feat JOIN w ON doc_feat.b = w.b GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@_q("d_dsir_select", _DSIR_SQL)
+def d_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public): score every
+    candidate document by the hashed-unigram importance log-ratio
+    log p_target − log p_raw (target = the 'en' slice, +1-smoothed,
+    256 fixed buckets) and keep the top 50. Per-bucket weights are
+    6-dp-snapped and carried as exact DECIMALs, so each document score
+    is an exact decimal dot product — the only float op is one ln per
+    bucket over identical integer-derived doubles.
+
+    Plan shape: tokenize → bucket-hash → two map-side-combinable counts
+    (raw / target) → a 256-row broadcast weight table → one grouped
+    decimal dot product per doc → TakeOrderedAndProject. The feature
+    space never grows with the corpus, the weight join is broadcast,
+    and no vocabulary dictionary is ever shuffled — the selection pass
+    a 100 TB pretraining pipeline actually runs."""
+    from data_spark.operators.dedup import _words  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", _words(F.col("text")).alias("words"))
+    tok = (
+        toks.select("doc_id", "lang", F.explode("words").alias("term"))
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    tots = raw.agg(F.sum("r").alias("rn")).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tn"))
+        )
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                        * (F.col("rn") + _DSIR_B).cast("double")
+                    )
+                    / (
+                        (F.col("r") + 1).cast("double")
+                        * (F.col("tn") + _DSIR_B).cast("double")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("w6"),
+        )
+    )
+    doc_feat = tok.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    scored = (
+        doc_feat.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c").cast("decimal(18,0)") * F.col("w6"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(_DSIR_K).select(
+        "doc_id", "n_tokens", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (diversity selection over embeddings)
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """Unrolled Gonzalez greedy: step i picks the candidate with the
+    smallest snapped max-cosine to the chosen set (id tiebreak), same
+    e6 round-half grid as the engine side."""
+    snap = (
+        "CAST(FLOOR(list_cosine_similarity(x.embedding, ce.embedding)"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "s1 AS (SELECT MIN(vec_id) AS vid FROM e)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""m{i} AS (
+      SELECT x.vec_id, MAX({snap}) AS ms
+      FROM e x CROSS JOIN {prev} s JOIN e ce ON ce.vec_id = s.vid
+      WHERE x.vec_id NOT IN (SELECT vid FROM {prev})
+      GROUP BY 1
+    )"""
+        )
+        parts.append(f"p{i} AS (SELECT vec_id AS vid FROM m{i} ORDER BY ms, vec_id LIMIT 1)")
+        parts.append(f"s{i} AS (SELECT vid FROM {prev} UNION ALL SELECT vid FROM p{i})")
+    finals = ["SELECT vid AS vec_id, 1 AS sel_order FROM s1"] + [
+        f"SELECT vid AS vec_id, {i} AS sel_order FROM p{i}" for i in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    "
+        + " UNION ALL ".join(finals)
+        + " ORDER BY sel_order"
+    )
+
+
+@_q("v_kcenter_coreset", _kcenter_oracle_sql(_KC_K))
+def v_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset over the embedding corpus: greedy k-center
+    farthest-point selection (operators/similarity.kcenter_select),
+    k=5, cosine geometry, every decision on the e6 snap grid so the
+    oracle's independent cosine picks identical centers. Per round one
+    broadcast-join corpus scan — O(n·k) similarity evaluations and a
+    k-vector driver state, the shape that still works when n is 10^9
+    (contrast: facility-location methods that materialize candidate
+    pair matrices)."""
+    from data_spark.operators.similarity import kcenter_select  # noqa: PLC0415
+
+    return kcenter_select(t(spark, sf_dir, "embeddings"), k=_KC_K)
