@@ -181,6 +181,8 @@ HEADLINE = [
     "m_tombstone_delete",  # key-tombstone DELETE: merge-on-read + purge equivalence
     "d_dsir_select",  # hashed-unigram importance selection, broadcast weights
     "v_kcenter_coreset",  # greedy farthest-point diversity coreset, O(n*k)
+    "a_cramers_v",  # chi2 effect size via decimal-summed snapped cells
+    "v_matryoshka_eval",  # recall@k of prefix-dim retrieval vs full-dim
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -606,3 +606,184 @@ def v_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_spark.operators.similarity import kcenter_select  # noqa: PLC0415
 
     return kcenter_select(t(spark, sf_dir, "embeddings"), k=_KC_K)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V — the effect-size scalar on top of the chi² cell report
+# ---------------------------------------------------------------------------
+
+_CHI2_CELLS_SQL = """
+    obs AS (
+      SELECT event_type, CAST(EXTRACT(HOUR FROM ts) // 6 AS BIGINT) AS hour_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, EXTRACT(HOUR FROM ts) // 6
+    ), tot AS (
+      SELECT obs.*,
+             SUM(n) OVER (PARTITION BY event_type) AS row_n,
+             SUM(n) OVER (PARTITION BY hour_band) AS col_n,
+             SUM(n) OVER () AS all_n
+      FROM obs
+    ), cells AS (
+      SELECT event_type, hour_band, n, all_n,
+             ROUND((CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(all_n AS DOUBLE))
+                   * (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(all_n AS DOUBLE))
+                   / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(all_n AS DOUBLE)), 6) AS chi2_contrib
+      FROM tot
+    )
+"""
+
+
+@_q(
+    "a_cramers_v",
+    f"""
+    WITH {_CHI2_CELLS_SQL}
+    SELECT CAST(MAX(all_n) AS BIGINT) AS n_obs,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows_dim,
+           CAST(COUNT(DISTINCT hour_band) AS BIGINT) AS n_cols_dim,
+           CAST(SUM(CAST(chi2_contrib AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+           sqrt(CAST(SUM(CAST(chi2_contrib AS DECIMAL(38,6))) AS DOUBLE)
+                / (CAST(MAX(all_n) AS DOUBLE)
+                   * CAST(LEAST(COUNT(DISTINCT event_type) - 1,
+                                COUNT(DISTINCT hour_band) - 1) AS DOUBLE))) AS cramers_v
+    FROM cells
+    """,
+)
+def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for event_type × 6-hour band — the normalized
+    effect-size scalar on top of a_chi2_cells' cell report (V =
+    sqrt(χ² / (n·min(r−1, c−1))), 0 = independent, 1 = determined).
+    A cross-cell double SUM is order-dependent, so the per-cell
+    contributions are 6-dp-snapped first and summed as exact DECIMALs —
+    the same trick the perplexity tier uses — making the total (and
+    therefore V) engine-identical. Costs one count shuffle; everything
+    after runs on the tiny cell table."""
+    e = t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.hour("ts") / 6).cast("bigint").alias("hour_band")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.select(
+        "*",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("hour_band")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("all_n"),
+    )
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("all_n").cast("double")
+    )
+    cells = tot.select(
+        "event_type",
+        "hour_band",
+        "all_n",
+        F.round(
+            (F.col("n").cast("double") - exp) * (F.col("n").cast("double") - exp) / exp,
+            6,
+        ).alias("chi2_contrib"),
+    )
+    chi2 = F.sum(F.col("chi2_contrib").cast("decimal(38,6)")).cast("double")
+    dof = F.least(
+        F.countDistinct("event_type") - 1, F.countDistinct("hour_band") - 1
+    ).cast("double")
+    return cells.agg(
+        F.max("all_n").cast("bigint").alias("n_obs"),
+        F.countDistinct("event_type").cast("bigint").alias("n_rows_dim"),
+        F.countDistinct("hour_band").cast("bigint").alias("n_cols_dim"),
+        chi2.alias("chi2"),
+        F.sqrt(chi2 / (F.max("all_n").cast("double") * dof)).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation: recall@k of prefix-dim retrieval
+# ---------------------------------------------------------------------------
+
+_MRL_K = 10
+_MRL_DIMS = 16
+
+
+@_q(
+    "v_matryoshka_eval",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10
+    ), full_rank AS (
+      SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        CAST(FLOOR(list_cosine_similarity(qv, cv) * 1000000.0 + 0.5) AS BIGINT) DESC, cid) AS rnk
+      FROM q, c
+    ), trunc_rank AS (
+      SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        CAST(FLOOR(list_cosine_similarity(qv[1:{_MRL_DIMS}], cv[1:{_MRL_DIMS}]) * 1000000.0 + 0.5) AS BIGINT) DESC, cid) AS rnk
+      FROM q, c
+    )
+    SELECT f.qid, CAST(COUNT(tr.cid) AS BIGINT) AS n_overlap,
+           CAST(COUNT(tr.cid) AS DOUBLE) / {_MRL_K}.0 AS recall_at_k
+    FROM full_rank f LEFT JOIN trunc_rank tr
+      ON tr.qid = f.qid AND tr.cid = f.cid AND tr.rnk <= {_MRL_K}
+    WHERE f.rnk <= {_MRL_K}
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+)
+def v_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much of the exact
+    cosine top-10 survives when retrieval uses only the first 16 of 64
+    dimensions — recall@k per query, the measurement that decides
+    whether a prefix-truncated index (4x cheaper memory and compute)
+    is good enough as a first stage. Both rankings take every ordering
+    decision on e6-snapped similarities with id tiebreaks, so the two
+    independent cosine implementations agree exactly. Two broadcast-
+    join corpus scans, two partitioned top-k windows, one overlap
+    join — O(n) per query set at any corpus size."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    from data_spark.operators.similarity import cosine_similarity  # noqa: PLC0415
+
+    def snap(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    pairs = c.join(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        snap(cosine_similarity(F.col("qv"), F.col("cv"))).alias("s_full"),
+        snap(
+            cosine_similarity(
+                F.slice(F.col("qv"), 1, _MRL_DIMS), F.slice(F.col("cv"), 1, _MRL_DIMS)
+            )
+        ).alias("s_trunc"),
+    )
+    w_full = Window.partitionBy("qid").orderBy(F.desc("s_full"), F.asc("cid"))
+    w_trunc = Window.partitionBy("qid").orderBy(F.desc("s_trunc"), F.asc("cid"))
+    ranked = pairs.select(
+        "qid",
+        "cid",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_trunc).alias("r_trunc"),
+    )
+    return (
+        ranked.filter(F.col("r_full") <= _MRL_K)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(F.col("r_trunc") <= _MRL_K, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .select(
+            "qid",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(_MRL_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("qid")
+    )
