@@ -119,6 +119,7 @@ def ivf_index_topk(
         # PartitionFilters prune the directory listing at plan time
         .filter(F.col("cell").isin(probed_cells))
     )
+    cells = _anti_tombstones(spark, index_path, cells)
     cand = cells.join(F.broadcast(probes), "cell").select("qid", "qv", "cid", "cv")
     sims = cand.select(
         "qid", "cid", cosine_similarity(F.col("qv"), F.col("cv")).alias("sim")
@@ -269,6 +270,7 @@ def ivfpq_index_topk(
     codes = spark.read.parquet(os.path.join(index_path, "codes")).filter(
         F.col("cell").isin(probed_cells)
     )
+    codes = _anti_tombstones(spark, index_path, codes)
     # restrict each query to ITS probed cells (the static filter above
     # prunes the union of all queries' cells at scan time)
     cand = codes.join(F.broadcast(probes), "cell")
@@ -318,3 +320,76 @@ def append_to_ivfpq_index(
         .partitionBy("cell")
         .parquet(os.path.join(index_path, "codes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletes: tombstones + probe-time anti-join + partition-pruned compaction
+# ---------------------------------------------------------------------------
+
+
+def delete_from_ann_index(ids: DataFrame, index_path: str, id_col: str = "vec_id") -> None:
+    """O(|delete|) vector removal from a saved IVF or IVF-PQ index: the
+    ids append into ``<index>/tombstones/`` and every probe anti-joins
+    them out — no cell directory is touched (the index analogue of the
+    versioned store's key tombstones). Schedule
+    ``compact_ann_index`` to physically reclaim space; results are
+    identical before and after."""
+    (
+        ids.select(F.col(id_col).alias("cid"))
+        .dropDuplicates()
+        .write.mode("append")
+        .parquet(os.path.join(index_path, "tombstones"))
+    )
+
+
+def _anti_tombstones(spark: SparkSession, index_path: str, df: DataFrame) -> DataFrame:
+    """Drop tombstoned ids from a candidate frame (no-op when the index
+    has no tombstones — existing probe plans are unchanged)."""
+    tp = os.path.join(index_path, "tombstones")
+    if not os.path.isdir(tp):
+        return df
+    tomb = spark.read.parquet(tp).dropDuplicates()
+    return df.join(tomb, "cid", "left_anti")
+
+
+def compact_ann_index(spark: SparkSession, index_path: str, subdir: str) -> dict:
+    """Physically apply an index's tombstones: find the cells that
+    actually contain deleted ids (one column-pruned semi-join — the
+    collected cell list is index metadata), rewrite ONLY those cell
+    directories with the crash-safe staged swap, drop cells left empty,
+    then clear the tombstones. Untouched cells keep their files, so the
+    cost is O(affected cells), never O(index). ``subdir`` is "cells"
+    for the IVF index and "codes" for IVF-PQ."""
+    import shutil
+
+    from data_spark.io import _swap_table
+
+    tp = os.path.join(index_path, "tombstones")
+    report = {"affected_cells": 0, "dropped_cells": 0, "tombstones": 0}
+    if not os.path.isdir(tp):
+        return report
+    tomb = spark.read.parquet(tp).dropDuplicates().localCheckpoint(eager=True)
+    report["tombstones"] = tomb.count()
+    table_root = os.path.join(index_path, subdir)
+    affected = [
+        r["cell"]
+        for r in spark.read.parquet(table_root)
+        .join(tomb, "cid", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    for cell in affected:
+        cell_dir = os.path.join(table_root, f"cell={cell}")
+        live = spark.read.parquet(cell_dir).join(tomb, "cid", "left_anti")
+        staging = f"{cell_dir}__staging_compact"
+        live.write.mode("overwrite").parquet(staging)
+        if spark.read.parquet(staging).isEmpty():
+            shutil.rmtree(staging)
+            shutil.rmtree(cell_dir)
+            report["dropped_cells"] += 1
+        else:
+            _swap_table(cell_dir, staging)
+    report["affected_cells"] = len(affected)
+    shutil.rmtree(tp)
+    return report

@@ -139,6 +139,9 @@ def probe_near_dups(
     idx_buckets = spark.read.parquet(os.path.join(index_path, "buckets")).filter(
         F.col("bucket_p").isin(probed_dirs)
     )
+    tomb = _tombstones(spark, index_path)
+    if tomb is not None:
+        idx_buckets = idx_buckets.join(tomb, "doc_id", "left_anti")
     cand = (
         pbuckets.join(
             idx_buckets.withColumnRenamed("doc_id", "index_doc_id"),
@@ -170,3 +173,76 @@ def probe_near_dups(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletes: doc tombstones + probe-time anti-join + pruned compaction
+# ---------------------------------------------------------------------------
+
+
+def delete_from_minhash_index(ids: DataFrame, index_path: str, id_col: str = "doc_id") -> None:
+    """O(|delete|) document removal (takedowns, recalled sources,
+    re-curation): ids append into ``<index>/tombstones/``; probes
+    anti-join them out immediately, ``compact_minhash_index`` reclaims
+    the bucket rows later. The historical corpus is never re-shingled."""
+    (
+        ids.select(F.col(id_col).alias("doc_id"))
+        .dropDuplicates()
+        .write.mode("append")
+        .parquet(os.path.join(index_path, "tombstones"))
+    )
+
+
+def _tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
+    tp = os.path.join(index_path, "tombstones")
+    if not os.path.isdir(tp):
+        return None
+    return spark.read.parquet(tp).dropDuplicates()
+
+
+def compact_minhash_index(spark: SparkSession, index_path: str) -> dict:
+    """Physically apply the tombstones: rewrite ONLY the ``bucket_p``
+    directories that contain deleted docs (crash-safe staged swap per
+    directory; the affected-dir list is one column-pruned semi-join),
+    rewrite the skinny signature table, then clear the tombstones.
+    O(affected dirs + signatures), never O(corpus text) — no shingling
+    happens here."""
+    import shutil
+
+    from data_spark.io import _swap_table
+
+    tp = os.path.join(index_path, "tombstones")
+    report = {"affected_dirs": 0, "dropped_dirs": 0, "tombstones": 0}
+    if not os.path.isdir(tp):
+        return report
+    tomb = spark.read.parquet(tp).dropDuplicates().localCheckpoint(eager=True)
+    report["tombstones"] = tomb.count()
+    buckets_root = os.path.join(index_path, "buckets")
+    affected = [
+        r["bucket_p"]
+        for r in spark.read.parquet(buckets_root)
+        .join(tomb, "doc_id", "left_semi")
+        .select("bucket_p")
+        .distinct()
+        .collect()
+    ]
+    for p in affected:
+        part_dir = os.path.join(buckets_root, f"bucket_p={p}")
+        live = spark.read.parquet(part_dir).join(tomb, "doc_id", "left_anti")
+        staging = f"{part_dir}__staging_compact"
+        live.write.mode("overwrite").parquet(staging)
+        if spark.read.parquet(staging).isEmpty():
+            shutil.rmtree(staging)
+            shutil.rmtree(part_dir)
+            report["dropped_dirs"] += 1
+        else:
+            _swap_table(part_dir, staging)
+    report["affected_dirs"] = len(affected)
+
+    sig_path = os.path.join(index_path, "signatures")
+    live_sig = spark.read.parquet(sig_path).join(tomb, "doc_id", "left_anti")
+    staging = f"{sig_path}__staging_compact"
+    live_sig.write.mode("overwrite").parquet(staging)
+    _swap_table(sig_path, staging)
+    shutil.rmtree(tp)
+    return report

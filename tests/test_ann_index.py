@@ -352,3 +352,73 @@ def test_ivfpq_append_equals_rebuild(spark, sf_small, tmp_path):
         for r in pq_adc_topk(pq_encode(both, cb), cb, qs, k=5).collect()
     }
     assert got == expect
+
+
+def test_delete_then_compact_matches_rebuild(spark, sf_small, tmp_path):
+    """Tombstone deletes: a probe after delete_from_ann_index never
+    returns a deleted id and matches an index rebuilt without those
+    vectors; compaction physically removes the rows (only affected cell
+    dirs rewritten) and leaves probe results unchanged."""
+    import os
+
+    from data_spark.operators.ann_index import (
+        build_ivfpq_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        ivfpq_index_topk,
+    )
+
+    corpus = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = corpus.orderBy("vec_id").limit(4)
+    dead_ids = [r.vec_id for r in corpus.orderBy("vec_id").limit(40).tail(20)]
+
+    # --- IVF ---
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, num_centroids=8)
+    delete_from_ann_index(
+        spark.createDataFrame([(i,) for i in dead_ids], "vec_id long"), idx
+    )
+    got = ivf_index_topk(spark, idx, queries, k=5, nprobe=8).collect()
+    assert not {r.neighbor_id for r in got} & set(dead_ids)
+    idx_ref = str(tmp_path / "ivf_ref")
+    build_ivf_index(
+        corpus.filter(~F.col("vec_id").isin(dead_ids)),
+        idx_ref,
+        num_centroids=8,
+        centroids=spark.read.parquet(f"{idx}/centroids").select("cent_id", "cent_v"),
+    )
+    expect = ivf_index_topk(spark, idx_ref, queries, k=5, nprobe=8).collect()
+    key = lambda rows: {(r.qid, r.rank): r.neighbor_id for r in rows}
+    assert key(got) == key(expect)
+
+    # compaction: same results, tombstones gone, only covered cells touched
+    before_files = {
+        d for d in os.listdir(f"{idx}/cells") if d.startswith("cell=")
+    }
+    report = compact_ann_index(spark, idx, "cells")
+    assert report["tombstones"] == 20 and report["affected_cells"] >= 1
+    assert not os.path.isdir(f"{idx}/tombstones")
+    assert key(ivf_index_topk(spark, idx, queries, k=5, nprobe=8).collect()) == key(expect)
+    # deleted ids are physically gone
+    remaining = spark.read.parquet(f"{idx}/cells").select("cid").collect()
+    assert not {r.cid for r in remaining} & set(dead_ids)
+    assert {d for d in os.listdir(f"{idx}/cells") if d.startswith("cell=")} <= before_files
+
+    # --- IVF-PQ: probe-time anti-join (merge-on-read only) ---
+    pq_idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(corpus, pq_idx, num_centroids=8, m=8, ksub=16)
+    base = ivfpq_index_topk(spark, pq_idx, queries, k=10, nprobe=8).collect()
+    delete_from_ann_index(
+        spark.createDataFrame([(i,) for i in dead_ids], "vec_id long"), pq_idx
+    )
+    got_pq = ivfpq_index_topk(spark, pq_idx, queries, k=10, nprobe=8).collect()
+    assert not {r.neighbor_id for r in got_pq} & set(dead_ids)
+    # per query, neighbors common to both probes keep their relative
+    # ADC order — the delete filters, it never re-scores
+    for qid in {r.qid for r in base}:
+        b = [r.neighbor_id for r in sorted(base, key=lambda r: r.rank) if r.qid == qid]
+        g = [r.neighbor_id for r in sorted(got_pq, key=lambda r: r.rank) if r.qid == qid]
+        common = set(b) & set(g)
+        assert [n for n in b if n in common] == [n for n in g if n in common]
+    compact_ann_index(spark, pq_idx, "codes")
+    assert key(ivfpq_index_topk(spark, pq_idx, queries, k=10, nprobe=8).collect()) == key(got_pq)

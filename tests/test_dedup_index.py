@@ -85,3 +85,50 @@ def test_probe_bucket_scan_is_partition_pruned(spark, sf_small, tmp_path):
     )
     pf = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
     assert pf and "bucket_p" in pf.group(1)
+
+
+def test_delete_then_compact_excludes_docs(spark, sf_small, tmp_path):
+    """Takedown flow: deleted docs stop appearing as index-side
+    near-dup hits immediately (tombstone anti-join), compaction
+    physically removes their bucket and signature rows, and probe
+    results are unchanged by the rewrite."""
+    import os
+
+    from data_spark.operators.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        probe_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "mh")
+    build_minhash_index(docs, idx, num_hashes=32, bands=8, shingle_width=3)
+
+    # probe with copies of indexed docs so hits are guaranteed
+    probes = docs.orderBy("doc_id").limit(30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    before = probe_near_dups(spark, idx, probes, threshold=0.9).collect()
+    assert before, "fixture must produce near-dup hits"
+    victim = min(r.index_doc_id for r in before)
+
+    delete_from_minhash_index(
+        spark.createDataFrame([(victim,)], "doc_id long"), idx
+    )
+    after = probe_near_dups(spark, idx, probes, threshold=0.9).collect()
+    assert victim not in {r.index_doc_id for r in after}
+    kept = {(r.probe_id, r.index_doc_id) for r in before if r.index_doc_id != victim}
+    assert {(r.probe_id, r.index_doc_id) for r in after} == kept
+
+    report = compact_minhash_index(spark, idx)
+    assert report["tombstones"] == 1 and report["affected_dirs"] >= 1
+    assert not os.path.isdir(f"{idx}/tombstones")
+    sig_ids = {r.doc_id for r in spark.read.parquet(f"{idx}/signatures").select("doc_id").collect()}
+    assert victim not in sig_ids
+    bucket_ids = {r.doc_id for r in spark.read.parquet(f"{idx}/buckets").select("doc_id").collect()}
+    assert victim not in bucket_ids
+    final = probe_near_dups(spark, idx, probes, threshold=0.9).collect()
+    assert {(r.probe_id, r.index_doc_id) for r in final} == kept
