@@ -787,3 +787,256 @@ def v_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply into the versioned store (tombstone LWW, e2e)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pipe_stream_cdc_e2e",
+    """
+    WITH log AS (
+      SELECT o_custkey AS key, o_totalprice AS payload,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                  WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'I' END AS op,
+             o_orderdate AS seq_ts, o_orderkey AS seq_id
+      FROM orders
+    ), latest AS (
+      SELECT key, payload, op,
+             ROW_NUMBER() OVER (PARTITION BY key
+                                ORDER BY seq_ts DESC, seq_id DESC) AS rk
+      FROM log
+    )
+    SELECT key, payload AS final_price, op AS last_op
+    FROM latest WHERE rk = 1 AND op <> 'D'
+    ORDER BY key
+    """,
+)
+def pipe_stream_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC gate-verified END TO END: the m_cdc_apply
+    changelog is split into three files by o_orderdate era (mtimes
+    forced ascending so the file stream replays them in event order),
+    streamed one file per micro-batch through
+    streaming.jobs.cdc_stream_sink — per batch: newest-event-per-key
+    reduce, tombstone the touched keys, append the survivors as a
+    versioned commit — and the FINAL merge-on-read state must equal
+    the oracle's one-shot last-writer-wins over the whole log. Because
+    every batch boundary is a table version, the same run leaves a
+    full time-travel audit trail (pinned in test_streaming).
+
+    The per-key arrival-order contract holds here by construction
+    (later eras hold strictly newer seq_ts), which is exactly the
+    Kafka/Debezium per-key ordering a production CDC feed provides."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_spark.io import read_versioned  # noqa: PLC0415
+    from data_spark.streaming.jobs import cdc_stream_sink  # noqa: PLC0415
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = os.path.join(tempfile.gettempdir(), f"data_spark_scdc_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    table = os.path.join(work, "table")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    o = t(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("payload"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D")
+        .when(F.col("o_orderkey") % 2 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_orderdate").alias("seq_ts"),
+        F.col("o_orderkey").alias("seq_id"),
+    )
+    eras = [
+        ("1000-01-01", "1994-07-01"),
+        ("1994-07-01", "1996-07-01"),
+        ("1996-07-01", "3000-01-01"),
+    ]
+    for i, (lo, hi) in enumerate(eras):
+        staged = os.path.join(work, f"stage{i}")
+        (
+            log.filter((F.col("seq_ts") >= lo) & (F.col("seq_ts") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        part = next(
+            n for n in os.listdir(staged) if n.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"era{i}.parquet")
+        shutil.copy(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = cdc_stream_sink(stream, table, ckpt, keys=["key"])
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("pipe_stream_cdc_e2e: stream did not drain within 300s")
+
+    return (
+        read_versioned(spark, table)
+        .select(
+            "key",
+            F.col("payload").alias("final_price"),
+            F.col("op").alias("last_op"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: 2-state Kleinberg automaton, integer Viterbi
+# ---------------------------------------------------------------------------
+
+# Transition penalty for entering the burst state, in the same 1e-6
+# integer cost units as the snapped emission costs.
+_BURST_GAMMA6 = 2_000_000
+
+_BURST_SQL = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), stats AS (
+      SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lam0
+      FROM daily GROUP BY 1
+    ), costs AS (
+      SELECT d.event_type, d.day, d.n,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i,
+             CAST(FLOOR((s.lam0 - CAST(d.n AS DOUBLE) * ln(s.lam0))
+                        * 1000000.0 + 0.5) AS BIGINT) AS c0,
+             CAST(FLOOR((2.0 * s.lam0 - CAST(d.n AS DOUBLE) * ln(2.0 * s.lam0))
+                        * 1000000.0 + 0.5) AS BIGINT) AS c1
+      FROM daily d JOIN stats s USING (event_type)
+    ), dp AS (
+      SELECT event_type, i, c0 AS f0, {_BURST_GAMMA6} + c1 AS f1,
+             '0' AS p0, '1' AS p1
+      FROM costs WHERE i = 1
+      UNION ALL
+      SELECT c.event_type, c.i,
+             LEAST(dp.f0, dp.f1) + c.c0,
+             LEAST(dp.f0 + {_BURST_GAMMA6}, dp.f1) + c.c1,
+             (CASE WHEN dp.f0 <= dp.f1 THEN dp.p0 ELSE dp.p1 END) || '0',
+             (CASE WHEN dp.f0 + {_BURST_GAMMA6} <= dp.f1 THEN dp.p0 ELSE dp.p1 END) || '1'
+      FROM dp JOIN costs c ON c.event_type = dp.event_type AND c.i = dp.i + 1
+    ), fin AS (
+      SELECT dp.event_type,
+             CASE WHEN dp.f0 <= dp.f1 THEN dp.p0 ELSE dp.p1 END AS path
+      FROM dp JOIN (SELECT event_type, MAX(i) AS mi FROM costs GROUP BY 1) last
+        ON dp.event_type = last.event_type AND dp.i = last.mi
+    )
+    SELECT c.event_type, c.day, c.n,
+           CAST(substring(f.path, CAST(c.i AS INT), 1) AS BIGINT) AS burst
+    FROM costs c JOIN fin f ON c.event_type = f.event_type
+    ORDER BY c.event_type, c.day
+"""
+
+
+@_q("e_burst_detect", _BURST_SQL)
+def e_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst detection over the per-type daily count
+    series: a 2-state automaton (base rate λ0 = series mean, burst rate
+    2λ0) with Poisson emission costs and a fixed cost to ENTER the
+    burst state, solved exactly by Viterbi. Both engines run the DP on
+    INTEGER costs — emissions are e6-snapped (λs − n·ln λs, the n!
+    term cancels), the transition penalty is an integer constant — so
+    every min() decision is exact integer arithmetic and the decoded
+    state path is engine-identical by construction (ties break toward
+    the base state).
+
+    The recurrence is sequential per series: the engine folds each
+    series' ordered day array once carrying (cost0, cost1, path0,
+    path1) — parallel across series, O(days) state per series; the
+    oracle replays it as a recursive CTE. This is e_cusum_changepoint's
+    principled cousin: bursts get an explicit duration prior instead of
+    a drift threshold."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias("lam0")
+    )
+
+    def snap(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+    lam0 = F.col("lam0")
+    n_d = F.col("n").cast("double")
+    costs = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        snap(lam0 - n_d * F.log(lam0)).alias("c0"),
+        snap(F.lit(2.0) * lam0 - n_d * F.log(F.lit(2.0) * lam0)).alias("c1"),
+    )
+    series = costs.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n", "c0", "c1"))).alias("s")
+    )
+    g = F.lit(_BURST_GAMMA6).cast("bigint")
+    head = F.element_at("s", 1)
+    init = F.struct(
+        head["c0"].alias("f0"),
+        (g + head["c1"]).alias("f1"),
+        F.lit("0").alias("p0"),
+        F.lit("1").alias("p1"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            (F.least(acc["f0"], acc["f1"]) + x["c0"]).alias("f0"),
+            (F.least(acc["f0"] + g, acc["f1"]) + x["c1"]).alias("f1"),
+            F.concat(
+                F.when(acc["f0"] <= acc["f1"], acc["p0"]).otherwise(acc["p1"]),
+                F.lit("0"),
+            ).alias("p0"),
+            F.concat(
+                F.when(acc["f0"] + g <= acc["f1"], acc["p0"]).otherwise(acc["p1"]),
+                F.lit("1"),
+            ).alias("p1"),
+        )
+
+    decoded = series.select(
+        "event_type",
+        "s",
+        F.aggregate(
+            F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0))),
+            init,
+            step,
+            lambda acc: F.when(acc["f0"] <= acc["f1"], acc["p0"]).otherwise(
+                acc["p1"]
+            ),
+        ).alias("path"),
+    )
+    return (
+        decoded.select(
+            "event_type",
+            F.posexplode("s").alias("pos", "x"),
+            F.col("path"),
+        )
+        .select(
+            "event_type",
+            F.col("x.day").alias("day"),
+            F.col("x.n").alias("n"),
+            F.substring(F.col("path"), F.col("pos") + 1, 1)
+            .cast("bigint")
+            .alias("burst"),
+        )
+        .orderBy("event_type", "day")
+    )

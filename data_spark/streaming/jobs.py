@@ -987,3 +987,67 @@ def versioned_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_stream_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    op_col: str = "op",
+    seq_cols: tuple[str, ...] = ("seq_ts", "seq_id"),
+) -> StreamingQuery:
+    """Streaming CDC apply into the versioned snapshot store: each
+    micro-batch of I/U/D change events becomes one last-writer-wins
+    step — reduce the batch to its newest event per key (``seq_cols``
+    ordering, unique tiebreak last), TOMBSTONE every touched key
+    (io.delete_versioned — covers only pre-existing commits), then
+    append the surviving non-delete rows as the batch's data commit.
+    The result is a keyed table with hard deletes, full per-batch time
+    travel, and snapshot-diff auditability — the streaming face of
+    m_cdc_apply's batch semantics.
+
+    Ordering contract: per-key event order must be the stream's arrival
+    order (the Kafka/Debezium per-key-partition guarantee); within a
+    batch ``seq_cols`` decide. Exactly-once: the append commit records
+    the batch id in its manifest (max-over-all-manifests replay guard);
+    a crash between the tombstone and the append replays the batch,
+    re-tombstones the same keys (idempotent — a duplicate tombstone
+    changes nothing) and re-appends. Cost per batch: O(batch) writes +
+    one manifest; the store is never rescanned, and merge-on-read
+    carries the deletes until purge_deletes/vacuum maintenance."""
+    from data_spark.io import (
+        delete_versioned,
+        last_committed_batch_id,
+        table_versions,
+        write_versioned,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch_id(table_path)
+        if last is not None and batch_id <= last:
+            return  # crash-replay of an applied batch
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.desc(c) for c in seq_cols]
+        )
+        latest = (
+            batch.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        bootstrapped = bool(table_versions(table_path))
+        if bootstrapped:
+            delete_versioned(latest.select(*keys), table_path)
+        write_versioned(
+            latest.filter(F.col(op_col) != "D"),
+            table_path,
+            mode="append" if bootstrapped else "overwrite",
+            meta={"batch_id": batch_id},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1230,3 +1230,77 @@ def test_versioned_stream_sink_exactly_once_time_travel(spark, tmp_path):
     assert len(table_versions(table)) == n_after_manual  # replays no-op
     _commit(replay, 2)
     assert len(table_versions(table)) == n_after_manual + 1  # a new id commits
+
+
+def test_cdc_stream_sink_lww_deletes_and_time_travel(spark, tmp_path):
+    """Streaming CDC into the versioned store: per-batch last-writer-
+    wins with hard deletes, cross-batch overwrites via key tombstones,
+    re-inserts after deletes survive, and every batch boundary is a
+    readable table version."""
+    import os
+    import time
+
+    from data_spark.io import read_versioned, table_versions
+    from data_spark.streaming.jobs import cdc_stream_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        # batch 0: inserts; k=2 has two events, newest (seq 4) wins
+        [(1, 10.0, "I", 1), (2, 20.0, "I", 2), (2, 21.0, "U", 4), (3, 30.0, "I", 3)],
+        # batch 1: update k=1, delete k=2
+        [(1, 11.0, "U", 5), (2, 0.0, "D", 6)],
+        # batch 2: re-insert k=2 after its delete, delete k=3
+        [(2, 22.0, "I", 7), (3, 0.0, "D", 8)],
+    ]
+    for i, rows in enumerate(batches):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            [(k, p, op, float(s), s) for k, p, op, s in rows],
+            "key long, payload double, op string, seq_ts double, seq_id long",
+        ).coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    table = str(tmp_path / "table")
+    q = cdc_stream_sink(stream, table, str(tmp_path / "ckpt"), keys=["key"])
+    assert q.awaitTermination(120)
+
+    def state(v=None):
+        return {
+            r.key: (r.payload, r.op)
+            for r in read_versioned(spark, table, v).collect()
+        }
+
+    # final: k=1 updated, k=2 re-inserted after delete, k=3 deleted
+    assert state() == {1: (10.0, "I"), 2: (22.0, "I")} or state() == {
+        1: (11.0, "U"),
+        2: (22.0, "I"),
+    }
+    assert state()[1] == (11.0, "U")  # batch-1 update applied
+    # versions: v0 bootstrap, then (tombstone, append) per later batch
+    vs = table_versions(table)
+    assert len(vs) == 5
+    # time travel: after batch 0, within-batch LWW picked seq 4 for k=2
+    assert state(0) == {1: (10.0, "I"), 2: (21.0, "U"), 3: (30.0, "I")}
+    # after batch 1 (version index 2 = its append commit): k=2 gone
+    assert state(2) == {1: (11.0, "U"), 3: (30.0, "I")}
+
+    # crash-replay: a fresh run over the same files with a FRESH
+    # checkpoint replays batch ids 0..2 — the manifest guard no-ops all
+    time.sleep(0.1)
+    q2 = cdc_stream_sink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        table,
+        str(tmp_path / "ckpt2"),
+        keys=["key"],
+    )
+    assert q2.awaitTermination(120)
+    assert table_versions(table) == vs  # nothing re-applied
+    assert state()[2] == (22.0, "I")
