@@ -166,6 +166,8 @@ NESTED_LOOP_ALLOWED = frozenset(
         "pipe_stream_drift_e2e",  # |types|x24-row bounded state x 1-ref-histogram join
         "a_bootstrap_ci",  # 1-row (n_days, point_total) stats broadcasts
         "a_welch_t",  # |langs|^2-row pair lattice over bounded languages
+        "d_dsir_select",  # 1-row (raw_total, target_total) stats broadcasts
+        "v_matryoshka_eval",  # deliberate query-set x corpus broadcast (v_cosine_topk shape)
     }
 )
 
@@ -187,6 +189,7 @@ NESTED_LOOP_ALLOWED = frozenset(
 # two-phase rank instead).
 UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {
     "a_chi2_cells": "global sum over the |hour_band|x|event_type| lattice (20 cells)",
+    "a_cramers_v": "global sum over the same |hour_band|x|event_type| cell lattice (20 cells)",
     "a_histogram_equidepth": "exact-semantics member; KLL sketch is the scale path (docstring)",
     "a_rfm_segments": "customer-grain NTILEs, documented exact member (quartile cut-points at scale)",
     "a_seasonal_index": "calendar-bounded: one row per month of the fixture year (<=12)",

@@ -486,9 +486,14 @@ def d_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no vocabulary dictionary is ever shuffled — the selection pass
     a 100 TB pretraining pipeline actually runs."""
     from data_spark.operators.dedup import _words  # noqa: PLC0415
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
 
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", _words(F.col("text")).alias("words"))
+    # materialized once: three aggregates consume it (raw counts, target
+    # counts, per-doc features) — without this the corpus re-tokenizes
+    # per consumer, the exact repeated-pipeline shape the ranking tier
+    # had to fix
     tok = (
         toks.select("doc_id", "lang", F.explode("words").alias("term"))
         .filter(F.col("term") != "")
@@ -500,6 +505,7 @@ def d_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % _DSIR_B
             ).alias("b"),
         )
+        .transform(truncate_lineage)
     )
     raw = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
     tgt = (

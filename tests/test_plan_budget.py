@@ -203,6 +203,33 @@ EXCHANGE_BUDGET = {
     # per-lang sufficient-stats groupBy + its broadcast legs; the pair
     # lattice is the allowlisted bounded-language NLJ
     "a_welch_t": 3,
+    # r7 additions (measured at sf0.001, shuffle=8, AQE on)
+    # two partitioned rank windows share the flag shuffle; + ties
+    # count windows + final group agg
+    "a_spearman_rank": 3,
+    # 5 profiled keys x (per-key count groupBy + 1-row summary agg)
+    "dq_skew_profile": 10,
+    # daily agg + per-series collect + final explode sort
+    "e_holt_winters": 3,
+    # two censuses over the versioned store (merge-on-read + purged)
+    # with their status groupBys; the tombstone anti-join broadcasts
+    "m_tombstone_delete": 5,
+    # materialized token frame feeds raw/target/doc-feature groupBys;
+    # + weight-table broadcasts + the stats 1-row broadcasts +
+    # TakeOrdered — the tokenize scan itself runs ONCE (checkpointed)
+    "d_dsir_select": 12,
+    # greedy rounds run before the returned plan; the k-row result is
+    # a local literal frame
+    "v_kcenter_coreset": 0,
+    # count groupBy + the 20-cell lattice windows + final 1-row agg
+    "a_cramers_v": 4,
+    # one broadcast pair scan + two snapped-rank windows + overlap agg
+    "v_matryoshka_eval": 3,
+    # reader over the CDC-applied versioned store: tombstone anti-join
+    # alignments + final sort (the stream fold runs before the plan)
+    "pipe_stream_cdc_e2e": 5,
+    # daily agg + stats broadcast + per-series collect + posexplode
+    "e_burst_detect": 6,
 }
 
 
