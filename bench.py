@@ -185,6 +185,7 @@ HEADLINE = [
     "v_matryoshka_eval",  # recall@k of prefix-dim retrieval vs full-dim
     "pipe_stream_cdc_e2e",  # file stream -> tombstone LWW -> versioned store
     "e_burst_detect",  # Kleinberg 2-state automaton, integer Viterbi fold
+    "e_kaplan_meier",  # right-censored retention curves, decimal-log products
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -1046,3 +1046,136 @@ def e_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (user retention curves with right-censoring)
+# ---------------------------------------------------------------------------
+
+# Users whose last event falls within this many days of the corpus end
+# are right-censored (still active), not churned.
+_KM_CENSOR_DAYS = 7
+
+_KM_SQL = f"""
+    WITH spans AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_d,
+             MAX(CAST(ts AS DATE)) AS last_d
+      FROM events GROUP BY 1
+    ), horizon AS (
+      SELECT MAX(last_d) AS h FROM spans
+    ), subjects AS (
+      SELECT strftime(s.first_d, '%Y-%m') AS cohort,
+             CAST(date_diff('day', s.first_d, s.last_d) AS BIGINT) AS t,
+             CASE WHEN date_diff('day', s.last_d, horizon.h) < {_KM_CENSOR_DAYS}
+                  THEN 0 ELSE 1 END AS churned
+      FROM spans s CROSS JOIN horizon
+    ), cohort_n AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n0 FROM subjects GROUP BY 1
+    ), times AS (
+      SELECT cohort, t,
+             CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM subjects GROUP BY 1, 2
+    ), risk AS (
+      SELECT times.cohort, times.t, times.d,
+             CAST(cohort_n.n0
+               - COALESCE(SUM(times.leaving) OVER (PARTITION BY times.cohort
+                   ORDER BY times.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM times JOIN cohort_n USING (cohort)
+    ), factors AS (
+      SELECT cohort, t, d, n_risk,
+             CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+                  AS DECIMAL(20,6)) AS lf6
+      FROM risk WHERE d > 0 AND d < n_risk
+    )
+    SELECT cohort, t, d, n_risk,
+           exp(CAST(SUM(lf6) OVER (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+           AS survival
+    FROM factors ORDER BY cohort, t
+"""
+
+
+@_q("e_kaplan_meier", _KM_SQL)
+def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curves per signup cohort: each user's
+    observed lifetime is last-seen minus first-seen days; users still
+    active near the corpus end are right-censored (they leave the risk
+    set without counting as churn — dropping them instead biases
+    survival down, the classic retention-analysis mistake). S(t) is the
+    product of (1 − d/n_risk) over churn times, carried as e6-snapped
+    log factors summed EXACTLY as decimals inside a cohort-partitioned
+    cumulative window, then exponentiated once — the same
+    decimal-log-product contract as the perplexity tier, so both
+    engines emit identical doubles.
+
+    Plan shape: one user-grain aggregate, a broadcast 1-row horizon, a
+    per-(cohort,t) count, and one cohort-partitioned cumulative
+    window — no global sort, no collect; cardinality is bounded by
+    cohorts x distinct lifetimes (calendar-bounded), never by events."""
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    ).transform(truncate_lineage)
+    horizon = spans.agg(F.max("last_d").alias("h"))
+    # materialized: cohort_n and times both consume it — without this
+    # the user-grain aggregate (the only fact-sized shuffle) runs twice
+    subjects = spans.crossJoin(F.broadcast(horizon)).select(
+        F.date_format("first_d", "yyyy-MM").alias("cohort"),
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        F.when(
+            F.datediff(F.col("h"), F.col("last_d")) < _KM_CENSOR_DAYS, 0
+        )
+        .otherwise(1)
+        .alias("churned"),
+    ).transform(truncate_lineage)
+    cohort_n = subjects.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0")
+    )
+    times = subjects.groupBy("cohort", "t").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = times.join(cohort_n, "cohort").select(
+        "cohort",
+        "t",
+        "d",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factors = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
+        "cohort",
+        "t",
+        "d",
+        "n_risk",
+        F.round(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")),
+            6,
+        )
+        .cast("decimal(20,6)")
+        .alias("lf6"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return factors.select(
+        "cohort",
+        "t",
+        "d",
+        "n_risk",
+        F.exp(F.sum("lf6").over(w_cum).cast("double")).alias("survival"),
+    ).orderBy("cohort", "t")

@@ -230,6 +230,9 @@ EXCHANGE_BUDGET = {
     "pipe_stream_cdc_e2e": 5,
     # daily agg + stats broadcast + per-series collect + posexplode
     "e_burst_detect": 6,
+    # user-span agg materialized once (its only fact-sized shuffle);
+    # 5 = cohort/time groupBys + the risk join + cumulative window
+    "e_kaplan_meier": 5,
 }
 
 
