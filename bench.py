@@ -186,6 +186,9 @@ HEADLINE = [
     "pipe_stream_cdc_e2e",  # file stream -> tombstone LWW -> versioned store
     "e_burst_detect",  # Kleinberg 2-state automaton, integer Viterbi fold
     "e_kaplan_meier",  # right-censored retention curves, decimal-log products
+    "g_landmark_closeness",  # shared multi-source BFS, integer harmonic
+    "a_woe_iv",  # WOE binning with exact-integer IV numerators
+    "a_two_proportion_z",  # pooled z^2 over the bounded type lattice
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -168,6 +168,8 @@ NESTED_LOOP_ALLOWED = frozenset(
         "a_welch_t",  # |langs|^2-row pair lattice over bounded languages
         "d_dsir_select",  # 1-row (raw_total, target_total) stats broadcasts
         "v_matryoshka_eval",  # deliberate query-set x corpus broadcast (v_cosine_topk shape)
+        "a_woe_iv",  # 1-row min/max range broadcast (a_histogram_fixed_bins shape)
+        "a_two_proportion_z",  # |types|^2-row pair lattice over bounded event types
     }
 )
 

@@ -1179,3 +1179,297 @@ def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         F.exp(F.sum("lf6").over(w_cum).cast("double")).alias("survival"),
     ).orderBy("cohort", "t")
+
+
+# ---------------------------------------------------------------------------
+# Landmark closeness centrality (multi-source BFS, exact integer harmonic)
+# ---------------------------------------------------------------------------
+
+_LM_SEEDS = ("s1", "s2", "s3", "s4")
+_LM_MAX_DEPTH = 4
+
+_LM_SQL = f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), walk(lm, node, dist) AS (
+      SELECT s, s, 0 FROM (VALUES {", ".join(f"('{s}')" for s in _LM_SEEDS)}) t(s)
+      UNION
+      SELECT w.lm, e.dst, w.dist + 1
+      FROM walk w JOIN sym e ON e.src = w.node
+      WHERE w.dist < {_LM_MAX_DEPTH}
+    ), best AS (
+      SELECT lm, node, MIN(dist) AS d FROM walk GROUP BY 1, 2
+    )
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS reached,
+           CAST(SUM(12 // d) AS BIGINT) AS harmonic12
+    FROM best WHERE d > 0
+    GROUP BY node ORDER BY node
+"""
+
+
+@_q("g_landmark_closeness", _LM_SQL)
+def g_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark (pivot) closeness centrality: BFS from a fixed 4-seed
+    landmark set over the undirected supplier-customer graph (depth
+    <= 4), then per node the count of landmarks reached and the
+    harmonic closeness Σ 1/d — carried in EXACT twelfths (12 is the
+    LCM of the possible depths 1..4, so 12//d is an integer and the
+    sum never touches a float). Landmark methods are how closeness is
+    estimated at billion-node scale — full APSP is quadratic; k
+    landmarks cost k BFS sweeps.
+
+    Spark side: ONE multi-source frontier carrying (landmark, node) —
+    the k sweeps share every edge join rather than running k times;
+    per level one src-keyed join + distinct + anti-join against the
+    visited set, lineage truncated per level (the g_bfs_levels
+    discipline, generalized to a composite frontier key)."""
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+    from data_spark.queries.ranking import sized_partitions  # noqa: PLC0415
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    n_parts = sized_partitions(edges, 2 * t(spark, sf_dir, "lineitem").count())
+    sym = truncate_lineage(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n_parts, "src")
+    )
+    spark_ = edges.sparkSession
+    visited = spark_.createDataFrame(
+        [(s, s, 0) for s in _LM_SEEDS], "lm string, node string, dist int"
+    )
+    frontier = visited
+    for depth in range(1, _LM_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select("lm", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("lm", "node"), ["lm", "node"], "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        nxt = nxt.transform(truncate_lineage)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("reached"),
+            F.sum(F.expr("12 div dist")).cast("bigint").alias("harmonic12"),
+        )
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight of evidence / information value (feature-screening binning)
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 10
+
+
+@_q(
+    "a_woe_iv",
+    f"""
+    WITH lab AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ), rng AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi FROM lab
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / {_WOE_BINS}.0)) AS BIGINT),
+                   {_WOE_BINS - 1}) AS bin,
+             bad
+      FROM lab CROSS JOIN rng
+    ), cells AS (
+      SELECT bin,
+             CAST(SUM(bad) AS BIGINT) AS bad_n,
+             CAST(COUNT(*) - SUM(bad) AS BIGINT) AS good_n
+      FROM binned GROUP BY 1
+    ), tots AS (
+      SELECT SUM(bad_n) AS b, SUM(good_n) AS g FROM cells
+    )
+    SELECT bin, bad_n, good_n,
+           CAST(ROUND(ln((CAST(bad_n AS DOUBLE) * CAST(g AS DOUBLE))
+                         / (CAST(good_n AS DOUBLE) * CAST(b AS DOUBLE))), 6)
+                AS DOUBLE) AS woe,
+           CAST(CAST(bad_n AS BIGINT) * CAST(g AS BIGINT)
+                - CAST(good_n AS BIGINT) * CAST(b AS BIGINT) AS BIGINT) AS num_iv
+    FROM cells CROSS JOIN tots
+    WHERE bad_n > 0 AND good_n > 0
+    ORDER BY bin
+    """,
+)
+def a_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning of order price against the 'F'
+    status label — the classic credit-scoring / feature-screening
+    transform: per equal-width bin, WOE = ln((bad/B)/(good/G)), with
+    the IV numerator carried as the EXACT integer bad·G − good·B (the
+    caller divides by B·G once to get the IV contribution — keeping
+    the gate contract integer-exact where a float share product would
+    be summation-order-dependent). One 1-row min/max broadcast, one
+    count shuffle; bins with a zero class are excluded as WOE is
+    undefined there (standard practice is to merge them)."""
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    o = t(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    rng = lab.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = lab.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(_WOE_BINS)))
+            ).cast("bigint"),
+            F.lit(_WOE_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        "bad",
+    )
+    # materialized: the totals aggregate and the final projection both
+    # consume the 10-row cell table — without this the orders scan and
+    # bin groupBy run twice
+    cells = binned.groupBy("bin").agg(
+        F.sum("bad").cast("bigint").alias("bad_n"),
+        (F.count(F.lit(1)) - F.sum("bad")).cast("bigint").alias("good_n"),
+    ).transform(truncate_lineage)
+    tots = cells.agg(
+        F.sum("bad_n").alias("b"), F.sum("good_n").alias("g")
+    )
+    woe = F.round(
+        F.log(
+            (F.col("bad_n").cast("double") * F.col("g").cast("double"))
+            / (F.col("good_n").cast("double") * F.col("b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        cells.crossJoin(F.broadcast(tots))
+        .filter((F.col("bad_n") > 0) & (F.col("good_n") > 0))
+        .select(
+            "bin",
+            "bad_n",
+            "good_n",
+            woe.cast("double").alias("woe"),
+            (
+                F.col("bad_n") * F.col("g") - F.col("good_n") * F.col("b")
+            )
+            .cast("bigint")
+            .alias("num_iv"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z² test (conversion-rate A/B member of the drift family)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a_two_proportion_z",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY 1
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+           CASE WHEN a.conv + b.conv = 0 OR a.conv + b.conv = a.n + b.n
+                THEN NULL
+                ELSE ROUND(
+             (CAST(a.conv AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.conv AS DOUBLE) / CAST(b.n AS DOUBLE))
+             * (CAST(a.conv AS DOUBLE) / CAST(a.n AS DOUBLE)
+                - CAST(b.conv AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / ((CAST(a.conv + b.conv AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                * (1.0 - CAST(a.conv + b.conv AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))), 6)
+           END AS z2
+    FROM cells a JOIN cells b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def a_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z² over every event-type pair (conversion
+    = value > 0.5) — the proportion member of the drift-test family
+    (KS = shape, Mann-Whitney = rank location, Welch = mean, this =
+    rate). Sufficient statistics are exact integers from one count
+    shuffle; the pair lattice is the bounded |types|² broadcast join;
+    z² is one 6-dp-rounded double over identical operands (squared so
+    no sqrt enters the contract — the a_welch_t convention)."""
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    # materialized: both lattice sides read the |types|-row cell table —
+    # without this the events scan and count groupBy run twice
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    ).transform(truncate_lineage)
+    a = cells.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("conv").alias("conv_a"),
+    )
+    b = cells.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("conv").alias("conv_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    degenerate = (F.col("conv_a") + F.col("conv_b") == 0) | (
+        F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")
+    )
+    z2 = F.when(degenerate, F.lit(None).cast("double")).otherwise(
+        F.round(
+            (pa - pb)
+            * (pa - pb)
+            / (
+                pool
+                * (F.lit(1.0) - pool)
+                * (
+                    F.lit(1.0) / F.col("n_a").cast("double")
+                    + F.lit(1.0) / F.col("n_b").cast("double")
+                )
+            ),
+            6,
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        z2.alias("z2"),
+    ).orderBy("type_a", "type_b")

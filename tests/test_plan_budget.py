@@ -233,6 +233,15 @@ EXCHANGE_BUDGET = {
     # user-span agg materialized once (its only fact-sized shuffle);
     # 5 = cohort/time groupBys + the risk join + cumulative window
     "e_kaplan_meier": 5,
+    # multi-source frontier: per-level joins ride the src-keyed sym
+    # repartition; 2 = edge distinct + final node groupBy
+    "g_landmark_closeness": 2,
+    # 10-row cell table materialized once; 3 = label count + totals fold
+    # + final sort over 10 rows
+    "a_woe_iv": 3,
+    # |types|-row cell table materialized once; 2 = count groupBy + the
+    # lattice sort
+    "a_two_proportion_z": 2,
 }
 
 
