@@ -764,8 +764,47 @@ def table_versions(table_path: str) -> list[int]:
     )
 
 
+def _json_stat(v):
+    """JSON-serializable min/max bound (dates/timestamps → ISO strings,
+    which compare lexicographically like the values do)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _collect_commit_stats(
+    spark: SparkSession, commit_path: str, cols: list[str]
+) -> dict:
+    """Per-FILE min/max for ``cols`` over one commit directory —
+    O(commit) at write time, and the result is manifest METADATA
+    (files x cols bounds, never rows)."""
+    df = spark.read.parquet(commit_path)
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("__f"))
+        .agg(
+            *[F.min(c).alias(f"{c}__min") for c in cols],
+            *[F.max(c).alias(f"{c}__max") for c in cols],
+        )
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        rel = os.path.basename(r["__f"])
+        out[rel] = {
+            c: [_json_stat(r[f"{c}__min"]), _json_stat(r[f"{c}__max"])]
+            for c in cols
+        }
+    return out
+
+
 def write_versioned(
-    df: DataFrame, table_path: str, mode: str = "overwrite", meta: dict | None = None
+    df: DataFrame,
+    table_path: str,
+    mode: str = "overwrite",
+    meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version — snapshot isolation and
     time travel on plain parquet, the lakehouse commit-log idea
@@ -782,7 +821,13 @@ def write_versioned(
 
     The manifest is driver-side METADATA (a list of directory names,
     bytes proportional to commit count — never to rows). Returns the
-    new version number."""
+    new version number.
+
+    ``stats_cols``: record per-FILE min/max bounds for these columns in
+    the manifest (the Delta ``add.stats`` idea) — one O(commit) scan at
+    write time buys ``read_versioned(prune=...)`` file skipping without
+    opening a footer. Appends inherit the parent's stats for earlier
+    commits, so each commit pays only for its own files."""
     import json
 
     if mode not in ("overwrite", "append"):
@@ -802,12 +847,19 @@ def write_versioned(
         # they covered (`upto` indexes are positions in the commit list,
         # which appends only extend)
         deletes = parent.get("deletes", [])
+        stats = dict(parent.get("stats", {}))
     else:
-        parents, deletes = [], []
+        parents, deletes, stats = [], [], {}
+    if stats_cols:
+        stats[commit_dir] = _collect_commit_stats(
+            df.sparkSession, os.path.join(table_path, "data", commit_dir), stats_cols
+        )
     os.makedirs(_versions_dir(table_path), exist_ok=True)
     manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
     if deletes:
         manifest["deletes"] = deletes
+    if stats:
+        manifest["stats"] = stats
     if meta:
         manifest["meta"] = meta
     tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
@@ -870,6 +922,8 @@ def delete_versioned(keys_df: DataFrame, table_path: str) -> int:
         "deletes": parent.get("deletes", [])
         + [{"dir": delete_dir, "upto": len(parent["commits"])}],
     }
+    if parent.get("stats"):
+        manifest["stats"] = parent["stats"]
     tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -900,10 +954,14 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
         return versions[-1]
     new_v = versions[-1] + 1
     new_commits = []
+    old_stats = manifest.get("stats", {})
+    new_stats = {}
     for i, c in enumerate(manifest["commits"]):
         applicable = [d["dir"] for d in deletes if d["upto"] > i]
         if not applicable:
             new_commits.append(c)
+            if c in old_stats:
+                new_stats[c] = old_stats[c]
             continue
         df = spark.read.parquet(os.path.join(table_path, "data", c))
         tomb = spark.read.parquet(
@@ -918,7 +976,15 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
             os.path.join(table_path, "data", purged_dir)
         )
         new_commits.append(purged_dir)
+        if c in old_stats:
+            # re-derive bounds for the rewritten files (same columns)
+            cols = sorted({k for b in old_stats[c].values() for k in b})
+            new_stats[purged_dir] = _collect_commit_stats(
+                spark, os.path.join(table_path, "data", purged_dir), cols
+            )
     new_manifest = {"version": new_v, "mode": "purge", "commits": new_commits}
+    if new_stats:
+        new_manifest["stats"] = new_stats
     tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(new_manifest, f)
@@ -950,6 +1016,7 @@ def read_versioned(
     table_path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just resolving that version's manifest to its commit
@@ -959,7 +1026,16 @@ def read_versioned(
     lakehouse schema-evolution read: commits written before a column
     existed surface it as NULL). Off by default because schema merging
     reads every commit's footer at planning time — at 100 TB you opt
-    into that only on tables that actually evolved."""
+    into that only on tables that actually evolved.
+
+    ``prune=(col, lo, hi)``: file skipping from the manifest's recorded
+    stats (``write_versioned(stats_cols=...)``) — commits with bounds
+    for ``col`` resolve to ONLY the files whose [min, max] overlaps
+    [lo, hi] (either bound may be None for one-sided ranges); commits
+    without stats read fully; the range predicate stays as a residual
+    filter so pruning can never change the answer, only the files
+    opened. The decision runs on manifest metadata — no footer is
+    touched for a skipped file."""
     import json
 
     versions = table_versions(table_path)
@@ -974,12 +1050,45 @@ def read_versioned(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
 
-    def data_paths(commits):
-        return [os.path.join(table_path, "data", c) for c in commits]
+    stats = manifest.get("stats", {})
+
+    def commit_paths(c: str) -> list[str]:
+        d = os.path.join(table_path, "data", c)
+        if prune is None:
+            return [d]
+        col, lo, hi = prune
+        st = stats.get(c)
+        if st is None:
+            return [d]
+        keep = []
+        for rel, bounds in st.items():
+            b = bounds.get(col)
+            if b is None:
+                keep.append(os.path.join(d, rel))
+                continue
+            mn, mx = b
+            if mn is None or mx is None:
+                continue  # all-NULL file: a range predicate never matches
+            if (hi is None or mn <= hi) and (lo is None or mx >= lo):
+                keep.append(os.path.join(d, rel))
+        return keep
+
+    def residual(df: DataFrame) -> DataFrame:
+        if prune is None:
+            return df
+        col, lo, hi = prune
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return df.filter(cond)
 
     deletes = manifest.get("deletes", [])
-    if not deletes:
-        return reader.parquet(*data_paths(manifest["commits"]))
+    if not deletes and prune is None:
+        return reader.parquet(
+            *[os.path.join(table_path, "data", c) for c in manifest["commits"]]
+        )
 
     # Merge-on-read: a tombstone applies only to commits that existed
     # when the delete ran (commit index < upto). Group commits by their
@@ -989,10 +1098,15 @@ def read_versioned(
     groups: dict[tuple, list] = {}
     for i, c in enumerate(manifest["commits"]):
         applicable = tuple(d["dir"] for d in deletes if d["upto"] > i)
-        groups.setdefault(applicable, []).append(c)
+        paths = commit_paths(c)
+        if paths:
+            groups.setdefault(applicable, []).extend(paths)
+    if not groups:
+        base = reader.parquet(os.path.join(table_path, "data", manifest["commits"][0]))
+        return residual(base.filter(F.lit(False)))
     parts = []
-    for applicable, commits in groups.items():
-        df = reader.parquet(*data_paths(commits))
+    for applicable, paths in groups.items():
+        df = reader.parquet(*paths)
         if applicable:
             tomb = spark.read.parquet(
                 *[os.path.join(table_path, "deletes", d) for d in applicable]
@@ -1002,7 +1116,7 @@ def read_versioned(
                 c = df[k].eqNullSafe(tomb[k])
                 cond = c if cond is None else cond & c
             df = df.join(tomb, cond, "left_anti")
-        parts.append(df)
+        parts.append(residual(df))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=merge_schema)
@@ -1022,6 +1136,8 @@ def restore_version(table_path: str, version: int) -> int:
     manifest = {"version": new_v, "mode": f"restore-{version}", "commits": old["commits"]}
     if old.get("deletes"):
         manifest["deletes"] = old["deletes"]
+    if old.get("stats"):
+        manifest["stats"] = old["stats"]
     tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)

@@ -524,3 +524,76 @@ def test_tombstone_delete_lifecycle(spark, tmp_path):
 
     # a second purge with nothing to do is a no-op version-wise
     assert purge_deletes(spark, table) == v4
+
+
+def test_versioned_stats_prune_file_skipping(spark, tmp_path):
+    """Manifest-embedded file stats (write_versioned(stats_cols=...)):
+    a range-pruned read opens only the overlapping files, answers
+    exactly like the full-scan filter, composes with tombstones, and
+    stats survive appends, deletes, restores, and purges."""
+    import os
+
+    from data_spark.io import (
+        delete_versioned,
+        purge_deletes,
+        read_versioned,
+        restore_version,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 8000).select(F.col("id").alias("k"), (F.col("id") % 13).alias("x"))
+    # range-clustered layout so per-file k bounds are tight
+    clustered = df.repartitionByRange(8, "k").sortWithinPartitions("k")
+    write_versioned(clustered, table, "overwrite", stats_cols=["k"])   # v0
+    write_versioned(
+        spark.range(8000, 16000)
+        .select(F.col("id").alias("k"), (F.col("id") % 13).alias("x"))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k"),
+        table,
+        "append",
+        stats_cols=["k"],
+    )                                                                  # v1
+
+    full = read_versioned(spark, table)
+    n_files = len(full.inputFiles())
+    assert n_files == 16
+
+    pruned = read_versioned(spark, table, prune=("k", 2000, 2500))
+    assert 0 < len(pruned.inputFiles()) < n_files
+    expect = sorted(tuple(r) for r in full.filter("k between 2000 and 2500").collect())
+    assert sorted(tuple(r) for r in pruned.collect()) == expect
+
+    # prune hits the second commit too
+    pruned2 = read_versioned(spark, table, prune=("k", 9000, 9100))
+    assert sorted(r.k for r in pruned2.collect()) == list(range(9000, 9101))
+    assert 0 < len(pruned2.inputFiles()) < n_files
+
+    # one-sided range + out-of-range empties
+    assert read_versioned(spark, table, prune=("k", 15990, None)).count() == 10
+    empty = read_versioned(spark, table, prune=("k", 50000, 60000))
+    assert empty.count() == 0 and empty.columns == ["k", "x"]
+
+    # tombstones compose with pruning (delete half the probe range)
+    delete_versioned(
+        spark.range(2000, 2251).select(F.col("id").alias("k"),
+                                       (F.col("id") % 13).alias("x")),
+        table,
+    )
+    pruned3 = read_versioned(spark, table, prune=("k", 2000, 2500))
+    assert sorted(r.k for r in pruned3.collect()) == list(range(2251, 2501))
+    data_files3 = [f for f in pruned3.inputFiles() if "/data/" in f]
+    assert 0 < len(data_files3) < n_files
+
+    # purge recomputes stats for rewritten commits — pruning still works
+    v = purge_deletes(spark, table)
+    pruned4 = read_versioned(spark, table, version=v, prune=("k", 2000, 2500))
+    assert sorted(r.k for r in pruned4.collect()) == list(range(2251, 2501))
+    assert 0 < len(pruned4.inputFiles())
+
+    # restore keeps the restored version's stats usable
+    restore_version(table, 1)
+    pruned5 = read_versioned(spark, table, prune=("k", 2000, 2100))
+    assert sorted(r.k for r in pruned5.collect()) == list(range(2000, 2101))
+    assert 0 < len(pruned5.inputFiles()) < n_files
