@@ -1473,3 +1473,73 @@ def a_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         z2.alias("z2"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Stats-pruned versioned read (manifest file skipping, gate-verified)
+# ---------------------------------------------------------------------------
+
+_VP_LO, _VP_HI = 3000, 4500
+
+
+@_q(
+    "m_versioned_pruned_scan",
+    f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey BETWEEN {_VP_LO} AND {_VP_HI}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def m_versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest file skipping on the versioned store, gate-verified for
+    CORRECTNESS: orders land in two range-clustered commits with
+    per-file o_orderkey bounds recorded in the manifests
+    (write_versioned(stats_cols=...)); the read resolves a key range to
+    only the overlapping files — the skip decision is manifest
+    METADATA, no footer is opened for a skipped file — and the census
+    over the pruned read must hash-equal the oracle's plain range
+    filter. The pruning itself (strict inputFiles subset) is pinned in
+    test_compaction; this gate pins that skipping never changes an
+    answer."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_spark.io import read_versioned, write_versioned  # noqa: PLC0415
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"data_spark_vprune_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    other = o.filter(F.col("o_orderkey") % 2 == 1)
+    write_versioned(
+        half.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        base,
+        "overwrite",
+        stats_cols=["o_orderkey"],
+    )
+    write_versioned(
+        other.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        base,
+        "append",
+        stats_cols=["o_orderkey"],
+    )
+    pruned = read_versioned(spark, base, prune=("o_orderkey", _VP_LO, _VP_HI))
+    return (
+        pruned.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("status")
+    )

@@ -242,6 +242,9 @@ EXCHANGE_BUDGET = {
     # |types|-row cell table materialized once; 2 = count groupBy + the
     # lattice sort
     "a_two_proportion_z": 2,
+    # the pruned read resolves to explicit file paths; AQE folds the
+    # 3-row census into a local aggregate
+    "m_versioned_pruned_scan": 2,
 }
 
 
