@@ -92,7 +92,7 @@ def _decode(payload: bytes, mode: str) -> bytes:
 
             with image_mod.open(io.BytesIO(payload)) as im:
                 return im.convert("RGB").tobytes()
-        from data_spark.operators import bmp, gif, png  # noqa: PLC0415
+        from data_spark.operators import bmp, gif, jpeg, png  # noqa: PLC0415
 
         if png.is_png(payload):
             _w, _h, rgb = png.decode_rgb(payload)
@@ -103,11 +103,15 @@ def _decode(payload: bytes, mode: str) -> bytes:
         if bmp.is_bmp(payload):
             _w, _h, rgb = bmp.decode_rgb(payload)
             return rgb
+        if jpeg.is_jpeg(payload):
+            _w, _h, rgb = jpeg.decode_rgb(payload)
+            return rgb
         raise NotImplementedError(
-            "decode_mode='strict' without Pillow supports only PNG, GIF and "
-            "BMP payloads (vendored codecs, operators/png.py + gif.py + "
-            "bmp.py); install Pillow for other formats or use "
-            "decode_mode='fake' for the deterministic stand-in"
+            "decode_mode='strict' without Pillow supports only PNG, GIF, "
+            "BMP and baseline JPEG payloads (vendored codecs, "
+            "operators/png.py + gif.py + bmp.py + jpeg.py); install Pillow "
+            "for other formats or use decode_mode='fake' for the "
+            "deterministic stand-in"
         )
     # 'fake': deterministic payload-derived pseudo-decode
     return hashlib.sha256(payload).digest()
