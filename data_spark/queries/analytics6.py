@@ -1543,3 +1543,85 @@ def m_versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F (k-group mean test; Welch t² generalization)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a_anova_f",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS q
+      FROM events GROUP BY 1
+    ), terms AS (
+      SELECT event_type, n, s, q,
+             CAST(ROUND(s * s / CAST(n AS DOUBLE), 6) AS DECIMAL(38,6)) AS t6
+      FROM g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           ROUND(CAST(SUM(t6) AS DOUBLE)
+                 - CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE), 6) AS ssb,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE)
+                 - CAST(SUM(t6) AS DOUBLE), 6) AS ssw,
+           ROUND(
+             ((CAST(SUM(t6) AS DOUBLE)
+               - CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+                 * CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE)) / CAST(COUNT(*) - 1 AS DOUBLE))
+             / ((CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE)
+                 - CAST(SUM(t6) AS DOUBLE)) / CAST(SUM(n) - COUNT(*) AS DOUBLE)),
+             6) AS f_stat
+    FROM terms
+    """,
+)
+def a_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the event-type groups — the k-group mean
+    test completing the drift family (KS = shape, Mann-Whitney = rank
+    location, Welch t² = 2-group means, z² = rates, chi²/V =
+    independence, this = k-group means). Per-group sufficient
+    statistics are exact decimal sums; the cross-group Σ(S²/n) terms
+    are 6-dp-snapped and decimal-summed (the chi²-cells convention —
+    a raw float sum over groups would be order-dependent); SSB/SSW/F
+    close over identical doubles, rounded once. One count shuffle,
+    then arithmetic over the k-row group table."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("q"),
+    )
+    terms = g.select(
+        "n",
+        "s",
+        "q",
+        F.round(F.col("s") * F.col("s") / F.col("n").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("t6"),
+    )
+    st6 = F.sum("t6").cast("double")
+    ss = F.sum(F.col("s").cast("decimal(38,6)")).cast("double")
+    sq = F.sum(F.col("q").cast("decimal(38,6)")).cast("double")
+    n_tot = F.sum("n")
+    k = F.count(F.lit(1))
+    ssb = st6 - ss * ss / n_tot.cast("double")
+    ssw = sq - st6
+    return terms.agg(
+        k.cast("bigint").alias("k_groups"),
+        n_tot.cast("bigint").alias("n_total"),
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+        F.round(
+            (ssb / (k - 1).cast("double")) / (ssw / (n_tot - k).cast("double")), 6
+        ).alias("f_stat"),
+    )

@@ -245,6 +245,8 @@ EXCHANGE_BUDGET = {
     # the pruned read resolves to explicit file paths; AQE folds the
     # 3-row census into a local aggregate
     "m_versioned_pruned_scan": 2,
+    # one count groupBy + the k-row closing fold
+    "a_anova_f": 2,
 }
 
 
