@@ -1625,3 +1625,84 @@ def a_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (k - 1).cast("double")) / (ssw / (n_tot - k).cast("double")), 6
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (cross-group feature alignment)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d_quantile_normalize",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS m
+      FROM documents
+    ), pooled AS (
+      SELECT n_chars AS pooled_val,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT ranked.doc_id, ranked.source,
+           CAST(ranked.n_chars AS BIGINT) AS orig,
+           CAST(pooled.pooled_val AS BIGINT) AS normalized
+    FROM ranked CROSS JOIN tot
+    JOIN pooled ON pooled.pr = (ranked.r * tot.n + ranked.m - 1) // ranked.m
+    ORDER BY doc_id
+    """,
+)
+def d_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of n_chars across sources — the classic
+    cross-batch feature-alignment transform (microarray/bioinformatics
+    heritage, used to align per-source score distributions before a
+    single threshold is applied): each row maps to the POOLED
+    distribution's value at its within-source quantile, nearest-rank
+    convention. Entirely integer: within-source rank r of m rows maps
+    to pooled rank ceil(r·N/m) (exact BIGINT arithmetic, never a float
+    percentile), so both engines select identical target values with
+    the (value, doc_id) total order.
+
+    Plan shape: one partitioned rank window per source, one DISTRIBUTED
+    global rank over the pooled values (operators/order.global_row_number
+    — a range-partitioned two-phase rank, never a single-partition
+    window), and one equi-join on the computed target rank. The oracle
+    uses a plain global window; on the engine side that would serialize
+    the corpus through one task, exactly what the two-phase rank
+    avoids."""
+    from data_spark.operators.order import global_row_number  # noqa: PLC0415
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("m"),
+    )
+    pooled = global_row_number(
+        d.select(F.col("n_chars").alias("pooled_val"), "doc_id"),
+        ["pooled_val", "doc_id"],
+        out="pr",
+    ).select("pooled_val", "pr").transform(truncate_lineage)
+    n_total = d.count()
+    # ceil(r*N/m) in pure BIGINT arithmetic — a float division here
+    # would lose rank exactness once r*N passes 2^53
+    target = ranked.withColumn(
+        "pr",
+        F.expr(f"CAST((r * CAST({n_total} AS BIGINT) + m - 1) DIV m AS BIGINT)"),
+    )
+    return (
+        target.join(pooled, "pr")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("orig"),
+            F.col("pooled_val").cast("bigint").alias("normalized"),
+        )
+        .orderBy("doc_id")
+    )

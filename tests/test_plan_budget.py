@@ -247,6 +247,9 @@ EXCHANGE_BUDGET = {
     "m_versioned_pruned_scan": 2,
     # one count groupBy + the k-row closing fold
     "a_anova_f": 2,
+    # per-source rank windows share one source shuffle; the pooled rank
+    # pays its own range exchange behind the checkpoint; + target join
+    "d_quantile_normalize": 3,
 }
 
 
