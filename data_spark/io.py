@@ -992,6 +992,27 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
     return new_v
 
 
+def compact_versioned(
+    spark: SparkSession, table_path: str, stats_cols: list[str] | None = None
+) -> int:
+    """Commit-log compaction: a streaming sink accretes one commit per
+    micro-batch, so after N batches every read unions N directories —
+    the listing/planning cost grows with history even when the data
+    doesn't. This rewrites the CURRENT visible rows (tombstones
+    applied) as one fresh commit and commits it as a new version, so
+    reads resolve to a single directory again. History stays readable
+    (older versions still reference their commits until
+    ``vacuum_versions``), the streaming replay guard is unaffected
+    (``last_committed_batch_id`` scans ALL manifests), and
+    ``stats_cols`` re-records file bounds for the compacted layout.
+    Returns the new version number. Cost: O(live rows) — schedule it
+    like any maintenance rewrite."""
+    current = read_versioned(spark, table_path)
+    return write_versioned(
+        current, table_path, mode="overwrite", stats_cols=stats_cols
+    )
+
+
 def last_committed_batch_id(table_path: str) -> int | None:
     """Max ``meta["batch_id"]`` across ALL version manifests — the
     streaming replay guard. Reading only the LATEST version's meta is

@@ -597,3 +597,54 @@ def test_versioned_stats_prune_file_skipping(spark, tmp_path):
     pruned5 = read_versioned(spark, table, prune=("k", 2000, 2100))
     assert sorted(r.k for r in pruned5.collect()) == list(range(2000, 2101))
     assert 0 < len(pruned5.inputFiles()) < n_files
+
+
+def test_compact_versioned_collapses_commit_log(spark, tmp_path):
+    """After many small commits (+ a tombstone), compaction rewrites
+    the visible rows as ONE commit: reads resolve to a single data
+    directory, content is unchanged, history stays time-travelable,
+    the streaming batch-id replay guard still sees the max id, and
+    vacuum afterwards reclaims the superseded commits and tombstones."""
+    import os
+
+    from data_spark.io import (
+        compact_versioned,
+        delete_versioned,
+        last_committed_batch_id,
+        read_versioned,
+        table_versions,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(6):  # 6 micro-batch-sized commits
+        write_versioned(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("k")),
+            table,
+            "overwrite" if i == 0 else "append",
+            meta={"batch_id": i},
+        )
+    delete_versioned(spark.range(0, 5).select(F.col("id").alias("k")), table)
+    before = sorted(r.k for r in read_versioned(spark, table).collect())
+    assert before == list(range(5, 60))
+    n_dirs_before = len(
+        {f.rsplit("/", 2)[-2] for f in read_versioned(spark, table).inputFiles() if "/data/" in f}
+    )
+    assert n_dirs_before == 6
+
+    v = compact_versioned(spark, table, stats_cols=["k"])
+    after = read_versioned(spark, table)
+    assert sorted(r.k for r in after.collect()) == before
+    dirs = {f.rsplit("/", 2)[-2] for f in after.inputFiles() if "/data/" in f}
+    assert dirs == {f"commit-{v}"}  # one directory now
+
+    # history intact, replay guard intact, pruning works on new stats
+    assert sorted(r.k for r in read_versioned(spark, table, 2).collect()) == list(range(30))
+    assert last_committed_batch_id(table) == 5
+    pruned = read_versioned(spark, table, prune=("k", 10, 12))
+    assert sorted(r.k for r in pruned.collect()) == [10, 11, 12]
+
+    removed = vacuum_versions(table, keep_from=v)
+    assert len(removed) >= 6  # old commits + the tombstone dir
+    assert sorted(r.k for r in read_versioned(spark, table).collect()) == before
