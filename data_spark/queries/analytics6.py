@@ -1052,24 +1052,28 @@ def e_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kaplan-Meier survival (user retention curves with right-censoring)
 # ---------------------------------------------------------------------------
 
-# Users whose last event falls within this many days of the corpus end
-# are right-censored (still active), not churned.
-_KM_CENSOR_DAYS = 7
+# Observation window (days): a user converting within H days of first
+# activity is an EVENT at its conversion lag; a user not converting by
+# H is right-censored at H (still at risk until then, no event).
+_KM_WINDOW_DAYS = 3
 
 _KM_SQL = f"""
     WITH spans AS (
       SELECT user_id,
              MIN(CAST(ts AS DATE)) AS first_d,
-             MAX(CAST(ts AS DATE)) AS last_d
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+               AS conv_d
       FROM events GROUP BY 1
-    ), horizon AS (
-      SELECT MAX(last_d) AS h FROM spans
     ), subjects AS (
-      SELECT strftime(s.first_d, '%Y-%m') AS cohort,
-             CAST(date_diff('day', s.first_d, s.last_d) AS BIGINT) AS t,
-             CASE WHEN date_diff('day', s.last_d, horizon.h) < {_KM_CENSOR_DAYS}
-                  THEN 0 ELSE 1 END AS churned
-      FROM spans s CROSS JOIN horizon
+      SELECT strftime(first_d, '%Y-%m') AS cohort,
+             CASE WHEN conv_d IS NOT NULL
+                       AND date_diff('day', first_d, conv_d) <= {_KM_WINDOW_DAYS}
+                  THEN CAST(date_diff('day', first_d, conv_d) AS BIGINT)
+                  ELSE CAST({_KM_WINDOW_DAYS} AS BIGINT) END AS t,
+             CASE WHEN conv_d IS NOT NULL
+                       AND date_diff('day', first_d, conv_d) <= {_KM_WINDOW_DAYS}
+                  THEN 1 ELSE 0 END AS churned
+      FROM spans
     ), cohort_n AS (
       SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n0 FROM subjects GROUP BY 1
     ), times AS (
@@ -1100,39 +1104,41 @@ _KM_SQL = f"""
 
 @_q("e_kaplan_meier", _KM_SQL)
 def e_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier retention curves per signup cohort: each user's
-    observed lifetime is last-seen minus first-seen days; users still
-    active near the corpus end are right-censored (they leave the risk
-    set without counting as churn — dropping them instead biases
-    survival down, the classic retention-analysis mistake). S(t) is the
-    product of (1 − d/n_risk) over churn times, carried as e6-snapped
-    log factors summed EXACTLY as decimals inside a cohort-partitioned
-    cumulative window, then exponentiated once — the same
-    decimal-log-product contract as the perplexity tier, so both
-    engines emit identical doubles.
+    """Kaplan-Meier time-to-conversion curves per signup cohort: each
+    user's event is their first purchase within the observation window
+    (lag in days from first activity); users not converting by the
+    window bound are right-censored there — they stay in the risk set
+    until the bound without counting as conversions (dropping them
+    instead biases the curve, the classic funnel-analysis mistake).
+    S(t) is the product of (1 − d/n_risk) over event times, carried as
+    e6-snapped log factors summed EXACTLY as decimals inside a
+    cohort-partitioned cumulative window, then exponentiated once —
+    the same decimal-log-product contract as the perplexity tier, so
+    both engines emit identical doubles.
 
-    Plan shape: one user-grain aggregate, a broadcast 1-row horizon, a
-    per-(cohort,t) count, and one cohort-partitioned cumulative
-    window — no global sort, no collect; cardinality is bounded by
-    cohorts x distinct lifetimes (calendar-bounded), never by events."""
+    Plan shape: one user-grain aggregate, a per-(cohort,t) count, and
+    one cohort-partitioned cumulative window — no global sort, no
+    collect; cardinality is bounded by cohorts x window days, never by
+    events."""
     from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
 
     ev = t(spark, sf_dir, "events")
     spans = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_d"),
-        F.max(F.to_date("ts")).alias("last_d"),
-    ).transform(truncate_lineage)
-    horizon = spans.agg(F.max("last_d").alias("h"))
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("conv_d"),
+    )
+    lag = F.datediff("conv_d", "first_d")
+    converted = F.col("conv_d").isNotNull() & (lag <= _KM_WINDOW_DAYS)
     # materialized: cohort_n and times both consume it — without this
     # the user-grain aggregate (the only fact-sized shuffle) runs twice
-    subjects = spans.crossJoin(F.broadcast(horizon)).select(
+    subjects = spans.select(
         F.date_format("first_d", "yyyy-MM").alias("cohort"),
-        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
-        F.when(
-            F.datediff(F.col("h"), F.col("last_d")) < _KM_CENSOR_DAYS, 0
-        )
-        .otherwise(1)
-        .alias("churned"),
+        F.when(converted, lag.cast("bigint"))
+        .otherwise(F.lit(_KM_WINDOW_DAYS).cast("bigint"))
+        .alias("t"),
+        F.when(converted, 1).otherwise(0).alias("churned"),
     ).transform(truncate_lineage)
     cohort_n = subjects.groupBy("cohort").agg(
         F.count(F.lit(1)).cast("bigint").alias("n0")

@@ -66,6 +66,17 @@ _CURVE_DEFAULTS = {
     "e_cusum_changepoint": "events",
     "d_quality_classifier": "documents",
     "v_hamming_topk": "documents",
+    # round-7 additions: rank windows / folds / selection must stay
+    # ~linear in their fact table; DSIR is tokenize-once + fixed
+    # feature space; quantile normalize rides the two-phase rank
+    "a_spearman_rank": "lineitem",
+    "dq_skew_profile": "lineitem",
+    "e_holt_winters": "events",
+    "e_burst_detect": "events",
+    "e_kaplan_meier": "events",
+    "d_dsir_select": "documents",
+    "d_quantile_normalize": "documents",
+    "a_anova_f": "events",
 }
 
 
