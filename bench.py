@@ -192,6 +192,7 @@ HEADLINE = [
     "m_versioned_pruned_scan",  # manifest file skipping, correctness gate
     "a_anova_f",  # k-group mean test, decimal-snapped cross-group terms
     "d_quantile_normalize",  # cross-source feature alignment, integer ranks
+    "e_time_weighted_avg",  # TWAP: integer-microsecond duration weights
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

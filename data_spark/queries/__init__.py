@@ -146,21 +146,22 @@ _PRIORITY = [
     "e_interval_merge",
     # ---- window boundary (driver records the 50 above) ----
     # r8 window plan (slots add up to exactly 50):
-    #  1-17:  the 17 never-witnessed mid-r7 additions, creation order —
+    #  1-18:  the 18 never-witnessed mid-r7 additions, creation order —
     #         a_spearman_rank, dq_skew_profile, e_holt_winters,
     #         m_tombstone_delete, d_dsir_select, v_kcenter_coreset,
     #         a_cramers_v, v_matryoshka_eval, pipe_stream_cdc_e2e,
     #         e_burst_detect, e_kaplan_meier, g_landmark_closeness,
     #         a_woe_iv, a_two_proportion_z, m_versioned_pruned_scan,
-    #         a_anova_f, d_quantile_normalize (all analytics6.py).
-    # 18-34:  the 17 remaining r3-witnessed (ledger order):
+    #         a_anova_f, d_quantile_normalize, e_time_weighted_avg
+    #         (all analytics6.py).
+    # 19-35:  the 17 remaining r3-witnessed (ledger order):
     #         a_histogram_equidepth, a_hll_daily_rollup,
     #         a_kll_quantile_sketch, a_rfm_segments, d_bm25_search,
     #         d_chunk_windows, d_fuzzy_dedup_resolve, d_inverted_index,
     #         d_temperature_mix, d_tfidf_topterms, d_weighted_sample,
     #         g_cube_2d, s_skyline_2d, v_pca_project,
     #         v_tfidf_cosine_pairs, w_ewma_taps, w_rolling_median.
-    # 35-50:  the 16 oldest r4-witnessed (ledger order, starting
+    # 36-50:  the 15 oldest r4-witnessed (ledger order, starting
     #         a_approx_distinct, a_approx_percentiles,
     #         a_collect_group_array, ...).
 ]

@@ -1712,3 +1712,80 @@ def d_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP): duration-weighted mean per series/day
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "e_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             epoch_us(ts) AS t_us,
+             value,
+             LEAD(epoch_us(ts))
+               OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                     ORDER BY ts, event_id) AS nxt,
+             epoch_us(CAST(ts AS DATE) + INTERVAL 1 DAY) AS day_end
+      FROM events
+    ), weighted AS (
+      SELECT event_type, day,
+             CAST(COALESCE(nxt, day_end) - t_us AS BIGINT) AS w
+             , value
+      FROM seq
+    )
+    SELECT event_type, day,
+           CAST(SUM(w) AS BIGINT) AS total_micros,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)) * w) AS DOUBLE)
+             / CAST(SUM(w) AS DOUBLE) AS twap
+    FROM weighted
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def e_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (type, day) — the TWAP shape
+    every telemetry/finance pipeline needs where plain AVG is wrong
+    because observations arrive irregularly: each reading holds until
+    the next one (last reading holds to day end), so its weight is that
+    duration in exact integer MICROSECONDS (no truncation convention to
+    disagree on). Weights come from one partitioned LEAD window; the
+    weighted sum is an exact DECIMAL (6-dp value x integer micros),
+    and the final division runs on identical doubles. One keyed
+    shuffle shared by the window and the groupBy."""
+    ev = t(spark, sf_dir, "events")
+    w_next = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("t_us"),
+        "value",
+        F.lead(F.unix_micros("ts")).over(w_next).alias("nxt"),
+        F.unix_micros(
+            F.date_add(F.to_date("ts"), 1).cast("timestamp")
+        ).alias("day_end"),
+    )
+    weighted = seq.select(
+        "event_type",
+        "day",
+        (F.coalesce("nxt", "day_end") - F.col("t_us")).cast("bigint").alias("w"),
+        "value",
+    )
+    return (
+        weighted.groupBy("event_type", "day")
+        .agg(
+            F.sum("w").cast("bigint").alias("total_micros"),
+            (
+                F.sum(F.col("value").cast("decimal(38,6)") * F.col("w")).cast(
+                    "double"
+                )
+                / F.sum("w").cast("double")
+            ).alias("twap"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -250,6 +250,8 @@ EXCHANGE_BUDGET = {
     # per-source rank windows share one source shuffle; the pooled rank
     # pays its own range exchange behind the checkpoint; + target join
     "d_quantile_normalize": 3,
+    # LEAD window and groupBy share the (type, day) shuffle + final sort
+    "e_time_weighted_avg": 3,
 }
 
 
