@@ -122,6 +122,7 @@ def encode_jpeg(
     rgb: np.ndarray,
     subsample: bool = False,
     restart_interval: int = 0,
+    mode_422: bool = False,
 ) -> tuple[bytes, np.ndarray]:
     """Encode an (H, W, 3) uint8 array as baseline JPEG. Returns
     (jpeg_bytes, expected_rgb) where expected_rgb is the encoder's own
@@ -134,7 +135,9 @@ def encode_jpeg(
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
-    if subsample:
+    if mode_422:
+        sampling = {1: (2, 1), 2: (1, 1), 3: (1, 1)}  # horizontal-only chroma
+    elif subsample:
         sampling = {1: (2, 2), 2: (1, 1), 3: (1, 1)}
     else:
         sampling = {1: (1, 1), 2: (1, 1), 3: (1, 1)}

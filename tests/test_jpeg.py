@@ -38,6 +38,13 @@ def test_420_subsampled_round_trip_is_exact():
     assert np.array_equal(got, expected)
 
 
+def test_422_horizontal_subsample_round_trip_is_exact():
+    img = test_image(40, 48)
+    data, expected = encode_jpeg(img, mode_422=True)
+    got = _decode_array(data)
+    assert np.array_equal(got, expected)
+
+
 def test_non_mcu_aligned_dimensions():
     # 35x43 with 4:2:0 -> MCU grid must pad and the decoder must crop
     img = test_image(35, 43)
