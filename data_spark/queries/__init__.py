@@ -77,93 +77,73 @@ ORACLE = {
     **quality.ORACLE,
 }
 
-# Round-7 window (the driver records the first 50 entries; see
+# Round-8 window (the driver records the first 50 entries; see
 # WITNESS.md for the per-query ledger this ordering is derived from).
-# Composition — exactly as pre-planned in the r6 WITNESS.md:
-#   1-18:  the 18 never-driver-witnessed mid/late-r6 additions
-#          (analytics4.py statistical-testing + curation tier,
-#          analytics5.py chunk-dedup/bootstrap/HLL-window/stream-MG/
-#          Welch tier, g_mis_luby, d_weighted_jaccard, e_m4_downsample,
-#          dq_langid_eval, e_asof_tolerance).
-#  19-25:  the 7 r2-witnessed queries displaced from the r6 window by
-#          the r6 contract changes (d_bigram_lm ... g_clustering_coeff)
-#          — the oldest stale greens in the ledger.
-#  26-50:  the 25 oldest r3-witnessed greens, ledger order
-#          (q1_pricing_summary ... e_interval_merge).
+# Composition — exactly as pre-planned in the r7 WITNESS.md:
+#   1-18:  the 18 never-driver-witnessed mid/late-r7 additions
+#          (analytics6.py: the stats family, versioned-store gates,
+#          streaming CDC, DSIR / coreset / matryoshka, temporal tier).
+#  19-35:  the 17 remaining r3-witnessed greens, ledger order
+#          (a_histogram_equidepth ... w_rolling_median).
+#  36-50:  the 15 oldest r4-witnessed, ledger order
+#          (a_approx_distinct ... e_json_extract).
+# Any query created or contract-changed during r8 is inserted at the
+# head and displaces the r4 tail (never the r7/r3 blocks).
 _PRIORITY = [
-    # --- never driver-witnessed (created mid/late r6) ---
-    "a_ks_two_sample",
-    "a_mann_whitney_u",
-    "g_modularity",
-    "d_perplexity_filter",
-    "d_cdc_chunking",
-    "d_curation_ppl_e2e",
-    "d_shard_assign",
-    "pipe_stream_drift_e2e",
-    "d_chunk_dedup_rewrite",
-    "a_bootstrap_ci",
-    "a_hll_sliding_7d",
-    "g_mis_luby",
-    "d_weighted_jaccard",
-    "e_m4_downsample",
-    "dq_langid_eval",
-    "e_asof_tolerance",
-    "pipe_stream_mg_e2e",
-    "a_welch_t",
-    # --- r2-witnessed, displaced from the r6 window ---
-    "d_bigram_lm",
-    "v_cosine_topk",
-    "v_ivf_topk",
-    "d_embed_near_dup",
-    "j_suffix_containment",
-    "g_triangles",
-    "g_clustering_coeff",
-    # --- oldest r3-witnessed greens, ledger order ---
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "p_compound_filter",
-    "u_union_pad_distinct",
-    "u_distinct_master",
-    "q4_order_priority",
-    "q14_promo_share",
-    "q16_brand_supplier_cnt",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_idle_customers",
-    "q19_disjunctive_join",
-    "q7_nation_volume",
-    "u_unpivot_metrics",
-    "f_map_struct_json",
-    "f_array_battery",
-    "a_histogram_fixed_bins",
-    "a_median_per_group",
-    "s_relational_division",
-    "e_funnel_3step",
-    "e_retention_cohorts",
-    "e_interval_merge",
+    # --- never driver-witnessed (created mid/late r7) ---
+    "a_spearman_rank",
+    "dq_skew_profile",
+    "e_holt_winters",
+    "m_tombstone_delete",
+    "d_dsir_select",
+    "v_kcenter_coreset",
+    "a_cramers_v",
+    "v_matryoshka_eval",
+    "pipe_stream_cdc_e2e",
+    "e_burst_detect",
+    "e_kaplan_meier",
+    "g_landmark_closeness",
+    "a_woe_iv",
+    "a_two_proportion_z",
+    "m_versioned_pruned_scan",
+    "a_anova_f",
+    "d_quantile_normalize",
+    "e_time_weighted_avg",
+    # --- r3-witnessed, oldest stale greens (ledger order) ---
+    "a_histogram_equidepth",
+    "a_hll_daily_rollup",
+    "a_kll_quantile_sketch",
+    "a_rfm_segments",
+    "d_bm25_search",
+    "d_chunk_windows",
+    "d_fuzzy_dedup_resolve",
+    "d_inverted_index",
+    "d_temperature_mix",
+    "d_tfidf_topterms",
+    "d_weighted_sample",
+    "g_cube_2d",
+    "s_skyline_2d",
+    "v_pca_project",
+    "v_tfidf_cosine_pairs",
+    "w_ewma_taps",
+    "w_rolling_median",
+    # --- oldest r4-witnessed greens, ledger order ---
+    "a_approx_distinct",
+    "a_approx_percentiles",
+    "a_collect_group_array",
+    "a_corr_pearson",
+    "a_mode_per_group",
+    "a_percentiles",
+    "a_weighted_median",
+    "d_edit_distance_block",
+    "d_minhash_band_pairs",
+    "d_minhash_sig",
+    "d_simhash_exact_pairs",
+    "e_anomaly_zscore",
+    "e_asof_latest_view",
+    "e_day_expand",
+    "e_json_extract",
     # ---- window boundary (driver records the 50 above) ----
-    # r8 window plan (slots add up to exactly 50):
-    #  1-18:  the 18 never-witnessed mid-r7 additions, creation order —
-    #         a_spearman_rank, dq_skew_profile, e_holt_winters,
-    #         m_tombstone_delete, d_dsir_select, v_kcenter_coreset,
-    #         a_cramers_v, v_matryoshka_eval, pipe_stream_cdc_e2e,
-    #         e_burst_detect, e_kaplan_meier, g_landmark_closeness,
-    #         a_woe_iv, a_two_proportion_z, m_versioned_pruned_scan,
-    #         a_anova_f, d_quantile_normalize, e_time_weighted_avg
-    #         (all analytics6.py).
-    # 19-35:  the 17 remaining r3-witnessed (ledger order):
-    #         a_histogram_equidepth, a_hll_daily_rollup,
-    #         a_kll_quantile_sketch, a_rfm_segments, d_bm25_search,
-    #         d_chunk_windows, d_fuzzy_dedup_resolve, d_inverted_index,
-    #         d_temperature_mix, d_tfidf_topterms, d_weighted_sample,
-    #         g_cube_2d, s_skyline_2d, v_pca_project,
-    #         v_tfidf_cosine_pairs, w_ewma_taps, w_rolling_median.
-    # 36-50:  the 15 oldest r4-witnessed (ledger order, starting
-    #         a_approx_distinct, a_approx_percentiles,
-    #         a_collect_group_array, ...).
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))
