@@ -51,9 +51,11 @@ def main():
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(get_spark("correctness"), sf_dir)
             scols = sdf.columns
@@ -117,8 +119,12 @@ def main():
             print(f"   duck : {dk[bad][:300]}")
             continue
         print(f"ok   {name}: {len(sk)} rows hash-match")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
-    return 1 if failures else 0
+    missing = sorted(only - set(qs)) if only else []
+    for name in missing:
+        print(f"FAIL {name}: not in registry")
+    print(f"\n{ran - len(failures)}/{ran} pass"
+          + (f" ({len(missing)} requested names missing)" if missing else ""))
+    return 1 if failures or missing else 0
 
 
 if __name__ == "__main__":
