@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -332,6 +333,30 @@ def validated_overwrite(
     return new_rows
 
 
+def _backup_tag() -> str:
+    """Name component for staged-swap backup dirs: a zero-padded
+    wall-clock nanosecond counter (lexicographic order == creation
+    order) plus a uniquifier. ``os.rename`` PRESERVES a directory's own
+    mtime — it reflects the table's last internal write, not when the
+    backup was taken — so mtime cannot order backups (ADVICE r7); the
+    name can."""
+    return f"{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
+
+
+def _backup_order_key(path: str):
+    """Sort key for picking the newest backup: the embedded creation
+    counter when the name carries one, else the legacy mtime heuristic
+    (ordered strictly before every counter-named backup — a counter
+    name is always the more recent convention)."""
+    digits = os.path.basename(path).rsplit("_", 2)[-2]
+    if digits.isdigit() and len(digits) == 20:
+        return (1, int(digits))
+    try:
+        return (0, os.path.getmtime(path))
+    except OSError:
+        return (0, 0.0)
+
+
 def _recover_table(path: str) -> None:
     """Crash recovery shared by the staged table swaps
     (:func:`validated_overwrite`, :func:`compact_files`,
@@ -360,7 +385,7 @@ def _recover_table(path: str) -> None:
             )
         ]
         if backups:
-            restored = max(backups, key=os.path.getmtime)
+            restored = max(backups, key=_backup_order_key)
             os.rename(restored, path)
             leftovers.remove(restored)
     for p in leftovers:
@@ -370,7 +395,7 @@ def _recover_table(path: str) -> None:
 def _swap_table(path: str, staging: str) -> None:
     """Backup-rename → live-rename swap shared by the table rewriters;
     ``_recover_table`` undoes a crash between the renames."""
-    backup = f"{path}__bak_{uuid.uuid4().hex[:8]}"
+    backup = f"{path}__bak_{_backup_tag()}"
     if os.path.exists(path):
         os.rename(path, backup)
     os.rename(staging, path)
@@ -529,7 +554,7 @@ def _recover_index(index_path: str) -> None:
     if not os.path.exists(index_path):
         backups = [p for p in leftovers if f"{base}__bak_" in os.path.basename(p)]
         if backups:
-            restored = max(backups, key=os.path.getmtime)
+            restored = max(backups, key=_backup_order_key)
             os.rename(restored, index_path)
             leftovers.remove(restored)
     for p in leftovers:
@@ -541,7 +566,7 @@ def _swap_index(merged: DataFrame, index_path: str) -> None:
     refreshers; _recover_index undoes a crash between the renames."""
     staging = f"{index_path}__staging_{uuid.uuid4().hex[:8]}"
     merged.coalesce(1).write.mode("overwrite").parquet(staging)
-    backup = f"{index_path}__bak_{uuid.uuid4().hex[:8]}"
+    backup = f"{index_path}__bak_{_backup_tag()}"
     os.rename(index_path, backup)
     os.rename(staging, index_path)
     shutil.rmtree(backup, ignore_errors=True)
@@ -553,6 +578,39 @@ def _swap_index(merged: DataFrame, index_path: str) -> None:
 # ~1% as a rule of thumb.
 _BLOOM_BITS = 4096
 _BLOOM_K = 5
+# Bit-layout convention of _bloom_positions. Bump on ANY change to the
+# position math: build and probe must agree bit-for-bit, and an index
+# refreshed incrementally across a convention change would mix layouts
+# within one dataset — probes (which require ALL k bits) would silently
+# prune files that contain the value (ADVICE r7). v2 = h2 stride forced
+# into [1, bits-1].
+_BLOOM_HASH_VERSION = 2
+
+
+def _bloom_meta_path(index_path: str) -> str:
+    # leading underscore: Spark's parquet reader ignores _-prefixed
+    # files, so the sidecar can live inside the index directory and
+    # travel with every copy/rename of it
+    return os.path.join(index_path, "_bloom_meta.json")
+
+
+def _write_bloom_meta(index_path: str, bits: int, k: int) -> None:
+    import json
+
+    tmp = _bloom_meta_path(index_path) + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"bits": bits, "k": k, "hash_version": _BLOOM_HASH_VERSION}, f)
+    os.rename(tmp, _bloom_meta_path(index_path))
+
+
+def _read_bloom_meta(index_path: str) -> dict | None:
+    import json
+
+    try:
+        with open(_bloom_meta_path(index_path)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
 
 
 def _bloom_positions(col: Column, bits: int, k: int) -> list[Column]:
@@ -564,6 +622,10 @@ def _bloom_positions(col: Column, bits: int, k: int) -> list[Column]:
     h1 and that value's effective fpp jumps (extra file reads, never
     wrong rows). Build and probe share this function, so the stride
     convention is applied identically on both sides."""
+    if bits < 2:
+        # bits == 1 would divide by zero in the h2 stride (and a 1-bit
+        # filter prunes nothing anyway)
+        raise ValueError(f"bloom bits must be >= 2, got {bits}")
     h1 = F.pmod(F.xxhash64(col), F.lit(bits))
     h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(bits - 1)) + F.lit(1)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(bits)) for i in range(k)]
@@ -581,10 +643,24 @@ def refresh_bloom_index_for_dirs(
     """O(delta) bloom upkeep, the per-file-immutability twin of
     :func:`refresh_file_index_for_dirs`: recompute bloom rows only for
     files under ``touched_dirs``, keep every other file's words as-is.
-    Same crash-safe swap; pass the SAME bits/k the index was built
-    with (word positions are a function of them)."""
+    Same crash-safe swap.
+
+    Refusing to mix bit layouts: the index's ``_bloom_meta.json``
+    records the bits/k/hash-convention it was built with; on ANY
+    mismatch with this call (or a missing/pre-metadata index) the
+    whole index is rebuilt instead of merged — an incrementally
+    refreshed index mixing hash conventions silently prunes files that
+    contain the probed value (missed ROWS, not just extra reads)."""
     _recover_index(index_path)
-    if not os.path.exists(index_path):
+    meta = _read_bloom_meta(index_path)
+    stale = meta is None or meta != {
+        "bits": bits,
+        "k": k,
+        "hash_version": _BLOOM_HASH_VERSION,
+    }
+    if not os.path.exists(index_path) or stale:
+        if os.path.exists(index_path):
+            shutil.rmtree(index_path)
         build_bloom_index(spark, path, col, index_path, bits=bits, k=k)
         return
     touched_abs = [os.path.join(os.path.abspath(path), d) for d in touched_dirs]
@@ -616,6 +692,10 @@ def refresh_bloom_index_for_dirs(
         parts.append(fresh)
     merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     _swap_index(merged, index_path)
+    # the swap replaced the whole directory; restore the convention
+    # sidecar (a crash before this line leaves the meta missing, which
+    # the next refresh treats as "unknown convention" → full rebuild)
+    _write_bloom_meta(index_path, bits, k)
 
 
 def read_index_pruned(
@@ -696,6 +776,7 @@ def build_bloom_index(
         .write.mode("overwrite")
         .parquet(index_path)
     )
+    _write_bloom_meta(index_path, bits, k)
 
 
 def read_bloom_pruned(
@@ -713,6 +794,19 @@ def read_bloom_pruned(
     wrong row. The probe touches planning METADATA only — k positions
     from a 1-row frame and at most ``files × k`` index rows — before
     the data scan opens the surviving files."""
+    # the index's recorded convention wins over the call's arguments:
+    # probing with a different bits/k/hash-version than the build used
+    # would require ALL k bits of the WRONG positions and silently
+    # prune files that contain the value
+    meta = _read_bloom_meta(index_path)
+    if meta is not None:
+        if meta.get("hash_version") != _BLOOM_HASH_VERSION:
+            raise ValueError(
+                f"bloom index {index_path} was built with hash convention "
+                f"{meta.get('hash_version')} (current {_BLOOM_HASH_VERSION}) "
+                "— rebuild it with build_bloom_index"
+            )
+        bits, k = meta["bits"], meta["k"]
     # xxhash64 hashes by TYPE as well as value: the probe literal must
     # carry the indexed column's exact type (an int 42 and a bigint 42
     # hash differently). Resolving the schema is a listing, not a read.
@@ -750,6 +844,38 @@ def read_bloom_pruned(
 
 def _versions_dir(table_path: str) -> str:
     return os.path.join(table_path, "_manifests")
+
+
+def _load_manifest(table_path: str, version: int) -> dict:
+    import json
+
+    with open(os.path.join(_versions_dir(table_path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def _publish_manifest(table_path: str, new_v: int, manifest: dict) -> bool:
+    """Atomically publish ``vN.json`` — the versioned store's commit
+    point. Returns False when version N is already taken (a concurrent
+    writer won the race), so callers re-read the log and retry with the
+    next number: Delta-style optimistic concurrency. The create is
+    ``os.link`` (hard-link the staged temp onto the final name), which
+    fails with EEXIST instead of silently replacing — ``os.rename``
+    here would let the second writer overwrite the first's committed
+    manifest and lose a version."""
+    import json
+
+    vdir = _versions_dir(table_path)
+    os.makedirs(vdir, exist_ok=True)
+    tmp = os.path.join(vdir, f".v{new_v}.{uuid.uuid4().hex[:8]}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, os.path.join(vdir, f"v{new_v}.json"))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
 
 
 def table_versions(table_path: str) -> list[int]:
@@ -827,46 +953,65 @@ def write_versioned(
     the manifest (the Delta ``add.stats`` idea) — one O(commit) scan at
     write time buys ``read_versioned(prune=...)`` file skipping without
     opening a footer. Appends inherit the parent's stats for earlier
-    commits, so each commit pays only for its own files."""
-    import json
+    commits, so each commit pays only for its own files.
 
+    Concurrency: commit directories carry a unique token
+    (``commit-N-<tok>``), so concurrent writers never touch each
+    other's data; the manifest publish is an atomic create-if-absent
+    (:func:`_publish_manifest`), and on collision the loser re-reads
+    the log, recomputes its parent-dependent manifest state, and
+    retries with the next version number — both commits survive
+    (optimistic concurrency, the Delta commit protocol). Data is
+    written ONCE regardless of retries."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    token = uuid.uuid4().hex[:8]
     existing = table_versions(table_path)
     new_v = (existing[-1] + 1) if existing else 0
-    commit_dir = f"commit-{new_v}"
+    commit_dir = f"commit-{new_v}-{token}"
     df.write.mode("overwrite").parquet(
         os.path.join(table_path, "data", commit_dir)
     )
-    if mode == "append" and existing:
-        import_json = os.path.join(_versions_dir(table_path), f"v{existing[-1]}.json")
-        with open(import_json) as f:
-            parent = json.load(f)
-        parents = parent["commits"]
-        # tombstones survive appends: they keep applying to the commits
-        # they covered (`upto` indexes are positions in the commit list,
-        # which appends only extend)
-        deletes = parent.get("deletes", [])
-        stats = dict(parent.get("stats", {}))
-    else:
-        parents, deletes, stats = [], [], {}
-    if stats_cols:
-        stats[commit_dir] = _collect_commit_stats(
+    commit_stats = (
+        _collect_commit_stats(
             df.sparkSession, os.path.join(table_path, "data", commit_dir), stats_cols
         )
-    os.makedirs(_versions_dir(table_path), exist_ok=True)
-    manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
-    if deletes:
-        manifest["deletes"] = deletes
-    if stats:
-        manifest["stats"] = stats
-    if meta:
-        manifest["meta"] = meta
-    tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
-    return new_v
+        if stats_cols
+        else None
+    )
+    while True:
+        if mode == "append" and existing:
+            parent = _load_manifest(table_path, existing[-1])
+            parents = parent["commits"]
+            # tombstones survive appends: they keep applying to the
+            # commits they covered (`upto` indexes are positions in the
+            # commit list, which appends only extend)
+            deletes = parent.get("deletes", [])
+            stats = dict(parent.get("stats", {}))
+        else:
+            parents, deletes, stats = [], [], {}
+        if commit_stats is not None:
+            stats[commit_dir] = commit_stats
+        manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
+        if deletes:
+            manifest["deletes"] = deletes
+        if stats:
+            manifest["stats"] = stats
+        if meta:
+            manifest["meta"] = meta
+        if _publish_manifest(table_path, new_v, manifest):
+            return new_v
+        # lost the race: rename our (exclusively-owned) commit dir to
+        # match the next version number and rebuild the manifest against
+        # the new parent
+        existing = table_versions(table_path)
+        next_v = (existing[-1] + 1) if existing else 0
+        renamed = f"commit-{next_v}-{token}"
+        os.rename(
+            os.path.join(table_path, "data", commit_dir),
+            os.path.join(table_path, "data", renamed),
+        )
+        commit_dir, new_v = renamed, next_v
 
 
 def version_meta(table_path: str, version: int | None = None) -> dict:
@@ -902,33 +1047,41 @@ def delete_versioned(keys_df: DataFrame, table_path: str) -> int:
       rewrite can physically purge later without changing results.
 
     ``keys_df``'s columns ARE the delete key (already projected by the
-    caller). Returns the new version number."""
-    import json
-
+    caller). Returns the new version number. Commits with the same
+    optimistic-concurrency protocol as :func:`write_versioned`; on a
+    collision the tombstone's ``upto`` is recomputed against the new
+    parent, so it covers exactly the commits visible when the delete
+    actually lands."""
     existing = table_versions(table_path)
     if not existing:
         raise FileNotFoundError(f"no committed versions under {table_path}")
+    token = uuid.uuid4().hex[:8]
     new_v = existing[-1] + 1
-    delete_dir = f"delete-{new_v}"
+    delete_dir = f"delete-{new_v}-{token}"
     keys_df.dropDuplicates().write.mode("overwrite").parquet(
         os.path.join(table_path, "deletes", delete_dir)
     )
-    with open(os.path.join(_versions_dir(table_path), f"v{existing[-1]}.json")) as f:
-        parent = json.load(f)
-    manifest = {
-        "version": new_v,
-        "mode": "delete",
-        "commits": parent["commits"],
-        "deletes": parent.get("deletes", [])
-        + [{"dir": delete_dir, "upto": len(parent["commits"])}],
-    }
-    if parent.get("stats"):
-        manifest["stats"] = parent["stats"]
-    tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
-    return new_v
+    while True:
+        parent = _load_manifest(table_path, existing[-1])
+        manifest = {
+            "version": new_v,
+            "mode": "delete",
+            "commits": parent["commits"],
+            "deletes": parent.get("deletes", [])
+            + [{"dir": delete_dir, "upto": len(parent["commits"])}],
+        }
+        if parent.get("stats"):
+            manifest["stats"] = parent["stats"]
+        if _publish_manifest(table_path, new_v, manifest):
+            return new_v
+        existing = table_versions(table_path)
+        next_v = existing[-1] + 1
+        renamed = f"delete-{next_v}-{token}"
+        os.rename(
+            os.path.join(table_path, "deletes", delete_dir),
+            os.path.join(table_path, "deletes", renamed),
+        )
+        delete_dir, new_v = renamed, next_v
 
 
 def purge_deletes(spark: SparkSession, table_path: str) -> int:
@@ -941,55 +1094,61 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
     with NO delete entries; after it, ``vacuum_versions`` can reclaim
     the superseded commit dirs and the tombstones themselves. Readers
     of the purged version and the pre-purge version see identical
-    rows — purging is a layout change, never a data change."""
-    import json
+    rows — purging is a layout change, never a data change.
 
-    versions = table_versions(table_path)
-    if not versions:
-        raise FileNotFoundError(f"no committed versions under {table_path}")
-    with open(os.path.join(_versions_dir(table_path), f"v{versions[-1]}.json")) as f:
-        manifest = json.load(f)
-    deletes = manifest.get("deletes", [])
-    if not deletes:
-        return versions[-1]
-    new_v = versions[-1] + 1
-    new_commits = []
-    old_stats = manifest.get("stats", {})
-    new_stats = {}
-    for i, c in enumerate(manifest["commits"]):
-        applicable = [d["dir"] for d in deletes if d["upto"] > i]
-        if not applicable:
-            new_commits.append(c)
-            if c in old_stats:
-                new_stats[c] = old_stats[c]
-            continue
-        df = spark.read.parquet(os.path.join(table_path, "data", c))
-        tomb = spark.read.parquet(
-            *[os.path.join(table_path, "deletes", d) for d in applicable]
-        ).dropDuplicates()
-        cond = None
-        for k in tomb.columns:
-            eq = df[k].eqNullSafe(tomb[k])
-            cond = eq if cond is None else cond & eq
-        purged_dir = f"commit-{new_v}p{i}"
-        df.join(tomb, cond, "left_anti").write.mode("overwrite").parquet(
-            os.path.join(table_path, "data", purged_dir)
-        )
-        new_commits.append(purged_dir)
-        if c in old_stats:
-            # re-derive bounds for the rewritten files (same columns)
-            cols = sorted({k for b in old_stats[c].values() for k in b})
-            new_stats[purged_dir] = _collect_commit_stats(
-                spark, os.path.join(table_path, "data", purged_dir), cols
+    Concurrency: the rewrite is derived from the parent snapshot, so a
+    collision (another writer committed first) invalidates the WHOLE
+    rewrite — unlike append/delete there is no cheap manifest
+    recompute. On collision the function redoes the purge against the
+    new head (bounded attempts); abandoned rewrite dirs are
+    unreferenced and reclaimed by ``vacuum_versions``."""
+    for _attempt in range(5):
+        versions = table_versions(table_path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {table_path}")
+        manifest = _load_manifest(table_path, versions[-1])
+        deletes = manifest.get("deletes", [])
+        if not deletes:
+            return versions[-1]
+        new_v = versions[-1] + 1
+        token = uuid.uuid4().hex[:8]
+        new_commits = []
+        old_stats = manifest.get("stats", {})
+        new_stats = {}
+        for i, c in enumerate(manifest["commits"]):
+            applicable = [d["dir"] for d in deletes if d["upto"] > i]
+            if not applicable:
+                new_commits.append(c)
+                if c in old_stats:
+                    new_stats[c] = old_stats[c]
+                continue
+            df = spark.read.parquet(os.path.join(table_path, "data", c))
+            tomb = spark.read.parquet(
+                *[os.path.join(table_path, "deletes", d) for d in applicable]
+            ).dropDuplicates()
+            cond = None
+            for k in tomb.columns:
+                eq = df[k].eqNullSafe(tomb[k])
+                cond = eq if cond is None else cond & eq
+            purged_dir = f"commit-{new_v}p{i}-{token}"
+            df.join(tomb, cond, "left_anti").write.mode("overwrite").parquet(
+                os.path.join(table_path, "data", purged_dir)
             )
-    new_manifest = {"version": new_v, "mode": "purge", "commits": new_commits}
-    if new_stats:
-        new_manifest["stats"] = new_stats
-    tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(new_manifest, f)
-    os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
-    return new_v
+            new_commits.append(purged_dir)
+            if c in old_stats:
+                # re-derive bounds for the rewritten files (same columns)
+                cols = sorted({k for b in old_stats[c].values() for k in b})
+                new_stats[purged_dir] = _collect_commit_stats(
+                    spark, os.path.join(table_path, "data", purged_dir), cols
+                )
+        new_manifest = {"version": new_v, "mode": "purge", "commits": new_commits}
+        if new_stats:
+            new_manifest["stats"] = new_stats
+        if _publish_manifest(table_path, new_v, new_manifest):
+            return new_v
+    raise RuntimeError(
+        f"purge_deletes: lost the commit race 5 times under {table_path}"
+    )
 
 
 def compact_versioned(
@@ -1006,10 +1165,37 @@ def compact_versioned(
     (``last_committed_batch_id`` scans ALL manifests), and
     ``stats_cols`` re-records file bounds for the compacted layout.
     Returns the new version number. Cost: O(live rows) — schedule it
-    like any maintenance rewrite."""
-    current = read_versioned(spark, table_path)
-    return write_versioned(
-        current, table_path, mode="overwrite", stats_cols=stats_cols
+    like any maintenance rewrite.
+
+    Concurrency: the compacted rows are a snapshot of the version that
+    was READ, so the commit must land at exactly ``read_version + 1`` —
+    blind-committing at whatever the head is by then would silently
+    drop a concurrent append. On collision the compaction redoes
+    itself against the new head (bounded attempts); abandoned rewrite
+    dirs are unreferenced and reclaimed by ``vacuum_versions``."""
+    for _attempt in range(5):
+        versions = table_versions(table_path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {table_path}")
+        read_v = versions[-1]
+        new_v = read_v + 1
+        token = uuid.uuid4().hex[:8]
+        commit_dir = f"commit-{new_v}-{token}"
+        current = read_versioned(spark, table_path, version=read_v)
+        current.write.mode("overwrite").parquet(
+            os.path.join(table_path, "data", commit_dir)
+        )
+        manifest = {"version": new_v, "mode": "overwrite", "commits": [commit_dir]}
+        if stats_cols:
+            manifest["stats"] = {
+                commit_dir: _collect_commit_stats(
+                    spark, os.path.join(table_path, "data", commit_dir), stats_cols
+                )
+            }
+        if _publish_manifest(table_path, new_v, manifest):
+            return new_v
+    raise RuntimeError(
+        f"compact_versioned: lost the commit race 5 times under {table_path}"
     )
 
 
@@ -1020,13 +1206,22 @@ def last_committed_batch_id(table_path: str) -> int | None:
     landing between a batch's commit and its crash-replay would hide
     the recorded id and the batch would append twice (ADVICE r6).
     Manifests are driver-side metadata — one small JSON per commit —
-    so the full scan is O(commits), never O(rows)."""
+    so the full scan is O(commits), never O(rows). Also folds in
+    ``_manifests/stream_state.json``, where ``vacuum_versions``
+    preserves the high-water id of any manifests it drops (ADVICE r7:
+    without it, vacuuming the recording manifests between a batch's
+    commit and its crash-replay would re-append the batch)."""
     import json
 
     ids = []
+    state_path = os.path.join(_versions_dir(table_path), "stream_state.json")
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            hw = json.load(f).get("last_batch_id")
+        if hw is not None:
+            ids.append(int(hw))
     for v in table_versions(table_path):
-        with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
-            bid = json.load(f).get("meta", {}).get("batch_id")
+        bid = _load_manifest(table_path, v).get("meta", {}).get("batch_id")
         if bid is not None:
             ids.append(int(bid))
     return max(ids) if ids else None
@@ -1147,31 +1342,46 @@ def read_versioned(
 def restore_version(table_path: str, version: int) -> int:
     """Roll a versioned table back by COMMITTING a new version whose
     manifest equals the old one — history stays intact (the rollback
-    itself is auditable and reversible), no data files move."""
-    import json
+    itself is auditable and reversible), no data files move. The
+    restored manifest is independent of the current head, so the
+    optimistic-concurrency retry is just a version-number bump."""
+    old = _load_manifest(table_path, version)
+    while True:
+        versions = table_versions(table_path)
+        new_v = versions[-1] + 1
+        manifest = {
+            "version": new_v,
+            "mode": f"restore-{version}",
+            "commits": old["commits"],
+        }
+        if old.get("deletes"):
+            manifest["deletes"] = old["deletes"]
+        if old.get("stats"):
+            manifest["stats"] = old["stats"]
+        if _publish_manifest(table_path, new_v, manifest):
+            return new_v
 
-    with open(os.path.join(_versions_dir(table_path), f"v{version}.json")) as f:
-        old = json.load(f)
-    versions = table_versions(table_path)
-    new_v = versions[-1] + 1
-    manifest = {"version": new_v, "mode": f"restore-{version}", "commits": old["commits"]}
-    if old.get("deletes"):
-        manifest["deletes"] = old["deletes"]
-    if old.get("stats"):
-        manifest["stats"] = old["stats"]
-    tmp = os.path.join(_versions_dir(table_path), f".v{new_v}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(_versions_dir(table_path), f"v{new_v}.json"))
-    return new_v
 
-
-def vacuum_versions(table_path: str, keep_from: int) -> list[str]:
+def vacuum_versions(
+    table_path: str, keep_from: int, min_age_s: float = 0.0
+) -> list[str]:
     """Delete commit directories unreachable from every version >=
     ``keep_from`` (and drop the older manifests). Returns the removed
     commit dirs. The explicit retention bound is the safety contract:
-    time travel works until YOU declare history disposable."""
+    time travel works until YOU declare history disposable.
+
+    Before dropping a manifest, its ``meta.batch_id`` (the streaming
+    replay guard) is folded into ``_manifests/stream_state.json`` —
+    otherwise vacuuming the manifests that recorded the high-water
+    batch id between a batch's commit and its crash-replay would let
+    the batch re-append and duplicate rows (ADVICE r7).
+
+    ``min_age_s``: skip unreachable dirs younger than this — an
+    IN-FLIGHT writer's commit dir exists before its manifest does, and
+    a concurrent vacuum must not reclaim it (the Delta retention-window
+    idea). The default 0 is only safe when no writer is running."""
     import json
+    import time
 
     versions = table_versions(table_path)
     keep = [v for v in versions if v >= keep_from]
@@ -1180,21 +1390,49 @@ def vacuum_versions(table_path: str, keep_from: int) -> list[str]:
     reachable: set[str] = set()
     live_deletes: set[str] = set()
     for v in keep:
-        with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
-            m = json.load(f)
+        m = _load_manifest(table_path, v)
         reachable.update(m["commits"])
         live_deletes.update(d["dir"] for d in m.get("deletes", []))
+
+    dropped_bids = []
+    for v in versions:
+        if v < keep_from:
+            bid = _load_manifest(table_path, v).get("meta", {}).get("batch_id")
+            if bid is not None:
+                dropped_bids.append(int(bid))
+    if dropped_bids:
+        state_path = os.path.join(_versions_dir(table_path), "stream_state.json")
+        prev = None
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                prev = json.load(f).get("last_batch_id")
+        hw = max(dropped_bids + ([int(prev)] if prev is not None else []))
+        tmp = f"{state_path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch_id": hw}, f)
+        os.rename(tmp, state_path)
+
+    now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= min_age_s
+        except OSError:
+            return False
+
     removed = []
     data_dir = os.path.join(table_path, "data")
     for c in sorted(os.listdir(data_dir)):
-        if c.startswith("commit-") and c not in reachable:
-            shutil.rmtree(os.path.join(data_dir, c))
+        p = os.path.join(data_dir, c)
+        if c.startswith("commit-") and c not in reachable and _old_enough(p):
+            shutil.rmtree(p)
             removed.append(c)
     deletes_dir = os.path.join(table_path, "deletes")
     if os.path.isdir(deletes_dir):
         for c in sorted(os.listdir(deletes_dir)):
-            if c.startswith("delete-") and c not in live_deletes:
-                shutil.rmtree(os.path.join(deletes_dir, c))
+            p = os.path.join(deletes_dir, c)
+            if c.startswith("delete-") and c not in live_deletes and _old_enough(p):
+                shutil.rmtree(p)
                 removed.append(c)
     for v in versions:
         if v < keep_from:

@@ -136,14 +136,15 @@ def test_versioned_table_time_travel_and_restore(spark, tmp_path):
     assert ks() == [0, 1, 2, 3, 4, 5, 6, 7]
     assert ks(2) == [100, 101]  # v2 still readable after restore
 
-    # vacuum everything older than the restore: commit-2 (only v2's)
+    # vacuum everything older than the restore: commit-2-* (only v2's)
     # becomes unreachable; commits 0 and 1 survive via v3
     removed = vacuum_versions(path, keep_from=3)
-    assert removed == ["commit-2"]
+    assert len(removed) == 1 and removed[0].startswith("commit-2-")
     assert table_versions(path) == [3]
     assert ks() == [0, 1, 2, 3, 4, 5, 6, 7]
-    data = os.listdir(os.path.join(path, "data"))
-    assert sorted(data) == ["commit-0", "commit-1"]
+    data = sorted(os.listdir(os.path.join(path, "data")))
+    assert len(data) == 2
+    assert data[0].startswith("commit-0-") and data[1].startswith("commit-1-")
 
 
 def test_bloom_index_prunes_point_lookups_on_unclustered_column(spark, tmp_path):
@@ -637,7 +638,7 @@ def test_compact_versioned_collapses_commit_log(spark, tmp_path):
     after = read_versioned(spark, table)
     assert sorted(r.k for r in after.collect()) == before
     dirs = {f.rsplit("/", 2)[-2] for f in after.inputFiles() if "/data/" in f}
-    assert dirs == {f"commit-{v}"}  # one directory now
+    assert len(dirs) == 1 and dirs.pop().startswith(f"commit-{v}-")  # one directory now
 
     # history intact, replay guard intact, pruning works on new stats
     assert sorted(r.k for r in read_versioned(spark, table, 2).collect()) == list(range(30))
@@ -648,3 +649,288 @@ def test_compact_versioned_collapses_commit_log(spark, tmp_path):
     removed = vacuum_versions(table, keep_from=v)
     assert len(removed) >= 6  # old commits + the tombstone dir
     assert sorted(r.k for r in read_versioned(spark, table).collect()) == before
+
+
+def test_manifest_publish_is_create_if_absent(tmp_path):
+    """The commit point must FAIL on an already-taken version number,
+    never silently replace it — os.rename here would let the second
+    writer overwrite the first's committed manifest (VERDICT r7)."""
+    from data_spark.io import _load_manifest, _publish_manifest
+
+    table = str(tmp_path / "t")
+    assert _publish_manifest(table, 0, {"version": 0, "commits": ["commit-0-aaa"]})
+    assert not _publish_manifest(table, 0, {"version": 0, "commits": ["commit-0-bbb"]})
+    # the loser's attempt left the winner's manifest intact
+    assert _load_manifest(table, 0)["commits"] == ["commit-0-aaa"]
+    # no temp debris
+    assert all(not n.endswith(".tmp") for n in os.listdir(os.path.join(table, "_manifests")))
+
+
+def test_concurrent_appends_both_survive(spark, tmp_path):
+    """Two writers appending concurrently: optimistic concurrency must
+    commit BOTH as distinct versions with disjoint commit dirs — the
+    pre-r8 rename-based publish silently dropped one (VERDICT r7)."""
+    import threading
+
+    from data_spark.io import read_versioned, table_versions, write_versioned
+
+    table = str(tmp_path / "t")
+    write_versioned(spark.range(0, 10).select(F.col("id").alias("k")), table, "overwrite")
+
+    barrier = threading.Barrier(2)
+    results, errors = {}, []
+
+    def committer(tag, lo, hi):
+        try:
+            df = spark.range(lo, hi).select(F.col("id").alias("k"))
+            barrier.wait()
+            results[tag] = write_versioned(df, table, "append", meta={"writer": tag})
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=committer, args=("a", 100, 110)),
+        threading.Thread(target=committer, args=("b", 200, 210)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    # both committed, as different versions
+    assert sorted(results.values()) == [1, 2]
+    assert table_versions(table) == [0, 1, 2]
+    # the final snapshot contains BOTH appends on top of the base
+    got = sorted(r.k for r in read_versioned(spark, table).collect())
+    assert got == list(range(0, 10)) + list(range(100, 110)) + list(range(200, 210))
+    # disjoint commit dirs: v2's list extends v1's by exactly one new dir
+    from data_spark.io import _load_manifest
+
+    c1, c2 = _load_manifest(table, 1)["commits"], _load_manifest(table, 2)["commits"]
+    assert len(c1) == 2 and len(c2) == 3 and c2[:2] == c1
+    assert len(set(c2)) == 3
+
+
+def test_concurrent_delete_recomputes_tombstone_scope(spark, tmp_path):
+    """A delete that loses the commit race re-derives its `upto` from
+    the NEW parent, so the tombstone covers the commits visible when it
+    actually lands (and a post-delete append still resurrects keys)."""
+    import threading
+
+    from data_spark.io import (
+        delete_versioned,
+        read_versioned,
+        table_versions,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "t")
+    write_versioned(spark.range(0, 10).select(F.col("id").alias("k")), table, "overwrite")
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def do_append():
+        try:
+            df = spark.range(100, 105).select(F.col("id").alias("k"))
+            barrier.wait()
+            write_versioned(df, table, "append")
+        except Exception as e:
+            errors.append(e)
+
+    def do_delete():
+        try:
+            keys = spark.range(0, 3).select(F.col("id").alias("k"))
+            barrier.wait()
+            delete_versioned(keys, table)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=do_append), threading.Thread(target=do_delete)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert table_versions(table) == [0, 1, 2]
+    got = sorted(r.k for r in read_versioned(spark, table).collect())
+    # keys 0-2 tombstoned; the concurrent append survives either order
+    assert got == list(range(3, 10)) + list(range(100, 105))
+
+
+def test_compact_versioned_never_drops_concurrent_append(spark, tmp_path):
+    """Compaction snapshots the version it READ, so its commit must land
+    at exactly read_version + 1: when an append sneaks in between the
+    read and the publish, compaction must redo itself against the new
+    head instead of committing a manifest that hides the append."""
+    from data_spark import io as dio
+
+    table = str(tmp_path / "t")
+    dio.write_versioned(
+        spark.range(0, 10).select(F.col("id").alias("k")), table, "overwrite"
+    )
+    dio.write_versioned(
+        spark.range(10, 20).select(F.col("id").alias("k")), table, "append"
+    )
+
+    # inject a racing append between compaction's read and its publish:
+    # the first publish attempt is made to lose deterministically
+    real_publish = dio._publish_manifest
+    state = {"raced": False}
+
+    def racing_publish(table_path, new_v, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            dio.write_versioned(
+                spark.range(500, 505).select(F.col("id").alias("k")),
+                table_path,
+                "append",
+            )
+        return real_publish(table_path, new_v, manifest)
+
+    dio._publish_manifest = racing_publish
+    try:
+        v = dio.compact_versioned(spark, table)
+    finally:
+        dio._publish_manifest = real_publish
+
+    got = sorted(r.k for r in dio.read_versioned(spark, table).collect())
+    assert got == list(range(0, 20)) + list(range(500, 505))
+    # and the compacted head is a single commit dir
+    files = dio.read_versioned(spark, table, v).inputFiles()
+    assert len({f.rsplit("/", 2)[-2] for f in files if "/data/" in f}) == 1
+
+
+def test_vacuum_preserves_stream_replay_guard(spark, tmp_path):
+    """Vacuuming the manifests that recorded the streaming high-water
+    batch id must not reset the replay guard: the dropped ids fold into
+    _manifests/stream_state.json, which vacuum never removes (ADVICE
+    r7 — without this a crash-replay after vacuum re-appends a batch)."""
+    from data_spark.io import (
+        last_committed_batch_id,
+        table_versions,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(3):
+        write_versioned(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("k")),
+            table,
+            "overwrite" if i == 0 else "append",
+            meta={"batch_id": i},
+        )
+    # a meta-less maintenance commit becomes the only survivor
+    write_versioned(
+        spark.range(0, 30).select(F.col("id").alias("k")), table, "overwrite"
+    )
+    assert last_committed_batch_id(table) == 2
+
+    vacuum_versions(table, keep_from=3)
+    assert table_versions(table) == [3]
+    # every manifest carrying a batch_id is gone, the guard is not
+    assert last_committed_batch_id(table) == 2
+
+    # a later, larger id still wins over the folded state
+    write_versioned(
+        spark.range(0, 5).select(F.col("id").alias("k")),
+        table,
+        "append",
+        meta={"batch_id": 7},
+    )
+    assert last_committed_batch_id(table) == 7
+
+
+def test_vacuum_min_age_spares_inflight_commit_dirs(spark, tmp_path):
+    """An in-flight writer's commit dir exists before its manifest does;
+    vacuum with a retention window must not reclaim it."""
+    from data_spark.io import read_versioned, vacuum_versions, write_versioned
+
+    table = str(tmp_path / "t")
+    write_versioned(spark.range(0, 5).select(F.col("id").alias("k")), table, "overwrite")
+    write_versioned(spark.range(5, 9).select(F.col("id").alias("k")), table, "overwrite")
+    # simulate an in-flight commit: data written, manifest not yet
+    inflight = os.path.join(table, "data", "commit-2-inflight0")
+    spark.range(100, 103).select(F.col("id").alias("k")).write.parquet(inflight)
+
+    removed = vacuum_versions(table, keep_from=1, min_age_s=3600)
+    assert removed == []  # everything is younger than the window
+    assert os.path.isdir(inflight)
+
+    removed = vacuum_versions(table, keep_from=1, min_age_s=0)
+    assert any(r.startswith("commit-0-") for r in removed)
+    assert "commit-2-inflight0" in removed  # age 0 = no writer running
+    assert sorted(r.k for r in read_versioned(spark, table).collect()) == [5, 6, 7, 8]
+
+
+def test_recover_table_prefers_newest_backup_by_name(spark, tmp_path):
+    """os.rename preserves a directory's own mtime, so with multiple
+    crashed-swap leftovers the mtime heuristic can resurrect a STALE
+    snapshot; the backup name carries a creation counter that orders
+    them correctly (ADVICE r7)."""
+    import time as _time
+
+    from data_spark.io import _backup_tag, _recover_table
+
+    path = str(tmp_path / "t")
+    old = spark.range(0, 3).select(F.col("id").alias("k"))
+    new = spark.range(100, 104).select(F.col("id").alias("k"))
+
+    older_bak = f"{path}__bak_{_backup_tag()}"
+    old.write.parquet(older_bak)
+    newer_bak = f"{path}__bak_{_backup_tag()}"
+    new.write.parquet(newer_bak)
+    # defeat the mtime heuristic: make the OLDER backup look recent
+    _time.sleep(0.01)
+    os.utime(older_bak, None)
+    assert os.path.getmtime(older_bak) > os.path.getmtime(newer_bak)
+
+    _recover_table(path)
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [100, 101, 102, 103]
+    assert not os.path.exists(older_bak) and not os.path.exists(newer_bak)
+
+
+def test_bloom_meta_forces_rebuild_on_convention_change(spark, tmp_path):
+    """An index built under an older hash convention and then refreshed
+    incrementally must be REBUILT, not merged — mixed bit layouts make
+    probes silently prune files that contain the value (ADVICE r7)."""
+    import json
+
+    from data_spark.io import (
+        _bloom_meta_path,
+        _bloom_positions,
+        build_bloom_index,
+        read_bloom_pruned,
+        refresh_bloom_index_for_dirs,
+    )
+
+    path = str(tmp_path / "t")
+    for b in range(4):
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("__kb")
+        ).write.parquet(os.path.join(path, f"__kb={b}"))
+    idx = str(tmp_path / "idx")
+    build_bloom_index(spark, path, "k", idx)
+    with open(_bloom_meta_path(idx)) as f:
+        assert json.load(f)["hash_version"] == 2
+
+    # probing against a stale convention refuses instead of mis-pruning
+    with open(_bloom_meta_path(idx), "w") as f:
+        json.dump({"bits": 4096, "k": 5, "hash_version": 1}, f)
+    with pytest.raises(ValueError, match="hash convention"):
+        read_bloom_pruned(spark, path, idx, "k", 123)
+
+    # an incremental refresh over the stale index rebuilds the whole
+    # thing (meta restored, every value findable again)
+    refresh_bloom_index_for_dirs(spark, path, ["__kb=1"], "k", idx)
+    with open(_bloom_meta_path(idx)) as f:
+        assert json.load(f)["hash_version"] == 2
+    for probe in (7, 123, 399):
+        got = sorted(r.k for r in read_bloom_pruned(spark, path, idx, "k", probe).collect())
+        assert got == [probe]
+
+    # degenerate sizing is rejected outright
+    with pytest.raises(ValueError, match="bits"):
+        _bloom_positions(F.lit(1), bits=1, k=3)
