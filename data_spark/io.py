@@ -392,6 +392,60 @@ def _recover_table(path: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _part_maintenance_roots(root: str) -> tuple[str, str]:
+    """Staging and backup roots for per-partition rewrites of a
+    hive-partitioned dataset at ``root`` — SIBLINGS of the root, never
+    inside it: a leftover ``cell=3__staging`` dir inside the dataset
+    would be parsed by Spark partition discovery as a partition VALUE,
+    flipping the partition column to string and leaking stale rows
+    (ADVICE r7)."""
+    return f"{root}__compact_staging", f"{root}__compact_bak"
+
+
+def recover_partitioned_root(root: str, restore_only: bool = False) -> None:
+    """Crash recovery for per-partition staged swaps
+    (:func:`swap_partition_dir`): restore any backup whose live
+    partition dir is missing (the crash window between the swap's two
+    renames), then — unless ``restore_only`` — sweep every remaining
+    staging/backup leftover. Probes pass ``restore_only=True`` so a
+    read racing a live compaction never deletes its staging; the
+    compactors run the full sweep at start (they are single-maintenance
+    ops like every other rewrite here)."""
+    staging_root, bak_root = _part_maintenance_roots(root)
+    if os.path.isdir(bak_root):
+        for name in sorted(os.listdir(bak_root)):
+            dst = os.path.join(root, name)
+            if not os.path.exists(dst):
+                os.rename(os.path.join(bak_root, name), dst)
+    if not restore_only:
+        shutil.rmtree(staging_root, ignore_errors=True)
+        shutil.rmtree(bak_root, ignore_errors=True)
+
+
+def partition_staging_dir(part_dir: str) -> str:
+    """Where a per-partition rewrite stages its output: the partition's
+    name under the dataset's sibling staging root."""
+    root, name = os.path.split(os.path.abspath(part_dir))
+    staging_root, _ = _part_maintenance_roots(root)
+    os.makedirs(staging_root, exist_ok=True)
+    return os.path.join(staging_root, name)
+
+
+def swap_partition_dir(part_dir: str, staging: str) -> None:
+    """Backup-rename → live-rename swap for ONE partition directory of
+    a hive-partitioned dataset, with the backup parked under the
+    dataset's sibling backup root (never inside the dataset — see
+    :func:`_part_maintenance_roots`). ``recover_partitioned_root``
+    undoes a crash between the renames."""
+    root, name = os.path.split(os.path.abspath(part_dir))
+    _, bak_root = _part_maintenance_roots(root)
+    os.makedirs(bak_root, exist_ok=True)
+    bak = os.path.join(bak_root, name)
+    os.rename(part_dir, bak)
+    os.rename(staging, part_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
 def _swap_table(path: str, staging: str) -> None:
     """Backup-rename → live-rename swap shared by the table rewriters;
     ``_recover_table`` undoes a crash between the renames."""

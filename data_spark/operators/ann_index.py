@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_spark.io import recover_partitioned_root
 from data_spark.operators.similarity import cosine_similarity
 
 
@@ -112,6 +113,9 @@ def ivf_index_topk(
     )
     probes = probes.localCheckpoint(eager=True)
     probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    # restore any partition a crashed compaction left missing (its
+    # backups live OUTSIDE this root, so discovery never misparses them)
+    recover_partitioned_root(os.path.join(index_path, "cells"), restore_only=True)
     cells = (
         spark.read.parquet(os.path.join(index_path, "cells"))
         # static partition filter from index METADATA (the collected ids
@@ -267,6 +271,7 @@ def ivfpq_index_topk(
     lut = qsub.join(F.broadcast(codebooks), "sub").select(
         "qid", "sub", "code", _sqdist(F.col("subv"), F.col("cent")).alias("dist")
     )
+    recover_partitioned_root(os.path.join(index_path, "codes"), restore_only=True)
     codes = spark.read.parquet(os.path.join(index_path, "codes")).filter(
         F.col("cell").isin(probed_cells)
     )
@@ -359,18 +364,31 @@ def compact_ann_index(spark: SparkSession, index_path: str, subdir: str) -> dict
     directories with the crash-safe staged swap, drop cells left empty,
     then clear the tombstones. Untouched cells keep their files, so the
     cost is O(affected cells), never O(index). ``subdir`` is "cells"
-    for the IVF index and "codes" for IVF-PQ."""
+    for the IVF index and "codes" for IVF-PQ.
+
+    Staging/backup dirs live OUTSIDE the partitioned root (siblings of
+    ``subdir``) and leftovers are swept here and restored at probe
+    time — a ``cell=3__staging`` leftover INSIDE the root would be
+    parsed by partition discovery as a partition value, flipping the
+    ``cell`` column to string and leaking stale rows (ADVICE r7).
+    The whole compaction is idempotent until its final tombstone
+    clear, so a crash at any point costs one redo."""
     import shutil
 
-    from data_spark.io import _swap_table
+    from data_spark.io import (
+        partition_staging_dir,
+        recover_partitioned_root,
+        swap_partition_dir,
+    )
 
     tp = os.path.join(index_path, "tombstones")
+    table_root = os.path.join(index_path, subdir)
+    recover_partitioned_root(table_root)
     report = {"affected_cells": 0, "dropped_cells": 0, "tombstones": 0}
     if not os.path.isdir(tp):
         return report
     tomb = spark.read.parquet(tp).dropDuplicates().localCheckpoint(eager=True)
     report["tombstones"] = tomb.count()
-    table_root = os.path.join(index_path, subdir)
     affected = [
         r["cell"]
         for r in spark.read.parquet(table_root)
@@ -382,14 +400,15 @@ def compact_ann_index(spark: SparkSession, index_path: str, subdir: str) -> dict
     for cell in affected:
         cell_dir = os.path.join(table_root, f"cell={cell}")
         live = spark.read.parquet(cell_dir).join(tomb, "cid", "left_anti")
-        staging = f"{cell_dir}__staging_compact"
+        staging = partition_staging_dir(cell_dir)
         live.write.mode("overwrite").parquet(staging)
         if spark.read.parquet(staging).isEmpty():
             shutil.rmtree(staging)
             shutil.rmtree(cell_dir)
             report["dropped_cells"] += 1
         else:
-            _swap_table(cell_dir, staging)
+            swap_partition_dir(cell_dir, staging)
     report["affected_cells"] = len(affected)
+    recover_partitioned_root(table_root)  # clear the emptied maintenance roots
     shutil.rmtree(tp)
     return report

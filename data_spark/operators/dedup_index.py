@@ -28,10 +28,12 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_spark.io import recover_partitioned_root
 from data_spark.operators.dedup import minhash_band_buckets, minhash_signatures
 
 NUM_BUCKET_DIRS = 64
@@ -136,6 +138,9 @@ def probe_near_dups(
     probed_dirs = [
         r["bucket_p"] for r in pbuckets.select("bucket_p").distinct().collect()
     ]
+    # restore any partition a crashed compaction left missing (its
+    # backups live OUTSIDE this root, so discovery never misparses them)
+    recover_partitioned_root(os.path.join(index_path, "buckets"), restore_only=True)
     idx_buckets = spark.read.parquet(os.path.join(index_path, "buckets")).filter(
         F.col("bucket_p").isin(probed_dirs)
     )
@@ -206,18 +211,28 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> dict:
     directory; the affected-dir list is one column-pruned semi-join),
     rewrite the skinny signature table, then clear the tombstones.
     O(affected dirs + signatures), never O(corpus text) — no shingling
-    happens here."""
+    happens here.
+
+    Staging/backup dirs live OUTSIDE the partitioned root (siblings of
+    ``buckets/``) and leftovers are swept here and restored at probe
+    time — a ``bucket_p=3__staging`` leftover INSIDE the root would be
+    parsed by partition discovery as a partition value, flipping
+    ``bucket_p`` to string and leaking stale rows (ADVICE r7)."""
     import shutil
 
-    from data_spark.io import _swap_table
+    from data_spark.io import (
+        partition_staging_dir,
+        swap_partition_dir,
+    )
 
     tp = os.path.join(index_path, "tombstones")
+    buckets_root = os.path.join(index_path, "buckets")
+    recover_partitioned_root(buckets_root)
     report = {"affected_dirs": 0, "dropped_dirs": 0, "tombstones": 0}
     if not os.path.isdir(tp):
         return report
     tomb = spark.read.parquet(tp).dropDuplicates().localCheckpoint(eager=True)
     report["tombstones"] = tomb.count()
-    buckets_root = os.path.join(index_path, "buckets")
     affected = [
         r["bucket_p"]
         for r in spark.read.parquet(buckets_root)
@@ -229,19 +244,26 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> dict:
     for p in affected:
         part_dir = os.path.join(buckets_root, f"bucket_p={p}")
         live = spark.read.parquet(part_dir).join(tomb, "doc_id", "left_anti")
-        staging = f"{part_dir}__staging_compact"
+        staging = partition_staging_dir(part_dir)
         live.write.mode("overwrite").parquet(staging)
         if spark.read.parquet(staging).isEmpty():
             shutil.rmtree(staging)
             shutil.rmtree(part_dir)
             report["dropped_dirs"] += 1
         else:
-            _swap_table(part_dir, staging)
+            swap_partition_dir(part_dir, staging)
     report["affected_dirs"] = len(affected)
+    recover_partitioned_root(buckets_root)  # clear emptied maintenance roots
+
+    # the signature table is unpartitioned — the ordinary staged table
+    # swap applies (its backup naming lives beside sig_path, which is
+    # not a partitioned root)
+    from data_spark.io import _recover_table, _swap_table
 
     sig_path = os.path.join(index_path, "signatures")
+    _recover_table(sig_path)
     live_sig = spark.read.parquet(sig_path).join(tomb, "doc_id", "left_anti")
-    staging = f"{sig_path}__staging_compact"
+    staging = f"{sig_path}__staging_{uuid.uuid4().hex[:8]}"
     live_sig.write.mode("overwrite").parquet(staging)
     _swap_table(sig_path, staging)
     shutil.rmtree(tp)

@@ -422,3 +422,60 @@ def test_delete_then_compact_matches_rebuild(spark, sf_small, tmp_path):
         assert [n for n in b if n in common] == [n for n in g if n in common]
     compact_ann_index(spark, pq_idx, "codes")
     assert key(ivfpq_index_topk(spark, pq_idx, queries, k=10, nprobe=8).collect()) == key(got_pq)
+
+
+def test_crashed_compaction_leftovers_never_corrupt_the_index(spark, sf_small, tmp_path):
+    """Compaction stages its per-cell rewrites OUTSIDE the partitioned
+    root: a crash mid-compaction must leave nothing that Spark's
+    partition discovery can misparse as a cell value (which would flip
+    the `cell` column to string and leak stale rows — ADVICE r7), the
+    probe must transparently restore a cell caught between the swap's
+    two renames, and the next compaction must sweep the debris."""
+    import os
+
+    from data_spark.io import _part_maintenance_roots
+    from data_spark.operators.ann_index import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    corpus = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = corpus.orderBy("vec_id").limit(4)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, num_centroids=8)
+
+    victims = corpus.orderBy("vec_id").limit(60).select("vec_id")
+    delete_from_ann_index(victims, idx)
+    expect = sorted(
+        tuple(r) for r in ivf_index_topk(spark, idx, queries, k=5, nprobe=8).collect()
+    )
+
+    # simulate a compaction crash: one cell parked in the backup root
+    # (between the two renames: missing from the live root), plus a
+    # stray staging for another cell
+    cells_root = os.path.join(idx, "cells")
+    staging_root, bak_root = _part_maintenance_roots(cells_root)
+    os.makedirs(bak_root), os.makedirs(staging_root)
+    parts = sorted(d for d in os.listdir(cells_root) if d.startswith("cell="))
+    os.rename(os.path.join(cells_root, parts[0]), os.path.join(bak_root, parts[0]))
+    spark.range(3).write.parquet(os.path.join(staging_root, parts[1]))
+
+    # the partitioned root itself contains ONLY cell= dirs -> the cell
+    # column keeps its numeric type under discovery
+    assert all(d.startswith(("cell=", "_", ".")) for d in os.listdir(cells_root))
+    got = sorted(
+        tuple(r) for r in ivf_index_topk(spark, idx, queries, k=5, nprobe=8).collect()
+    )
+    assert got == expect  # probe restored the parked cell
+
+    # compaction sweeps the leftovers and applies the tombstones
+    report = compact_ann_index(spark, idx, "cells")
+    assert report["tombstones"] == 60
+    assert not os.path.exists(staging_root) and not os.path.exists(bak_root)
+    assert all(d.startswith(("cell=", "_", ".")) for d in os.listdir(cells_root))
+    after = sorted(
+        tuple(r) for r in ivf_index_topk(spark, idx, queries, k=5, nprobe=8).collect()
+    )
+    assert after == expect
+    # the cell partition column survived as a numeric type
+    assert dict(spark.read.parquet(cells_root).dtypes)["cell"] in ("int", "bigint")

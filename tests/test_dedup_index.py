@@ -132,3 +132,53 @@ def test_delete_then_compact_excludes_docs(spark, sf_small, tmp_path):
     assert victim not in bucket_ids
     final = probe_near_dups(spark, idx, probes, threshold=0.9).collect()
     assert {(r.probe_id, r.index_doc_id) for r in final} == kept
+
+
+def test_crashed_compaction_leftovers_never_corrupt_the_buckets(spark, sf_small, tmp_path):
+    """Same contract as the ANN index (ADVICE r7): staging/backup live
+    outside buckets/, a probe restores a partition parked mid-swap, and
+    partition discovery never sees a misparseable dir name."""
+    import os
+
+    from data_spark.io import _part_maintenance_roots
+    from data_spark.operators.dedup_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        probe_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(300)
+    idx = str(tmp_path / "mh")
+    build_minhash_index(docs, idx)
+    probe = docs.orderBy("doc_id").limit(20)
+
+    delete_from_minhash_index(
+        docs.orderBy("doc_id").limit(50).select("doc_id"), idx
+    )
+    expect = sorted(
+        tuple(r) for r in probe_near_dups(spark, idx, probe, threshold=0.4).collect()
+    )
+
+    buckets_root = os.path.join(idx, "buckets")
+    staging_root, bak_root = _part_maintenance_roots(buckets_root)
+    os.makedirs(bak_root), os.makedirs(staging_root)
+    parts = sorted(d for d in os.listdir(buckets_root) if d.startswith("bucket_p="))
+    os.rename(os.path.join(buckets_root, parts[0]), os.path.join(bak_root, parts[0]))
+    spark.range(3).write.parquet(os.path.join(staging_root, parts[1]))
+
+    assert all(d.startswith(("bucket_p=", "_", ".")) for d in os.listdir(buckets_root))
+    got = sorted(
+        tuple(r) for r in probe_near_dups(spark, idx, probe, threshold=0.4).collect()
+    )
+    assert got == expect  # probe restored the parked partition
+
+    report = compact_minhash_index(spark, idx)
+    assert report["tombstones"] == 50
+    assert not os.path.exists(staging_root) and not os.path.exists(bak_root)
+    assert all(d.startswith(("bucket_p=", "_", ".")) for d in os.listdir(buckets_root))
+    after = sorted(
+        tuple(r) for r in probe_near_dups(spark, idx, probe, threshold=0.4).collect()
+    )
+    assert after == expect
+    assert dict(spark.read.parquet(buckets_root).dtypes)["bucket_p"] in ("int", "bigint")
