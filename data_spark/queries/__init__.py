@@ -18,6 +18,7 @@ from data_spark.queries import (
     analytics4,
     analytics5,
     analytics6,
+    analytics7,
     documents,
     events,
     graphq,
@@ -50,6 +51,7 @@ _ALL_QUERIES = {
     **analytics4.QUERIES,
     **analytics5.QUERIES,
     **analytics6.QUERIES,
+    **analytics7.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -72,6 +74,7 @@ ORACLE = {
     **analytics4.ORACLE,
     **analytics5.ORACLE,
     **analytics6.ORACLE,
+    **analytics7.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,
@@ -90,6 +93,8 @@ ORACLE = {
 # Any query created or contract-changed during r8 is inserted at the
 # head and displaces the r4 tail (never the r7/r3 blocks).
 _PRIORITY = [
+    # --- created in r8 (never witnessed; displace the r4 tail) ---
+    "v_pca_moments",
     # --- never driver-witnessed (created mid/late r7) ---
     "a_spearman_rank",
     "dq_skew_profile",
@@ -142,8 +147,9 @@ _PRIORITY = [
     "e_anomaly_zscore",
     "e_asof_latest_view",
     "e_day_expand",
-    "e_json_extract",
     # ---- window boundary (driver records the 50 above) ----
+    # displaced by r8 additions (next in line for r9): e_json_extract,
+    # then the remaining r4 block in ledger order.
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

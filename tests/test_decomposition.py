@@ -81,3 +81,39 @@ def test_pca_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises((ValueError, Exception)):
         pca_fit(df, k=2)
+
+
+def test_pca_moments_gate_matches_fit_accumulation(spark, sf_small, emb):
+    """v_pca_moments (the exact cross-engine gate, VERDICT r7 #6) and
+    pca_fit accumulate the SAME sufficient statistics: covariance
+    rebuilt from the gate's e6-snapped integer moments must match the
+    fit's float64 covariance to snap precision — so a green gate row
+    vouches for the distributed part of the PCA path, and the local
+    eigensolve stays pinned by the numpy mirror above."""
+    from data_spark.queries.analytics7 import v_pca_moments
+
+    df, x, _ = emb
+    n, d = x.shape
+    rows = v_pca_moments(spark, sf_small).collect()
+    assert len(rows) == d * (d + 1) // 2
+
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        i, j = r.i - 1, r.j - 1
+        assert r.n_vecs == n
+        ss[i, j] = ss[j, i] = r.sum_prod / 1e12
+        if i == j:
+            s[i] = r.sum_i / 1e6
+    mean = s / n
+    cov_gate = ss / n - np.outer(mean, mean)
+
+    xs = np.floor(x * 1e6 + 0.5)  # the snap the gate applies
+    mean_s = xs.mean(axis=0) / 1e6
+    cov_snap = (xs.T @ xs) / n / 1e12 - np.outer(mean_s, mean_s)
+    assert np.allclose(cov_gate, cov_snap, atol=1e-12)
+
+    # snap error is bounded: the gate's covariance agrees with the
+    # float64 fit covariance to ~1e-6 per entry
+    cov_fit = (x.T @ x) / n - np.outer(x.mean(axis=0), x.mean(axis=0))
+    assert np.abs(cov_gate - cov_fit).max() < 2e-6
