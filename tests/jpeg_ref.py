@@ -300,3 +300,319 @@ def test_image(h: int = 40, w: int = 56) -> np.ndarray:
     b = ((xx * 7 + yy * 13) * 2654435761 % 256).astype(np.uint8)
     b[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3] = 255  # hard-edged patch
     return np.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) reference encoder — spectral selection + successive
+# approximation per ITU-T T.81 Annex G, mirroring libjpeg's scan logic.
+# ---------------------------------------------------------------------------
+
+
+def _prepare_blocks(rgb: np.ndarray, subsample: bool):
+    """Shared front half: color transform, optional 4:2:0 subsample,
+    pad, forward DCT, quantize. Returns (sampling, mcux, mcuy,
+    zigzag-ordered quantized blocks per component, expected_rgb) where
+    expected_rgb is the decoder-identical reconstruction."""
+    h, w = rgb.shape[:2]
+    r = rgb[..., 0].astype(float)
+    g = rgb[..., 1].astype(float)
+    b = rgb[..., 2].astype(float)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsample:
+        sampling = {1: (2, 2), 2: (1, 1), 3: (1, 1)}
+    else:
+        sampling = {1: (1, 1), 2: (1, 1), 3: (1, 1)}
+    hmax = max(s[0] for s in sampling.values())
+    vmax = max(s[1] for s in sampling.values())
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def pad_to(p, ph, pw):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+
+    planes = {}
+    for cid, plane in ((1, y), (2, cb), (3, cr)):
+        h_i, v_i = sampling[cid]
+        if (h_i, v_i) != (hmax, vmax):
+            fh = vmax // v_i
+            fw = hmax // h_i
+            ph = -(-plane.shape[0] // fh) * fh
+            pw = -(-plane.shape[1] // fw) * fw
+            p = pad_to(plane, ph, pw)
+            p = p.reshape(p.shape[0] // fh, fh, p.shape[1] // fw, fw).mean(axis=(1, 3))
+        else:
+            p = plane
+        planes[cid] = pad_to(p, mcuy * v_i * 8, mcux * h_i * 8)
+
+    qts = {1: QT_LUM, 2: QT_CHROM, 3: QT_CHROM}
+    qblocks = {}
+    recon_planes = {}
+    for cid in (1, 2, 3):
+        h_i, v_i = sampling[cid]
+        nby, nbx = mcuy * v_i, mcux * h_i
+        zz = np.zeros((nby, nbx, 64), dtype=int)
+        recon = np.zeros_like(planes[cid])
+        for by in range(nby):
+            for bx in range(nbx):
+                block = planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                q = np.rint((_C @ block @ _C.T) / qts[cid]).astype(int)
+                flat = q.reshape(64)
+                zz[by, bx] = [int(flat[z]) for z in _ZIGZAG]
+                recon[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ (q.astype(float).reshape(8, 8) * qts[cid]) @ _C + 128.0
+                )
+        qblocks[cid] = zz
+        recon_planes[cid] = recon
+
+    full = {}
+    for cid in (1, 2, 3):
+        h_i, v_i = sampling[cid]
+        p = recon_planes[cid]
+        if h_i < hmax:
+            p = np.repeat(p, hmax // h_i, axis=1)
+        if v_i < vmax:
+            p = np.repeat(p, vmax // v_i, axis=0)
+        full[cid] = p[:h, :w]
+    yv = full[1]
+    cbv = full[2] - 128.0
+    crv = full[3] - 128.0
+    rr = yv + 1.402 * crv
+    gg = yv - 0.344136 * cbv - 0.714136 * crv
+    bb = yv + 1.772 * cbv
+    expected = np.stack(
+        [np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in (rr, gg, bb)],
+        axis=-1,
+    )
+    return sampling, mcux, mcuy, qblocks, expected
+
+
+def _comp_grid(w, h, sampling, cid):
+    """Non-interleaved block grid (T.81 A.2.2): the component's OWN
+    ceil dimensions, not the MCU-padded grid."""
+    hmax = max(s[0] for s in sampling.values())
+    vmax = max(s[1] for s in sampling.values())
+    h_i, v_i = sampling[cid]
+    cw = -(-w * h_i // hmax)
+    ch = -(-h * v_i // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _flush_eobrun(events, state):
+    n = state["eobrun"]
+    if n:
+        nbits = n.bit_length() - 1
+        events.append(("huff", "ac", state["cls"], nbits << 4))
+        if nbits:
+            events.append(("raw", n - (1 << nbits), nbits))
+        events.extend(("raw", bit, 1) for bit in state["be"])
+        state["eobrun"] = 0
+        state["be"] = []
+
+
+def _dc_first_events(qblocks, sampling, mcux, mcuy, al):
+    events = []
+    pred = {1: 0, 2: 0, 3: 0}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid in (1, 2, 3):
+                h_i, v_i = sampling[cid]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        dc = int(qblocks[cid][my * v_i + by, mx * h_i + bx, 0]) >> al
+                        t, bv = _magnitude(dc - pred[cid])
+                        pred[cid] = dc
+                        events.append(("huff", "dc", 0 if cid == 1 else 1, t))
+                        if t:
+                            events.append(("raw", bv, t))
+    return events
+
+
+def _dc_refine_events(qblocks, sampling, mcux, mcuy, al):
+    events = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid in (1, 2, 3):
+                h_i, v_i = sampling[cid]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        dc = int(qblocks[cid][my * v_i + by, mx * h_i + bx, 0])
+                        events.append(("raw", (dc >> al) & 1, 1))
+    return events
+
+
+def _ac_first_events(qblocks, sampling, w, h, cid, ss, se, al):
+    events = []
+    cls = 0 if cid == 1 else 1
+    state = {"eobrun": 0, "be": [], "cls": cls}
+    cbh, cbw = _comp_grid(w, h, sampling, cid)
+    for by in range(cbh):
+        for bx in range(cbw):
+            zz = qblocks[cid][by, bx]
+            vals = {}
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                t = abs(c) >> al  # point transform truncates toward zero
+                if t:
+                    vals[k] = t if c > 0 else -t
+            if not vals:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    _flush_eobrun(events, state)
+                continue
+            _flush_eobrun(events, state)
+            last = max(vals)
+            run = 0
+            for k in range(ss, last + 1):
+                v = vals.get(k)
+                if v is None:
+                    run += 1
+                    continue
+                while run > 15:
+                    events.append(("huff", "ac", cls, 0xF0))
+                    run -= 16
+                t, bv = _magnitude(v)
+                events.append(("huff", "ac", cls, (run << 4) | t))
+                events.append(("raw", bv, t))
+                run = 0
+            if last < se:
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    _flush_eobrun(events, state)
+    _flush_eobrun(events, state)
+    return events
+
+
+def _ac_refine_events(qblocks, sampling, w, h, cid, ss, se, al):
+    """libjpeg encode_mcu_AC_refine: newly-significant coefficients as
+    run/1 symbols with a sign bit; correction bits for already-nonzero
+    coefficients buffered and emitted after the next symbol (or with
+    the EOB run they belong to)."""
+    events = []
+    cls = 0 if cid == 1 else 1
+    state = {"eobrun": 0, "be": [], "cls": cls}
+    cbh, cbw = _comp_grid(w, h, sampling, cid)
+    for by in range(cbh):
+        for bx in range(cbw):
+            zz = qblocks[cid][by, bx]
+            absv = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+            eob = max((k for k in absv if absv[k] == 1), default=ss - 1)
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                temp = absv[k]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    _flush_eobrun(events, state)
+                    events.append(("huff", "ac", cls, 0xF0))
+                    r -= 16
+                    events.extend(("raw", bit, 1) for bit in br)
+                    br = []
+                if temp > 1:
+                    br.append(temp & 1)
+                    continue
+                _flush_eobrun(events, state)
+                events.append(("huff", "ac", cls, (r << 4) | 1))
+                events.append(("raw", 1 if int(zz[k]) > 0 else 0, 1))
+                events.extend(("raw", bit, 1) for bit in br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                state["eobrun"] += 1
+                state["be"].extend(br)
+                if state["eobrun"] == 0x7FFF:
+                    _flush_eobrun(events, state)
+    _flush_eobrun(events, state)
+    return events
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, subsample: bool = False
+) -> tuple[bytes, np.ndarray]:
+    """Encode an (H, W, 3) uint8 array as progressive JPEG with a
+    10-scan script exercising every T.81 §G decode path: interleaved
+    DC first + DC refinement, per-component AC spectral bands, and TWO
+    AC successive-approximation refinement passes on Y. Returns
+    (jpeg_bytes, expected_rgb) with the decoder-identical
+    reconstruction."""
+    h, w = rgb.shape[:2]
+    sampling, mcux, mcuy, qblocks, expected = _prepare_blocks(rgb, subsample)
+
+    # scan script: (kind, cids, Ss, Se, Ah, Al)
+    script = [
+        ("dc_first", (1, 2, 3), 0, 0, 0, 1),
+        ("ac_first", (1,), 1, 5, 0, 2),
+        ("ac_first", (2,), 1, 63, 0, 1),
+        ("ac_first", (3,), 1, 63, 0, 1),
+        ("ac_first", (1,), 6, 63, 0, 2),
+        ("dc_refine", (1, 2, 3), 0, 0, 1, 0),
+        ("ac_refine", (1,), 1, 63, 2, 1),
+        ("ac_refine", (2,), 1, 63, 1, 0),
+        ("ac_refine", (3,), 1, 63, 1, 0),
+        ("ac_refine", (1,), 1, 63, 1, 0),
+    ]
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq, tbl in ((0, QT_LUM), (1, QT_CHROM)):
+        flat = tbl.reshape(64)
+        segment(0xDB, bytes([tq]) + bytes(int(flat[z]) for z in _ZIGZAG))
+    sof = bytearray([8])
+    sof += struct.pack(">HH", h, w)
+    sof.append(3)
+    for cid in (1, 2, 3):
+        h_i, v_i = sampling[cid]
+        sof += bytes([cid, (h_i << 4) | v_i, 0 if cid == 1 else 1])
+    segment(0xC2, bytes(sof))  # SOF2 progressive
+
+    for kind, cids, ss, se, ah, al in script:
+        if kind == "dc_first":
+            events = _dc_first_events(qblocks, sampling, mcux, mcuy, al)
+        elif kind == "dc_refine":
+            events = _dc_refine_events(qblocks, sampling, mcux, mcuy, al)
+        elif kind == "ac_first":
+            events = _ac_first_events(qblocks, sampling, w, h, cids[0], ss, se, al)
+        else:
+            events = _ac_refine_events(qblocks, sampling, w, h, cids[0], ss, se, al)
+
+        # per-scan canonical Huffman tables from the used symbols
+        used: dict[tuple[str, int], list[int]] = {}
+        for ev in events:
+            if ev[0] == "huff":
+                used.setdefault((ev[1], ev[2]), []).append(ev[3])
+        tables = {key: _canonical_table(syms) for key, syms in used.items()}
+        for (tkind, th), (bits, vals, _enc) in sorted(tables.items()):
+            tc = 0 if tkind == "dc" else 1
+            segment(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+        sos = bytearray([len(cids)])
+        for cid in cids:
+            cls = 0 if cid == 1 else 1
+            td = cls if ("dc", cls) in tables else 0
+            ta = cls if ("ac", cls) in tables else 0
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, bytes(sos))
+
+        bw = _BitWriter()
+        for ev in events:
+            if ev[0] == "huff":
+                code, ln = tables[(ev[1], ev[2])][2][ev[3]]
+                bw.write(code, ln)
+            else:
+                _tag, value, nbits = ev
+                if nbits:
+                    bw.write(value, nbits)
+        bw.align()
+        out.extend(bw.out)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out), expected

@@ -62,18 +62,98 @@ def test_restart_markers_round_trip():
     assert np.array_equal(got, expected)
 
 
-def test_progressive_and_garbage_reject_honestly():
+def test_unsupported_and_garbage_reject_honestly():
     img = test_image(16, 16)
     data, _ = encode_jpeg(img)
-    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError
-    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # lossless SOF3: honest NotImplementedError
     with pytest.raises(NotImplementedError, match="SOF"):
-        decode_rgb(prog)
+        decode_rgb(data.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    # a baseline stream relabeled SOF2 carries an illegal progressive
+    # scan header (DC band with Se=63): structural ValueError, never a
+    # silently-wrong image
+    with pytest.raises(ValueError):
+        decode_rgb(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError):
         decode_rgb(b"\x00\x01\x02\x03")
     # truncation inside the entropy stream
     with pytest.raises((ValueError, IndexError)):
         decode_rgb(data[: len(data) // 2])
+
+
+def test_four_component_cmyk_rejects_honestly():
+    """Adobe CMYK/YCCK (4 components) must reject instead of decoding
+    the first three planes as YCbCr and returning wrong RGB (ADVICE
+    r7)."""
+    img = test_image(16, 16)
+    data, _ = encode_jpeg(img)
+    # rewrite the SOF payload: 4 components (the stream's entropy data
+    # no longer matches, but the reject happens at the header)
+    at = data.index(b"\xff\xc0")
+    seg_len = int.from_bytes(data[at + 2 : at + 4], "big")
+    sof = bytearray(data[at + 4 : at + 2 + seg_len])
+    sof[5] = 4
+    sof += bytes([4, 0x11, 1])  # component 4, 1x1, chroma table
+    patched = (
+        data[:at]
+        + b"\xff\xc0"
+        + (len(sof) + 2).to_bytes(2, "big")
+        + bytes(sof)
+        + data[at + 2 + seg_len :]
+    )
+    with pytest.raises(NotImplementedError, match="component"):
+        decode_rgb(patched)
+
+
+def test_noninterleaved_multiscan_baseline_rejects_honestly():
+    """A baseline SOS covering only SOME frame components (legal JPEG,
+    not implemented here) must reject at the header instead of dying
+    with a KeyError mid-entropy-decode (ADVICE r7)."""
+    img = test_image(16, 16)
+    data, _ = encode_jpeg(img)
+    at = data.index(b"\xff\xda")
+    seg_len = int.from_bytes(data[at + 2 : at + 4], "big")
+    sos = bytearray(data[at + 4 : at + 2 + seg_len])
+    # keep only the first (Y) component in the scan header
+    patched_sos = bytes([1]) + bytes(sos[1:3]) + bytes(sos[-3:])
+    patched = (
+        data[:at]
+        + b"\xff\xda"
+        + (len(patched_sos) + 2).to_bytes(2, "big")
+        + patched_sos
+        + data[at + 2 + seg_len :]
+    )
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_rgb(patched)
+
+
+def test_progressive_round_trip_is_exact():
+    """SOF2 with the full 10-scan script (interleaved DC first + DC
+    refinement, spectral AC bands, two successive-approximation AC
+    refinement passes on Y): decode must be bit-exact against the
+    encoder's reconstruction."""
+    from tests.jpeg_ref import encode_jpeg_progressive
+
+    img = test_image(48, 64)
+    data, expected = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in data  # SOF2 present
+    got = _decode_array(data)
+    assert np.array_equal(got, expected)
+    assert float(np.mean(np.abs(got.astype(int) - img.astype(int)))) < 20
+
+
+def test_progressive_420_non_mcu_aligned_round_trip():
+    """4:2:0 progressive with non-MCU-aligned dimensions: the
+    non-interleaved AC scans traverse each component's OWN ceil grid
+    (T.81 A.2.2), which differs from the MCU-padded grid here — the
+    indexing distinction baseline never exercises."""
+    from tests.jpeg_ref import encode_jpeg_progressive
+
+    for h, w in ((35, 43), (99, 17)):
+        img = test_image(h, w)
+        data, expected = encode_jpeg_progressive(img, subsample=True)
+        got = _decode_array(data)
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, expected)
 
 
 def test_strict_multimodal_dispatch_takes_jpeg(spark):
