@@ -28,3 +28,9 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_gate():
     return SF_GATE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running resilience/e2e tests (subprocess Spark sessions)"
+    )
