@@ -203,6 +203,14 @@ HEADLINE = [
     "a_anova_f",  # k-group mean test, decimal-snapped cross-group terms
     "d_quantile_normalize",  # cross-source feature alignment, integer ranks
     "e_time_weighted_avg",  # TWAP: integer-microsecond duration weights
+    # r8 additions: moment-matrix gate, symbolic series, agreement,
+    # log-diluted link prediction, dedup canonicalization, Zipf coverage
+    "v_pca_moments",  # narrow double-posexplode pair moments, 2080-group agg
+    "e_sax_symbolize",  # exact-integer PAA + breakpoint symbols
+    "a_cohens_kappa",  # one scalar agg, four integer confusion counts
+    "g_adamic_adar",  # witness-bounded self-join, integer 1/ln dilution
+    "d_dedup_canonical",  # fuzzy clusters + quality-argmax keeper per cluster
+    "d_vocab_coverage",  # three TakeOrdered vocab heads, no global rank
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

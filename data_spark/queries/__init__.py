@@ -95,6 +95,11 @@ ORACLE = {
 _PRIORITY = [
     # --- created in r8 (never witnessed; displace the r4 tail) ---
     "v_pca_moments",
+    "e_sax_symbolize",
+    "a_cohens_kappa",
+    "g_adamic_adar",
+    "d_dedup_canonical",
+    "d_vocab_coverage",
     # --- never driver-witnessed (created mid/late r7) ---
     "a_spearman_rank",
     "dq_skew_profile",
@@ -142,14 +147,11 @@ _PRIORITY = [
     "a_weighted_median",
     "d_edit_distance_block",
     "d_minhash_band_pairs",
-    "d_minhash_sig",
-    "d_simhash_exact_pairs",
-    "e_anomaly_zscore",
-    "e_asof_latest_view",
-    "e_day_expand",
     # ---- window boundary (driver records the 50 above) ----
-    # displaced by r8 additions (next in line for r9): e_json_extract,
-    # then the remaining r4 block in ledger order.
+    # displaced by r8 additions (next in line for r9): d_minhash_sig,
+    # d_simhash_exact_pairs, e_anomaly_zscore, e_asof_latest_view,
+    # e_day_expand, e_json_extract, then the remaining r4 block in
+    # ledger order.
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -1,5 +1,6 @@
-"""Round-8 tier: moment-matrix verification, FDR control, symbolic
-series, agreement statistics, and link prediction.
+"""Round-8 tier: moment-matrix verification, symbolic series,
+agreement statistics, log-diluted link prediction, dedup
+canonicalization, and vocabulary coverage.
 
 - ``v_pca_moments``: the exact cross-engine gate for the PCA fit's
   distributed accumulation (VERDICT r7 #6). ``pca_fit``
@@ -11,18 +12,29 @@ series, agreement statistics, and link prediction.
   matrix (d·(d+1)/2 rows of BIGINT sums) and DuckDB reproduces it
   bit-for-bit. After this gate, the only unverified step of the PCA
   path is a d×d local eigensolve pinned by tests/test_decomposition.py.
+- ``e_sax_symbolize``: SAX symbolization of daily series (PAA +
+  quartile-breakpoint alphabet) — exact integer statistics, one
+  identical double expression tree per engine.
+- ``a_cohens_kappa``: chance-corrected agreement between two
+  deterministic raters — the LLM-judge/label-audit statistic.
+- ``g_adamic_adar``: 1/ln(deg) witness dilution next to
+  g_resource_alloc's 1/deg — integer contributions, no float sums.
+- ``d_dedup_canonical``: quality-argmax canonical selection per
+  near-dup cluster (what the rewrite step actually keeps).
+- ``d_vocab_coverage``: Zipf coverage of the top-k vocabulary —
+  tokenizer sizing evidence, TakeOrdered slices, no global rank.
 
-Scale posture: the pair expansion is a NARROW double-posexplode (each
-vector row expands to d·(d+1)/2 pair rows in place — no join, no
-shuffle until the final 2080-group aggregation, which map-side
-combines). At 100 TB the moment matrix is the textbook scale-out PCA
-decomposition: data-sized work stays distributed, the reduced state is
-d² numbers.
+Scale posture: v_pca_moments' pair expansion is a NARROW
+double-posexplode (each vector row expands to d·(d+1)/2 pair rows in
+place — no join, no shuffle until the final 2080-group aggregation,
+which map-side combines); the rest are counted aggregates, partitioned
+windows, witness-bounded self-joins, or TakeOrdered heads — per-query
+notes below.
 
-Reference parity: the reference has no decomposition tier (its
-analytics are pandas in driver memory); this gate exists so the
-engine's OWN mapInPandas moment path has an independently-verified
-twin.
+Reference parity: the reference has no decomposition/link-prediction
+tier (its analytics are pandas in driver memory); these re-express the
+same statistics as set-oriented plans with exact cross-engine
+contracts.
 """
 
 from __future__ import annotations
@@ -113,4 +125,440 @@ def v_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xi").alias("sum_i"),
         F.sum("xj").alias("sum_j"),
         F.sum(F.col("xi") * F.col("xj")).alias("sum_prod"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_sax_symbolize — SAX symbolic aggregate approximation of daily series
+# ---------------------------------------------------------------------------
+
+_SAX_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS dv
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, CAST(ts AS DATE)
+), idx AS (
+    SELECT event_type, day, dv,
+           date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS day_idx
+    FROM daily
+), stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS nd,
+           CAST(SUM(dv) AS BIGINT) AS s,
+           CAST(SUM(CAST(dv AS DECIMAL(38,0)) * CAST(dv AS DECIMAL(38,0))) AS DOUBLE) AS ss
+    FROM idx GROUP BY event_type
+), seg AS (
+    SELECT event_type, CAST(day_idx // 5 AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(dv) AS BIGINT) AS seg_sum
+    FROM idx GROUP BY event_type, day_idx // 5
+), z AS (
+    SELECT g.event_type, g.segment, g.n_days,
+           CAST(g.seg_sum AS DOUBLE) / CAST(g.n_days AS DOUBLE) AS paa,
+           (CAST(g.seg_sum AS DOUBLE) / CAST(g.n_days AS DOUBLE)
+            - CAST(t.s AS DOUBLE) / CAST(t.nd AS DOUBLE))
+           / SQRT(t.ss / CAST(t.nd AS DOUBLE)
+                  - (CAST(t.s AS DOUBLE) / CAST(t.nd AS DOUBLE))
+                    * (CAST(t.s AS DOUBLE) / CAST(t.nd AS DOUBLE))) AS zval
+    FROM seg g JOIN stats t USING (event_type)
+)
+SELECT event_type, segment, n_days,
+       ROUND(paa, 6) AS paa,
+       ROUND(zval, 6) AS z,
+       CASE WHEN zval < -0.6745 THEN 'a'
+            WHEN zval < 0.0 THEN 'b'
+            WHEN zval < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z
+"""
+
+
+@_q("e_sax_symbolize", _SAX_SQL)
+def e_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin/Keogh 2003) of each
+    event type's daily-total series: cent-snapped exact daily sums →
+    5-day PAA segment means → per-series z-normalization → alphabet-4
+    symbols at the standard normal quartile breakpoints (±0.6745, 0).
+    The symbolic form is what motif/novelty mining and index-ahead-of-
+    scan time-series stores run on — at 100 TB the symbols are the
+    index, the raw series stays in cold storage.
+
+    Exactness: every accumulated statistic is an exact integer
+    (cent-snapped sums, squares as DECIMAL(38,0)); μ, σ, PAA, and z are
+    single identical double expression trees over those integers in
+    both engines, and the breakpoint comparisons bin bit-identical
+    doubles — no cross-engine float accumulation anywhere. One narrow
+    shuffle to daily grain, windows partitioned by series."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("dv")
+    )
+    idx = daily.select(
+        "event_type",
+        "dv",
+        F.datediff(
+            F.col("day"), F.min("day").over(Window.partitionBy("event_type"))
+        ).alias("day_idx"),
+    )
+    stats = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("dv").cast("bigint").alias("s"),
+        F.sum(F.col("dv").cast("decimal(38,0)") * F.col("dv").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    seg = idx.groupBy(
+        "event_type", (F.col("day_idx") / 5).cast("bigint").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dv").cast("bigint").alias("seg_sum"),
+    )
+    paa = F.col("seg_sum").cast("double") / F.col("n_days").cast("double")
+    mu = F.col("s").cast("double") / F.col("nd").cast("double")
+    sigma = F.sqrt(F.col("ss") / F.col("nd").cast("double") - mu * mu)
+    zval = (paa - mu) / sigma
+    return seg.join(stats, "event_type").select(
+        "event_type",
+        "segment",
+        "n_days",
+        F.round(paa, 6).alias("paa"),
+        F.round(zval, 6).alias("z"),
+        F.when(zval < F.lit(-0.6745), F.lit("a"))
+        .when(zval < F.lit(0.0), F.lit("b"))
+        .when(zval < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("symbol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_cohens_kappa — inter-rater agreement from exact confusion counts
+# ---------------------------------------------------------------------------
+
+_KAPPA_SQL = """
+WITH rated AS (
+    SELECT CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END AS a,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS b
+    FROM orders
+), c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a * b) AS BIGINT) AS n11,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+           CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+    FROM rated
+)
+SELECT n, n11, n10, n01, n00,
+       ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       ROUND((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+              + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                 + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                       + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+FROM c
+"""
+
+
+@_q("a_cohens_kappa", _KAPPA_SQL)
+def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic binary raters of the
+    same orders — a price-threshold classifier and a priority-band
+    classifier. Kappa is THE agreement statistic for LLM-judge /
+    human-label audits (agreement corrected for chance); here the
+    raters are rule-based so the whole pipeline is reproducible.
+
+    The confusion matrix is four exact integer counts from one
+    map-side-combinable aggregate (no shuffle beyond a scalar agg);
+    po, pe, kappa are single identical double expression trees over
+    them in both engines, rounded 6 dp."""
+    o = t(spark, sf_dir, "orders")
+    a = F.when(F.col("o_totalprice") >= 150000.0, 1).otherwise(0)
+    b = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    c = o.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nd * nd)
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_adamic_adar — the ln-diluted link-prediction member next to RA
+# ---------------------------------------------------------------------------
+
+_AA_SCALE = 1_000_000_000_000
+_AA_MAX_DEG = 50
+
+
+_AA_SQL = f"""
+WITH e AS (
+    SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deg AS (
+    SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY c
+), ok AS (
+    SELECT c, d FROM deg WHERE d BETWEEN 2 AND {_AA_MAX_DEG}
+), scored AS (
+    SELECT a.s AS s1, b.s AS s2,
+           CAST(SUM(CAST(FLOOR(CAST({_AA_SCALE} AS DOUBLE) / ln(CAST(d AS DOUBLE))) AS BIGINT)) AS BIGINT) AS score
+    FROM e a JOIN ok USING (c) JOIN e b USING (c)
+    WHERE a.s < b.s
+    GROUP BY a.s, b.s
+)
+SELECT s1, s2, score FROM scored ORDER BY score DESC, s1, s2 LIMIT 100
+"""
+
+
+@_q("g_adamic_adar", _AA_SQL)
+def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted supplier links by Adamic-Adar index: for
+    supplier pairs sharing a customer, score = Σ_w 1/ln(deg(w)) — the
+    logarithmic-dilution sibling of g_resource_alloc (1/deg). Together
+    they span the two standard witness-dilution laws of link
+    prediction; AA weights mid-degree witnesses higher.
+
+    Cross-engine exactness: each witness contributes the INTEGER
+    FLOOR(1e12 / ln(deg)) — ln() runs over identical integer operands
+    in both engines (verified to agree for every deg in [2, 2000] on
+    this toolchain; the 6-dp-rounded KL oracle set the ln precedent),
+    and only integers are summed, so no float accumulation order can
+    drift. deg ∈ [2, {_AA_MAX_DEG}]: ln(1) = 0 would divide by zero
+    (a single-customer witness carries no dilution signal), and the
+    hub cutoff bounds pair fan-out at Σ deg² ≤ {_AA_MAX_DEG}·|E| —
+    never all-pairs. Top-100 is TakeOrderedAndProject."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = (
+        e.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= _AA_MAX_DEG))
+    )
+    a = e.select(F.col("c"), F.col("s").alias("s1"))
+    b = e.select(F.col("c"), F.col("s").alias("s2"))
+    contrib = F.floor(
+        F.lit(_AA_SCALE).cast("double") / F.log(F.col("d").cast("double"))
+    ).cast("bigint")
+    scored = (
+        a.join(deg, "c")
+        .join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(contrib).cast("bigint").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "s1", "s2").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# d_dedup_canonical — quality-driven canonical selection per dup cluster
+# ---------------------------------------------------------------------------
+
+_CANONICAL_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\s+') AS words
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+  FROM toks, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS r(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM shared p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), walk(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a
+), comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM walk GROUP BY a
+), ranked AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT r.doc_id, r.cluster_id,
+       k.doc_id AS canonical_id, k.n_chars AS canonical_chars,
+       CAST(r.cluster_size AS BIGINT) AS cluster_size,
+       CAST(r.doc_id = k.doc_id AS BIGINT) AS is_canonical
+FROM ranked r
+JOIN ranked k ON r.cluster_id = k.cluster_id AND k.rk = 1
+"""
+
+
+@_q("d_dedup_canonical", _CANONICAL_SQL)
+def d_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization step AFTER near-dup clustering: within each
+    fuzzy-dup cluster (n-gram Jaccard >= 0.5 pairs → connected
+    components, the d_fuzzy_dedup_resolve graph), keep the member with
+    the MOST content (max n_chars, doc_id tiebreak) instead of the
+    arbitrary min-id — what production dedup actually ships: the
+    longest/cleanest variant of a templated family survives, the rest
+    map to it. Emits every cluster member with its canonical doc and
+    an is_canonical flag so the rewrite is one semi-join downstream.
+
+    Exactness: the quality score is the INTEGER n_chars column, so the
+    argmax is pure integer ordering — no float. Scale posture: pair
+    generation is PPJoin-prefix-filtered (never n²), components are
+    the iterative min-label loop with truncated lineage, and the
+    canonical pick is one partitioned window over cluster members."""
+    from pyspark.sql.window import Window
+
+    from data_spark.graph.algorithms import connected_components
+    from data_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+    members = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = members.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+    canon = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_id"),
+        F.col("n_chars").alias("canonical_chars"),
+    )
+    return ranked.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        "canonical_chars",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("canonical_id")).cast("bigint").alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d_vocab_coverage — token coverage of the top-k vocabulary (Zipf curve)
+# ---------------------------------------------------------------------------
+
+_COVERAGE_SQL = r"""
+WITH words AS (
+  SELECT unnest(str_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\s+')) AS term
+  FROM documents
+), filtered AS (
+  SELECT term FROM words WHERE term <> ''
+), counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM filtered GROUP BY term
+), ranked AS (
+  SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk FROM counts
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM counts
+)
+SELECT k.k AS top_k,
+       CAST((SELECT SUM(n) FROM ranked WHERE rk <= k.k) AS BIGINT) AS covered_tokens,
+       t.total_tokens,
+       t.vocab_size,
+       ROUND(CAST((SELECT SUM(n) FROM ranked WHERE rk <= k.k) AS DOUBLE)
+             / CAST(t.total_tokens AS DOUBLE), 6) AS coverage
+FROM (VALUES (10), (100), (1000)) k(k), tot t
+"""
+
+
+@_q("d_vocab_coverage", _COVERAGE_SQL)
+def d_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve: what fraction of all corpus tokens the
+    top-10 / top-100 / top-1000 vocabulary terms cover — the statistic
+    that sizes tokenizer vocabularies and byte-fallback budgets (a
+    corpus whose top-1000 covers 95% tokenizes very differently from
+    one where it covers 60%).
+
+    Plan shape: term counts are one map-side-combinable groupBy; each
+    top-k slice is TakeOrderedAndProject over the counts frame (count
+    desc, lexical tiebreak — NO global window or rank over the full
+    vocabulary), reduced to a 1-row sum and joined to the scalar
+    totals. Everything is exact integers until the final division."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " ")),
+                r"\s+",
+            )
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    parts = []
+    for k in (10, 100, 1000):
+        topk = counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
+        parts.append(
+            topk.agg(F.sum("n").cast("bigint").alias("covered_tokens")).select(
+                F.lit(k).cast("int").alias("top_k"), "covered_tokens"
+            )
+        )
+    cov = parts[0]
+    for p in parts[1:]:
+        cov = cov.unionByName(p)
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "top_k",
+        "covered_tokens",
+        "total_tokens",
+        "vocab_size",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
     )
