@@ -211,6 +211,8 @@ HEADLINE = [
     "g_adamic_adar",  # witness-bounded self-join, integer 1/ln dilution
     "d_dedup_canonical",  # fuzzy clusters + quality-argmax keeper per cluster
     "d_vocab_coverage",  # three TakeOrdered vocab heads, no global rank
+    "g_katz_centrality",  # 3 exact attenuated-path join rounds (pagerank shape)
+    "e_decayed_engagement",  # power-of-two decay, exact BIGINT contributions
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

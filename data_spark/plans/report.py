@@ -171,6 +171,7 @@ NESTED_LOOP_ALLOWED = frozenset(
         "a_woe_iv",  # 1-row min/max range broadcast (a_histogram_fixed_bins shape)
         "a_two_proportion_z",  # |types|^2-row pair lattice over bounded event types
         "d_vocab_coverage",  # 1-row (total_tokens, vocab_size) stats broadcast
+        "e_decayed_engagement",  # 1-row max-day anchor broadcast
     }
 )
 

@@ -100,6 +100,8 @@ _PRIORITY = [
     "g_adamic_adar",
     "d_dedup_canonical",
     "d_vocab_coverage",
+    "g_katz_centrality",
+    "e_decayed_engagement",
     # --- never driver-witnessed (created mid/late r7) ---
     "a_spearman_rank",
     "dq_skew_profile",
@@ -145,10 +147,9 @@ _PRIORITY = [
     "a_mode_per_group",
     "a_percentiles",
     "a_weighted_median",
-    "d_edit_distance_block",
-    "d_minhash_band_pairs",
     # ---- window boundary (driver records the 50 above) ----
-    # displaced by r8 additions (next in line for r9): d_minhash_sig,
+    # displaced by r8 additions (next in line for r9):
+    # d_edit_distance_block, d_minhash_band_pairs, d_minhash_sig,
     # d_simhash_exact_pairs, e_anomaly_zscore, e_asof_latest_view,
     # e_day_expand, e_json_extract, then the remaining r4 block in
     # ledger order.

@@ -562,3 +562,158 @@ def d_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g_katz_centrality — attenuated path counting (exact binary-fraction α)
+# ---------------------------------------------------------------------------
+
+_KATZ_SQL = """
+WITH base AS (
+    SELECT DISTINCT 's' || l.l_suppkey AS s, 'c' || o.o_custkey AS c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+    SELECT s AS src, c AS dst FROM base
+    UNION ALL
+    SELECT c AS src, s AS dst FROM base
+), x1 AS (
+    SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS v FROM edges GROUP BY dst
+), x2 AS (
+    SELECT e.dst AS id, CAST(SUM(x.v) AS BIGINT) AS v
+    FROM edges e JOIN x1 x ON x.id = e.src GROUP BY e.dst
+), x3 AS (
+    SELECT e.dst AS id, CAST(SUM(x.v) AS BIGINT) AS v
+    FROM edges e JOIN x2 x ON x.id = e.src GROUP BY e.dst
+)
+SELECT x1.id, x1.v AS paths1, x2.v AS paths2, x3.v AS paths3,
+       CAST(64 * x1.v + 8 * x2.v + x3.v AS BIGINT) AS katz_num,
+       ROUND(CAST(64 * x1.v + 8 * x2.v + x3.v AS DOUBLE) / 512.0, 6) AS katz
+FROM x1 JOIN x2 ON x1.id = x2.id JOIN x3 ON x1.id = x3.id
+ORDER BY katz_num DESC, x1.id LIMIT 100
+"""
+
+
+@_q("g_katz_centrality", _KATZ_SQL)
+def g_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 3 attenuation steps at α = 1/8, on the
+    symmetrized supplier↔customer graph (the same edge base as
+    g_pagerank, made bidirectional so multi-step walks exist): score =
+    Σ_t α^t · |walks of length t ending at v|. Next to PageRank's
+    degree-normalized diffusion this is RAW attenuated path counting —
+    the other classic spectral-ish centrality.
+
+    Exactness: walk counts are exact BIGINTs (x_{t+1} = Aᵀ x_t is a
+    join + integer SUM), and α = 1/8 is a binary fraction, so the
+    combined score is the exact integer 64·x1 + 8·x2 + x3 at scale 8³
+    — no float anywhere until the final display division. Scale
+    posture: each step is one equi-join against the edge frame +
+    map-side-combinable SUM (the pagerank iteration shape, fixed 3
+    rounds); top-100 is TakeOrderedAndProject."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    x = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    levels = [x]
+    for _ in range(2):
+        prev = levels[-1]
+        nxt = (
+            edges.join(prev, edges.src == prev.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("v").cast("bigint").alias("v"))
+        )
+        levels.append(nxt)
+    x1, x2, x3 = (
+        lv.withColumnRenamed("v", f"paths{i}") for i, lv in enumerate(levels, 1)
+    )
+    num = (
+        F.lit(64) * F.col("paths1") + F.lit(8) * F.col("paths2") + F.col("paths3")
+    ).cast("bigint")
+    return (
+        x1.join(x2, "id")
+        .join(x3, "id")
+        .select(
+            "id",
+            "paths1",
+            "paths2",
+            "paths3",
+            num.alias("katz_num"),
+            F.round(num.cast("double") / F.lit(512.0), 6).alias("katz"),
+        )
+        .orderBy(F.desc("katz_num"), F.asc("id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# e_decayed_engagement — exponentially time-decayed sums (binary half-life)
+# ---------------------------------------------------------------------------
+
+_DECAY_SQL = """
+WITH anchor AS (
+    SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+), scored AS (
+    SELECT e.event_type, CAST(e.user_id % 100 AS BIGINT) AS user_bucket,
+           CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT) AS cents,
+           date_diff('day', CAST(e.ts AS DATE), a.max_day) AS days_ago
+    FROM events e, anchor a
+    WHERE e.value IS NOT NULL
+)
+SELECT event_type, user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << (30 - CAST(days_ago AS INTEGER)))) AS BIGINT) AS decayed_num,
+       ROUND(CAST(SUM(cents * (CAST(1 AS BIGINT) << (30 - CAST(days_ago AS INTEGER)))) AS DOUBLE)
+             / 1073741824.0, 6) AS decayed
+FROM scored
+WHERE days_ago BETWEEN 0 AND 30
+GROUP BY event_type, user_bucket
+"""
+
+
+@_q("e_decayed_engagement", _DECAY_SQL)
+def e_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement per (event_type, user cohort): each
+    event contributes value · 2^(−days_ago) with a one-day half-life
+    and a 30-day horizon — the standard feature-store recency feature
+    (and the batch twin of a decayed streaming counter).
+
+    Exactness: the half-life is a POWER OF TWO, so every contribution
+    is the exact integer cents · 2^(30−days_ago) and the aggregate is
+    one BIGINT sum — no float decay chain whose accumulation order
+    could drift cross-engine. The anchor day is a 1-row broadcast
+    (allowlisted); one map-side-combinable groupBy."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    scored = e.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        (F.col("user_id") % 100).cast("bigint").alias("user_bucket"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.datediff(F.col("max_day"), F.col("ts").cast("date")).alias("days_ago"),
+    )
+    # shiftleft() via expr: the python F.shiftleft wrapper only accepts
+    # an int-literal shift amount (same note as io.py's bloom words)
+    contrib = F.col("cents") * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(30 - days_ago AS INT))"
+    )
+    return (
+        scored.filter((F.col("days_ago") >= 0) & (F.col("days_ago") <= 30))
+        .groupBy("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(contrib).cast("bigint").alias("decayed_num"),
+            F.round(
+                F.sum(contrib).cast("double") / F.lit(1073741824.0), 6
+            ).alias("decayed"),
+        )
+    )
