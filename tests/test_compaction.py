@@ -934,3 +934,63 @@ def test_bloom_meta_forces_rebuild_on_convention_change(spark, tmp_path):
     # degenerate sizing is rejected outright
     with pytest.raises(ValueError, match="bits"):
         _bloom_positions(F.lit(1), bits=1, k=3)
+
+
+def test_append_retry_keeps_stats_on_renamed_commit_dir(spark, tmp_path):
+    """An append that loses the commit race renames its (exclusively
+    owned) data dir to the next version number — the manifest's stats
+    entry must follow the RENAMED name, or pruned reads would treat the
+    new commit as stats-less (no skipping) or, worse, key stats to a
+    directory that no longer exists."""
+    import json
+
+    from data_spark import io as dio
+
+    table = str(tmp_path / "t")
+    dio.write_versioned(
+        spark.range(0, 100).select(F.col("id").alias("k")),
+        table,
+        "overwrite",
+        stats_cols=["k"],
+    )
+
+    real_publish = dio._publish_manifest
+    state = {"raced": False}
+
+    def racing_publish(table_path, new_v, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            dio.write_versioned(
+                spark.range(1000, 1100).select(F.col("id").alias("k")),
+                table_path,
+                "append",
+            )
+        return real_publish(table_path, new_v, manifest)
+
+    dio._publish_manifest = racing_publish
+    try:
+        v = dio.write_versioned(
+            spark.range(500, 600).select(F.col("id").alias("k")),
+            table,
+            "append",
+            stats_cols=["k"],
+        )
+    finally:
+        dio._publish_manifest = real_publish
+
+    assert v == 2  # lost one race, committed at the next number
+    with open(os.path.join(table, "_manifests", "v2.json")) as f:
+        m = json.load(f)
+    own_dir = m["commits"][-1]
+    assert own_dir.startswith("commit-2-")
+    assert own_dir in m.get("stats", {}), "stats key did not follow the rename"
+    assert os.path.isdir(os.path.join(table, "data", own_dir))
+
+    # the recorded bounds actually skip: commit-0's stats ([0,99]) prune
+    # it away entirely; the racing append committed WITHOUT stats so it
+    # reads fully (conservative); the retried commit's files survive
+    pruned = dio.read_versioned(spark, table, prune=("k", 500, 599))
+    assert sorted(r.k for r in pruned.collect()) == list(range(500, 600))
+    files = pruned.inputFiles()
+    assert any(own_dir in f for f in files)
+    assert not any("commit-0-" in f for f in files)
