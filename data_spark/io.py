@@ -1491,6 +1491,13 @@ def vacuum_versions(
     for v in versions:
         if v < keep_from:
             os.remove(os.path.join(_versions_dir(table_path), f"v{v}.json"))
+    # sweep staged-manifest debris from crashed publishes (the commit
+    # itself is the os.link, so a leftover .tmp is never a version)
+    vdir = _versions_dir(table_path)
+    for n in os.listdir(vdir):
+        p = os.path.join(vdir, n)
+        if n.endswith(".json.tmp") and _old_enough(p):
+            os.remove(p)
     return removed
 
 
