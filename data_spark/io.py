@@ -1253,6 +1253,69 @@ def compact_versioned(
     )
 
 
+def optimize_versioned(
+    spark: SparkSession,
+    table_path: str,
+    zorder_cols: list[str],
+    stats_cols: list[str] | None = None,
+    target_file_bytes: int = 128 << 20,
+    zorder_scaling: str = "minmax",
+) -> int:
+    """OPTIMIZE ZORDER for the versioned store (the Delta
+    ``OPTIMIZE ... ZORDER BY`` maintenance op): rewrite the CURRENT
+    visible rows z-order-clustered as one fresh commit and publish it
+    as a new version, recording per-file stats for ``stats_cols``
+    (default: the z-order columns) so ``read_versioned(prune=...)``
+    skips on TIGHT multi-column bounds afterwards. History, time
+    travel, and the streaming replay guard are untouched (same
+    contract as :func:`compact_versioned`); old commits stay readable
+    until ``vacuum_versions``.
+
+    Concurrency: like compaction, the rewrite snapshots the version it
+    READ and must commit at exactly ``read_version + 1`` — on a
+    collision the whole rewrite redoes against the new head, so a
+    concurrent append is never dropped. Abandoned rewrite dirs are
+    unreferenced and reclaimed by vacuum. Cost: O(live rows) with one
+    range shuffle — schedule like any maintenance rewrite."""
+    stats_cols = stats_cols if stats_cols is not None else list(zorder_cols)
+    for _attempt in range(5):
+        versions = table_versions(table_path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {table_path}")
+        read_v = versions[-1]
+        new_v = read_v + 1
+        token = uuid.uuid4().hex[:8]
+        commit_dir = f"commit-{new_v}z-{token}"
+        commit_path = os.path.join(table_path, "data", commit_dir)
+        current = read_versioned(spark, table_path, version=read_v)
+        # size the output from the snapshot's on-disk bytes (driver-side
+        # listing of the manifest's commit dirs — metadata, not rows)
+        manifest_read = _load_manifest(table_path, read_v)
+        est_bytes = 0
+        for c in manifest_read["commits"]:
+            d = os.path.join(table_path, "data", c)
+            for dp, _dirs, fs in os.walk(d):
+                est_bytes += sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+        n_files = max(1, -(-est_bytes // target_file_bytes))
+        write_zordered(
+            current, commit_path, zorder_cols, num_files=n_files, scaling=zorder_scaling
+        )
+        manifest = {"version": new_v, "mode": "optimize", "commits": [commit_dir]}
+        if stats_cols:
+            manifest["stats"] = {
+                commit_dir: _collect_commit_stats(spark, commit_path, stats_cols)
+            }
+        if _publish_manifest(table_path, new_v, manifest):
+            return new_v
+    raise RuntimeError(
+        f"optimize_versioned: lost the commit race 5 times under {table_path}"
+    )
+
+
 def last_committed_batch_id(table_path: str) -> int | None:
     """Max ``meta["batch_id"]`` across ALL version manifests — the
     streaming replay guard. Reading only the LATEST version's meta is

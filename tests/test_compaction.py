@@ -994,3 +994,76 @@ def test_append_retry_keeps_stats_on_renamed_commit_dir(spark, tmp_path):
     files = pruned.inputFiles()
     assert any(own_dir in f for f in files)
     assert not any("commit-0-" in f for f in files)
+
+
+def test_optimize_versioned_zorders_snapshot_and_prunes(spark, tmp_path):
+    """OPTIMIZE ZORDER on the versioned store: rows preserved exactly
+    (tombstones applied), the new head is one z-ordered commit whose
+    manifest stats prune multi-column range probes, history stays
+    readable, and a concurrent append during the rewrite is never
+    dropped (commit lands at read-version + 1 or redoes)."""
+    from data_spark import io as dio
+
+    table = str(tmp_path / "t")
+    # fragmented history: 4 appends + a delete
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(4000))).alias("u"),
+    )
+    for i in range(4):
+        dio.write_versioned(
+            df.filter((F.col("k") >= i * 1000) & (F.col("k") < (i + 1) * 1000)),
+            table,
+            "overwrite" if i == 0 else "append",
+        )
+    dio.delete_versioned(spark.range(0, 100).select(F.col("id").alias("k")), table)
+    before = sorted(tuple(r) for r in dio.read_versioned(spark, table).collect())
+
+    v = dio.optimize_versioned(
+        spark, table, zorder_cols=["k", "u"], target_file_bytes=8 << 10
+    )
+    after = dio.read_versioned(spark, table, v)
+    assert sorted(tuple(r) for r in after.collect()) == before
+    dirs = {f.rsplit("/", 2)[-2] for f in after.inputFiles() if "/data/" in f}
+    assert len(dirs) == 1 and dirs.pop().startswith(f"commit-{v}z-")
+
+    # multi-column stats prune: range probes on EITHER z-order column
+    # open a strict subset of the files (the point of z-order vs a
+    # single-column sort, where the second column never prunes),
+    # answers unchanged
+    all_files = set(after.inputFiles())
+    assert len(all_files) > 2  # the tiny target forced several files
+    for col in ("k", "u"):
+        pruned = dio.read_versioned(spark, table, prune=(col, 0, 399))
+        assert set(pruned.inputFiles()) < all_files, f"no pruning on {col}"
+        expect = sorted(
+            tuple(r) for r in after.filter(F.col(col).between(0, 399)).collect()
+        )
+        assert sorted(tuple(r) for r in pruned.collect()) == expect
+
+    # history intact
+    assert len(dio.read_versioned(spark, table, 0).collect()) == 1000
+
+    # concurrent append during the rewrite: redo, nothing dropped
+    real_publish = dio._publish_manifest
+    state = {"raced": False}
+
+    def racing_publish(table_path, new_v, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            dio.write_versioned(
+                spark.range(9000, 9010).select(
+                    F.col("id").alias("k"), F.col("id").alias("u")
+                ),
+                table_path,
+                "append",
+            )
+        return real_publish(table_path, new_v, manifest)
+
+    dio._publish_manifest = racing_publish
+    try:
+        v2 = dio.optimize_versioned(spark, table, zorder_cols=["k", "u"])
+    finally:
+        dio._publish_manifest = real_publish
+    got = sorted(r.k for r in dio.read_versioned(spark, table, v2).collect())
+    assert got == [r[0] for r in before] + list(range(9000, 9010))
