@@ -102,6 +102,7 @@ _PRIORITY = [
     "d_vocab_coverage",
     "g_katz_centrality",
     "e_decayed_engagement",
+    "m_versioned_optimize_scan",
     # --- never driver-witnessed (created mid/late r7) ---
     "a_spearman_rank",
     "dq_skew_profile",
@@ -146,13 +147,12 @@ _PRIORITY = [
     "a_corr_pearson",
     "a_mode_per_group",
     "a_percentiles",
-    "a_weighted_median",
     # ---- window boundary (driver records the 50 above) ----
     # displaced by r8 additions (next in line for r9):
-    # d_edit_distance_block, d_minhash_band_pairs, d_minhash_sig,
-    # d_simhash_exact_pairs, e_anomaly_zscore, e_asof_latest_view,
-    # e_day_expand, e_json_extract, then the remaining r4 block in
-    # ledger order.
+    # a_weighted_median, d_edit_distance_block, d_minhash_band_pairs,
+    # d_minhash_sig, d_simhash_exact_pairs, e_anomaly_zscore,
+    # e_asof_latest_view, e_day_expand, e_json_extract, then the
+    # remaining r4 block in ledger order.
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -717,3 +717,72 @@ def e_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m_versioned_optimize_scan — OPTIMIZE ZORDER correctness gate
+# ---------------------------------------------------------------------------
+
+_VO_SQL = """
+WITH live AS (
+    SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT 'o_orderkey' AS probe, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM live WHERE o_orderkey BETWEEN 100 AND 2000
+UNION ALL
+SELECT 'o_custkey' AS probe, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM live WHERE o_custkey BETWEEN 10 AND 200
+"""
+
+
+@_q("m_versioned_optimize_scan", _VO_SQL)
+def m_versioned_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the versioned store, gate-verified for
+    correctness: orders land in two UNCLUSTERED commits, a key
+    tombstone deletes every 97th order, then ``optimize_versioned``
+    rewrites the live snapshot z-order-clustered on
+    (o_orderkey, o_custkey) with per-file manifest stats. Range probes
+    on EACH cluster column read through the stats-pruned path and must
+    hash-equal the oracle's plain filters over the same live rows —
+    layout optimization (including the tombstone purge it implies) can
+    change which files open, never an answer. The strict
+    pruning-subset property is pinned in test_compaction; this gate
+    pins answer invariance where the driver can see it."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_spark.io import (  # noqa: PLC0415
+        delete_versioned,
+        optimize_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"data_spark_voptimize_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    write_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base, "overwrite")
+    write_versioned(o.filter(F.col("o_orderkey") % 2 == 1), base, "append")
+    delete_versioned(
+        o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"), base
+    )
+    optimize_versioned(spark, base, zorder_cols=["o_orderkey", "o_custkey"])
+
+    def census(probe: str, lo: int, hi: int) -> DataFrame:
+        pruned = read_versioned(spark, base, prune=(probe, lo, hi))
+        return pruned.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+        ).select(F.lit(probe).alias("probe"), "n", "total")
+
+    return census("o_orderkey", 100, 2000).unionByName(
+        census("o_custkey", 10, 200)
+    )
