@@ -214,6 +214,7 @@ HEADLINE = [
     "g_katz_centrality",  # 3 exact attenuated-path join rounds (pagerank shape)
     "e_decayed_engagement",  # power-of-two decay, exact BIGINT contributions
     "m_versioned_optimize_scan",  # OPTIMIZE ZORDER + stats-pruned census
+    "a_benjamini_hochberg",  # FDR step-up on the 21-row hypothesis lattice
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

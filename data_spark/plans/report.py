@@ -172,6 +172,7 @@ NESTED_LOOP_ALLOWED = frozenset(
         "a_two_proportion_z",  # |types|^2-row pair lattice over bounded event types
         "d_vocab_coverage",  # 1-row (total_tokens, vocab_size) stats broadcast
         "e_decayed_engagement",  # 1-row max-day anchor broadcast
+        "a_benjamini_hochberg",  # 1-row corpus language-marginals broadcast
     }
 )
 
@@ -203,4 +204,5 @@ UNPARTITIONED_WINDOW_ALLOWED: dict[str, str] = {
     "s_skyline_2d": "part-grain single sorted pass, documented frontier member (dimension table)",
     "v_rrf_hybrid": "both arms TakeOrdered to top-100 before the fusion windows",
     "w_ntile_decile": "exact-semantics member; a_percentiles cut-points are the scale path (docstring)",
+    "a_benjamini_hochberg": "hypothesis-bounded: rank + step-up max over the 21-row test lattice",
 }

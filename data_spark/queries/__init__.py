@@ -103,6 +103,7 @@ _PRIORITY = [
     "g_katz_centrality",
     "e_decayed_engagement",
     "m_versioned_optimize_scan",
+    "a_benjamini_hochberg",
     # --- never driver-witnessed (created mid/late r7) ---
     "a_spearman_rank",
     "dq_skew_profile",
@@ -146,9 +147,9 @@ _PRIORITY = [
     "a_collect_group_array",
     "a_corr_pearson",
     "a_mode_per_group",
-    "a_percentiles",
     # ---- window boundary (driver records the 50 above) ----
     # displaced by r8 additions (next in line for r9):
+    # a_percentiles,
     # a_weighted_median, d_edit_distance_block, d_minhash_band_pairs,
     # d_minhash_sig, d_simhash_exact_pairs, e_anomaly_zscore,
     # e_asof_latest_view, e_day_expand, e_json_extract, then the

@@ -786,3 +786,153 @@ def m_versioned_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census("o_orderkey", 100, 2000).unionByName(
         census("o_custkey", 10, 200)
     )
+
+
+# ---------------------------------------------------------------------------
+# a_benjamini_hochberg — FDR-controlled multiple testing (step-up on chi2)
+# ---------------------------------------------------------------------------
+
+# BH at q=0.05 over m=21 hypotheses, df=4: the step-up decision
+# p_(i) <= i*q/m is applied on the chi2 STATISTIC via the monotone
+# transform x_(i) >= SF^-1(i*q/m) — the 21 thresholds are solved
+# OFFLINE (bisection on exp(-x/2)*(1+x/2), the exact chi2_4 survival
+# function) and inlined as IDENTICAL literals in both engines, so no
+# transcendental ever executes in-engine (exp() disagrees at 1 ulp
+# between Spark and DuckDB on this toolchain; ln() agrees but literals
+# need neither).
+_BH_THRESHOLDS = [
+    16.533359735796, 14.970923721021, 14.048181575455, 13.388922159789,
+    12.874657024553, 12.452419851614, 12.093875437027, 11.782068739123,
+    11.506039873641, 11.258291071398, 11.033465090941, 10.827599953759,
+    10.637682377981, 10.461366808266, 10.296791390863, 10.142453318467,
+    9.99712193844, 9.859776671662, 9.72956169467, 9.60575222822,
+    9.487729036781,
+]
+_BH_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _bh_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {t!r}" for i, t in enumerate(_BH_THRESHOLDS)
+    )
+    return f"CASE rk {whens} END"
+
+
+_BH_SQL = f"""
+WITH groups AS (
+    SELECT source AS grp, lang FROM documents
+    UNION ALL
+    SELECT 'ctl_zh' AS grp, lang FROM documents WHERE lang = 'zh'
+), cells AS (
+    SELECT grp,
+           {", ".join(f"CAST(SUM(CASE WHEN lang = '{la}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{la}" for la in _BH_LANGS)}
+    FROM groups GROUP BY grp
+), gtot AS (
+    SELECT {", ".join(f"CAST(SUM(CASE WHEN lang = '{la}' THEN 1 ELSE 0 END) AS BIGINT) AS g_{la}" for la in _BH_LANGS)},
+           CAST(COUNT(*) AS BIGINT) AS g_all
+    FROM documents
+), scored AS (
+    SELECT c.grp,
+           {" + ".join(f"CAST(c.n_{la} AS BIGINT)" for la in _BH_LANGS)} AS n,
+           ({" + ".join(
+               f"(CAST(c.n_{la} AS DOUBLE) - (CAST({' + '.join(f'c.n_{x}' for x in _BH_LANGS)} AS DOUBLE)) * CAST(g.g_{la} AS DOUBLE) / CAST(g.g_all AS DOUBLE)) "
+               f"* (CAST(c.n_{la} AS DOUBLE) - (CAST({' + '.join(f'c.n_{x}' for x in _BH_LANGS)} AS DOUBLE)) * CAST(g.g_{la} AS DOUBLE) / CAST(g.g_all AS DOUBLE)) "
+               f"/ ((CAST({' + '.join(f'c.n_{x}' for x in _BH_LANGS)} AS DOUBLE)) * CAST(g.g_{la} AS DOUBLE) / CAST(g.g_all AS DOUBLE))"
+               for la in _BH_LANGS
+           )}) AS chi2
+    FROM cells c, gtot g
+), ranked AS (
+    SELECT grp, n, chi2,
+           CAST(ROW_NUMBER() OVER (ORDER BY chi2 DESC, grp) AS BIGINT) AS rk
+    FROM scored
+), thresholded AS (
+    SELECT grp, n, chi2, rk, {_bh_case_sql()} AS thr FROM ranked
+), cut AS (
+    SELECT MAX(CASE WHEN chi2 >= thr THEN rk ELSE 0 END) OVER () AS i_star, *
+    FROM thresholded
+)
+SELECT grp, n, ROUND(chi2, 6) AS chi2, rk,
+       CAST(ROUND(thr, 6) AS DOUBLE) AS thr,
+       CAST(rk <= i_star AS BIGINT) AS rejected
+FROM cut
+"""
+
+
+@_q("a_benjamini_hochberg", _BH_SQL)
+def a_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (step-up, q=0.05) over 21
+    simultaneous goodness-of-fit hypotheses: each source's language
+    mix vs the corpus mix (df=4 chi2), plus a deliberately degenerate
+    control group (all-zh docs) so the rejection branch executes at
+    every SF — the multiple-testing discipline a drift-monitoring
+    pipeline needs when it runs one test PER SHARD (at 1,000 shards,
+    q=0.05 per-test fires ~50 false alarms a day; BH bounds the false
+    DISCOVERY rate instead).
+
+    Exactness: cell counts are exact integers; chi2 is one identical
+    double expression tree (fixed language order); the step-up
+    decision compares chi2 against OFFLINE-solved literal thresholds
+    (the chi2_4 survival inverse at i·q/m), so neither engine executes
+    a transcendental; ranks and the step-up max are over the bounded
+    21-row hypothesis lattice (allowlisted window)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    groups = d.select(F.col("source").alias("grp"), "lang").unionByName(
+        d.filter(F.col("lang") == "zh").select(
+            F.lit("ctl_zh").alias("grp"), "lang"
+        )
+    )
+    cells = groups.groupBy("grp").agg(
+        *[
+            F.sum(F.when(F.col("lang") == la, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{la}")
+            for la in _BH_LANGS
+        ]
+    )
+    glob = d.agg(
+        *[
+            F.sum(F.when(F.col("lang") == la, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"g_{la}")
+            for la in _BH_LANGS
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("g_all"),
+    )
+    joined = cells.crossJoin(F.broadcast(glob))
+    n_expr = None
+    for la in _BH_LANGS:
+        n_expr = F.col(f"n_{la}") if n_expr is None else n_expr + F.col(f"n_{la}")
+    chi2 = None
+    for la in _BH_LANGS:
+        exp_ = (
+            n_expr.cast("double")
+            * F.col(f"g_{la}").cast("double")
+            / F.col("g_all").cast("double")
+        )
+        dev = F.col(f"n_{la}").cast("double") - exp_
+        term = dev * dev / exp_
+        chi2 = term if chi2 is None else chi2 + term
+    scored = joined.select(
+        "grp", n_expr.cast("bigint").alias("n"), chi2.alias("chi2")
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("chi2"), F.asc("grp")))
+    thr = F.lit(None).cast("double")
+    expr = None
+    for i, v in enumerate(_BH_THRESHOLDS, 1):
+        cond = F.when(F.col("rk") == i, F.lit(v))
+        expr = cond if expr is None else expr.when(F.col("rk") == i, F.lit(v))
+    ranked = scored.select("grp", "n", "chi2", rk.cast("bigint").alias("rk"))
+    thresholded = ranked.select("grp", "n", "chi2", "rk", expr.alias("thr"))
+    i_star = F.max(
+        F.when(F.col("chi2") >= F.col("thr"), F.col("rk")).otherwise(0)
+    ).over(Window.partitionBy())
+    return thresholded.select(
+        "grp",
+        "n",
+        F.round("chi2", 6).alias("chi2"),
+        "rk",
+        F.round("thr", 6).alias("thr"),
+        (F.col("rk") <= i_star).cast("bigint").alias("rejected"),
+    )
