@@ -252,6 +252,28 @@ EXCHANGE_BUDGET = {
     "d_quantile_normalize": 3,
     # LEAD window and groupBy share the (type, day) shuffle + final sort
     "e_time_weighted_avg": 3,
+    # --- r8 tier ---
+    # narrow double-posexplode, one 2080-group aggregation
+    "v_pca_moments": 1,
+    # daily groupBy + per-series min-day window + segment/stats aggs
+    "e_sax_symbolize": 5,
+    # one scalar confusion aggregate
+    "a_cohens_kappa": 1,
+    # edge distinct + degree agg + witness self-join + pair agg + top-k
+    "g_adamic_adar": 10,
+    # pair shuffle + component loop (truncated lineage hides rounds) +
+    # cluster windows/joins
+    "d_dedup_canonical": 4,
+    # term counts + three TakeOrdered heads + scalar totals
+    "d_vocab_coverage": 6,
+    # symmetric edge frame + 3 attenuation join+agg rounds + top-k
+    "g_katz_centrality": 33,
+    # anchor broadcast + one cohort groupBy
+    "e_decayed_engagement": 3,
+    # the optimized read resolves explicit file paths; two censuses
+    "m_versioned_optimize_scan": 2,
+    # group cells + corpus marginals + 21-row lattice windows
+    "a_benjamini_hochberg": 4,
 }
 
 
