@@ -165,7 +165,18 @@ def decode_rgb(data: bytes) -> tuple[int, int, bytes]:
     (width, height, interleaved RGB).
 
     Raises ``NotImplementedError`` for arithmetic/12-bit/hierarchical/
-    CMYK streams and ``ValueError`` for corrupt ones."""
+    CMYK streams and ``ValueError`` for corrupt ones.  Truncated or
+    internally inconsistent streams (entropy data running off the end,
+    scans referencing undeclared Huffman/quant tables) surface as
+    ``ValueError`` — never as bare ``IndexError``/``KeyError`` — so the
+    quality-filter pipeline can treat every corrupt input uniformly."""
+    try:
+        return _decode_rgb(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt JPEG stream: {exc!r}") from exc
+
+
+def _decode_rgb(data: bytes) -> tuple[int, int, bytes]:
     if not is_jpeg(data):
         raise ValueError("not a JPEG stream (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -175,6 +186,7 @@ def decode_rgb(data: bytes) -> tuple[int, int, bytes]:
     frame = None  # (W, H, comps) with comps = [(cid, h, v, tq)]
     progressive = False
     coef: dict[int, np.ndarray] | None = None  # progressive accumulators
+    scans_seen = 0  # SOS segments actually decoded (coef alone is not proof)
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -252,6 +264,7 @@ def decode_rgb(data: bytes) -> tuple[int, int, bytes]:
                     huff_ac,
                     restart_interval,
                 )
+            scans_seen += 1
             pos = _decode_progressive_scan(
                 data,
                 pos + 2 + seg_len,
@@ -267,7 +280,9 @@ def decode_rgb(data: bytes) -> tuple[int, int, bytes]:
             continue
         pos += 2 + seg_len
     if progressive:
-        if coef is None:
+        if coef is None or scans_seen == 0:
+            # A SOF2 with zero SOS segments would otherwise render the
+            # all-zero accumulators into a fabricated solid-gray image.
             raise ValueError("no SOS segment found")
         return _render_progressive(frame, coef, qt)
     raise ValueError("no SOS segment found")

@@ -175,3 +175,53 @@ def test_strict_multimodal_dispatch_takes_jpeg(spark):
     # features = first FEATURE_DIM REAL decoded RGB bytes / 255
     want = [b / 255.0 for b in expected.tobytes()[:FEATURE_DIM]]
     assert row["features"] == pytest.approx(want)
+
+
+def test_progressive_zero_sos_raises_not_gray():
+    """A SOF2 stream whose SOS segments were stripped must raise, not
+    render the all-zero accumulators into a fabricated solid-gray
+    image (the quality-filter contract is 'never a wrong image')."""
+    from tests.jpeg_ref import encode_jpeg_progressive
+
+    img = test_image(16, 16)
+    data, _ = encode_jpeg_progressive(img)
+    sos = data.find(b"\xff\xda")
+    eoi = data.rfind(b"\xff\xd9")
+    assert 0 < sos < eoi
+    stripped = data[:sos] + data[eoi:]
+    with pytest.raises(ValueError, match="no SOS segment"):
+        decode_rgb(stripped)
+
+
+def test_truncated_progressive_raises_valueerror():
+    """Progressive entropy data cut mid-scan surfaces as ValueError
+    (decode_rgb's documented contract), never a bare IndexError."""
+    from tests.jpeg_ref import encode_jpeg_progressive
+
+    img = test_image(32, 32)
+    data, _ = encode_jpeg_progressive(img)
+    sos = data.find(b"\xff\xda")
+    for cut in (sos + 20, len(data) // 2, len(data) - 8):
+        truncated = data[:cut]
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_rgb(truncated)
+
+
+def test_missing_huffman_table_raises_valueerror():
+    """A scan referencing an undeclared Huffman table id must raise
+    ValueError (corrupt stream), not KeyError."""
+    img = test_image(16, 16)
+    data, _ = encode_jpeg(img)
+    # DHT marker is 0xFFC4; drop every DHT segment so the SOS scan
+    # references tables that were never declared.
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos] == 0xFF and pos + 1 < len(data) and data[pos + 1] == 0xC4:
+            seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            pos += 2 + seg_len
+            continue
+        out.append(data[pos])
+        pos += 1
+    with pytest.raises(ValueError):
+        decode_rgb(bytes(out))
