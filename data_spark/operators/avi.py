@@ -15,9 +15,17 @@ the same pixel layout png.decode_rgb emits. Encoding writes the same
 subset deterministically. Everything here follows the public
 RIFF/AVI/BITMAPINFOHEADER specifications — no third-party code.
 
-This is NOT an ffmpeg replacement: compressed codecs (MJPEG, H.264,
-…), audio streams, index-required files, and palettized DIBs are out
-of scope and raise ValueError — the honest production hook point,
+Round 9 adds the second rung: MJPEG ('MJPG' biCompression) streams,
+where every '00dc' chunk is an independent baseline or progressive
+JPEG picture, are decoded by routing each frame through
+operators/jpeg.decode_rgb (bit-exact against the test encoder's
+reconstruction). MJPEG is the most common legacy intra-frame video
+coding, so the frame-sampling tier now covers both raw-capture and
+compressed-capture AVIs.
+
+This is NOT an ffmpeg replacement: inter-frame codecs (H.264, …),
+audio streams, index-required files, and palettized DIBs are out of
+scope and raise ValueError — the honest production hook point,
 exactly like png.py's non-truecolor branches. The multimodal
 operators fall back to the deterministic stub for non-AVI payloads in
 'fake' mode and raise in 'strict' mode.
@@ -34,6 +42,9 @@ import struct
 
 AVI_MAGIC_RIFF = b"RIFF"
 AVI_MAGIC_TYPE = b"AVI "
+
+# biCompression fourcc for motion-JPEG streams ('MJPG' as LE uint32).
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
 
 def is_avi(data: bytes) -> bool:
@@ -140,10 +151,28 @@ def decode_frames(data: bytes) -> tuple[int, int, float, list[tuple[int, int, by
     if hdr is None:
         raise ValueError("AVI: missing hdrl list")
     width, height, dur_ms, bit_count, compression = hdr
-    if compression not in (0, None):
-        raise ValueError(f"AVI: unsupported biCompression {compression} (BI_RGB only)")
-    if bit_count not in (24, None):
+    mjpeg = compression == MJPG_FOURCC
+    if compression not in (0, None) and not mjpeg:
+        raise ValueError(
+            f"AVI: unsupported biCompression {compression} (BI_RGB and MJPG only)"
+        )
+    if not mjpeg and bit_count not in (24, None):
         raise ValueError(f"AVI: unsupported biBitCount {bit_count} (24-bit only)")
+
+    def _frame_rgb(body: bytes) -> bytes:
+        if not mjpeg:
+            return _dib_to_rgb(body, width, height)
+        # MJPEG: every frame chunk is a standalone JPEG picture; the
+        # JPEG decoder owns corruption handling (ValueError) and emits
+        # top-down packed RGB already, so no row flip is needed.
+        from data_spark.operators.jpeg import decode_rgb
+
+        fw, fh, rgb = decode_rgb(body)
+        if (fw, fh) != (width, height):
+            raise ValueError(
+                f"AVI: MJPEG frame {fw}x{fh} does not match stream header {width}x{height}"
+            )
+        return rgb
 
     def walk_movi(start: int, stop: int):
         for fcc, f0, flen, lt in _iter_chunks(data, start, stop):
@@ -152,7 +181,7 @@ def decode_frames(data: bytes) -> tuple[int, int, float, list[tuple[int, int, by
             elif fcc[2:4] in (b"db", b"dc"):
                 idx = len(frames)
                 frames.append(
-                    (idx, int(idx * dur_ms), _dib_to_rgb(data[f0 : f0 + flen], width, height))
+                    (idx, int(idx * dur_ms), _frame_rgb(data[f0 : f0 + flen]))
                 )
 
     for m0, m1 in movi_ranges:
@@ -182,14 +211,42 @@ def encode_avi(width: int, height: int, frames_rgb: list[bytes], fps: int = 25) 
             rows.append(bytes(row))
         dibs.append(b"".join(rows))
 
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    return _build_avi(width, height, dibs, fps, handler=b"DIB ", compression=0, chunk_id=b"00db")
 
-    def lst(ltype: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", ltype + body)
 
-    n = len(dibs)
-    frame_bytes = stride * height
+def encode_avi_mjpeg(width: int, height: int, jpeg_frames: list[bytes], fps: int = 25) -> bytes:
+    """Pre-encoded JPEG pictures → a minimal MJPEG AVI ('MJPG'
+    biCompression, one JPEG per '00dc' chunk). Deterministic bytes for
+    fixture synthesis; decode_frames routes each chunk through
+    jpeg.decode_rgb."""
+    for frame in jpeg_frames:
+        if frame[:2] != b"\xff\xd8":
+            raise ValueError("MJPEG frame is not a JPEG stream (missing SOI)")
+    return _build_avi(
+        width, height, list(jpeg_frames), fps,
+        handler=b"MJPG", compression=MJPG_FOURCC, chunk_id=b"00dc",
+    )
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _lst(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def _build_avi(
+    width: int,
+    height: int,
+    frame_chunks: list[bytes],
+    fps: int,
+    handler: bytes,
+    compression: int,
+    chunk_id: bytes,
+) -> bytes:
+    n = len(frame_chunks)
+    frame_bytes = max((len(f) for f in frame_chunks), default=0)
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,  # dwMicroSecPerFrame
@@ -200,15 +257,15 @@ def encode_avi(width: int, height: int, frames_rgb: list[bytes], fps: int = 25) 
         width, height, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0)
+        b"vids" + handler + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0)
         + struct.pack("<4H", 0, 0, width, height)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
-    hdrl = lst(
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, compression, frame_bytes, 0, 0, 0, 0)
+    hdrl = _lst(
         b"hdrl",
-        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        _chunk(b"avih", avih) + _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    movi = _lst(b"movi", b"".join(_chunk(chunk_id, f) for f in frame_chunks))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 

@@ -60,16 +60,93 @@ def test_missing_hdrl_rejected():
 
 
 def test_compressed_codec_rejected():
-    # flip biCompression in the strf chunk to a nonzero fourcc value:
-    # the codec must refuse rather than misread MJPEG bytes as DIBs
+    # flip biCompression in the strf chunk to an unsupported fourcc
+    # ('H264'): the codec must refuse rather than misread the bytes
     _, payload = _clip()
     strf_at = payload.index(b"strf")
     mutated = bytearray(payload)
     # biCompression sits 16 bytes into the BITMAPINFOHEADER body
     # (after the 8-byte chunk header)
-    struct.pack_into("<I", mutated, strf_at + 8 + 16, 0x47504A4D)
+    struct.pack_into("<I", mutated, strf_at + 8 + 16, struct.unpack("<I", b"H264")[0])
     with pytest.raises(ValueError, match="biCompression"):
         avi.decode_frames(bytes(mutated))
+
+
+# ------------------------------------------------------------ MJPEG
+
+
+def _mjpeg_clip(n=3, w=24, h=16, fps=25):
+    """n baseline-JPEG frames (distinct test images) wrapped as an
+    MJPEG AVI; returns (expected_rgb_frames, avi_bytes)."""
+    from tests.jpeg_ref import encode_jpeg, test_image
+
+    jpegs, expected = [], []
+    for i in range(n):
+        img = test_image(h, w)
+        # vary content per frame deterministically so frames differ
+        img = ((img.astype(int) + 13 * i) % 256).astype(img.dtype)
+        data, recon = encode_jpeg(img)
+        jpegs.append(data)
+        expected.append(recon.tobytes())
+    return expected, avi.encode_avi_mjpeg(w, h, jpegs, fps=fps)
+
+
+def test_mjpeg_roundtrip_bit_exact():
+    """MJPEG frames decode bit-exactly against the JPEG path's own
+    reconstruction (the decoder and the test encoder share identical
+    float expressions)."""
+    expected, payload = _mjpeg_clip(n=3, w=24, h=16, fps=25)
+    w, h, dur_ms, decoded = avi.decode_frames(payload)
+    assert (w, h) == (24, 16)
+    assert dur_ms == 40.0
+    assert [rgb for _, _, rgb in decoded] == expected
+    assert [(i, ts) for i, ts, _ in decoded] == [(0, 0), (1, 40), (2, 80)]
+
+
+def test_mjpeg_progressive_frames_decode():
+    """'MJPG' chunks holding SOF2 progressive pictures ride the same
+    path (the JPEG decoder handles both coding processes)."""
+    from tests.jpeg_ref import encode_jpeg_progressive, test_image
+
+    img = test_image(16, 16)
+    data, recon = encode_jpeg_progressive(img)
+    payload = avi.encode_avi_mjpeg(16, 16, [data], fps=10)
+    w, h, dur_ms, decoded = avi.decode_frames(payload)
+    assert (w, h, dur_ms) == (16, 16, 100.0)
+    assert decoded[0][2] == recon.tobytes()
+
+
+def test_mjpeg_dimension_mismatch_rejected():
+    from tests.jpeg_ref import encode_jpeg, test_image
+
+    data, _ = encode_jpeg(test_image(8, 8))
+    payload = avi.encode_avi_mjpeg(16, 16, [data])  # header lies
+    with pytest.raises(ValueError, match="does not match stream header"):
+        avi.decode_frames(payload)
+
+
+def test_mjpeg_corrupt_frame_rejected():
+    from tests.jpeg_ref import encode_jpeg, test_image
+
+    data, _ = encode_jpeg(test_image(16, 16))
+    payload = avi.encode_avi_mjpeg(16, 16, [data[: len(data) // 2]])
+    with pytest.raises(ValueError):
+        avi.decode_frames(payload)
+
+
+def test_mjpeg_strict_sample_frames(spark):
+    """MJPEG AVIs flow through the strict Arrow mapInPandas sampling
+    path exactly like BI_RGB ones."""
+    expected, payload = _mjpeg_clip(n=5, w=24, h=16, fps=25)  # 200 ms clip
+    docs = spark.createDataFrame(
+        [(1, payload, "unit")], "doc_id long, blob binary, source string"
+    )
+    media = wrap_binary(docs, "blob", "doc_id", "source", mime="video/avi")
+    rows = sample_frames(media, frame_interval_ms=100, decode_mode="strict").collect()
+    got = {r.frame_idx: (r.frame_ts_ms, bytes(r.frame)) for r in rows}
+    assert got[0] == (0, expected[0])
+    assert got[2] == (100, expected[2])
+    assert len(rows) == 2
 
 
 def test_truncated_frame_chunk_rejected():
