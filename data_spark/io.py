@@ -907,15 +907,50 @@ def _load_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _posix_publish_if_absent(tmp: str, final: str) -> bool:
+    """POSIX put-if-absent: hard-link the staged temp onto the final
+    name. ``os.link`` fails with EEXIST instead of silently replacing —
+    ``os.rename`` here would let the second writer overwrite the
+    first's committed manifest and lose a version."""
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+
+
+# The manifest-publish seam. The versioned store's entire concurrency
+# story reduces to ONE storage primitive: an atomic PUT-IF-ABSENT of a
+# small JSON object at a well-known key, returning False when the key
+# already exists. On POSIX filesystems (this container, HDFS via
+# create-no-overwrite) the default hard-link strategy below provides
+# it. On object stores the deployment must swap in the store's
+# conditional write: S3 `PutObject` with `If-None-Match: *`
+# (conditional writes, GA since 2024 — before that, a coordination
+# service like DynamoDB, which is what open-source Delta's S3 LogStore
+# uses), GCS `if-generation-match: 0`, ADLS/Azure Blob
+# `If-None-Match: *`. Swap via `set_manifest_publisher`; everything
+# above this seam (optimistic retry, manifest content, vacuum safety)
+# is storage-agnostic.
+_MANIFEST_PUBLISHER = _posix_publish_if_absent
+
+
+def set_manifest_publisher(publisher) -> None:
+    """Install a ``publish_if_absent(tmp_path, final_path) -> bool``
+    strategy for manifest commits (see the seam comment above). Pass
+    ``None`` to restore the POSIX hard-link default."""
+    global _MANIFEST_PUBLISHER
+    _MANIFEST_PUBLISHER = publisher if publisher is not None else _posix_publish_if_absent
+
+
 def _publish_manifest(table_path: str, new_v: int, manifest: dict) -> bool:
     """Atomically publish ``vN.json`` — the versioned store's commit
     point. Returns False when version N is already taken (a concurrent
     writer won the race), so callers re-read the log and retry with the
-    next number: Delta-style optimistic concurrency. The create is
-    ``os.link`` (hard-link the staged temp onto the final name), which
-    fails with EEXIST instead of silently replacing — ``os.rename``
-    here would let the second writer overwrite the first's committed
-    manifest and lose a version."""
+    next number: Delta-style optimistic concurrency. The actual
+    create-if-absent is delegated to the installed publisher
+    (:func:`set_manifest_publisher`) so the same commit protocol runs
+    on POSIX (hard link) and object stores (conditional PUT)."""
     import json
 
     vdir = _versions_dir(table_path)
@@ -924,10 +959,7 @@ def _publish_manifest(table_path: str, new_v: int, manifest: dict) -> bool:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        os.link(tmp, os.path.join(vdir, f"v{new_v}.json"))
-        return True
-    except FileExistsError:
-        return False
+        return _MANIFEST_PUBLISHER(tmp, os.path.join(vdir, f"v{new_v}.json"))
     finally:
         os.remove(tmp)
 
@@ -1016,7 +1048,16 @@ def write_versioned(
     the log, recomputes its parent-dependent manifest state, and
     retries with the next version number — both commits survive
     (optimistic concurrency, the Delta commit protocol). Data is
-    written ONCE regardless of retries."""
+    written ONCE regardless of retries.
+
+    Storage contract: the commit point requires exactly one primitive
+    from the underlying store — atomic PUT-IF-ABSENT of the manifest
+    object (POSIX hard link / HDFS create-no-overwrite / S3
+    ``If-None-Match: *`` conditional write / GCS
+    ``if-generation-match: 0``). Deployments on stores lacking it must
+    install a coordinating publisher via
+    :func:`set_manifest_publisher`; everything else in the protocol is
+    plain immutable-object I/O."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     token = uuid.uuid4().hex[:8]

@@ -1067,3 +1067,98 @@ def test_optimize_versioned_zorders_snapshot_and_prunes(spark, tmp_path):
         dio._publish_manifest = real_publish
     got = sorted(r.k for r in dio.read_versioned(spark, table, v2).collect())
     assert got == [r[0] for r in before] + list(range(9000, 9010))
+
+
+# --------------------------------------------- manifest-publish seam
+
+
+class _FakeConditionalStore:
+    """Object-store stand-in for the manifest-publish seam: an
+    in-memory key set is the conditional-PUT authority (GCS
+    if-generation-match:0 / S3 If-None-Match:* semantics); winning
+    puts write through to disk so manifest READERS keep working."""
+
+    def __init__(self):
+        self.keys: set[str] = set()
+        self.puts = 0
+        self.lost = 0
+
+    def publish_if_absent(self, tmp: str, final: str) -> bool:
+        import shutil
+
+        self.puts += 1
+        if final in self.keys or os.path.exists(final):
+            self.lost += 1
+            return False
+        self.keys.add(final)
+        shutil.copyfile(tmp, final)
+        return True
+
+
+def test_object_store_publisher_end_to_end(spark, tmp_path):
+    """The whole versioned-store protocol runs unchanged on a
+    conditional-PUT publisher (no hard links involved)."""
+    from data_spark import io as dio
+
+    store = _FakeConditionalStore()
+    table = str(tmp_path / "t")
+    dio.set_manifest_publisher(store.publish_if_absent)
+    try:
+        v0 = dio.write_versioned(
+            spark.range(0, 10).select(F.col("id").alias("k")), table, "overwrite"
+        )
+        v1 = dio.write_versioned(
+            spark.range(10, 15).select(F.col("id").alias("k")), table, "append"
+        )
+    finally:
+        dio.set_manifest_publisher(None)
+    assert (v0, v1) == (0, 1)
+    assert store.puts == 2 and store.lost == 0
+    got = sorted(r.k for r in dio.read_versioned(spark, table).collect())
+    assert got == list(range(15))
+    # time travel still works through the fake store's objects
+    assert len(dio.read_versioned(spark, table, 0).collect()) == 10
+
+
+def test_object_store_publisher_lost_race_retries(spark, tmp_path):
+    """When a competing writer's conditional PUT lands version N first,
+    the loser's publish returns False and write_versioned retries at
+    N+1 — both commits survive, matching the POSIX-link behavior."""
+    from data_spark import io as dio
+
+    store = _FakeConditionalStore()
+    table = str(tmp_path / "t")
+    state = {"injected": False}
+
+    def racing(tmp: str, final: str) -> bool:
+        # first v1 attempt: another writer wins the key just before us
+        if not state["injected"] and final.endswith("v1.json"):
+            state["injected"] = True
+            import json
+
+            competing = {"version": 1, "mode": "append",
+                         "commits": ["commit-0-base", "commit-1-rival"]}
+            with open(final + ".rival", "w") as f:
+                json.dump(competing, f)
+            assert store.publish_if_absent(final + ".rival", final)
+            os.remove(final + ".rival")
+        return store.publish_if_absent(tmp, final)
+
+    dio.set_manifest_publisher(racing)
+    try:
+        dio.write_versioned(
+            spark.range(0, 10).select(F.col("id").alias("k")), table, "overwrite"
+        )
+        v = dio.write_versioned(
+            spark.range(100, 110).select(F.col("id").alias("k")), table, "append"
+        )
+    finally:
+        dio.set_manifest_publisher(None)
+    # our append lost v1 to the rival and landed at v2
+    assert v == 2
+    assert store.lost == 1
+    assert dio.table_versions(table) == [0, 1, 2]
+    # v2's manifest extends the RIVAL's commit list (re-read parent)
+    m2 = dio._load_manifest(table, 2)
+    assert m2["commits"][:2] == ["commit-0-base", "commit-1-rival"]
+    assert len(m2["commits"]) == 3 and m2["commits"][2].startswith("commit-2-")
