@@ -29,7 +29,7 @@ from data_spark.queries.analytics import (
     _spark_simhash_sigs,
 )
 from data_spark.plans.lineage import truncate_lineage
-from data_spark.queries.common import t
+from data_spark.queries.common import run_scratch_dir, t
 
 QUERIES = {}
 ORACLE = {}
@@ -347,9 +347,7 @@ def m_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_spark.io import read_versioned, write_versioned  # noqa: PLC0415
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"data_spark_schema_evo_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = run_scratch_dir("schema_evo", sf_dir)
 
     d = t(spark, sf_dir, "documents")
     write_versioned(d.select("doc_id", "lang"), base, "overwrite")

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_spark.operators.dedup import _portable_hash60, _words
-from data_spark.queries.common import t
+from data_spark.queries.common import run_scratch_dir, t
 
 QUERIES = {}
 ORACLE = {}
@@ -856,9 +856,7 @@ def pipe_stream_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_spark.streaming.jobs import hist_state_sink, read_ks_drift
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"data_spark_sdrift_{tag}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = run_scratch_dir("sdrift", sf_dir)
     state = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
 

@@ -43,7 +43,7 @@ from data_spark.operators.dedup import _portable_hash60
 from data_spark.operators.order import global_row_number
 from data_spark.plans.lineage import truncate_lineage
 from data_spark.queries.analytics4 import _CDC_MOD, _TOKS_SQL, cdc_chunks
-from data_spark.queries.common import t
+from data_spark.queries.common import run_scratch_dir, t
 
 QUERIES = {}
 ORACLE = {}
@@ -608,9 +608,7 @@ def pipe_stream_mg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_spark.streaming.jobs import mg_state_sink, read_mg_heavy_hitters
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"data_spark_smg_{tag}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = run_scratch_dir("smg", sf_dir)
     state = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
 

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_spark.queries.common import t
+from data_spark.queries.common import run_scratch_dir, t
 
 QUERIES = {}
 ORACLE = {}
@@ -391,9 +391,7 @@ def m_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_versioned,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"data_spark_tomb_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = run_scratch_dir("tomb", sf_dir)
 
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -843,9 +841,7 @@ def pipe_stream_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_spark.io import read_versioned  # noqa: PLC0415
     from data_spark.streaming.jobs import cdc_stream_sink  # noqa: PLC0415
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"data_spark_scdc_{tag}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = run_scratch_dir("scdc", sf_dir)
     src = os.path.join(work, "src")
     table = os.path.join(work, "table")
     ckpt = os.path.join(work, "ckpt")
@@ -1517,9 +1513,7 @@ def m_versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_spark.io import read_versioned, write_versioned  # noqa: PLC0415
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"data_spark_vprune_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = run_scratch_dir("vprune", sf_dir)
 
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

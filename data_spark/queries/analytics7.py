@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_spark.queries.common import t
+from data_spark.queries.common import run_scratch_dir, t
 
 QUERIES = {}
 ORACLE = {}
@@ -762,9 +762,7 @@ def m_versioned_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_versioned,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"data_spark_voptimize_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = run_scratch_dir("voptimize", sf_dir)
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     write_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base, "overwrite")
@@ -928,11 +926,32 @@ def a_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     i_star = F.max(
         F.when(F.col("chi2") >= F.col("thr"), F.col("rk")).otherwise(0)
     ).over(Window.partitionBy())
+    # The offline-solved thresholds are the chi2_4 survival inverse at
+    # i·q/m with m = 21 BAKED IN: if the testdata's source cardinality
+    # ever drifts, every threshold is silently wrong for the observed
+    # m. Guard lazily — max(rk) over the same bounded window IS the
+    # observed m, and raise_error fires during execution, never adding
+    # a scan.
+    m_obs = F.max("rk").over(Window.partitionBy())
+    m_lit = F.lit(len(_BH_THRESHOLDS)).cast("bigint")
+    rejected = F.when(
+        m_obs == m_lit, (F.col("rk") <= i_star).cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "a_benjamini_hochberg: observed hypothesis count "
+                ),
+                m_obs.cast("string"),
+                F.lit(f" != {len(_BH_THRESHOLDS)} baked-in BH thresholds"),
+            )
+        ).cast("bigint")
+    )
     return thresholded.select(
         "grp",
         "n",
         F.round("chi2", 6).alias("chi2"),
         "rk",
         F.round("thr", 6).alias("thr"),
-        (F.col("rk") <= i_star).cast("bigint").alias("rejected"),
+        rejected.alias("rejected"),
     )

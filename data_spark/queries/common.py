@@ -52,3 +52,36 @@ def ts_str(col: Column) -> Column:
 SQL_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
 SQL_DAVG = "(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"
 SQL_TS = "strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+def run_scratch_dir(prefix: str, sf_dir: str, max_age_s: int = 1800) -> str:
+    """Per-RUN scratch directory for gate queries that materialize a
+    versioned store on local disk (m_*, pipe_*, schema-evolution).
+
+    Keyed on (prefix, hash(sf_dir)) like before, but with a unique
+    run-<uuid> leaf so two concurrent executions over the same SF (the
+    driver's correctness gate racing a local bench) can never rmtree or
+    overwrite each other's live store. Stale sibling runs older than
+    ``max_age_s`` are garbage-collected best-effort — a gate query runs
+    in seconds, so a 30-minute horizon can only ever reap abandoned
+    runs, never a live one.
+    """
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import time  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    parent = os.path.join(tempfile.gettempdir(), f"data_spark_{prefix}_{tag}")
+    os.makedirs(parent, exist_ok=True)
+    now = time.time()
+    for name in os.listdir(parent):
+        p = os.path.join(parent, name)
+        try:
+            if now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return os.path.join(parent, f"run-{uuid.uuid4().hex[:12]}")

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from data_spark.io import write_bucketed
 from data_spark.operators.dedup import _words, ngrams_from_words
 from data_spark.plans.lineage import truncate_lineage
-from data_spark.queries.common import SQL_DSUM, dsum, t
+from data_spark.queries.common import SQL_DSUM, dsum, run_scratch_dir, t
 
 QUERIES = {}
 ORACLE = {}
@@ -61,17 +61,18 @@ def bucketed_orders_lineitem(
 ) -> tuple[DataFrame, DataFrame]:
     """Write orders+lineitem as external parquet tables bucketed on the
     order key (8 buckets, sorted within buckets) and read them back.
-    Table names and paths are derived from sf_dir so different scale
-    factors in one session never collide; mode=overwrite makes the
-    query re-runnable."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"data_spark_smb_{tag}")
+    Table names and paths carry a per-run component (run_scratch_dir)
+    so different scale factors in one session never collide AND two
+    concurrent processes over the same SF never overwrite each other's
+    live bucket files."""
+    base = run_scratch_dir("smb", sf_dir)
+    run_id = os.path.basename(base).removeprefix("run-")
     out = []
     for name, df, key in (
         ("orders", t(spark, sf_dir, "orders"), "o_orderkey"),
         ("lineitem", t(spark, sf_dir, "lineitem"), "l_orderkey"),
     ):
-        tbl = f"smb_{name}_{tag}"
+        tbl = f"smb_{name}_{run_id}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         write_bucketed(
             df,
@@ -549,9 +550,7 @@ def m_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_versioned,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"data_spark_vdiff_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = run_scratch_dir("vdiff", sf_dir)
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
     cutoff = F.lit("1995-01-01").cast("date")
@@ -625,9 +624,7 @@ def pipe_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_spark.pipelines.incremental_e2e import run_demo  # noqa: PLC0415
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    work = os.path.join(tempfile.gettempdir(), f"data_spark_incr_e2e_{tag}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = run_scratch_dir("incr_e2e", sf_dir)
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     n = d.count()

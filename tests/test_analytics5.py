@@ -352,3 +352,19 @@ def test_welch_t_matches_python_mirror(spark, tmp_path):
     # the shifted language dominates: both fr pairs far exceed en-es
     assert got[("en", "fr")].t2 > 100 * got[("en", "es")].t2
     assert got[("es", "fr")].t2 > 100 * got[("en", "es")].t2
+
+
+def test_bh_guard_raises_on_cardinality_drift(spark, sf_small, monkeypatch):
+    """a_benjamini_hochberg bakes its 21 offline-solved thresholds in;
+    if the observed hypothesis count ever drifts from len(thresholds),
+    the query must raise loudly instead of producing a wrong-m BH
+    decision."""
+    import pytest as _pytest
+
+    from data_spark.queries import analytics7
+
+    monkeypatch.setattr(
+        analytics7, "_BH_THRESHOLDS", analytics7._BH_THRESHOLDS[:-1]
+    )
+    with _pytest.raises(Exception, match="baked-in BH thresholds"):
+        analytics7.a_benjamini_hochberg(spark, sf_small).collect()
