@@ -173,7 +173,17 @@ def write_zordered(
       level holds ~n/2^bits rows REGARDLESS of the value distribution,
       so skewed keys cluster as tightly as uniform ones; costs one
       range-shuffle per cluster key, the right trade for a
-      maintenance-time rewrite of a skewed table."""
+      maintenance-time rewrite of a skewed table.
+
+    File assignment differs per mode, deliberately: ``minmax`` rides
+    ``repartitionByRange(__z)`` (cheap, but the sampled boundaries —
+    and so each file's stats envelope — can shift run to run under
+    load). ``rank`` already pays for exact ranks, so it also routes
+    ROWS to files exactly: global rank over ``__z`` → equi-depth file
+    id → hash-token routing (:func:`_hash_tokens_for_partitions`).
+    The rank layout is therefore a pure function of the data — file
+    envelopes never depend on sampling, which the skew-pruning test
+    pins."""
     if scaling == "minmax":
         bounds = df.agg(
             *[F.min(c).cast("double").alias(f"{c}__min") for c in cols],
@@ -210,6 +220,33 @@ def write_zordered(
                 )
         leveled = leveled.withColumn("__z", z)
         drop_cols = [f"__rn_{c}" for c in cols] + [f"__lvl_{c}" for c in cols]
+        # Exact equi-depth file routing (see docstring): rank over the
+        # Morton value, slice into num_files equal runs, and route each
+        # run to its own task via the hash-token map — no sampled range
+        # boundaries anywhere in the rank layout.
+        leveled = global_row_number(
+            leveled.drop(*drop_cols), ["__z", F.xxhash64(*df.columns)], out="__rn_z"
+        )
+        fid = F.least(
+            ((F.col("__rn_z") - 1) * num_files / max(n_rows, 1)).cast("int"),
+            F.lit(num_files - 1),
+        )
+        tokens = _hash_tokens_for_partitions(df.sparkSession, num_files)
+        # BIGINT literals: murmur3(int) != murmur3(bigint) for the same
+        # value, and the probe hashed spark.range's BIGINT ids.
+        tok = F.element_at(
+            F.array(*[F.lit(t).cast("bigint") for t in tokens]), fid + 1
+        )
+        (
+            leveled.withColumn("__tok", tok)
+            .drop("__rn_z")
+            .repartition(num_files, "__tok")
+            .sortWithinPartitions("__z")
+            .drop("__z", "__tok")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return
     else:
         raise ValueError(f"scaling must be minmax|rank, got {scaling!r}")
     (
@@ -220,6 +257,32 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _hash_tokens_for_partitions(spark: SparkSession, n: int) -> list[int]:
+    """For each partition index p in [0, n), the smallest non-negative
+    BIGINT t with ``pmod(hash(t), n) == p``. ``repartition(n, col)``
+    places a row at partition ``pmod(murmur3(col), n)`` — the exact
+    expression ``F.hash`` exposes — so mapping a computed file id
+    through these tokens routes every row to exactly the intended task
+    with the plain DataFrame API (a deterministic partitioner without
+    dropping to RDDs). One tiny bounded job per rewrite; result size n.
+    """
+    rows = (
+        spark.range(0, 64 * n)
+        .select(
+            F.col("id").alias("t"),
+            F.pmod(F.hash(F.col("id")), F.lit(n)).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.min("t").alias("t"))
+        .collect()
+    )
+    by_p = {r["p"]: r["t"] for r in rows}
+    missing = [p for p in range(n) if p not in by_p]
+    if missing:  # 64 probes per slot make this practically unreachable
+        raise RuntimeError(f"no hash token found for partitions {missing}")
+    return [by_p[p] for p in range(n)]
 
 
 def write_partitioned(
