@@ -10,6 +10,7 @@ staging-write → count-validate → atomic-swap writer.
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
 import time
@@ -473,13 +474,27 @@ def recover_partitioned_root(root: str, restore_only: bool = False) -> None:
     staging/backup leftover. Probes pass ``restore_only=True`` so a
     read racing a live compaction never deletes its staging; the
     compactors run the full sweep at start (they are single-maintenance
-    ops like every other rewrite here)."""
+    ops like every other rewrite here).
+
+    Probe-side restores are BEST-EFFORT: between the probe's
+    ``exists(dst)`` check and its rename, a live compactor can finish
+    its second rename (the probe's rename then hits ENOTEMPTY) or
+    sweep the backup (ENOENT). Neither produces stale rows — the live
+    dir is valid either way — so the probe skips instead of crashing.
+    The maintenance-time sweep (``restore_only=False``) still raises:
+    it runs single-maintenance by contract, a failed restore there
+    means real trouble, and swallowing it would let the rmtree below
+    delete the only surviving copy."""
     staging_root, bak_root = _part_maintenance_roots(root)
     if os.path.isdir(bak_root):
         for name in sorted(os.listdir(bak_root)):
             dst = os.path.join(root, name)
             if not os.path.exists(dst):
-                os.rename(os.path.join(bak_root, name), dst)
+                try:
+                    os.rename(os.path.join(bak_root, name), dst)
+                except OSError:
+                    if not restore_only:
+                        raise
     if not restore_only:
         shutil.rmtree(staging_root, ignore_errors=True)
         shutil.rmtree(bak_root, ignore_errors=True)
@@ -499,13 +514,26 @@ def swap_partition_dir(part_dir: str, staging: str) -> None:
     a hive-partitioned dataset, with the backup parked under the
     dataset's sibling backup root (never inside the dataset — see
     :func:`_part_maintenance_roots`). ``recover_partitioned_root``
-    undoes a crash between the renames."""
+    undoes a crash between the renames.
+
+    A concurrent read-side probe (``recover_partitioned_root(
+    restore_only=True)``) can restore the backup into the live slot
+    inside our two-rename window; the live rename then hits
+    EEXIST/ENOTEMPTY. That restore is the probe doing its job on what
+    looked like a crashed swap — park the restored copy again and
+    retry the live rename once."""
     root, name = os.path.split(os.path.abspath(part_dir))
     _, bak_root = _part_maintenance_roots(root)
     os.makedirs(bak_root, exist_ok=True)
     bak = os.path.join(bak_root, name)
     os.rename(part_dir, bak)
-    os.rename(staging, part_dir)
+    try:
+        os.rename(staging, part_dir)
+    except OSError as exc:
+        if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+            raise
+        os.rename(part_dir, bak)  # probe emptied the bak slot when it restored
+        os.rename(staging, part_dir)
     shutil.rmtree(bak, ignore_errors=True)
 
 

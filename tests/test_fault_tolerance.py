@@ -95,3 +95,85 @@ def test_iterative_op_survives_injected_task_failures(tmp_path):
     assert "OK n=" in proc.stdout, proc.stdout
     # the injector really fired: Spark logged the raised RuntimeError
     assert "injected task failure" in (proc.stderr + proc.stdout)
+
+
+# ----------------------------- probe/compactor swap race (ADVICE r8)
+
+
+def _part_fixture(tmp_path):
+    import os
+
+    root = str(tmp_path / "ds")
+    part = os.path.join(root, "cell=1")
+    os.makedirs(part)
+    with open(os.path.join(part, "old.parquet"), "w") as f:
+        f.write("old")
+    from data_spark.io import partition_staging_dir
+
+    staging = partition_staging_dir(part)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "new.parquet"), "w") as f:
+        f.write("new")
+    return root, part, staging
+
+
+def test_swap_retries_when_probe_restores_mid_window(tmp_path, monkeypatch):
+    """A read-side probe that restores the backup inside the swap's
+    two-rename window makes the live rename hit ENOTEMPTY; the swap
+    must re-park the restored copy and finish, not crash."""
+    import os
+
+    from data_spark import io as dio
+
+    root, part, staging = _part_fixture(tmp_path)
+    real_rename = os.rename
+    state = {"injected": False}
+
+    def racing_rename(src, dst, *a, **kw):
+        if not state["injected"] and src == staging:
+            state["injected"] = True
+            # the interleaved probe: live slot is empty, backup present
+            dio.recover_partitioned_root(root, restore_only=True)
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    dio.swap_partition_dir(part, staging)
+    monkeypatch.undo()
+
+    assert sorted(os.listdir(part)) == ["new.parquet"]
+    assert state["injected"]
+    # the backup slot was cleaned up after the successful retry
+    _, bak_root = dio._part_maintenance_roots(root)
+    assert not os.path.exists(os.path.join(bak_root, "cell=1"))
+
+
+def test_probe_restore_is_best_effort(tmp_path, monkeypatch):
+    """The probe side of the same race: its restore rename can lose to
+    the compactor's completing rename (ENOTEMPTY) or its sweep
+    (ENOENT). restore_only=True must skip, never crash; the
+    maintenance-time sweep must still raise."""
+    import os
+
+    import pytest as _pytest
+
+    from data_spark import io as dio
+
+    root, part, staging = _part_fixture(tmp_path)
+    _, bak_root = dio._part_maintenance_roots(root)
+    os.makedirs(bak_root)
+    os.rename(part, os.path.join(bak_root, "cell=1"))  # crashed swap state
+
+    real_rename = os.rename
+
+    def losing_rename(src, dst, *a, **kw):
+        if src == os.path.join(bak_root, "cell=1"):
+            raise OSError(39, "Directory not empty")  # ENOTEMPTY
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", losing_rename)
+    dio.recover_partitioned_root(root, restore_only=True)  # must not raise
+    with _pytest.raises(OSError):
+        dio.recover_partitioned_root(root)  # maintenance mode stays strict
+    monkeypatch.undo()
+    # nothing was swept while the restore was failing
+    assert os.path.isdir(os.path.join(bak_root, "cell=1"))
