@@ -30,12 +30,22 @@ exceeds 1.5x its best-ever recorded warm (BENCH_BEST.json, keyed by
 sf) is re-run and the better number kept — by then the storm that
 inflated it has usually passed. BENCH_BEST.json is updated monotonically
 (per-query min over all runs) so one clean round inoculates the next.
+
+Drift observability (ADVICE r8 / VERDICT r8 #7): min-of-warm plus the
+outlier retry systematically bias the headline downward and can hide a
+real sustained regression below the 1.5x threshold, so BENCH_local.json
+also records (a) the warm MEDIAN per query and its total, (b) every
+pre-retry warm value in ``outlier_log`` before the retry is folded in,
+and (c) ``os.getloadavg()`` at sweep start — enough to tell an idle run
+from a contended one across rounds. The stdout envelope carries
+``load_start`` and ``warm_median_total`` too.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -227,6 +237,8 @@ def stdout_line(
     n_queries: int,
     reps: int,
     sf_val,
+    load_start=(),
+    warm_median_total: float = 0.0,
     top_n: int = 8,
 ) -> str:
     """The ONE line printed to real stdout. The driver's capture keeps
@@ -247,8 +259,10 @@ def stdout_line(
                 "_others_warm_total": rest,
             },
             "warm_total": round(sum(warm.values()), 4),
+            "warm_median_total": round(warm_median_total, 4),
             "n_queries": n_queries,
             "reps": reps,
+            "load_start": list(load_start),
             "sf": sf_val,
             "detail": "BENCH_local.json",
         },
@@ -308,14 +322,24 @@ def main() -> None:
         fn(spark, sf_dir).count()
         return time.perf_counter() - start
 
+    # host load at sweep start (VERDICT r8 #7): lets adjudication tell an
+    # idle run from a contended one when cross-round warm numbers drift
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    # warm MEDIAN recorded next to the min (ADVICE r8): min-of-warm is
+    # the stall-immune headline, but min alone hides sustained drift
+    # below the 1.5x outlier threshold; the median keeps it observable
+    warm_median: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         runs = [timed(fn) for _ in range(reps)]
         cold[name] = round(runs[0], 4)
-        warm[name] = round(min(runs[1:]) if len(runs) > 1 else runs[0], 4)
+        warm_runs = runs[1:] if len(runs) > 1 else runs
+        warm[name] = round(min(warm_runs), 4)
+        warm_median[name] = round(statistics.median(warm_runs), 4)
         print(
             f"bench: {name} cold={cold[name]}s warm={warm[name]}s",
             file=sys.stderr,
@@ -327,6 +351,10 @@ def main() -> None:
     # stall) gets re-measured after the sweep, when a transient host
     # storm has usually passed; keep the better number
     reruns = 0
+    # every pre-retry value is logged (ADVICE r8): nothing folds into
+    # warm/BENCH_BEST without its un-retried number surviving in
+    # BENCH_local.json for drift adjudication
+    outlier_log: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         prev = sf_best.get(name)
         if prev is None or warm[name] <= max(1.5 * prev, prev + 0.3):
@@ -338,6 +366,11 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+        outlier_log[name] = {
+            "pre_retry_warm": warm[name],
+            "retry": round(retry, 4),
+            "best_prev": prev,
+        }
         warm[name] = round(min(warm[name], retry), 4)
 
     # best-ever ledger: monotone per-query min, keyed by sf — one clean
@@ -356,16 +389,28 @@ def main() -> None:
                 "unit": "sec",
                 "queries": cold,
                 "queries_warm": warm,
+                "queries_warm_median": warm_median,
                 "warm_total": round(sum(warm.values()), 4),
+                "warm_median_total": round(sum(warm_median.values()), 4),
                 "reps": reps,
                 "outlier_reruns": reruns,
+                "outlier_log": outlier_log,
+                "load_start": load_start,
                 "sf": sf_val,
             },
             f,
             indent=1,
         )
 
-    line = stdout_line(sum(cold.values()), warm, len(HEADLINE), reps, sf_val)
+    line = stdout_line(
+        sum(cold.values()),
+        warm,
+        len(HEADLINE),
+        reps,
+        sf_val,
+        load_start=load_start,
+        warm_median_total=sum(warm_median.values()),
+    )
     os.write(real_stdout, line.encode() + b"\n")
 
 

@@ -80,80 +80,75 @@ ORACLE = {
     **quality.ORACLE,
 }
 
-# Round-8 window (the driver records the first 50 entries; see
+# Round-9 window (the driver records the first 50 entries; see
 # WITNESS.md for the per-query ledger this ordering is derived from).
-# Composition — exactly as pre-planned in the r7 WITNESS.md:
-#   1-18:  the 18 never-driver-witnessed mid/late-r7 additions
-#          (analytics6.py: the stats family, versioned-store gates,
-#          streaming CDC, DSIR / coreset / matryoshka, temporal tier).
-#  19-35:  the 17 remaining r3-witnessed greens, ledger order
-#          (a_histogram_equidepth ... w_rolling_median).
-#  36-50:  the 15 oldest r4-witnessed, ledger order
-#          (a_approx_distinct ... e_json_extract).
-# Any query created or contract-changed during r8 is inserted at the
-# head and displaces the r4 tail (never the r7/r3 blocks).
+# Composition — exactly as pre-planned in the r8 WITNESS.md / VERDICT r8:
+#   head:  queries created or contract-changed during r9 (never
+#          witnessed; each insertion displaces the r5 fill tail first,
+#          never the r4 block).
+#   then:  the 10 r4-witnessed queries displaced from the r8 window
+#          (a_percentiles ... e_json_extract), ledger order.
+#   then:  the remaining 34 r4-witnessed greens, ledger order
+#          (e_ohlc_hourly ... w_topk_global).
+#   fill:  oldest r5-witnessed greens (a_autocorr_lag1 ...) up to 50;
+#          these are the displacement buffer for r9 creations.
+# Target: after r9 the max witness age across the registry is <= r5.
 _PRIORITY = [
-    # --- created in r8 (never witnessed; displace the r4 tail) ---
-    "v_pca_moments",
-    "e_sax_symbolize",
-    "a_cohens_kappa",
-    "g_adamic_adar",
-    "d_dedup_canonical",
-    "d_vocab_coverage",
-    "g_katz_centrality",
-    "e_decayed_engagement",
-    "m_versioned_optimize_scan",
-    "a_benjamini_hochberg",
-    # --- never driver-witnessed (created mid/late r7) ---
-    "a_spearman_rank",
-    "dq_skew_profile",
-    "e_holt_winters",
-    "m_tombstone_delete",
-    "d_dsir_select",
-    "v_kcenter_coreset",
-    "a_cramers_v",
-    "v_matryoshka_eval",
-    "pipe_stream_cdc_e2e",
-    "e_burst_detect",
-    "e_kaplan_meier",
-    "g_landmark_closeness",
-    "a_woe_iv",
-    "a_two_proportion_z",
-    "m_versioned_pruned_scan",
-    "a_anova_f",
-    "d_quantile_normalize",
-    "e_time_weighted_avg",
-    # --- r3-witnessed, oldest stale greens (ledger order) ---
-    "a_histogram_equidepth",
-    "a_hll_daily_rollup",
-    "a_kll_quantile_sketch",
-    "a_rfm_segments",
-    "d_bm25_search",
-    "d_chunk_windows",
-    "d_fuzzy_dedup_resolve",
-    "d_inverted_index",
-    "d_temperature_mix",
-    "d_tfidf_topterms",
-    "d_weighted_sample",
-    "g_cube_2d",
-    "s_skyline_2d",
-    "v_pca_project",
-    "v_tfidf_cosine_pairs",
-    "w_ewma_taps",
-    "w_rolling_median",
-    # --- oldest r4-witnessed greens, ledger order ---
-    "a_approx_distinct",
-    "a_approx_percentiles",
-    "a_collect_group_array",
-    "a_corr_pearson",
-    "a_mode_per_group",
+    # --- created in r9 (never witnessed; displace the r5 fill) ---
+    # --- r4-witnessed, displaced from the r8 window (ledger order) ---
+    "a_percentiles",
+    "a_weighted_median",
+    "d_edit_distance_block",
+    "d_minhash_band_pairs",
+    "d_minhash_sig",
+    "d_simhash_exact_pairs",
+    "e_anomaly_zscore",
+    "e_asof_latest_view",
+    "e_day_expand",
+    "e_json_extract",
+    # --- remaining r4-witnessed greens (ledger order) ---
+    "e_ohlc_hourly",
+    "e_range_frame_7d",
+    "e_sliding_1h_15m",
+    "e_tumbling_hourly",
+    "e_watermark_split",
+    "f_epoch_roundtrip",
+    "f_scalar_repair",
+    "g_bfs_levels",
+    "g_components",
+    "g_degree_distribution",
+    "g_grouping_sets",
+    "g_kcore_peel",
+    "g_rollup_region",
+    "j_anti_unloaded",
+    "j_asof_click_attrib",
+    "j_bucketed_smb",
+    "j_interval_overlap",
+    "j_left_join_dim",
+    "j_outer_coalesce",
+    "j_range_tier",
+    "j_semi_active",
+    "m_upsert_latest",
+    "p_pivot_status",
+    "s_intersect_except",
+    "sq_above_avg_price",
+    "v_int8_cosine_topk",
+    "w_first_per_group",
+    "w_lag_delta",
+    "w_ntile_decile",
+    "w_rank_in_group",
+    "w_running_total",
+    "w_sample_deterministic",
+    "w_stratified_sample",
+    "w_topk_global",
+    # --- r5-witnessed fill (displacement buffer for r9 creations) ---
+    "a_autocorr_lag1",
+    "a_chi2_cells",
+    "a_cms_heavy_hitters",
+    "a_gini_revenue",
+    "a_hll_exact_rollup",
+    "a_hll_set_algebra",
     # ---- window boundary (driver records the 50 above) ----
-    # displaced by r8 additions (next in line for r9):
-    # a_percentiles,
-    # a_weighted_median, d_edit_distance_block, d_minhash_band_pairs,
-    # d_minhash_sig, d_simhash_exact_pairs, e_anomaly_zscore,
-    # e_asof_latest_view, e_day_expand, e_json_extract, then the
-    # remaining r4 block in ledger order.
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -386,7 +386,15 @@ def test_bench_stdout_line_survives_driver_tail():
     import bench
 
     warm = {f"{n}_{'x' * 10}": 123.456 for n in bench.HEADLINE}
-    line = bench.stdout_line(1234.5678, warm, len(bench.HEADLINE), 3, 0.1)
+    line = bench.stdout_line(
+        1234.5678,
+        warm,
+        len(bench.HEADLINE),
+        3,
+        0.1,
+        load_start=(99.99, 99.99, 99.99),
+        warm_median_total=98765.4321,
+    )
     # the line itself fits the tail budget with headroom
     assert len(line) <= 1500
     # and survives the driver's capture: last 2000 bytes of the full
@@ -397,3 +405,6 @@ def test_bench_stdout_line_survives_driver_tail():
     assert parsed["n_queries"] == len(bench.HEADLINE)
     assert "_others_warm_total" in parsed["queries"]
     assert parsed["detail"] == "BENCH_local.json"
+    # r9: host-load + median-drift fields ride the same line
+    assert parsed["load_start"] == [99.99, 99.99, 99.99]
+    assert parsed["warm_median_total"] == 98765.4321

@@ -77,6 +77,19 @@ _CURVE_DEFAULTS = {
     "d_dsir_select": "documents",
     "d_quantile_normalize": "documents",
     "a_anova_f": "events",
+    # round-8 additions (VERDICT r8 #5): Adamic-Adar's pair fan-out is
+    # the data-dependent one (Σdeg² under the deg<=50 hub cutoff over
+    # the lineitem-derived edges); Katz is 3 fixed join rounds; the
+    # rest are windows/folds/aggregates that must stay ~linear in
+    # their fact table
+    "g_adamic_adar": "lineitem",
+    "g_katz_centrality": "lineitem",
+    "d_dedup_canonical": "documents",
+    "d_vocab_coverage": "documents",
+    "e_sax_symbolize": "events",
+    "e_decayed_engagement": "events",
+    "a_cohens_kappa": "orders",
+    "a_benjamini_hochberg": "events",
 }
 
 
