@@ -1067,6 +1067,74 @@ def table_versions(table_path: str) -> list[int]:
     )
 
 
+def _manifest_branch(manifest: dict) -> str:
+    """The branch a manifest belongs to (absent field = ``main`` —
+    every pre-branch manifest is a main commit)."""
+    return manifest.get("branch", "main")
+
+
+def branch_head(table_path: str, branch: str = "main") -> int | None:
+    """Latest committed version on ``branch`` (None when the branch has
+    no commits). Branches share ONE version log (Iceberg's refs-into-a
+    -single-metadata-log model): every commit on any branch takes the
+    next global version number through the same put-if-absent publish,
+    so cross-branch ordering — and therefore vacuum reachability and
+    the streaming replay guard — need no second coordination primitive.
+    Resolution walks the log newest-first and is O(1) for main in the
+    common no-branch case; manifests are driver-side metadata."""
+    for v in reversed(table_versions(table_path)):
+        if _manifest_branch(_load_manifest(table_path, v)) == branch:
+            return v
+    return None
+
+
+def list_branches(table_path: str) -> dict[str, int]:
+    """branch name → head version, across the whole log."""
+    heads: dict[str, int] = {}
+    for v in table_versions(table_path):
+        heads[_manifest_branch(_load_manifest(table_path, v))] = v
+    return heads
+
+
+def publish_branch(
+    table_path: str, branch: str, expect_main: int | None = None
+) -> int:
+    """Publish a branch to main — the P of Write-Audit-Publish: commit
+    a new MAIN manifest whose contents equal the branch head's
+    (commits/deletes/stats/specs), i.e. a fast-forward. No data file
+    moves; the publish is one manifest put-if-absent, so readers switch
+    from pre-audit to audited state atomically and history keeps both.
+
+    ``expect_main``: optimistic guard for the audit window — when set,
+    the publish refuses (ValueError) if main's head is no longer this
+    version, instead of silently discarding whatever landed on main
+    while the audit ran. Leave None only when this pipeline is main's
+    sole writer. Returns the new main version."""
+    while True:
+        bh = branch_head(table_path, branch)
+        if bh is None:
+            raise ValueError(f"branch {branch!r} has no commits under {table_path}")
+        if expect_main is not None:
+            mh = branch_head(table_path, "main")
+            if mh != expect_main:
+                raise ValueError(
+                    f"main moved during audit: expected head {expect_main}, found {mh}"
+                )
+        src = _load_manifest(table_path, bh)
+        versions = table_versions(table_path)
+        new_v = versions[-1] + 1
+        manifest = {
+            "version": new_v,
+            "mode": f"publish-{branch}@{bh}",
+            "commits": src["commits"],
+        }
+        for k in ("deletes", "stats", "specs"):
+            if src.get(k):
+                manifest[k] = src[k]
+        if _publish_manifest(table_path, new_v, manifest):
+            return new_v
+
+
 def _json_stat(v):
     """JSON-serializable min/max bound (dates/timestamps → ISO strings,
     which compare lexicographically like the values do)."""
@@ -1082,7 +1150,12 @@ def _collect_commit_stats(
 ) -> dict:
     """Per-FILE min/max for ``cols`` over one commit directory —
     O(commit) at write time, and the result is manifest METADATA
-    (files x cols bounds, never rows)."""
+    (files x cols bounds, never rows). Stats keys are paths RELATIVE
+    to the commit dir (equal to the basename for flat commits; for
+    hive-partitioned commits they carry the ``col=val/`` prefix so
+    pruning resolves the right leaf). Partition columns themselves can
+    be stats columns: their value is constant per file and survives
+    the groupBy like any other column."""
     df = spark.read.parquet(commit_path)
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("__f"))
@@ -1092,9 +1165,19 @@ def _collect_commit_stats(
         )
         .collect()
     )
+    abs_commit = os.path.abspath(commit_path)
     out = {}
     for r in rows:
-        rel = os.path.basename(r["__f"])
+        p = r["__f"]
+        if p.startswith("file:"):
+            p = p[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+        rel = (
+            os.path.relpath(p, abs_commit)
+            if os.path.isabs(p) and p.startswith(abs_commit + os.sep)
+            else os.path.basename(p)
+        )
         out[rel] = {
             c: [_json_stat(r[f"{c}__min"]), _json_stat(r[f"{c}__max"])]
             for c in cols
@@ -1108,6 +1191,8 @@ def write_versioned(
     mode: str = "overwrite",
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    branch: str = "main",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version — snapshot isolation and
     time travel on plain parquet, the lakehouse commit-log idea
@@ -1148,16 +1233,35 @@ def write_versioned(
     ``if-generation-match: 0``). Deployments on stores lacking it must
     install a coordinating publisher via
     :func:`set_manifest_publisher`; everything else in the protocol is
-    plain immutable-object I/O."""
+    plain immutable-object I/O.
+
+    ``branch``: commit onto a named branch instead of main (the W of
+    Write-Audit-Publish). Branch manifests live in the SAME version
+    log — they take global version numbers through the same
+    put-if-absent — and carry a ``branch`` field; main readers never
+    resolve them (:func:`branch_head`). An ``append`` to a branch with
+    no prior head forks from MAIN's current head (Iceberg's
+    branch-from-snapshot); audit the branch with :func:`read_versioned`
+    ``(branch=...)`` / :func:`delete_versioned`, then atomically
+    fast-forward main with :func:`publish_branch`.
+
+    ``partition_by``: hive-partition this commit's files on the given
+    columns. The spec is PER COMMIT (recorded in the manifest's
+    ``specs`` map), so it can evolve across the table's life — Iceberg
+    partition-spec evolution: old commits keep their layout, new
+    commits get the new one, and ``read_versioned`` plans each commit
+    under its own spec (partition pruning on new commits, stats/file
+    pruning on old — no rewrite to change the spec)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     token = uuid.uuid4().hex[:8]
     existing = table_versions(table_path)
     new_v = (existing[-1] + 1) if existing else 0
     commit_dir = f"commit-{new_v}-{token}"
-    df.write.mode("overwrite").parquet(
-        os.path.join(table_path, "data", commit_dir)
-    )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(table_path, "data", commit_dir))
     commit_stats = (
         _collect_commit_stats(
             df.sparkSession, os.path.join(table_path, "data", commit_dir), stats_cols
@@ -1167,22 +1271,36 @@ def write_versioned(
     )
     while True:
         if mode == "append" and existing:
-            parent = _load_manifest(table_path, existing[-1])
-            parents = parent["commits"]
+            # the parent is the head of THIS branch; a branch's first
+            # append forks from main's current head (branch-from-snapshot)
+            parent_v = branch_head(table_path, branch)
+            if parent_v is None and branch != "main":
+                parent_v = branch_head(table_path, "main")
+            parent = (
+                _load_manifest(table_path, parent_v) if parent_v is not None else {}
+            )
+            parents = parent.get("commits", [])
             # tombstones survive appends: they keep applying to the
             # commits they covered (`upto` indexes are positions in the
             # commit list, which appends only extend)
             deletes = parent.get("deletes", [])
             stats = dict(parent.get("stats", {}))
+            specs = dict(parent.get("specs", {}))
         else:
-            parents, deletes, stats = [], [], {}
+            parents, deletes, stats, specs = [], [], {}, {}
         if commit_stats is not None:
             stats[commit_dir] = commit_stats
+        if partition_by:
+            specs[commit_dir] = list(partition_by)
         manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
+        if branch != "main":
+            manifest["branch"] = branch
         if deletes:
             manifest["deletes"] = deletes
         if stats:
             manifest["stats"] = stats
+        if specs:
+            manifest["specs"] = specs
         if meta:
             manifest["meta"] = meta
         if _publish_manifest(table_path, new_v, manifest):
@@ -1215,7 +1333,9 @@ def version_meta(table_path: str, version: int | None = None) -> dict:
         return json.load(f).get("meta", {})
 
 
-def delete_versioned(keys_df: DataFrame, table_path: str) -> int:
+def delete_versioned(
+    keys_df: DataFrame, table_path: str, branch: str = "main"
+) -> int:
     """Row-level DELETE on the versioned store, merge-on-read — the
     deletion-vector idea (Delta/Iceberg v2 position deletes) expressed
     as KEY tombstones on plain parquet:
@@ -1237,7 +1357,11 @@ def delete_versioned(keys_df: DataFrame, table_path: str) -> int:
     optimistic-concurrency protocol as :func:`write_versioned`; on a
     collision the tombstone's ``upto`` is recomputed against the new
     parent, so it covers exactly the commits visible when the delete
-    actually lands."""
+    actually lands.
+
+    ``branch``: tombstone the head of that branch instead of main — the
+    A of Write-Audit-Publish (an audit that finds bad rows deletes them
+    ON the branch, then publishes the cleaned state)."""
     existing = table_versions(table_path)
     if not existing:
         raise FileNotFoundError(f"no committed versions under {table_path}")
@@ -1248,7 +1372,12 @@ def delete_versioned(keys_df: DataFrame, table_path: str) -> int:
         os.path.join(table_path, "deletes", delete_dir)
     )
     while True:
-        parent = _load_manifest(table_path, existing[-1])
+        parent_v = branch_head(table_path, branch)
+        if parent_v is None:
+            raise FileNotFoundError(
+                f"branch {branch!r} has no commits under {table_path}"
+            )
+        parent = _load_manifest(table_path, parent_v)
         manifest = {
             "version": new_v,
             "mode": "delete",
@@ -1256,8 +1385,12 @@ def delete_versioned(keys_df: DataFrame, table_path: str) -> int:
             "deletes": parent.get("deletes", [])
             + [{"dir": delete_dir, "upto": len(parent["commits"])}],
         }
+        if branch != "main":
+            manifest["branch"] = branch
         if parent.get("stats"):
             manifest["stats"] = parent["stats"]
+        if parent.get("specs"):
+            manifest["specs"] = parent["specs"]
         if _publish_manifest(table_path, new_v, manifest):
             return new_v
         existing = table_versions(table_path)
@@ -1292,22 +1425,32 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
         versions = table_versions(table_path)
         if not versions:
             raise FileNotFoundError(f"no committed versions under {table_path}")
-        manifest = _load_manifest(table_path, versions[-1])
+        read_v = branch_head(table_path, "main")
+        if read_v is None:
+            raise FileNotFoundError(f"main has no commits under {table_path}")
+        manifest = _load_manifest(table_path, read_v)
         deletes = manifest.get("deletes", [])
         if not deletes:
-            return versions[-1]
+            return read_v
         new_v = versions[-1] + 1
         token = uuid.uuid4().hex[:8]
         new_commits = []
         old_stats = manifest.get("stats", {})
+        old_specs = manifest.get("specs", {})
         new_stats = {}
+        new_specs = {}
         for i, c in enumerate(manifest["commits"]):
             applicable = [d["dir"] for d in deletes if d["upto"] > i]
             if not applicable:
                 new_commits.append(c)
                 if c in old_stats:
                     new_stats[c] = old_stats[c]
+                if c in old_specs:
+                    new_specs[c] = old_specs[c]
                 continue
+            # single-dir read: partition discovery materializes a
+            # spec'd commit's partition columns, so the purged rewrite
+            # keeps them as data columns (its spec entry is dropped)
             df = spark.read.parquet(os.path.join(table_path, "data", c))
             tomb = spark.read.parquet(
                 *[os.path.join(table_path, "deletes", d) for d in applicable]
@@ -1330,6 +1473,8 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
         new_manifest = {"version": new_v, "mode": "purge", "commits": new_commits}
         if new_stats:
             new_manifest["stats"] = new_stats
+        if new_specs:
+            new_manifest["specs"] = new_specs
         if _publish_manifest(table_path, new_v, new_manifest):
             return new_v
     raise RuntimeError(
@@ -1363,8 +1508,10 @@ def compact_versioned(
         versions = table_versions(table_path)
         if not versions:
             raise FileNotFoundError(f"no committed versions under {table_path}")
-        read_v = versions[-1]
-        new_v = read_v + 1
+        read_v = branch_head(table_path, "main")
+        if read_v is None:
+            raise FileNotFoundError(f"main has no commits under {table_path}")
+        new_v = versions[-1] + 1
         token = uuid.uuid4().hex[:8]
         commit_dir = f"commit-{new_v}-{token}"
         current = read_versioned(spark, table_path, version=read_v)
@@ -1414,8 +1561,10 @@ def optimize_versioned(
         versions = table_versions(table_path)
         if not versions:
             raise FileNotFoundError(f"no committed versions under {table_path}")
-        read_v = versions[-1]
-        new_v = read_v + 1
+        read_v = branch_head(table_path, "main")
+        if read_v is None:
+            raise FileNotFoundError(f"main has no commits under {table_path}")
+        new_v = versions[-1] + 1
         token = uuid.uuid4().hex[:8]
         commit_dir = f"commit-{new_v}z-{token}"
         commit_path = os.path.join(table_path, "data", commit_dir)
@@ -1482,6 +1631,7 @@ def read_versioned(
     version: int | None = None,
     merge_schema: bool = False,
     prune: tuple | None = None,
+    branch: str = "main",
 ) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just resolving that version's manifest to its commit
@@ -1500,13 +1650,34 @@ def read_versioned(
     without stats read fully; the range predicate stays as a residual
     filter so pruning can never change the answer, only the files
     opened. The decision runs on manifest metadata — no footer is
-    touched for a skipped file."""
+    touched for a skipped file.
+
+    ``branch``: resolve the head of that branch instead of main when no
+    explicit ``version`` is given. The default reader NEVER sees
+    un-published branch commits — that isolation is the point of
+    Write-Audit-Publish.
+
+    Commits written with ``partition_by`` (a per-commit partition spec,
+    ``manifest["specs"]``) are planned with their commit dir as
+    ``basePath`` so the hive partition columns survive file-level
+    pruning, and Spark's own partition pruning applies to any residual
+    or caller filter on the spec columns — partition-spec evolution
+    without rewriting history (each commit keeps the layout it was
+    written under)."""
     import json
 
     versions = table_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {table_path}")
-    v = versions[-1] if version is None else version
+    if version is not None:
+        v = version
+    else:
+        bh = branch_head(table_path, branch)
+        if bh is None:
+            raise FileNotFoundError(
+                f"branch {branch!r} has no commits under {table_path}"
+            )
+        v = bh
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
@@ -1516,6 +1687,7 @@ def read_versioned(
         reader = reader.option("mergeSchema", "true")
 
     stats = manifest.get("stats", {})
+    specs = manifest.get("specs", {})
 
     def commit_paths(c: str) -> list[str]:
         d = os.path.join(table_path, "data", c)
@@ -1549,8 +1721,37 @@ def read_versioned(
             cond = cond & (F.col(col) <= F.lit(hi))
         return df.filter(cond)
 
+    def mk_reader():
+        # DataFrameReader.option mutates the reader in place, so a
+        # basePath set for one spec'd commit must never leak into the
+        # next scan — build a fresh reader per call
+        r = spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r
+
+    def scan_commits(cs: list[tuple[str, list[str]]]) -> DataFrame | None:
+        """One DataFrame over a set of (commit, kept-paths): flat
+        commits batch into a single multi-path scan; each spec'd commit
+        scans under its own basePath so its partition columns survive
+        even when stats pruning narrowed the read to specific files."""
+        frames = []
+        flat = [p for c, ps in cs if c not in specs for p in ps]
+        if flat:
+            frames.append(mk_reader().parquet(*flat))
+        for c, ps in cs:
+            if c in specs and ps:
+                d = os.path.join(table_path, "data", c)
+                frames.append(mk_reader().option("basePath", d).parquet(*ps))
+        if not frames:
+            return None
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr, allowMissingColumns=merge_schema)
+        return out
+
     deletes = manifest.get("deletes", [])
-    if not deletes and prune is None:
+    if not deletes and prune is None and not specs:
         return reader.parquet(
             *[os.path.join(table_path, "data", c) for c in manifest["commits"]]
         )
@@ -1565,13 +1766,15 @@ def read_versioned(
         applicable = tuple(d["dir"] for d in deletes if d["upto"] > i)
         paths = commit_paths(c)
         if paths:
-            groups.setdefault(applicable, []).extend(paths)
+            groups.setdefault(applicable, []).append((c, paths))
     if not groups:
-        base = reader.parquet(os.path.join(table_path, "data", manifest["commits"][0]))
+        base = mk_reader().parquet(
+            os.path.join(table_path, "data", manifest["commits"][0])
+        )
         return residual(base.filter(F.lit(False)))
     parts = []
-    for applicable, paths in groups.items():
-        df = reader.parquet(*paths)
+    for applicable, cs in groups.items():
+        df = scan_commits(cs)
         if applicable:
             tomb = spark.read.parquet(
                 *[os.path.join(table_path, "deletes", d) for d in applicable]
@@ -1607,6 +1810,8 @@ def restore_version(table_path: str, version: int) -> int:
             manifest["deletes"] = old["deletes"]
         if old.get("stats"):
             manifest["stats"] = old["stats"]
+        if old.get("specs"):
+            manifest["specs"] = old["specs"]
         if _publish_manifest(table_path, new_v, manifest):
             return new_v
 

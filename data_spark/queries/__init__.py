@@ -19,6 +19,7 @@ from data_spark.queries import (
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
     documents,
     events,
     graphq,
@@ -52,6 +53,7 @@ _ALL_QUERIES = {
     **analytics5.QUERIES,
     **analytics6.QUERIES,
     **analytics7.QUERIES,
+    **analytics8.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -75,6 +77,7 @@ ORACLE = {
     **analytics5.ORACLE,
     **analytics6.ORACLE,
     **analytics7.ORACLE,
+    **analytics8.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,
@@ -95,6 +98,8 @@ ORACLE = {
 # Target: after r9 the max witness age across the registry is <= r5.
 _PRIORITY = [
     # --- created in r9 (never witnessed; displace the r5 fill) ---
+    "m_wap_publish",
+    "m_partition_evolution",
     # --- r4-witnessed, displaced from the r8 window (ledger order) ---
     "a_percentiles",
     "a_weighted_median",
