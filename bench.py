@@ -225,6 +225,14 @@ HEADLINE = [
     "e_decayed_engagement",  # power-of-two decay, exact BIGINT contributions
     "m_versioned_optimize_scan",  # OPTIMIZE ZORDER + stats-pruned census
     "a_benjamini_hochberg",  # FDR step-up on the 21-row hypothesis lattice
+    # r9 additions: WAP branch workflow, spec evolution, stream-stream
+    # join e2e, paired test, BQ+rerank retrieval, grid kNN join
+    "m_wap_publish",  # branch write + audit tombstone + publish + scan
+    "m_partition_evolution",  # two specs, basePath-scoped pruned scan
+    "pipe_stream_join_e2e",  # watermarked stream-stream join, 3 eras/side
+    "a_mcnemar_test",  # one scan to five integer counters
+    "v_bq_rerank",  # 8-byte Hamming shortlist + exact integer rerank
+    "s_knn_grid_join",  # cell-key shuffle + per-query top-k window
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -173,6 +173,7 @@ NESTED_LOOP_ALLOWED = frozenset(
         "d_vocab_coverage",  # 1-row (total_tokens, vocab_size) stats broadcast
         "e_decayed_engagement",  # 1-row max-day anchor broadcast
         "a_benjamini_hochberg",  # 1-row corpus language-marginals broadcast
+        "v_bq_rerank",  # deliberate query-code x corpus broadcast (v_hamming_topk shape)
     }
 )
 

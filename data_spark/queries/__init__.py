@@ -100,6 +100,10 @@ _PRIORITY = [
     # --- created in r9 (never witnessed; displace the r5 fill) ---
     "m_wap_publish",
     "m_partition_evolution",
+    "pipe_stream_join_e2e",
+    "a_mcnemar_test",
+    "v_bq_rerank",
+    "s_knn_grid_join",
     # --- r4-witnessed, displaced from the r8 window (ledger order) ---
     "a_percentiles",
     "a_weighted_median",
@@ -146,14 +150,13 @@ _PRIORITY = [
     "w_sample_deterministic",
     "w_stratified_sample",
     "w_topk_global",
-    # --- r5-witnessed fill (displacement buffer for r9 creations) ---
-    "a_autocorr_lag1",
-    "a_chi2_cells",
-    "a_cms_heavy_hitters",
-    "a_gini_revenue",
-    "a_hll_exact_rollup",
-    "a_hll_set_algebra",
-    # ---- window boundary (driver records the 50 above) ----
+    # ---- window boundary (driver records the 50 above): the 6 r9
+    # creations displaced the entire r5 fill, so the window is exactly
+    # 6 new + all 44 remaining r4-witnessed greens — after r9 the max
+    # witness age across the registry is r5. Next in line for r10:
+    # a_autocorr_lag1, a_chi2_cells, a_cms_heavy_hitters,
+    # a_gini_revenue, a_hll_exact_rollup, a_hll_set_algebra, then the
+    # remaining r5 block in ledger order. ----
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

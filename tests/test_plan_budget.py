@@ -274,6 +274,19 @@ EXCHANGE_BUDGET = {
     "m_versioned_optimize_scan": 2,
     # group cells + corpus marginals + 21-row lattice windows
     "a_benjamini_hochberg": 4,
+    # --- r9 tier ---
+    # merge-on-read final scan: tombstone anti-join + status groupBy
+    "m_wap_publish": 3,
+    # per-spec basePath scans union into one event_type groupBy
+    "m_partition_evolution": 1,
+    # drained sink scan + per-user groupBy (the join ran in the stream)
+    "pipe_stream_join_e2e": 1,
+    # one corpus scan folding to five counters
+    "a_mcnemar_test": 1,
+    # code build + broadcast shortlist window + rerank join/agg + top-k
+    "v_bq_rerank": 6,
+    # one cell-key shuffle + per-query top-k window
+    "s_knn_grid_join": 2,
 }
 
 
