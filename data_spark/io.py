@@ -1041,9 +1041,16 @@ def _publish_manifest(table_path: str, new_v: int, manifest: dict) -> bool:
     next number: Delta-style optimistic concurrency. The actual
     create-if-absent is delegated to the installed publisher
     (:func:`set_manifest_publisher`) so the same commit protocol runs
-    on POSIX (hard link) and object stores (conditional PUT)."""
-    import json
+    on POSIX (hard link) and object stores (conditional PUT).
 
+    Every published manifest is stamped with ``committed_at`` (epoch
+    seconds at publish attempt) — the anchor for timestamp time travel
+    (:func:`version_at_timestamp`). The stamp rides the manifest, so it
+    is exactly as durable and as atomic as the commit itself."""
+    import json
+    import time
+
+    manifest["committed_at"] = time.time()
     vdir = _versions_dir(table_path)
     os.makedirs(vdir, exist_ok=True)
     tmp = os.path.join(vdir, f".v{new_v}.{uuid.uuid4().hex[:8]}.json.tmp")
@@ -1084,6 +1091,25 @@ def branch_head(table_path: str, branch: str = "main") -> int | None:
     common no-branch case; manifests are driver-side metadata."""
     for v in reversed(table_versions(table_path)):
         if _manifest_branch(_load_manifest(table_path, v)) == branch:
+            return v
+    return None
+
+
+def version_at_timestamp(
+    table_path: str, ts: float, branch: str = "main"
+) -> int | None:
+    """Timestamp time travel: the latest version on ``branch`` whose
+    manifest was committed at or before ``ts`` (epoch seconds) — the
+    Delta/Iceberg ``TIMESTAMP AS OF`` resolution, anchored on the
+    ``committed_at`` stamp every publish writes into its manifest.
+    Manifests that predate the stamp (older repos) are treated as
+    always-eligible. Returns None when nothing on the branch is old
+    enough. Walks newest-first over driver-side metadata."""
+    for v in reversed(table_versions(table_path)):
+        m = _load_manifest(table_path, v)
+        if _manifest_branch(m) != branch:
+            continue
+        if m.get("committed_at", float("-inf")) <= ts:
             return v
     return None
 
@@ -1632,6 +1658,7 @@ def read_versioned(
     merge_schema: bool = False,
     prune: tuple | None = None,
     branch: str = "main",
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just resolving that version's manifest to its commit
@@ -1657,6 +1684,11 @@ def read_versioned(
     un-published branch commits — that isolation is the point of
     Write-Audit-Publish.
 
+    ``as_of``: timestamp time travel (epoch seconds) — resolve the
+    latest version on ``branch`` committed at or before the instant
+    (:func:`version_at_timestamp`); an explicit ``version`` wins over
+    ``as_of``.
+
     Commits written with ``partition_by`` (a per-commit partition spec,
     ``manifest["specs"]``) are planned with their commit dir as
     ``basePath`` so the hive partition columns survive file-level
@@ -1671,6 +1703,14 @@ def read_versioned(
         raise FileNotFoundError(f"no committed versions under {table_path}")
     if version is not None:
         v = version
+    elif as_of is not None:
+        va = version_at_timestamp(table_path, as_of, branch)
+        if va is None:
+            raise ValueError(
+                f"no version on branch {branch!r} committed at or before "
+                f"{as_of} under {table_path}"
+            )
+        v = va
     else:
         bh = branch_head(table_path, branch)
         if bh is None:
@@ -1817,7 +1857,10 @@ def restore_version(table_path: str, version: int) -> int:
 
 
 def vacuum_versions(
-    table_path: str, keep_from: int, min_age_s: float = 0.0
+    table_path: str,
+    keep_from: int,
+    min_age_s: float = 0.0,
+    keep_branch_heads: bool = True,
 ) -> list[str]:
     """Delete commit directories unreachable from every version >=
     ``keep_from`` (and drop the older manifests). Returns the removed
@@ -1833,7 +1876,14 @@ def vacuum_versions(
     ``min_age_s``: skip unreachable dirs younger than this — an
     IN-FLIGHT writer's commit dir exists before its manifest does, and
     a concurrent vacuum must not reclaim it (the Delta retention-window
-    idea). The default 0 is only safe when no writer is running."""
+    idea). The default 0 is only safe when no writer is running.
+
+    ``keep_branch_heads``: protect every branch's HEAD manifest (and
+    its data) even when it falls below ``keep_from`` — otherwise a
+    retention sweep taken mid-audit would silently delete an
+    un-published WAP branch out from under its pipeline (Iceberg keeps
+    refs alive through snapshot expiry for the same reason). Pass False
+    to declare abandoned branches disposable too."""
     import json
     import time
 
@@ -1841,6 +1891,13 @@ def vacuum_versions(
     keep = [v for v in versions if v >= keep_from]
     if not keep:
         raise ValueError(f"keep_from={keep_from} would delete every version")
+    protected: set[int] = set()
+    if keep_branch_heads:
+        heads: dict[str, int] = {}
+        for v in versions:
+            heads[_manifest_branch(_load_manifest(table_path, v))] = v
+        protected = {v for v in heads.values() if v < keep_from}
+        keep = sorted(set(keep) | protected)
     reachable: set[str] = set()
     live_deletes: set[str] = set()
     for v in keep:
@@ -1850,7 +1907,7 @@ def vacuum_versions(
 
     dropped_bids = []
     for v in versions:
-        if v < keep_from:
+        if v < keep_from and v not in protected:
             bid = _load_manifest(table_path, v).get("meta", {}).get("batch_id")
             if bid is not None:
                 dropped_bids.append(int(bid))
@@ -1889,7 +1946,7 @@ def vacuum_versions(
                 shutil.rmtree(p)
                 removed.append(c)
     for v in versions:
-        if v < keep_from:
+        if v < keep_from and v not in protected:
             os.remove(os.path.join(_versions_dir(table_path), f"v{v}.json"))
     # sweep staged-manifest debris from crashed publishes (the commit
     # itself is the os.link, so a leftover .tmp is never a version)

@@ -220,3 +220,81 @@ def test_branch_manifests_carry_specs_through_publish(spark, tmp_path):
     got = read_versioned(spark, tp)
     assert got.count() == 20
     assert got.filter(F.col("grp").isNull()).count() == 0
+
+
+def test_vacuum_protects_unpublished_branch_heads(spark, tmp_path):
+    """A retention sweep below an un-published branch head must not
+    delete the branch mid-audit (keep_branch_heads, default on)."""
+    from data_spark.io import vacuum_versions
+
+    tp = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 5), tp, mode="overwrite")        # v0 main
+    write_versioned(_df(spark, 5, 10), tp, mode="append", branch="wap")  # v1 branch
+    write_versioned(_df(spark, 10, 15), tp, mode="overwrite")      # v2 main
+    write_versioned(_df(spark, 15, 20), tp, mode="overwrite")      # v3 main
+    removed = vacuum_versions(tp, keep_from=3)
+    # the branch head (v1) and its fork parent's commits survive
+    assert branch_head(tp, "wap") == 1
+    assert read_versioned(spark, tp, branch="wap").count() == 10
+    assert read_versioned(spark, tp).count() == 5
+    # v0's commit was still reachable from the protected v1, v2's not
+    assert len(removed) == 1
+    # with the protection off, the branch is declared disposable
+    removed2 = vacuum_versions(tp, keep_from=3, keep_branch_heads=False)
+    assert branch_head(tp, "wap") is None
+    assert removed2  # the branch's (and fork parent's) commits reclaimed
+    assert read_versioned(spark, tp).count() == 5
+
+
+def test_timestamp_time_travel_resolves_committed_at(spark, tmp_path):
+    import json
+    import os
+
+    from data_spark.io import version_at_timestamp
+
+    tp = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 5), tp, mode="overwrite")   # v0
+    write_versioned(_df(spark, 5, 12), tp, mode="append")     # v1
+    write_versioned(_df(spark, 12, 20), tp, mode="append")    # v2
+    # pin distinct commit instants (the stamp is manifest metadata)
+    vdir = os.path.join(tp, "_manifests")
+    for v, ts in ((0, 1000.0), (1, 2000.0), (2, 3000.0)):
+        p = os.path.join(vdir, f"v{v}.json")
+        m = json.load(open(p))
+        m["committed_at"] = ts
+        with open(p + ".n", "w") as f:
+            json.dump(m, f)
+        os.replace(p + ".n", p)
+    assert version_at_timestamp(tp, 999.9) is None
+    assert version_at_timestamp(tp, 1000.0) == 0
+    assert version_at_timestamp(tp, 2500.0) == 1
+    assert version_at_timestamp(tp, 9e9) == 2
+    assert read_versioned(spark, tp, as_of=2500.0).count() == 12
+    assert read_versioned(spark, tp, as_of=1500.0).count() == 5
+    with pytest.raises(ValueError, match="committed at or before"):
+        read_versioned(spark, tp, as_of=10.0)
+
+
+def test_as_of_respects_branch(spark, tmp_path):
+    import json
+    import os
+
+    from data_spark.io import version_at_timestamp
+
+    tp = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 5), tp, mode="overwrite")              # v0 main
+    write_versioned(_df(spark, 5, 10), tp, mode="append", branch="b")    # v1 branch
+    write_versioned(_df(spark, 10, 15), tp, mode="append")               # v2 main
+    vdir = os.path.join(tp, "_manifests")
+    for v, ts in ((0, 1000.0), (1, 2000.0), (2, 3000.0)):
+        p = os.path.join(vdir, f"v{v}.json")
+        m = json.load(open(p))
+        m["committed_at"] = ts
+        with open(p + ".n", "w") as f:
+            json.dump(m, f)
+        os.replace(p + ".n", p)
+    # at t=2500 main's newest eligible manifest is still v0
+    assert version_at_timestamp(tp, 2500.0) == 0
+    assert version_at_timestamp(tp, 2500.0, branch="b") == 1
+    assert read_versioned(spark, tp, as_of=2500.0).count() == 5
+    assert read_versioned(spark, tp, as_of=2500.0, branch="b").count() == 10
