@@ -1317,7 +1317,14 @@ def write_versioned(
         if commit_stats is not None:
             stats[commit_dir] = commit_stats
         if partition_by:
-            specs[commit_dir] = list(partition_by)
+            # record each spec column's ORIGINAL dtype: hive partition
+            # discovery re-infers types from the directory names (a
+            # string column holding "0" comes back as an int — caught
+            # by the model fuzz), so readers cast back from the
+            # manifest, the Iceberg schema-in-metadata discipline
+            specs[commit_dir] = {
+                c: df.schema[c].dataType.simpleString() for c in partition_by
+            }
         manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
         if branch != "main":
             manifest["branch"] = branch
@@ -1774,7 +1781,10 @@ def read_versioned(
         """One DataFrame over a set of (commit, kept-paths): flat
         commits batch into a single multi-path scan; each spec'd commit
         scans under its own basePath so its partition columns survive
-        even when stats pruning narrowed the read to specific files."""
+        even when stats pruning narrowed the read to specific files.
+        Partition columns are cast back to the dtype recorded at write
+        time — hive discovery re-infers types from directory names
+        (string "0" → int), which would silently flip a column's type."""
         frames = []
         flat = [p for c, ps in cs if c not in specs for p in ps]
         if flat:
@@ -1782,7 +1792,12 @@ def read_versioned(
         for c, ps in cs:
             if c in specs and ps:
                 d = os.path.join(table_path, "data", c)
-                frames.append(mk_reader().option("basePath", d).parquet(*ps))
+                fr = mk_reader().option("basePath", d).parquet(*ps)
+                spec = specs[c]
+                if isinstance(spec, dict):  # pre-dtype manifests hold a list
+                    for col_name, dtype in spec.items():
+                        fr = fr.withColumn(col_name, F.col(col_name).cast(dtype))
+                frames.append(fr)
         if not frames:
             return None
         out = frames[0]

@@ -115,3 +115,146 @@ def test_store_matches_model(spark, tmp_path_factory, ops):
     for v, expected in zip(versions, model.snapshots):
         got = sorted(tuple(r) for r in read_versioned(spark, table, v).collect())
         assert got == expected, f"version {v}: {got} != {expected}"
+
+
+# ---------------------------------------------------------------------------
+# Branch/WAP + partition-spec extension: the same discipline over the
+# r9 surface. Every version is (branch, visible-rows); branch appends
+# fork from main when the branch doesn't exist yet; publish appends a
+# MAIN version with the branch head's rows; random commits are
+# hive-partitioned to keep the per-commit spec machinery inside the
+# fuzzed path. Explicit-version reads AND per-branch head reads must
+# match the model.
+# ---------------------------------------------------------------------------
+
+branch_name = st.sampled_from(["b1", "b2"])
+partitioned = st.booleans()
+bop = st.one_of(
+    st.tuples(st.just("overwrite"), keys_lists, partitioned),
+    st.tuples(st.just("append"), keys_lists, partitioned),
+    st.tuples(st.just("bappend"), branch_name, keys_lists, partitioned),
+    st.tuples(st.just("delete"), keys_lists),
+    st.tuples(st.just("bdelete"), branch_name, keys_lists),
+    st.tuples(st.just("publish"), branch_name),
+    st.tuples(st.just("restore"), st.floats(min_value=0.0, max_value=1.0)),
+)
+
+
+class _BranchModel:
+    """Per-version (branch, rows) chain; branch resolution mirrors
+    branch_head/publish_branch semantics."""
+
+    def __init__(self):
+        self.versions: list[tuple[str, list]] = []
+
+    def head(self, branch):
+        for b, rows in reversed(self.versions):
+            if b == branch:
+                return rows
+        return None
+
+    def commit(self, branch, rows):
+        self.versions.append((branch, sorted(rows)))
+
+    def base_for(self, branch):
+        got = self.head(branch)
+        if got is not None:
+            return got
+        return self.head("main") or []
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(bop, min_size=3, max_size=9))
+def test_store_matches_model_with_branches(spark, tmp_path_factory, ops):
+    from data_spark.io import branch_head, publish_branch
+
+    table = str(tmp_path_factory.mktemp("bstore") / "t")
+    model = _BranchModel()
+
+    def rows_for(ks):
+        return [(k, k * 10.0, str(k % 3)) for k in ks]
+
+    def df_for(ks):
+        return spark.createDataFrame(rows_for(ks), "k long, x double, p string")
+
+    first = ops[0]
+    if first[0] != "overwrite":
+        ops = [("overwrite", [1, 2, 3], False)] + ops
+    for o in ops:
+        kind = o[0]
+        if kind == "overwrite":
+            _, ks, part = o
+            write_versioned(
+                df_for(ks), table, "overwrite", partition_by=["p"] if part else None
+            )
+            model.commit("main", rows_for(ks))
+        elif kind == "append":
+            _, ks, part = o
+            write_versioned(
+                df_for(ks), table, "append", partition_by=["p"] if part else None
+            )
+            model.commit("main", sorted(model.base_for("main") + rows_for(ks)))
+        elif kind == "bappend":
+            _, b, ks, part = o
+            write_versioned(
+                df_for(ks),
+                table,
+                "append",
+                branch=b,
+                partition_by=["p"] if part else None,
+            )
+            model.commit(b, sorted(model.base_for(b) + rows_for(ks)))
+        elif kind == "delete":
+            delete_versioned(
+                spark.createDataFrame([(k,) for k in o[1]], "k long"), table
+            )
+            base = model.head("main")
+            model.commit("main", [r for r in base if r[0] not in set(o[1])])
+        elif kind == "bdelete":
+            _, b, ks = o
+            if model.head(b) is None:
+                continue  # store raises on a branchless delete; model skips
+            delete_versioned(
+                spark.createDataFrame([(k,) for k in ks], "k long"), table, branch=b
+            )
+            base = model.head(b)
+            model.commit(b, [r for r in base if r[0] not in set(ks)])
+        elif kind == "publish":
+            _, b = o
+            if model.head(b) is None:
+                continue
+            publish_branch(table, b)
+            model.commit("main", list(model.head(b)))
+        elif kind == "restore":
+            versions = table_versions(table)
+            target = versions[int(o[1] * (len(versions) - 1))]
+            restore_version(table, target)
+            model.commit("main", list(model.versions[target][1]))
+
+    versions = table_versions(table)
+    assert len(versions) == len(model.versions)
+    # every version reads back its model rows (column-order pinned:
+    # spec'd commits surface the partition column last)
+    for v, (_b, expected) in zip(versions, model.versions):
+        got = sorted(
+            tuple(r)
+            for r in read_versioned(spark, table, v).select("k", "x", "p").collect()
+        )
+        assert got == expected, f"version {v}: {got} != {expected}"
+    # and every live branch head resolves to its chain's last state
+    for b in ("main", "b1", "b2"):
+        expected = model.head(b)
+        assert (branch_head(table, b) is not None) == (expected is not None)
+        if expected is not None:
+            got = sorted(
+                tuple(r)
+                for r in read_versioned(spark, table, branch=b)
+                .select("k", "x", "p")
+                .collect()
+            )
+            assert got == expected, f"branch {b}: {got} != {expected}"
