@@ -90,6 +90,15 @@ _CURVE_DEFAULTS = {
     "e_decayed_engagement": "events",
     "a_cohens_kappa": "orders",
     "a_benjamini_hochberg": "events",
+    # round-9 additions: store gates are O(batch) commit work; the
+    # stream join is micro-batch-scheduling bound; kNN's candidate
+    # volume rides cell occupancy (q/20 of n, 9 cells each)
+    "m_wap_publish": "orders",
+    "m_partition_evolution": "events",
+    "pipe_stream_join_e2e": "events",
+    "a_mcnemar_test": "documents",
+    "v_bq_rerank": "embeddings",
+    "s_knn_grid_join": "customer",
 }
 
 
