@@ -298,3 +298,82 @@ def test_as_of_respects_branch(spark, tmp_path):
     assert version_at_timestamp(tp, 2500.0, branch="b") == 1
     assert read_versioned(spark, tp, as_of=2500.0).count() == 5
     assert read_versioned(spark, tp, as_of=2500.0, branch="b").count() == 10
+
+
+def test_concurrent_branch_and_main_commits_race(spark, tmp_path):
+    """A branch append racing a main append: optimistic concurrency
+    commits BOTH as distinct versions, each on its own chain — the
+    loser's retry re-resolves ITS branch head, so neither chain
+    absorbs the other's rows."""
+    import threading
+
+    tp = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 10), tp, mode="overwrite")
+
+    barrier = threading.Barrier(2)
+    results, errors = {}, []
+
+    def committer(tag, branch, lo, hi):
+        try:
+            df = _df(spark, lo, hi)
+            barrier.wait()
+            kw = {"branch": branch} if branch else {}
+            results[tag] = write_versioned(df, tp, mode="append", **kw)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=committer, args=("main", None, 100, 110)),
+        threading.Thread(target=committer, args=("wap", "wap", 200, 210)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert sorted(results.values()) == [1, 2]
+    # chains stayed separate regardless of which writer won version 1
+    main_ks = {r["k"] for r in read_versioned(spark, tp).collect()}
+    wap_ks = {r["k"] for r in read_versioned(spark, tp, branch="wap").collect()}
+    assert main_ks == set(range(10)) | set(range(100, 110))
+    # the branch forked from v0 (both writers read main head = 0 before
+    # racing), so it never sees the main append
+    assert wap_ks == set(range(10)) | set(range(200, 210))
+
+
+def test_concurrent_publishes_serialize(spark, tmp_path):
+    """Two branches publishing concurrently: the put-if-absent log
+    serializes them — both land as main versions, the later one is
+    main's head, and no version number is skipped or doubled."""
+    import threading
+
+    tp = str(tmp_path / "t")
+    write_versioned(_df(spark, 0, 10), tp, mode="overwrite")
+    write_versioned(_df(spark, 10, 20), tp, mode="append", branch="b1")
+    write_versioned(_df(spark, 20, 30), tp, mode="append", branch="b2")
+
+    barrier = threading.Barrier(2)
+    results, errors = {}, []
+
+    def publisher(b):
+        try:
+            barrier.wait()
+            results[b] = publish_branch(tp, b)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=publisher, args=(b,)) for b in ("b1", "b2")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert sorted(results.values()) == [3, 4]
+    assert table_versions(tp) == [0, 1, 2, 3, 4]
+    winner = max(results, key=results.get)
+    expect = set(range(10)) | (
+        set(range(10, 20)) if winner == "b1" else set(range(20, 30))
+    )
+    assert {r["k"] for r in read_versioned(spark, tp).collect()} == expect
