@@ -1154,7 +1154,7 @@ def publish_branch(
             "mode": f"publish-{branch}@{bh}",
             "commits": src["commits"],
         }
-        for k in ("deletes", "stats", "specs"):
+        for k in ("deletes", "stats", "specs", "zorder"):
             if src.get(k):
                 manifest[k] = src[k]
         if _publish_manifest(table_path, new_v, manifest):
@@ -1312,8 +1312,9 @@ def write_versioned(
             deletes = parent.get("deletes", [])
             stats = dict(parent.get("stats", {}))
             specs = dict(parent.get("specs", {}))
+            zorder = dict(parent.get("zorder", {}))
         else:
-            parents, deletes, stats, specs = [], [], {}, {}
+            parents, deletes, stats, specs, zorder = [], [], {}, {}, {}
         if commit_stats is not None:
             stats[commit_dir] = commit_stats
         if partition_by:
@@ -1334,6 +1335,8 @@ def write_versioned(
             manifest["stats"] = stats
         if specs:
             manifest["specs"] = specs
+        if zorder:
+            manifest["zorder"] = zorder
         if meta:
             manifest["meta"] = meta
         if _publish_manifest(table_path, new_v, manifest):
@@ -1424,6 +1427,8 @@ def delete_versioned(
             manifest["stats"] = parent["stats"]
         if parent.get("specs"):
             manifest["specs"] = parent["specs"]
+        if parent.get("zorder"):
+            manifest["zorder"] = parent["zorder"]
         if _publish_manifest(table_path, new_v, manifest):
             return new_v
         existing = table_versions(table_path)
@@ -1434,6 +1439,103 @@ def delete_versioned(
             os.path.join(table_path, "deletes", renamed),
         )
         delete_dir, new_v = renamed, next_v
+
+
+def merge_versioned(
+    source: DataFrame,
+    table_path: str,
+    keys: list[str],
+    delete_col: str | None = None,
+    meta: dict | None = None,
+    branch: str = "main",
+) -> int:
+    """MERGE INTO for the versioned store — last-writer-wins upsert
+    plus optional row deletion as ONE atomic version (the Delta
+    ``MERGE`` contract):
+
+    - every source key is tombstoned against the commits that existed
+      at merge time (``upto`` = parent commit count, so the merge's own
+      appended rows survive — matched rows are replaced, unmatched
+      source rows are plain inserts);
+    - source rows whose ``delete_col`` is true contribute ONLY their
+      tombstone (WHEN MATCHED THEN DELETE); the rest are appended as
+      the merge's data commit;
+    - tombstones and data publish under ONE manifest, so no reader —
+      current or time-traveling — can ever observe the torn middle
+      state a delete-then-append pair leaves in history.
+
+    Cost: O(source) writes + one manifest; the table is never
+    rescanned (merge-on-read carries the tombstones until
+    purge_deletes). The per-key LWW reduction over the SOURCE is the
+    caller's job (cdc_stream_sink does it per micro-batch); a source
+    with duplicate keys would insert duplicate rows, exactly like SQL
+    MERGE with a non-deterministic source.
+
+    Concurrency: same optimistic protocol as write_versioned — data
+    and tombstone dirs are written once under a unique token; on a
+    lost race only the manifest (and the ``upto`` scope) recompute
+    against the new parent. Returns the new version number.
+
+    Reference parity: upload/main.py's load loop deletes re-sent keys
+    then re-inserts (two visible steps on the serving index); this is
+    the same intent with snapshot isolation."""
+    existing = table_versions(table_path)
+    if not existing:
+        raise FileNotFoundError(f"no committed versions under {table_path}")
+    token = uuid.uuid4().hex[:8]
+    new_v = existing[-1] + 1
+    delete_dir = f"delete-{new_v}-{token}"
+    commit_dir = f"commit-{new_v}-{token}"
+    source.select(*keys).dropDuplicates().write.mode("overwrite").parquet(
+        os.path.join(table_path, "deletes", delete_dir)
+    )
+    upserts = (
+        source.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+        if delete_col is not None
+        else source
+    )
+    upserts.write.mode("overwrite").parquet(
+        os.path.join(table_path, "data", commit_dir)
+    )
+    while True:
+        parent_v = branch_head(table_path, branch)
+        if parent_v is None and branch != "main":
+            parent_v = branch_head(table_path, "main")
+        if parent_v is None:
+            raise FileNotFoundError(
+                f"branch {branch!r} has no commits under {table_path}"
+            )
+        parent = _load_manifest(table_path, parent_v)
+        manifest = {
+            "version": new_v,
+            "mode": "merge",
+            "commits": parent["commits"] + [commit_dir],
+            "deletes": parent.get("deletes", [])
+            + [{"dir": delete_dir, "upto": len(parent["commits"])}],
+        }
+        if branch != "main":
+            manifest["branch"] = branch
+        if parent.get("stats"):
+            manifest["stats"] = parent["stats"]
+        if parent.get("specs"):
+            manifest["specs"] = parent["specs"]
+        if parent.get("zorder"):
+            manifest["zorder"] = parent["zorder"]
+        if meta:
+            manifest["meta"] = meta
+        if _publish_manifest(table_path, new_v, manifest):
+            return new_v
+        existing = table_versions(table_path)
+        next_v = existing[-1] + 1
+        for sub, old in (("deletes", delete_dir), ("data", commit_dir)):
+            renamed = old.replace(f"-{new_v}-", f"-{next_v}-", 1)
+            os.rename(
+                os.path.join(table_path, sub, old),
+                os.path.join(table_path, sub, renamed),
+            )
+        delete_dir = delete_dir.replace(f"-{new_v}-", f"-{next_v}-", 1)
+        commit_dir = commit_dir.replace(f"-{new_v}-", f"-{next_v}-", 1)
+        new_v = next_v
 
 
 def purge_deletes(spark: SparkSession, table_path: str) -> int:
@@ -1470,8 +1572,10 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
         new_commits = []
         old_stats = manifest.get("stats", {})
         old_specs = manifest.get("specs", {})
+        old_zorder = manifest.get("zorder", {})
         new_stats = {}
         new_specs = {}
+        new_zorder = {}
         for i, c in enumerate(manifest["commits"]):
             applicable = [d["dir"] for d in deletes if d["upto"] > i]
             if not applicable:
@@ -1480,6 +1584,8 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
                     new_stats[c] = old_stats[c]
                 if c in old_specs:
                     new_specs[c] = old_specs[c]
+                if c in old_zorder:
+                    new_zorder[c] = old_zorder[c]
                 continue
             # single-dir read: partition discovery materializes a
             # spec'd commit's partition columns, so the purged rewrite
@@ -1508,6 +1614,8 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
             new_manifest["stats"] = new_stats
         if new_specs:
             new_manifest["specs"] = new_specs
+        if new_zorder:
+            new_manifest["zorder"] = new_zorder
         if _publish_manifest(table_path, new_v, new_manifest):
             return new_v
     raise RuntimeError(
@@ -1565,6 +1673,15 @@ def compact_versioned(
     )
 
 
+def _dir_bytes(root: str) -> int:
+    total = 0
+    for dp, _dirs, fs in os.walk(root):
+        total += sum(
+            os.path.getsize(os.path.join(dp, f)) for f in fs if f.endswith(".parquet")
+        )
+    return total
+
+
 def optimize_versioned(
     spark: SparkSession,
     table_path: str,
@@ -1572,23 +1689,35 @@ def optimize_versioned(
     stats_cols: list[str] | None = None,
     target_file_bytes: int = 128 << 20,
     zorder_scaling: str = "minmax",
+    incremental: bool = False,
 ) -> int:
     """OPTIMIZE ZORDER for the versioned store (the Delta
-    ``OPTIMIZE ... ZORDER BY`` maintenance op): rewrite the CURRENT
-    visible rows z-order-clustered as one fresh commit and publish it
-    as a new version, recording per-file stats for ``stats_cols``
-    (default: the z-order columns) so ``read_versioned(prune=...)``
-    skips on TIGHT multi-column bounds afterwards. History, time
-    travel, and the streaming replay guard are untouched (same
-    contract as :func:`compact_versioned`); old commits stay readable
-    until ``vacuum_versions``.
+    ``OPTIMIZE ... ZORDER BY`` maintenance op): rewrite visible rows
+    z-order-clustered and publish as a new version, recording per-file
+    stats for ``stats_cols`` (default: the z-order columns) so
+    ``read_versioned(prune=...)`` skips on TIGHT multi-column bounds
+    afterwards. History, time travel, and the streaming replay guard
+    are untouched (same contract as :func:`compact_versioned`); old
+    commits stay readable until ``vacuum_versions``.
+
+    ``incremental=True`` makes the rewrite O(delta), the only
+    schedulable shape at 100 TB: commits already produced by an
+    optimize with the SAME cluster columns (tracked in the manifest's
+    ``zorder`` map) are kept as-is, and only the commits appended
+    since — with their applicable tombstones applied — are rewritten
+    into one new clustered commit. Already-optimized commits always
+    form a PREFIX of the commit list (appends extend the tail, the
+    rewrite replaces it), so surviving delete entries just clamp their
+    ``upto`` to that prefix; with nothing pending the call is a no-op
+    returning the current head. Optimized delta commits accumulate
+    until a periodic full OPTIMIZE (incremental=False) collapses the
+    table to one directory.
 
     Concurrency: like compaction, the rewrite snapshots the version it
-    READ and must commit at exactly ``read_version + 1`` — on a
-    collision the whole rewrite redoes against the new head, so a
-    concurrent append is never dropped. Abandoned rewrite dirs are
-    unreferenced and reclaimed by vacuum. Cost: O(live rows) with one
-    range shuffle — schedule like any maintenance rewrite."""
+    READ — on a collision the whole rewrite redoes against the new
+    head, so a concurrent append is never dropped. Abandoned rewrite
+    dirs are unreferenced and reclaimed by vacuum. Cost: O(live rows)
+    full / O(rows since last optimize) incremental, one range shuffle."""
     stats_cols = stats_cols if stats_cols is not None else list(zorder_cols)
     for _attempt in range(5):
         versions = table_versions(table_path)
@@ -1601,24 +1730,100 @@ def optimize_versioned(
         token = uuid.uuid4().hex[:8]
         commit_dir = f"commit-{new_v}z-{token}"
         commit_path = os.path.join(table_path, "data", commit_dir)
+        manifest_read = _load_manifest(table_path, read_v)
+        zmap = dict(manifest_read.get("zorder", {}))
+
+        if incremental:
+            commits = manifest_read["commits"]
+            kept = 0
+            while kept < len(commits) and zmap.get(commits[kept]) == list(zorder_cols):
+                kept += 1
+            pending = commits[kept:]
+            if not pending:
+                return read_v  # fully clustered already: no-op
+            deletes = manifest_read.get("deletes", [])
+            old_stats = manifest_read.get("stats", {})
+            old_specs = manifest_read.get("specs", {})
+            # pending rows with their applicable tombstones applied —
+            # the same per-commit scoping read_versioned uses
+            parts = []
+            for i in range(kept, len(commits)):
+                c = commits[i]
+                df = spark.read.parquet(os.path.join(table_path, "data", c))
+                applicable = [d["dir"] for d in deletes if d["upto"] > i]
+                if applicable:
+                    tomb = spark.read.parquet(
+                        *[os.path.join(table_path, "deletes", d) for d in applicable]
+                    ).dropDuplicates()
+                    cond = None
+                    for k in tomb.columns:
+                        eq = df[k].eqNullSafe(tomb[k])
+                        cond = eq if cond is None else cond & eq
+                    df = df.join(tomb, cond, "left_anti")
+                parts.append(df)
+            current = parts[0]
+            for p in parts[1:]:
+                current = current.unionByName(p, allowMissingColumns=False)
+            est_bytes = sum(
+                _dir_bytes(os.path.join(table_path, "data", c)) for c in pending
+            )
+            n_files = max(1, -(-est_bytes // target_file_bytes))
+            write_zordered(
+                current,
+                commit_path,
+                zorder_cols,
+                num_files=n_files,
+                scaling=zorder_scaling,
+            )
+            new_commits = commits[:kept] + [commit_dir]
+            # tombstone coverage of the kept prefix survives; coverage
+            # of pending commits is baked into the rewrite
+            new_deletes = []
+            for d in deletes:
+                upto = min(d["upto"], kept)
+                if upto > 0:
+                    new_deletes.append({"dir": d["dir"], "upto": upto})
+            manifest = {
+                "version": new_v,
+                "mode": "optimize-incr",
+                "commits": new_commits,
+            }
+            if new_deletes:
+                manifest["deletes"] = new_deletes
+            stats = {c: old_stats[c] for c in commits[:kept] if c in old_stats}
+            if stats_cols:
+                stats[commit_dir] = _collect_commit_stats(
+                    spark, commit_path, stats_cols
+                )
+            if stats:
+                manifest["stats"] = stats
+            specs = {c: old_specs[c] for c in commits[:kept] if c in old_specs}
+            if specs:
+                manifest["specs"] = specs
+            zmap = {c: zmap[c] for c in commits[:kept] if c in zmap}
+            zmap[commit_dir] = list(zorder_cols)
+            manifest["zorder"] = zmap
+            if _publish_manifest(table_path, new_v, manifest):
+                return new_v
+            continue
+
         current = read_versioned(spark, table_path, version=read_v)
         # size the output from the snapshot's on-disk bytes (driver-side
         # listing of the manifest's commit dirs — metadata, not rows)
-        manifest_read = _load_manifest(table_path, read_v)
-        est_bytes = 0
-        for c in manifest_read["commits"]:
-            d = os.path.join(table_path, "data", c)
-            for dp, _dirs, fs in os.walk(d):
-                est_bytes += sum(
-                    os.path.getsize(os.path.join(dp, f))
-                    for f in fs
-                    if f.endswith(".parquet")
-                )
+        est_bytes = sum(
+            _dir_bytes(os.path.join(table_path, "data", c))
+            for c in manifest_read["commits"]
+        )
         n_files = max(1, -(-est_bytes // target_file_bytes))
         write_zordered(
             current, commit_path, zorder_cols, num_files=n_files, scaling=zorder_scaling
         )
-        manifest = {"version": new_v, "mode": "optimize", "commits": [commit_dir]}
+        manifest = {
+            "version": new_v,
+            "mode": "optimize",
+            "commits": [commit_dir],
+            "zorder": {commit_dir: list(zorder_cols)},
+        }
         if stats_cols:
             manifest["stats"] = {
                 commit_dir: _collect_commit_stats(spark, commit_path, stats_cols)
@@ -1867,6 +2072,8 @@ def restore_version(table_path: str, version: int) -> int:
             manifest["stats"] = old["stats"]
         if old.get("specs"):
             manifest["specs"] = old["specs"]
+        if old.get("zorder"):
+            manifest["zorder"] = old["zorder"]
         if _publish_manifest(table_path, new_v, manifest):
             return new_v
 

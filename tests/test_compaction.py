@@ -1171,3 +1171,151 @@ def test_object_store_publisher_lost_race_retries(spark, tmp_path):
     m2 = dio._load_manifest(table, 2)
     assert m2["commits"][:2] == ["commit-0-base", "commit-1-rival"]
     assert len(m2["commits"]) == 3 and m2["commits"][2].startswith("commit-2-")
+
+
+def test_merge_versioned_is_one_atomic_version(spark, tmp_path):
+    """MERGE INTO: upsert + delete as ONE version — no reader, current
+    or time-traveling, can observe the torn delete-then-append middle
+    state; matched keys replaced, unmatched inserted, delete-marked
+    rows removed."""
+    from data_spark.io import (
+        _load_manifest,
+        merge_versioned,
+        read_versioned,
+        table_versions,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame([(k, k * 10.0) for k in range(10)], "k long, x double")
+    write_versioned(base, table, "overwrite")
+    src = spark.createDataFrame(
+        [(3, 999.0, False), (100, 1.0, False), (7, 0.0, True)],
+        "k long, x double, is_del boolean",
+    )
+    v = merge_versioned(src, table, keys=["k"], delete_col="is_del")
+    assert table_versions(table) == [0, 1] and v == 1
+    got = {(r.k, r.x) for r in read_versioned(spark, table).collect()}
+    expect = {(k, k * 10.0) for k in range(10) if k not in (3, 7)} | {
+        (3, 999.0),
+        (100, 1.0),
+    }
+    assert got == expect
+    # single manifest carries BOTH the tombstone and the data commit
+    m = _load_manifest(table, v)
+    assert m["mode"] == "merge"
+    assert len(m["commits"]) == 2 and len(m["deletes"]) == 1
+    # tombstone scope excludes the merge's own commit: the upsert for a
+    # tombstoned key survives
+    assert m["deletes"][0]["upto"] == 1
+    # time travel: v0 still reads the pre-merge rows
+    assert read_versioned(spark, table, version=0).count() == 10
+
+
+def test_merge_versioned_reinsert_after_delete_survives(spark, tmp_path):
+    from data_spark.io import merge_versioned, read_versioned, write_versioned
+
+    table = str(tmp_path / "t")
+    write_versioned(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, x double"),
+        table,
+        "overwrite",
+    )
+    merge_versioned(
+        spark.createDataFrame([(1, 0.0, True)], "k long, x double, is_del boolean"),
+        table,
+        keys=["k"],
+        delete_col="is_del",
+    )
+    assert {r.k for r in read_versioned(spark, table).collect()} == {2}
+    # a later merge re-inserting the deleted key is a NEW fact
+    merge_versioned(
+        spark.createDataFrame([(1, 5.0, False)], "k long, x double, is_del boolean"),
+        table,
+        keys=["k"],
+        delete_col="is_del",
+    )
+    got = {(r.k, r.x) for r in read_versioned(spark, table).collect()}
+    assert got == {(1, 5.0), (2, 2.0)}
+
+
+def test_optimize_versioned_incremental_rewrites_only_the_delta(spark, tmp_path):
+    """Incremental OPTIMIZE: commits already clustered on the same
+    columns are kept byte-identical; only post-optimize commits (with
+    their tombstones applied) are rewritten — O(delta), the only
+    schedulable maintenance shape at 100 TB."""
+    import os
+
+    from data_spark.io import (
+        _load_manifest,
+        delete_versioned,
+        optimize_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "t")
+
+    def df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("c")
+        )
+
+    write_versioned(df(0, 4000), table, "overwrite")
+    v_full = optimize_versioned(spark, table, zorder_cols=["k", "c"])
+    # no-op when fully clustered
+    assert (
+        optimize_versioned(spark, table, zorder_cols=["k", "c"], incremental=True)
+        == v_full
+    )
+    big_commit = _load_manifest(table, v_full)["commits"][0]
+    mtime_before = os.path.getmtime(
+        os.path.join(table, "data", big_commit)
+    )
+    write_versioned(df(4000, 4400), table, "append")
+    delete_versioned(spark.createDataFrame([(7,), (4100,)], "k long"), table)
+    v_incr = optimize_versioned(
+        spark, table, zorder_cols=["k", "c"], incremental=True
+    )
+    m = _load_manifest(table, v_incr)
+    assert m["mode"] == "optimize-incr"
+    # the optimized prefix was KEPT (same dir, untouched), delta rewritten
+    assert m["commits"][0] == big_commit
+    assert len(m["commits"]) == 2
+    assert os.path.getmtime(os.path.join(table, "data", big_commit)) == mtime_before
+    # tombstone still covers the kept prefix (k=7 lives there), while
+    # the delta's coverage (k=4100) was baked into the rewrite
+    assert m["deletes"] == [{"dir": m["deletes"][0]["dir"], "upto": 1}]
+    got = read_versioned(spark, table, version=v_incr)
+    assert got.count() == 4398
+    assert got.filter(F.col("k").isin(7, 4100)).count() == 0
+    # a later FULL optimize collapses everything to one commit again
+    v_full2 = optimize_versioned(spark, table, zorder_cols=["k", "c"])
+    m2 = _load_manifest(table, v_full2)
+    assert len(m2["commits"]) == 1 and not m2.get("deletes")
+    assert read_versioned(spark, table, version=v_full2).count() == 4398
+
+
+def test_optimize_incremental_different_cols_rewrites_everything(spark, tmp_path):
+    """A cluster-column change invalidates the kept prefix: incremental
+    OPTIMIZE on new columns must rewrite the whole table once."""
+    from data_spark.io import (
+        _load_manifest,
+        optimize_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") * 13 % 500).alias("c")
+    )
+    write_versioned(df, table, "overwrite")
+    optimize_versioned(spark, table, zorder_cols=["k", "c"])
+    v = optimize_versioned(
+        spark, table, zorder_cols=["c", "k"], incremental=True
+    )
+    m = _load_manifest(table, v)
+    assert len(m["commits"]) == 1
+    assert m["zorder"][m["commits"][0]] == ["c", "k"]
+    assert read_versioned(spark, table, version=v).count() == 3000

@@ -137,6 +137,8 @@ bop = st.one_of(
     st.tuples(st.just("bdelete"), branch_name, keys_lists),
     st.tuples(st.just("publish"), branch_name),
     st.tuples(st.just("restore"), st.floats(min_value=0.0, max_value=1.0)),
+    # merge: (upsert keys, delete keys) — one atomic version
+    st.tuples(st.just("merge"), keys_lists, keys_lists),
 )
 
 
@@ -235,6 +237,24 @@ def test_store_matches_model_with_branches(spark, tmp_path_factory, ops):
             target = versions[int(o[1] * (len(versions) - 1))]
             restore_version(table, target)
             model.commit("main", list(model.versions[target][1]))
+        elif kind == "merge":
+            from data_spark.io import merge_versioned
+
+            _, ups, dels = o
+            ups = sorted(set(ups) - set(dels))
+            src = spark.createDataFrame(
+                [(k, k * 10.0 + 1, str(k % 3), False) for k in ups]
+                + [(k, 0.0, "0", True) for k in sorted(set(dels))],
+                "k long, x double, p string, is_del boolean",
+            )
+            merge_versioned(src, table, keys=["k"], delete_col="is_del")
+            base = model.head("main")
+            touched = set(ups) | set(dels)
+            model.commit(
+                "main",
+                [r for r in base if r[0] not in touched]
+                + [(k, k * 10.0 + 1, str(k % 3)) for k in ups],
+            )
 
     versions = table_versions(table)
     assert len(versions) == len(model.versions)
