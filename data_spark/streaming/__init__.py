@@ -18,6 +18,7 @@ from data_spark.streaming.incremental import (
     load_unprocessed,
 )
 from data_spark.streaming.jobs import (
+    merge_stream_sink,
     merge_upsert_sink,
     stream_event_time_join,
     stream_session_windows,
@@ -28,6 +29,7 @@ __all__ = [
     "ProcessedLog",
     "incremental_batches",
     "load_unprocessed",
+    "merge_stream_sink",
     "merge_upsert_sink",
     "stream_event_time_join",
     "stream_session_windows",

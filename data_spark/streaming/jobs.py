@@ -1051,3 +1051,68 @@ def cdc_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_stream_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    delete_col: str | None = None,
+    seq_cols: tuple[str, ...] = ("seq_ts", "seq_id"),
+) -> StreamingQuery:
+    """Streaming MERGE into the versioned store — the atomic sibling of
+    :func:`cdc_stream_sink`: each micro-batch reduces to its newest
+    event per key (``seq_cols`` ordering) and lands as ONE
+    ``merge_versioned`` version (tombstone + data under a single
+    manifest), so the per-batch commit is all-or-nothing — time travel
+    never exposes a tombstoned-but-not-yet-appended middle state, and a
+    crash can only ever replay a whole batch (idempotent via the
+    max-over-all-manifests batch-id guard), never half of one.
+
+    ``delete_col``: optional boolean column marking hard deletes (the
+    CDC 'D' op after reduction); delete-marked rows tombstone without
+    re-inserting. Cost per batch: O(batch) writes + one manifest."""
+    from data_spark.io import (
+        last_committed_batch_id,
+        merge_versioned,
+        table_versions,
+        write_versioned,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch_id(table_path)
+        if last is not None and batch_id <= last:
+            return  # crash-replay of an applied batch
+        w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in seq_cols])
+        latest = (
+            batch.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        if not table_versions(table_path):
+            first = (
+                latest.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+                    delete_col
+                )
+                if delete_col is not None
+                else latest
+            )
+            write_versioned(
+                first, table_path, mode="overwrite", meta={"batch_id": batch_id}
+            )
+            return
+        merge_versioned(
+            latest,
+            table_path,
+            keys=keys,
+            delete_col=delete_col,
+            meta={"batch_id": batch_id},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1304,3 +1304,67 @@ def test_cdc_stream_sink_lww_deletes_and_time_travel(spark, tmp_path):
     assert q2.awaitTermination(120)
     assert table_versions(table) == vs  # nothing re-applied
     assert state()[2] == (22.0, "I")
+
+
+def test_merge_stream_sink_one_atomic_version_per_batch(spark, tmp_path):
+    """The atomic sibling of cdc_stream_sink: each micro-batch lands as
+    exactly ONE merge version (tombstone + data in a single manifest),
+    so the version count equals the batch count and no time-travel
+    point exposes a tombstoned-but-unappended middle state."""
+    import os
+    import time
+
+    from data_spark.io import _load_manifest, read_versioned, table_versions
+    from data_spark.streaming.jobs import merge_stream_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, 10.0, "I", 1), (2, 20.0, "I", 2), (2, 21.0, "U", 4), (3, 30.0, "I", 3)],
+        [(1, 11.0, "U", 5), (2, 0.0, "D", 6)],
+        [(2, 22.0, "I", 7), (3, 0.0, "D", 8)],
+    ]
+    for i, rows in enumerate(batches):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            [(k, p, op == "D", float(s), s) for k, p, op, s in rows],
+            "key long, payload double, is_del boolean, seq_ts double, seq_id long",
+        ).coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    table = str(tmp_path / "table")
+    q = merge_stream_sink(
+        stream, table, str(tmp_path / "ckpt"), keys=["key"], delete_col="is_del"
+    )
+    assert q.awaitTermination(120)
+
+    def state(v=None):
+        return {r.key: r.payload for r in read_versioned(spark, table, v).collect()}
+
+    # ONE version per batch — not two
+    vs = table_versions(table)
+    assert len(vs) == 3
+    assert _load_manifest(table, 1)["mode"] == "merge"
+    assert state() == {1: 11.0, 2: 22.0}
+    # every version boundary is a consistent batch state
+    assert state(0) == {1: 10.0, 2: 21.0, 3: 30.0}
+    assert state(1) == {1: 11.0, 3: 30.0}
+
+    # crash-replay with a fresh checkpoint: the batch-id guard no-ops
+    time.sleep(0.1)
+    q2 = merge_stream_sink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        table,
+        str(tmp_path / "ckpt2"),
+        keys=["key"],
+        delete_col="is_del",
+    )
+    assert q2.awaitTermination(120)
+    assert table_versions(table) == vs
