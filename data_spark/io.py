@@ -1211,6 +1211,44 @@ def _collect_commit_stats(
     return out
 
 
+def _check_append_schema(
+    df: DataFrame, table_path: str, parent_manifest: dict
+) -> None:
+    """Schema ENFORCEMENT on append (the Delta write contract): a batch
+    whose column names/types differ from the table's would otherwise
+    land silently — the default reader plans from one footer, so the
+    divergent commit's new columns vanish and missing ones surface as
+    corruption only much later. One parent footer read (planning-time
+    metadata) buys the check; intentional evolution passes
+    ``allow_schema_evolution=True`` and reads back with
+    ``merge_schema=True``."""
+    parent_commits = parent_manifest.get("commits", [])
+    if not parent_commits:
+        return
+    c0 = parent_commits[0]
+    parent = df.sparkSession.read.parquet(
+        os.path.join(table_path, "data", c0)
+    ).schema
+    want = {f.name: f.dataType.simpleString() for f in parent.fields}
+    # a hive-partitioned parent's partition columns read back with
+    # INFERRED types; the manifest's spec records the real ones
+    spec = parent_manifest.get("specs", {}).get(c0)
+    if isinstance(spec, dict):
+        want.update(spec)
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if want != got:
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        retyped = sorted(
+            n for n in set(want) & set(got) if want[n] != got[n]
+        )
+        raise ValueError(
+            "append schema does not match the table "
+            f"(missing={missing}, new={extra}, retyped={retyped}); pass "
+            "allow_schema_evolution=True to evolve intentionally"
+        )
+
+
 def write_versioned(
     df: DataFrame,
     table_path: str,
@@ -1219,6 +1257,7 @@ def write_versioned(
     stats_cols: list[str] | None = None,
     branch: str = "main",
     partition_by: list[str] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Commit ``df`` as a new table version — snapshot isolation and
     time travel on plain parquet, the lakehouse commit-log idea
@@ -1282,6 +1321,12 @@ def write_versioned(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     token = uuid.uuid4().hex[:8]
     existing = table_versions(table_path)
+    if mode == "append" and existing and not allow_schema_evolution:
+        check_v = branch_head(table_path, branch)
+        if check_v is None and branch != "main":
+            check_v = branch_head(table_path, "main")
+        if check_v is not None:
+            _check_append_schema(df, table_path, _load_manifest(table_path, check_v))
     new_v = (existing[-1] + 1) if existing else 0
     commit_dir = f"commit-{new_v}-{token}"
     writer = df.write.mode("overwrite")

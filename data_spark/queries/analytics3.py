@@ -358,7 +358,7 @@ def m_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("short")
         .alias("quality_tier"),
     )
-    write_versioned(evolved, base, "append")
+    write_versioned(evolved, base, "append", allow_schema_evolution=True)
     merged = read_versioned(spark, base, merge_schema=True)
     return merged.groupBy(
         "lang", F.coalesce("quality_tier", F.lit("none")).alias("tier")

@@ -337,9 +337,15 @@ def test_concurrent_branch_and_main_commits_race(spark, tmp_path):
     main_ks = {r["k"] for r in read_versioned(spark, tp).collect()}
     wap_ks = {r["k"] for r in read_versioned(spark, tp, branch="wap").collect()}
     assert main_ks == set(range(10)) | set(range(100, 110))
-    # the branch forked from v0 (both writers read main head = 0 before
-    # racing), so it never sees the main append
-    assert wap_ks == set(range(10)) | set(range(200, 210))
+    # the branch forked from MAIN'S HEAD AT ITS COMMIT TIME: v0 when the
+    # branch won the race, v1 (including the main append) when it lost
+    # and its retry re-resolved the fork point — either is a consistent
+    # snapshot fork, and the main append is never duplicated or lost
+    base = set(range(10)) | set(range(200, 210))
+    if results["wap"] < results["main"]:
+        assert wap_ks == base
+    else:
+        assert wap_ks == base | set(range(100, 110))
 
 
 def test_concurrent_publishes_serialize(spark, tmp_path):

@@ -1319,3 +1319,57 @@ def test_optimize_incremental_different_cols_rewrites_everything(spark, tmp_path
     assert len(m["commits"]) == 1
     assert m["zorder"][m["commits"][0]] == ["c", "k"]
     assert read_versioned(spark, table, version=v).count() == 3000
+
+
+def test_append_schema_enforcement(spark, tmp_path):
+    """Schema enforcement on append (the Delta write contract): a
+    divergent batch raises instead of landing silently — the default
+    reader plans from one footer, so an unchecked divergent commit
+    surfaces as dropped columns or nulls much later. Intentional
+    evolution opts in and reads back with merge_schema."""
+    import pytest as _pytest
+
+    from data_spark.io import read_versioned, write_versioned
+
+    table = str(tmp_path / "t")
+    write_versioned(
+        spark.createDataFrame([(1, 1.0)], "k long, x double"), table, "overwrite"
+    )
+    # missing column
+    with _pytest.raises(ValueError, match="missing=\\['x'\\]"):
+        write_versioned(spark.createDataFrame([(2,)], "k long"), table, "append")
+    # new column
+    with _pytest.raises(ValueError, match="new=\\['y'\\]"):
+        write_versioned(
+            spark.createDataFrame([(2, 2.0, 9)], "k long, x double, y long"),
+            table,
+            "append",
+        )
+    # retyped column
+    with _pytest.raises(ValueError, match="retyped=\\['x'\\]"):
+        write_versioned(
+            spark.createDataFrame([(2, "s")], "k long, x string"), table, "append"
+        )
+    # matching append still lands; explicit evolution opts in
+    write_versioned(spark.createDataFrame([(2, 2.0)], "k long, x double"), table, "append")
+    write_versioned(
+        spark.createDataFrame([(3, 3.0, 9)], "k long, x double, y long"),
+        table,
+        "append",
+        allow_schema_evolution=True,
+    )
+    got = read_versioned(spark, table, merge_schema=True)
+    assert got.count() == 3 and "y" in got.columns
+    # enforcement against a hive-partitioned parent uses the recorded
+    # spec dtypes, not the re-inferred ones
+    t2 = str(tmp_path / "t2")
+    write_versioned(
+        spark.createDataFrame([(1, "0")], "k long, p string"),
+        t2,
+        "overwrite",
+        partition_by=["p"],
+    )
+    write_versioned(
+        spark.createDataFrame([(2, "1")], "k long, p string"), t2, "append"
+    )
+    assert read_versioned(spark, t2).count() == 2
