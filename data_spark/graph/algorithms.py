@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_spark.plans.lineage import truncate_lineage
+from data_spark.plans.lineage import iteration_scope, truncate_lineage
 
 
 def pagerank(
@@ -303,27 +303,30 @@ def connected_components(
 
     prev_fp = fingerprint(labels)
     converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.a == labels.id)
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+    # AQE off for the loop (skinny pre-partitioned frames; see
+    # plans/lineage.iteration_scope) — ~20% of wall at bench scale
+    with iteration_scope(edges.sparkSession):
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym.a == labels.id)
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-            .transform(truncate_lineage)
-        )
-        fp = fingerprint(labels)
-        if fp == prev_fp:
-            converged = True
-            break
-        prev_fp = fp
+            labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    ).alias("component"),
+                )
+                .transform(truncate_lineage)
+            )
+            fp = fingerprint(labels)
+            if fp == prev_fp:
+                converged = True
+                break
+            prev_fp = fp
     if not converged:
         # Hitting the cap with labels still moving means components on
         # graphs with diameter > max_iterations would be silently split.
