@@ -412,3 +412,69 @@ def compact_ann_index(spark: SparkSession, index_path: str, subdir: str) -> dict
     recover_partitioned_root(table_root)  # clear the emptied maintenance roots
     shutil.rmtree(tp)
     return report
+
+
+def build_bq_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist sign-bit binary codes for the corpus — 8 bytes per
+    vector, the memory-bound shortlist form (the third stored index
+    family next to IVF cells and IVF-PQ codes). Probes scan codes, not
+    vectors; the exact rerank joins back to wherever the full vectors
+    live (they are NOT duplicated into the index)."""
+    from data_spark.operators.similarity import sign_bit_codes
+
+    codes = sign_bit_codes(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), "code"
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(index_path, "bq_codes"))
+
+
+def append_to_bq_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(|new|) code append — the corpus is never re-encoded."""
+    from data_spark.operators.similarity import sign_bit_codes
+
+    codes = sign_bit_codes(new_vectors, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), "code"
+    )
+    codes.write.mode("append").parquet(os.path.join(index_path, "bq_codes"))
+
+
+def bq_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage probe over the persisted codes: Hamming shortlist from
+    ``bq_codes`` (tombstoned ids anti-joined like every other probe of
+    this index family), exact integer-cosine rerank against ``corpus``.
+    Same contract as similarity.bq_rerank_topk with the codes read from
+    disk instead of recomputed."""
+    from data_spark.operators.similarity import bq_rerank_topk
+
+    codes = spark.read.parquet(os.path.join(index_path, "bq_codes"))
+    codes = _anti_tombstones(spark, index_path, codes).withColumnRenamed(
+        "cid", id_col
+    )
+    return bq_rerank_topk(
+        corpus,
+        queries,
+        codes,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

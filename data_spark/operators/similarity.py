@@ -592,3 +592,103 @@ def kcenter_select(
         [(cid, i + 1) for i, (cid, _) in enumerate(chosen)],
         "vec_id long, sel_order int",
     )
+
+
+def sign_bit_codes(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, code): one sign bit per embedding component packed into a
+    single BIGINT — binary quantization, the 8-bytes-per-vector
+    retrieval mode (v_bq_rerank's stage 1 and the bq ANN index's stored
+    form). Bit i is set when component i is non-negative; bit 63
+    contributes -2^63 (two's complement), so every partial sum stays in
+    BIGINT range. Dimensions beyond 64 are rejected — pack into an
+    array of words before raising the cap."""
+    dims = F.size(F.col(vec_col))
+    x = df.select(
+        F.col(id_col),
+        dims.alias("__d"),
+        F.posexplode(vec_col).alias("idx", "xf"),
+    )
+    bit = F.when(
+        F.col("xf").cast("double") >= 0,
+        F.when(F.col("idx") == 63, F.lit(-(2**63))).otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        x.withColumn(
+            "__guard",
+            F.when(
+                F.col("__d") > 64,
+                F.raise_error(F.lit("sign_bit_codes: >64 dimensions")),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy(id_col)
+        .agg((F.sum(bit) + F.max("__guard")).cast("bigint").alias("code"))
+    )
+
+
+def bq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codes: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval over PRECOMPUTED binary codes: Hamming
+    shortlist from ``codes`` (8 bytes/vector scanned — XOR + popcount,
+    query codes broadcast), then exact e6-integer cosine rescoring of
+    only shortlist·d values against ``corpus``. Returns
+    (qid, neighbor_id, rank, dot, cnorm2) — integer scores, rank by
+    dot/sqrt(cnorm2) which IS cosine order (query norm constant per
+    partition). The operator behind v_bq_rerank, factored so the codes
+    table can be a persisted index (operators/ann_index.build_bq_index)."""
+    q_codes = sign_bit_codes(queries, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), F.col("code").alias("qcode")
+    )
+    c_codes = codes.select(F.col(id_col).alias("cid"), F.col("code").alias("ccode"))
+    ham = F.bit_count(F.col("qcode").bitwiseXOR(F.col("ccode"))).cast("bigint")
+    w_short = Window.partitionBy("qid").orderBy("hamming", "cid")
+    short = (
+        c_codes.crossJoin(F.broadcast(q_codes))
+        .select("qid", "cid", ham.alias("hamming"))
+        .withColumn("hrank", F.row_number().over(w_short))
+        .filter(F.col("hrank") <= shortlist)
+        .select("qid", "cid")
+    )
+
+    def e6(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("idx", "xf")
+        ).select(
+            out_id,
+            "idx",
+            F.floor(F.col("xf").cast("double") * 1e6 + 0.5)
+            .cast("bigint")
+            .alias("xv"),
+        )
+
+    qx = e6(queries, "qid").withColumnRenamed("xv", "qv")
+    cx = e6(corpus, "cid").withColumnRenamed("xv", "cv")
+    scores = (
+        short.join(qx, "qid")
+        .join(cx, ["cid", "idx"])
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum(F.col("qv") * F.col("cv")).cast("bigint").alias("dot"),
+            F.sum(F.col("cv") * F.col("cv")).cast("bigint").alias("cnorm2"),
+        )
+        .filter(F.col("cnorm2") > 0)
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        (F.col("dot").cast("double") / F.sqrt(F.col("cnorm2").cast("double"))).desc(),
+        F.asc("cid"),
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("neighbor_id"), "rank", "dot", "cnorm2")
+    )

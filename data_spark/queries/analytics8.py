@@ -356,61 +356,19 @@ def v_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     native-index black box; this is the same two-stage contract as
     explicit relational algebra next to v_hamming_topk (binary corpus)
     and v_int8_cosine_topk (int8 corpus)."""
+    from data_spark.operators.similarity import (  # noqa: PLC0415
+        bq_rerank_topk,
+        sign_bit_codes,
+    )
+
     emb = t(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id", F.posexplode("embedding").alias("idx", "xf")
-    ).select(
-        "vec_id",
-        "idx",
-        F.col("xf").cast("double").alias("xd"),
-        F.floor(F.col("xf").cast("double") * 1e6 + 0.5).cast("bigint").alias("xv"),
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    c = emb.filter(F.col("vec_id") % 100 != 0)
+    codes = sign_bit_codes(c, "vec_id", "embedding")
+    return bq_rerank_topk(
+        c, q, codes, k=_BQ_K, shortlist=_BQ_SHORTLIST, id_col="vec_id", vec_col="embedding"
     )
-    # sign-bit packing: bit i set when component i is non-negative.
-    # Bit 63 contributes -2^63 (two's complement), so every partial sum
-    # stays inside BIGINT range.
-    bit = F.when(
-        F.col("xd") >= 0,
-        F.when(F.col("idx") == 63, F.lit(-(2**63))).otherwise(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")
-        ),
-    ).otherwise(F.lit(0))
-    codes = x.groupBy("vec_id").agg(F.sum(bit).cast("bigint").alias("code"))
-    q = codes.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("code").alias("qcode")
-    )
-    c = codes.filter(F.col("vec_id") % 100 != 0).select(
-        F.col("vec_id").alias("cid"), F.col("code").alias("ccode")
-    )
-    ham = F.bit_count(F.col("qcode").bitwiseXOR(F.col("ccode"))).cast("bigint")
-    w_short = Window.partitionBy("qid").orderBy("hamming", "cid")
-    short = (
-        c.crossJoin(F.broadcast(q))
-        .select("qid", "cid", ham.alias("hamming"))
-        .withColumn("hrank", F.row_number().over(w_short))
-        .filter(F.col("hrank") <= _BQ_SHORTLIST)
-        .select("qid", "cid")
-    )
-    qx = x.select(F.col("vec_id").alias("qid"), "idx", F.col("xv").alias("qv"))
-    cx = x.select(F.col("vec_id").alias("cid"), "idx", F.col("xv").alias("cv"))
-    scores = (
-        short.join(qx, "qid")
-        .join(cx, ["cid", "idx"])
-        .groupBy("qid", "cid")
-        .agg(
-            F.sum(F.col("qv") * F.col("cv")).cast("bigint").alias("dot"),
-            F.sum(F.col("cv") * F.col("cv")).cast("bigint").alias("cnorm2"),
-        )
-        .filter(F.col("cnorm2") > 0)
-    )
-    w_rank = Window.partitionBy("qid").orderBy(
-        (F.col("dot").cast("double") / F.sqrt(F.col("cnorm2").cast("double"))).desc(),
-        F.asc("cid"),
-    )
-    return (
-        scores.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rank") <= _BQ_K)
-        .select("qid", F.col("cid").alias("neighbor_id"), "rank", "dot", "cnorm2")
-    )
+
 
 
 # ---------------------------------------------------------------------------

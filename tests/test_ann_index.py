@@ -479,3 +479,85 @@ def test_crashed_compaction_leftovers_never_corrupt_the_index(spark, sf_small, t
     assert after == expect
     # the cell partition column survived as a numeric type
     assert dict(spark.read.parquet(cells_root).dtypes)["cell"] in ("int", "bigint")
+
+
+def test_bq_index_matches_in_memory_operator(spark, sf_small, tmp_path):
+    """The persisted sign-bit code index must return bit-identical
+    two-stage results to recomputing the codes in memory."""
+    from data_spark.operators.ann_index import bq_index_topk, build_bq_index
+    from data_spark.operators.similarity import bq_rerank_topk, sign_bit_codes
+
+    corpus = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    rest = corpus.filter(F.col("vec_id") % 100 != 0)
+
+    idx = str(tmp_path / "bq_index")
+    build_bq_index(rest, idx)
+
+    got = {
+        (r.qid, r.rank): (r.neighbor_id, r.dot, r.cnorm2)
+        for r in bq_index_topk(
+            spark, idx, queries, rest, k=5, shortlist=20
+        ).collect()
+    }
+    codes = sign_bit_codes(rest)
+    expect = {
+        (r.qid, r.rank): (r.neighbor_id, r.dot, r.cnorm2)
+        for r in bq_rerank_topk(rest, queries, codes, k=5, shortlist=20).collect()
+    }
+    assert got == expect and len(got) == 5 * queries.count()
+
+
+def test_bq_index_append_equals_rebuild_and_deletes_apply(spark, sf_small, tmp_path):
+    from data_spark.operators.ann_index import (
+        append_to_bq_index,
+        bq_index_topk,
+        build_bq_index,
+        delete_from_ann_index,
+    )
+
+    corpus = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = corpus.orderBy("vec_id").limit(3)
+    first = corpus.filter(F.col("vec_id") % 2 == 0)
+    second = corpus.filter(F.col("vec_id") % 2 != 0)
+
+    idx = str(tmp_path / "bq_incr")
+    build_bq_index(first, idx)
+    append_to_bq_index(second, idx)
+
+    idx_full = str(tmp_path / "bq_full")
+    build_bq_index(corpus, idx_full)
+
+    got = {
+        (r.qid, r.rank): r.neighbor_id
+        for r in bq_index_topk(spark, idx, queries, corpus, k=5).collect()
+    }
+    expect = {
+        (r.qid, r.rank): r.neighbor_id
+        for r in bq_index_topk(spark, idx_full, queries, corpus, k=5).collect()
+    }
+    assert got == expect
+
+    # tombstoned ids vanish from results without touching the codes
+    victims = [v for (_q, _r), v in sorted(got.items())][:2]
+    delete_from_ann_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"), idx
+    )
+    after = {
+        r.neighbor_id
+        for r in bq_index_topk(spark, idx, queries, corpus, k=5).collect()
+    }
+    assert not (after & set(victims))
+
+
+def test_sign_bit_codes_reject_wide_vectors(spark):
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from data_spark.operators.similarity import sign_bit_codes
+
+    wide = spark.createDataFrame(
+        [(1, [0.1] * 65)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="64 dimensions"):
+        sign_bit_codes(wide).collect()
