@@ -124,22 +124,30 @@ def _lpa_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         .transform(truncate_lineage)
     )
     lbl = sym.select(F.col("a").alias("id"), F.col("a").alias("lbl")).distinct()
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            sym.join(lbl.withColumnRenamed("id", "b"), "b")
-            .groupBy(F.col("a").alias("id"), "lbl")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-        lbl = (
-            votes.groupBy("id")
-            .agg(
-                F.min(
-                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
-                ).alias("m")
+    # AQE off for the fixed rounds: both per-round aggregates ride the
+    # truncated frames' existing layout, so runtime re-planning has
+    # nothing to convert (no broadcast candidate — votes is keyed fact
+    # scale) and costs a re-optimization per tiny stage; measured -23%
+    # at sf0.1 (plans/lineage.iteration_scope)
+    from data_spark.plans.lineage import iteration_scope  # noqa: PLC0415
+
+    with iteration_scope(spark):
+        for _ in range(_LPA_ROUNDS):
+            votes = (
+                sym.join(lbl.withColumnRenamed("id", "b"), "b")
+                .groupBy(F.col("a").alias("id"), "lbl")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
             )
-            .select("id", F.col("m.l").alias("lbl"))
-            .transform(truncate_lineage)
-        )
+            lbl = (
+                votes.groupBy("id")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                    ).alias("m")
+                )
+                .select("id", F.col("m.l").alias("lbl"))
+                .transform(truncate_lineage)
+            )
     return sym, lbl.select("id", F.col("lbl").alias("community"))
 
 
