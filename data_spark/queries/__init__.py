@@ -153,7 +153,10 @@ _PRIORITY = [
     # ---- window boundary (driver records the 50 above): the 6 r9
     # creations displaced the entire r5 fill, so the window is exactly
     # 6 new + all 44 remaining r4-witnessed greens — after r9 the max
-    # witness age across the registry is r5. Next in line for r10:
+    # witness age across the registry is r5. r10 plan: new r10 gates at
+    # the head (candidates already built + pytest-gated in r9:
+    # io.merge_versioned as m_merge_upsert, optimize_versioned
+    # incremental as m_optimize_incremental, ann_index BQ probe), then
     # a_autocorr_lag1, a_chi2_cells, a_cms_heavy_hitters,
     # a_gini_revenue, a_hll_exact_rollup, a_hll_set_algebra, then the
     # remaining r5 block in ledger order. ----
