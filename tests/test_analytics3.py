@@ -239,7 +239,14 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         [(3, "en", "long")], "doc_id bigint, lang string, quality_tier string"
     )
     assert write_versioned(v0_df, base, "overwrite") == 0
-    assert write_versioned(v1_df, base, "append") == 1
+    # enforcement (r9) rejects the widened batch without the opt-in
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_schema_evolution"):
+        write_versioned(v1_df, base, "append")
+    assert (
+        write_versioned(v1_df, base, "append", allow_schema_evolution=True) == 1
+    )
 
     # time travel to v0 keeps the ORIGINAL two-column schema
     old = read_versioned(spark, base, version=0)
