@@ -1034,6 +1034,50 @@ def set_manifest_publisher(publisher) -> None:
     _MANIFEST_PUBLISHER = publisher if publisher is not None else _posix_publish_if_absent
 
 
+def _refs_path(table_path: str) -> str:
+    return os.path.join(_versions_dir(table_path), "refs.json")
+
+
+def _advance_ref(table_path: str, branch: str, version: int) -> None:
+    """Best-effort ADVISORY head cache (the `_last_checkpoint` idea):
+    after a successful publish, record branch → head in ``refs.json``
+    so :func:`branch_head` resolves in O(1) manifest reads instead of
+    walking the whole log. The cache is never load-bearing — readers
+    validate it against the log and fall back to the full walk on any
+    mismatch, and the put-if-absent manifest publish remains the ONLY
+    commit primitive. Last-writer races can therefore only make the
+    cache stale (monotonicity is still enforced per rewrite), which
+    the read-side validation absorbs."""
+    import json
+
+    path = _refs_path(table_path)
+    try:
+        heads: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                heads = json.load(f).get("heads", {})
+        if int(heads.get(branch, -1)) >= version:
+            return
+        heads[branch] = version
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"heads": heads}, f)
+        os.replace(tmp, path)
+    except (OSError, ValueError):
+        pass  # advisory only: a failed cache write never fails a commit
+
+
+def _cached_head(table_path: str, branch: str) -> int | None:
+    import json
+
+    try:
+        with open(_refs_path(table_path)) as f:
+            v = json.load(f).get("heads", {}).get(branch)
+        return int(v) if v is not None else None
+    except (OSError, ValueError, TypeError):
+        return None
+
+
 def _publish_manifest(table_path: str, new_v: int, manifest: dict) -> bool:
     """Atomically publish ``vN.json`` — the versioned store's commit
     point. Returns False when version N is already taken (a concurrent
@@ -1057,9 +1101,12 @@ def _publish_manifest(table_path: str, new_v: int, manifest: dict) -> bool:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     try:
-        return _MANIFEST_PUBLISHER(tmp, os.path.join(vdir, f"v{new_v}.json"))
+        ok = _MANIFEST_PUBLISHER(tmp, os.path.join(vdir, f"v{new_v}.json"))
     finally:
         os.remove(tmp)
+    if ok:
+        _advance_ref(table_path, _manifest_branch(manifest), new_v)
+    return ok
 
 
 def table_versions(table_path: str) -> list[int]:
@@ -1087,9 +1134,30 @@ def branch_head(table_path: str, branch: str = "main") -> int | None:
     next global version number through the same put-if-absent publish,
     so cross-branch ordering — and therefore vacuum reachability and
     the streaming replay guard — need no second coordination primitive.
-    Resolution walks the log newest-first and is O(1) for main in the
-    common no-branch case; manifests are driver-side metadata."""
-    for v in reversed(table_versions(table_path)):
+
+    Resolution consults the advisory ``refs.json`` head cache first
+    (written best-effort after every successful publish): when the
+    cached head is a live manifest of the right branch, only manifests
+    NEWER than it need checking — zero in the common case, so a head
+    lookup costs O(1) manifest reads instead of an O(versions) walk
+    (the Delta ``_last_checkpoint`` shape). Any mismatch — cache
+    missing, stale, vacuumed away, or pointing at the wrong branch —
+    falls back to the full newest-first walk; the cache can therefore
+    never change an answer, only the number of JSONs read."""
+    versions = table_versions(table_path)
+    if not versions:
+        return None
+    cand = _cached_head(table_path, branch)
+    if cand is not None and cand in set(versions):
+        try:
+            if _manifest_branch(_load_manifest(table_path, cand)) == branch:
+                for v in reversed([v for v in versions if v > cand]):
+                    if _manifest_branch(_load_manifest(table_path, v)) == branch:
+                        return v
+                return cand
+        except (OSError, ValueError):
+            pass
+    for v in reversed(versions):
         if _manifest_branch(_load_manifest(table_path, v)) == branch:
             return v
     return None
@@ -1161,6 +1229,42 @@ def publish_branch(
             return new_v
 
 
+_PART_INFER_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+def _read_spec_commit(
+    spark: SparkSession,
+    paths: list[str],
+    spec: dict,
+    base_path: str | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Scan a hive-partitioned (spec'd) commit with partition-column
+    type inference DISABLED, then cast each partition column to the
+    dtype the manifest spec pinned at write time. Inference-then-cast
+    is NOT equivalent: discovery would read a string partition value
+    ``'007'`` as the int 7, and casting back yields ``'7'`` — permanent
+    value loss. With inference off the raw directory string survives
+    and the single cast to the recorded dtype is exact. Every consumer
+    of a spec'd commit (read_versioned, purge_deletes, incremental
+    OPTIMIZE, stats collection) must come through here so rewrites
+    never bake an inferred dtype into a new commit."""
+    old = spark.conf.get(_PART_INFER_CONF)
+    spark.conf.set(_PART_INFER_CONF, "false")
+    try:
+        r = spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        df = r.parquet(*paths)
+    finally:
+        spark.conf.set(_PART_INFER_CONF, old)
+    for col_name, dtype in spec.items():
+        df = df.withColumn(col_name, F.col(col_name).cast(dtype))
+    return df
+
+
 def _json_stat(v):
     """JSON-serializable min/max bound (dates/timestamps → ISO strings,
     which compare lexicographically like the values do)."""
@@ -1172,7 +1276,7 @@ def _json_stat(v):
 
 
 def _collect_commit_stats(
-    spark: SparkSession, commit_path: str, cols: list[str]
+    spark: SparkSession, commit_path: str, cols: list[str], spec: dict | None = None
 ) -> dict:
     """Per-FILE min/max for ``cols`` over one commit directory —
     O(commit) at write time, and the result is manifest METADATA
@@ -1181,8 +1285,15 @@ def _collect_commit_stats(
     hive-partitioned commits they carry the ``col=val/`` prefix so
     pruning resolves the right leaf). Partition columns themselves can
     be stats columns: their value is constant per file and survives
-    the groupBy like any other column."""
-    df = spark.read.parquet(commit_path)
+    the groupBy like any other column. ``spec`` (the commit's partition
+    spec, when hive-partitioned): bounds for spec columns are recorded
+    in the PINNED dtype, never the discovery-inferred one — otherwise
+    a string partition column's stats would hold ints and pruning
+    comparisons against string probes would misfire."""
+    if spec:
+        df = _read_spec_commit(spark, [commit_path], spec)
+    else:
+        df = spark.read.parquet(commit_path)
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("__f"))
         .agg(
@@ -1221,11 +1332,16 @@ def _check_append_schema(
     corruption only much later. One parent footer read (planning-time
     metadata) buys the check; intentional evolution passes
     ``allow_schema_evolution=True`` and reads back with
-    ``merge_schema=True``."""
+    ``merge_schema=True``. Enforcement anchors on the NEWEST data
+    commit — the table's CURRENT schema — so after an intentional
+    ``allow_schema_evolution`` append, later appends in the evolved
+    schema pass and appends in the stale pre-evolution schema are
+    rejected (the Delta contract; anchoring on the oldest commit would
+    invert it)."""
     parent_commits = parent_manifest.get("commits", [])
     if not parent_commits:
         return
-    c0 = parent_commits[0]
+    c0 = parent_commits[-1]
     parent = df.sparkSession.read.parquet(
         os.path.join(table_path, "data", c0)
     ).schema
@@ -1333,9 +1449,17 @@ def write_versioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(table_path, "data", commit_dir))
+    commit_spec = (
+        {c: df.schema[c].dataType.simpleString() for c in partition_by}
+        if partition_by
+        else None
+    )
     commit_stats = (
         _collect_commit_stats(
-            df.sparkSession, os.path.join(table_path, "data", commit_dir), stats_cols
+            df.sparkSession,
+            os.path.join(table_path, "data", commit_dir),
+            stats_cols,
+            spec=commit_spec,
         )
         if stats_cols
         else None
@@ -1362,15 +1486,13 @@ def write_versioned(
             parents, deletes, stats, specs, zorder = [], [], {}, {}, {}
         if commit_stats is not None:
             stats[commit_dir] = commit_stats
-        if partition_by:
+        if commit_spec:
             # record each spec column's ORIGINAL dtype: hive partition
             # discovery re-infers types from the directory names (a
             # string column holding "0" comes back as an int — caught
             # by the model fuzz), so readers cast back from the
             # manifest, the Iceberg schema-in-metadata discipline
-            specs[commit_dir] = {
-                c: df.schema[c].dataType.simpleString() for c in partition_by
-            }
+            specs[commit_dir] = commit_spec
         manifest = {"version": new_v, "mode": mode, "commits": parents + [commit_dir]}
         if branch != "main":
             manifest["branch"] = branch
@@ -1493,6 +1615,7 @@ def merge_versioned(
     delete_col: str | None = None,
     meta: dict | None = None,
     branch: str = "main",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """MERGE INTO for the versioned store — last-writer-wins upsert
     plus optional row deletion as ONE atomic version (the Delta
@@ -1521,6 +1644,14 @@ def merge_versioned(
     lost race only the manifest (and the ``upto`` scope) recompute
     against the new parent. Returns the new version number.
 
+    ``stats_cols``: record per-file min/max bounds for these columns on
+    the merge's data commit, exactly like ``write_versioned`` — when
+    None, the column set the PARENT's stats already track is inherited
+    (restricted to columns the upsert frame actually has), so a
+    MERGE-maintained table (the CDC steady state) keeps
+    ``read_versioned(prune=...)`` file skipping on every commit instead
+    of silently degrading until the next OPTIMIZE.
+
     Reference parity: upload/main.py's load loop deletes re-sent keys
     then re-inserts (two visible steps on the serving index); this is
     the same intent with snapshot isolation."""
@@ -1542,6 +1673,26 @@ def merge_versioned(
     upserts.write.mode("overwrite").parquet(
         os.path.join(table_path, "data", commit_dir)
     )
+    cols = stats_cols
+    if cols is None:
+        # inherit the parent's tracked stats columns so merge-heavy
+        # tables never silently stop recording pruning bounds
+        probe_v = branch_head(table_path, branch)
+        if probe_v is None and branch != "main":
+            probe_v = branch_head(table_path, "main")
+        if probe_v is not None:
+            pstats = _load_manifest(table_path, probe_v).get("stats", {})
+            tracked = sorted(
+                {c for files in pstats.values() for b in files.values() for c in b}
+            )
+            cols = [c for c in tracked if c in upserts.columns]
+    commit_stats = (
+        _collect_commit_stats(
+            source.sparkSession, os.path.join(table_path, "data", commit_dir), cols
+        )
+        if cols
+        else None
+    )
     while True:
         parent_v = branch_head(table_path, branch)
         if parent_v is None and branch != "main":
@@ -1560,8 +1711,11 @@ def merge_versioned(
         }
         if branch != "main":
             manifest["branch"] = branch
-        if parent.get("stats"):
-            manifest["stats"] = parent["stats"]
+        stats = dict(parent.get("stats", {}))
+        if commit_stats is not None:
+            stats[commit_dir] = commit_stats
+        if stats:
+            manifest["stats"] = stats
         if parent.get("specs"):
             manifest["specs"] = parent["specs"]
         if parent.get("zorder"):
@@ -1634,8 +1788,16 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
                 continue
             # single-dir read: partition discovery materializes a
             # spec'd commit's partition columns, so the purged rewrite
-            # keeps them as data columns (its spec entry is dropped)
-            df = spark.read.parquet(os.path.join(table_path, "data", c))
+            # keeps them as data columns (its spec entry is dropped) —
+            # read through the manifest-spec cast (inference OFF) so
+            # the rewrite persists the pinned dtypes and exact values,
+            # never discovery-inferred ones ('007' must not become 7)
+            cdir = os.path.join(table_path, "data", c)
+            spec_c = old_specs.get(c)
+            if isinstance(spec_c, dict):
+                df = _read_spec_commit(spark, [cdir], spec_c, base_path=cdir)
+            else:
+                df = spark.read.parquet(cdir)
             tomb = spark.read.parquet(
                 *[os.path.join(table_path, "deletes", d) for d in applicable]
             ).dropDuplicates()
@@ -1790,11 +1952,18 @@ def optimize_versioned(
             old_stats = manifest_read.get("stats", {})
             old_specs = manifest_read.get("specs", {})
             # pending rows with their applicable tombstones applied —
-            # the same per-commit scoping read_versioned uses
+            # the same per-commit scoping (and manifest-spec cast, so a
+            # spec'd pending commit's partition columns keep their
+            # pinned dtype in the clustered rewrite) read_versioned uses
             parts = []
             for i in range(kept, len(commits)):
                 c = commits[i]
-                df = spark.read.parquet(os.path.join(table_path, "data", c))
+                cdir = os.path.join(table_path, "data", c)
+                spec_c = old_specs.get(c)
+                if isinstance(spec_c, dict):
+                    df = _read_spec_commit(spark, [cdir], spec_c, base_path=cdir)
+                else:
+                    df = spark.read.parquet(cdir)
                 applicable = [d["dir"] for d in deletes if d["upto"] > i]
                 if applicable:
                     tomb = spark.read.parquet(
@@ -2032,9 +2201,10 @@ def read_versioned(
         commits batch into a single multi-path scan; each spec'd commit
         scans under its own basePath so its partition columns survive
         even when stats pruning narrowed the read to specific files.
-        Partition columns are cast back to the dtype recorded at write
-        time — hive discovery re-infers types from directory names
-        (string "0" → int), which would silently flip a column's type."""
+        Partition columns are read with type inference OFF and cast to
+        the dtype recorded at write time (:func:`_read_spec_commit`) —
+        hive discovery would re-infer types from directory names
+        (string "0" → int, "007" → 7 with value loss)."""
         frames = []
         flat = [p for c, ps in cs if c not in specs for p in ps]
         if flat:
@@ -2042,11 +2212,13 @@ def read_versioned(
         for c, ps in cs:
             if c in specs and ps:
                 d = os.path.join(table_path, "data", c)
-                fr = mk_reader().option("basePath", d).parquet(*ps)
                 spec = specs[c]
                 if isinstance(spec, dict):  # pre-dtype manifests hold a list
-                    for col_name, dtype in spec.items():
-                        fr = fr.withColumn(col_name, F.col(col_name).cast(dtype))
+                    fr = _read_spec_commit(
+                        spark, ps, spec, base_path=d, merge_schema=merge_schema
+                    )
+                else:
+                    fr = mk_reader().option("basePath", d).parquet(*ps)
                 frames.append(fr)
         if not frames:
             return None
@@ -2073,9 +2245,12 @@ def read_versioned(
         if paths:
             groups.setdefault(applicable, []).append((c, paths))
     if not groups:
-        base = mk_reader().parquet(
-            os.path.join(table_path, "data", manifest["commits"][0])
-        )
+        # all files pruned: the empty frame must still carry the SAME
+        # schema a non-empty read would — so build it through
+        # scan_commits (basePath + manifest-spec cast), not a raw read
+        # whose partition dtypes would be discovery-inferred
+        c0 = manifest["commits"][0]
+        base = scan_commits([(c0, [os.path.join(table_path, "data", c0)])])
         return residual(base.filter(F.lit(False)))
     parts = []
     for applicable, cs in groups.items():

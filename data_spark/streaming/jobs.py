@@ -1060,6 +1060,7 @@ def merge_stream_sink(
     keys: list[str],
     delete_col: str | None = None,
     seq_cols: tuple[str, ...] = ("seq_ts", "seq_id"),
+    stats_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Streaming MERGE into the versioned store — the atomic sibling of
     :func:`cdc_stream_sink`: each micro-batch reduces to its newest
@@ -1072,7 +1073,12 @@ def merge_stream_sink(
 
     ``delete_col``: optional boolean column marking hard deletes (the
     CDC 'D' op after reduction); delete-marked rows tombstone without
-    re-inserting. Cost per batch: O(batch) writes + one manifest."""
+    re-inserting. Cost per batch: O(batch) writes + one manifest.
+
+    ``stats_cols``: per-file pruning bounds recorded on every batch's
+    merge commit (and the bootstrap commit) — merge_versioned also
+    inherits the parent's tracked columns when this is None, so a
+    stream-maintained table keeps file skipping without OPTIMIZE."""
     from data_spark.io import (
         last_committed_batch_id,
         merge_versioned,
@@ -1099,7 +1105,11 @@ def merge_stream_sink(
                 else latest
             )
             write_versioned(
-                first, table_path, mode="overwrite", meta={"batch_id": batch_id}
+                first,
+                table_path,
+                mode="overwrite",
+                meta={"batch_id": batch_id},
+                stats_cols=stats_cols,
             )
             return
         merge_versioned(
@@ -1108,6 +1118,7 @@ def merge_stream_sink(
             keys=keys,
             delete_col=delete_col,
             meta={"batch_id": batch_id},
+            stats_cols=stats_cols,
         )
 
     return (

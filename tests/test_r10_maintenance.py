@@ -1,0 +1,342 @@
+"""Round-10 maintenance-tier hardening of the versioned store.
+
+Covers the four ADVICE r9 items plus the two VERDICT r9 design asks:
+
+- spec'd (hive-partitioned) commits are ALWAYS read with partition
+  type inference off + a cast to the manifest-pinned dtype, so
+  maintenance rewrites (purge_deletes, incremental OPTIMIZE) can never
+  bake a discovery-inferred dtype — or a lossy value like '007' -> 7 —
+  into a new commit;
+- append schema enforcement anchors on the NEWEST commit (the table's
+  current schema), the Delta contract — not the oldest;
+- a fully-pruned read returns an empty frame with the SAME schema a
+  non-empty read produces;
+- merge_versioned records per-file stats for its data commit
+  (explicit ``stats_cols`` or inherited from the parent manifest), so
+  MERGE-maintained tables keep file skipping without OPTIMIZE;
+- branch_head resolves through the advisory ``refs.json`` head cache
+  in O(1) manifest reads, and the cache is never load-bearing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import data_spark.io as dio
+from data_spark.io import (
+    _load_manifest,
+    _refs_path,
+    branch_head,
+    delete_versioned,
+    merge_versioned,
+    optimize_versioned,
+    purge_deletes,
+    read_versioned,
+    table_versions,
+    write_versioned,
+)
+
+
+def _padded(spark, lo, hi):
+    """Rows with a NON-round-trippable string partition value: '007'
+    style zero-padding dies under hive type inference (int 7)."""
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("pz", F.format_string("%03d", (F.col("k") % 3).cast("int")))
+        .withColumn("x", F.col("k") * 10)
+    )
+
+
+def _schema_map(df):
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+# ---------------------------------------------------------------------------
+# spec'd-commit reads: inference off + manifest cast everywhere
+# ---------------------------------------------------------------------------
+
+
+def test_read_versioned_preserves_padded_partition_values(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(_padded(spark, 0, 30), tp, mode="overwrite", partition_by=["pz"])
+    got = read_versioned(spark, tp)
+    assert _schema_map(got)["pz"] == "string"
+    assert {r["pz"] for r in got.select("pz").distinct().collect()} == {
+        "000",
+        "001",
+        "002",
+    }
+
+
+def test_purge_rewrite_keeps_spec_dtype_and_values(spark, tmp_path):
+    # ADVICE r9 #1: purge used a raw read, so the rewritten commit
+    # persisted inferred dtypes ('007' -> 7, permanently).
+    tp = str(tmp_path / "t")
+    write_versioned(_padded(spark, 0, 30), tp, mode="overwrite", partition_by=["pz"])
+    delete_versioned(
+        spark.createDataFrame([(5,)], "k long"), tp
+    )
+    v = purge_deletes(spark, tp)
+    got = read_versioned(spark, tp, version=v)
+    assert _schema_map(got)["pz"] == "string"
+    vals = {r["pz"] for r in got.select("pz").distinct().collect()}
+    assert vals == {"000", "001", "002"}
+    assert got.count() == 29
+    # the purged commit is flat (spec entry dropped) but carries the
+    # partition column as DATA with the pinned dtype
+    m = _load_manifest(tp, v)
+    assert not m.get("specs")
+
+
+def test_incremental_optimize_keeps_spec_dtype_across_union(spark, tmp_path):
+    # ADVICE r9 #2: pending spec'd commits were read raw; a flat
+    # pending commit's string column meeting an inferred int column
+    # would fail or coerce in unionByName.
+    tp = str(tmp_path / "t")
+    write_versioned(
+        _padded(spark, 0, 20), tp, mode="overwrite", partition_by=["pz"]
+    )
+    # flat append with the same columns (pz as a plain string column)
+    write_versioned(_padded(spark, 20, 40), tp, mode="append")
+    v = optimize_versioned(spark, tp, zorder_cols=["k"], incremental=True)
+    got = read_versioned(spark, tp, version=v)
+    assert _schema_map(got)["pz"] == "string"
+    assert got.count() == 40
+    assert {r["pz"] for r in got.select("pz").distinct().collect()} == {
+        "000",
+        "001",
+        "002",
+    }
+
+
+def test_commit_stats_record_pinned_partition_dtype(spark, tmp_path):
+    # stats for a spec COLUMN must hold the pinned dtype's values
+    # (strings), not inference's ints — otherwise pruning comparisons
+    # against string probes TypeError or misfire
+    tp = str(tmp_path / "t")
+    write_versioned(
+        _padded(spark, 0, 30),
+        tp,
+        mode="overwrite",
+        partition_by=["pz"],
+        stats_cols=["pz", "x"],
+    )
+    m = _load_manifest(tp, 0)
+    bounds = [
+        b["pz"] for files in m["stats"].values() for b in [files[k] for k in files]
+    ]
+    assert all(isinstance(lo, str) and isinstance(hi, str) for lo, hi in bounds)
+    pruned = read_versioned(spark, tp, prune=("pz", "001", "001"))
+    assert {r["pz"] for r in pruned.collect()} == {"001"}
+
+
+# ---------------------------------------------------------------------------
+# append schema enforcement anchors on the newest commit
+# ---------------------------------------------------------------------------
+
+
+def test_append_enforcement_follows_evolved_schema(spark, tmp_path):
+    # ADVICE r9 #3: enforcement was anchored on commits[0], rejecting
+    # every post-evolution append in the NEW schema while letting the
+    # stale original schema through — inverted vs the Delta contract.
+    tp = str(tmp_path / "t")
+    base = spark.range(0, 10).withColumnRenamed("id", "k")
+    write_versioned(base, tp, mode="overwrite")
+    evolved = (
+        spark.range(10, 20)
+        .withColumnRenamed("id", "k")
+        .withColumn("extra", F.lit("e"))
+    )
+    write_versioned(evolved, tp, mode="append", allow_schema_evolution=True)
+    # the evolved shape is now the table's current schema: appending it
+    # again must pass without the evolution flag
+    more = (
+        spark.range(20, 30)
+        .withColumnRenamed("id", "k")
+        .withColumn("extra", F.lit("f"))
+    )
+    write_versioned(more, tp, mode="append")
+    # and the STALE pre-evolution shape is now the one that's rejected
+    with pytest.raises(ValueError, match="append schema"):
+        write_versioned(
+            spark.range(30, 40).withColumnRenamed("id", "k"), tp, mode="append"
+        )
+    got = read_versioned(spark, tp, merge_schema=True)
+    assert got.count() == 30
+
+
+# ---------------------------------------------------------------------------
+# all-files-pruned fallback returns the spec-cast schema
+# ---------------------------------------------------------------------------
+
+
+def test_fully_pruned_read_keeps_manifest_schema(spark, tmp_path):
+    # ADVICE r9 #4: the empty-frame fallback read commits[0] raw, so a
+    # fully-pruned read of a spec-partitioned table returned inferred
+    # dtypes, diverging from every non-empty read.
+    tp = str(tmp_path / "t")
+    write_versioned(
+        _padded(spark, 0, 30),
+        tp,
+        mode="overwrite",
+        partition_by=["pz"],
+        stats_cols=["x"],
+    )
+    full = read_versioned(spark, tp)
+    empty = read_versioned(spark, tp, prune=("x", 10_000, 20_000))
+    assert empty.count() == 0
+    assert _schema_map(empty) == _schema_map(full)
+    assert _schema_map(empty)["pz"] == "string"
+
+
+# ---------------------------------------------------------------------------
+# merge commits carry per-file stats
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, lo, hi, tag):
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.concat(F.lit(tag), F.col("k").cast("string")))
+        .withColumn("x", F.col("k") * 10)
+    )
+
+
+def test_merge_records_stats_and_prune_skips_merge_files(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(
+        _kv(spark, 0, 100, "a").repartition(4, "k"),
+        tp,
+        mode="overwrite",
+        stats_cols=["x"],
+    )
+    src = _kv(spark, 90, 200, "b").repartitionByRange(4, "k")
+    v = merge_versioned(src, tp, keys=["k"], stats_cols=["x"])
+    m = _load_manifest(tp, v)
+    merge_commit = m["commits"][-1]
+    assert merge_commit in m.get("stats", {}), "merge commit has no stats entry"
+    # pruning must open a strict subset of the merge commit's files
+    full = read_versioned(spark, tp, version=v)
+    pruned = read_versioned(spark, tp, version=v, prune=("x", 1900, 1990))
+    merge_files_full = [p for p in full.inputFiles() if merge_commit in p]
+    merge_files_pruned = [p for p in pruned.inputFiles() if merge_commit in p]
+    assert len(merge_files_pruned) < len(merge_files_full)
+    assert {r["k"] for r in pruned.collect()} == set(range(190, 200))
+    assert pruned.filter(~F.col("v").startswith("b")).count() == 0
+
+
+def test_merge_inherits_parent_stats_columns(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 50, "a"), tp, mode="overwrite", stats_cols=["x"])
+    v = merge_versioned(_kv(spark, 40, 80, "b"), tp, keys=["k"])  # no stats_cols
+    m = _load_manifest(tp, v)
+    merge_commit = m["commits"][-1]
+    assert merge_commit in m.get("stats", {})
+    cols = {
+        c for files in [m["stats"][merge_commit]] for b in files.values() for c in b
+    }
+    assert cols == {"x"}
+
+
+def test_merge_stream_sink_records_stats(spark, tmp_path):
+    from data_spark.streaming.jobs import merge_stream_sink
+
+    src_dir = str(tmp_path / "src")
+    tp = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    batch = (
+        _kv(spark, 0, 40, "a")
+        .withColumn("seq_ts", F.col("k").cast("long"))
+        .withColumn("seq_id", F.col("k").cast("long"))
+        .withColumn("del", F.lit(False))
+    )
+    batch.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    q = merge_stream_sink(
+        stream, tp, ck, keys=["k"], delete_col="del", stats_cols=["x"]
+    )
+    q.awaitTermination(120)
+    v = table_versions(tp)[-1]
+    m = _load_manifest(tp, v)
+    assert m.get("stats"), "bootstrap commit has no stats"
+    # second batch goes through merge_versioned
+    batch2 = (
+        _kv(spark, 30, 60, "b")
+        .withColumn("seq_ts", F.col("k").cast("long") + 100)
+        .withColumn("seq_id", F.col("k").cast("long"))
+        .withColumn("del", F.lit(False))
+    )
+    batch2.write.mode("append").parquet(src_dir)
+    q2 = merge_stream_sink(
+        stream, tp, ck, keys=["k"], delete_col="del", stats_cols=["x"]
+    )
+    q2.awaitTermination(120)
+    v2 = table_versions(tp)[-1]
+    m2 = _load_manifest(tp, v2)
+    assert m2["mode"] == "merge"
+    assert m2["commits"][-1] in m2.get("stats", {})
+
+
+# ---------------------------------------------------------------------------
+# refs.json advisory head cache
+# ---------------------------------------------------------------------------
+
+
+def _count_manifest_loads(monkeypatch):
+    calls = {"n": 0}
+    real = dio._load_manifest
+
+    def counting(table_path, version):
+        calls["n"] += 1
+        return real(table_path, version)
+
+    monkeypatch.setattr(dio, "_load_manifest", counting)
+    return calls
+
+
+def test_branch_head_is_o1_with_fresh_refs(spark, tmp_path, monkeypatch):
+    tp = str(tmp_path / "t")
+    write_versioned(spark.range(0, 5), tp, mode="overwrite")
+    for i in range(8):
+        write_versioned(spark.range(i, i + 5), tp, mode="append")
+    assert os.path.exists(_refs_path(tp))
+    calls = _count_manifest_loads(monkeypatch)
+    assert branch_head(tp, "main") == 8
+    assert calls["n"] <= 2, f"expected O(1) head resolution, read {calls['n']} manifests"
+
+
+def test_branch_head_survives_stale_and_corrupt_refs(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(spark.range(0, 5), tp, mode="overwrite")
+    write_versioned(spark.range(5, 10), tp, mode="append", branch="b")
+    write_versioned(spark.range(10, 15), tp, mode="append")
+    # stale: point main at an old version — validation must still find
+    # the true head by scanning newer manifests
+    with open(_refs_path(tp), "w") as f:
+        json.dump({"heads": {"main": 0, "b": 1}}, f)
+    assert branch_head(tp, "main") == 2
+    assert branch_head(tp, "b") == 1
+    # corrupt: fall back to the full walk
+    with open(_refs_path(tp), "w") as f:
+        f.write("{not json")
+    assert branch_head(tp, "main") == 2
+    assert branch_head(tp, "b") == 1
+    # missing: same
+    os.remove(_refs_path(tp))
+    assert branch_head(tp, "main") == 2
+    # wrong-branch candidate: refs claims main's head is a branch commit
+    with open(_refs_path(tp), "w") as f:
+        json.dump({"heads": {"main": 1}}, f)
+    assert branch_head(tp, "main") == 2
+
+
+def test_refs_not_picked_up_as_version(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(spark.range(0, 5), tp, mode="overwrite")
+    assert table_versions(tp) == [0]
