@@ -414,23 +414,40 @@ def compact_ann_index(spark: SparkSession, index_path: str, subdir: str) -> dict
     return report
 
 
+def _bq_encode(
+    vectors: DataFrame, id_col: str, vec_col: str, word_codes: bool
+) -> DataFrame:
+    from data_spark.operators.similarity import sign_bit_codes, sign_bit_words
+
+    if word_codes:
+        return sign_bit_words(vectors, id_col, vec_col).select(
+            F.col(id_col).alias("cid"), "codes"
+        )
+    return sign_bit_codes(vectors, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), "code"
+    )
+
+
 def build_bq_index(
     corpus: DataFrame,
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    word_codes: bool = False,
 ) -> None:
     """Persist sign-bit binary codes for the corpus — 8 bytes per
     vector, the memory-bound shortlist form (the third stored index
     family next to IVF cells and IVF-PQ codes). Probes scan codes, not
     vectors; the exact rerank joins back to wherever the full vectors
-    live (they are NOT duplicated into the index)."""
-    from data_spark.operators.similarity import sign_bit_codes
+    live (they are NOT duplicated into the index).
 
-    codes = sign_bit_codes(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("cid"), "code"
+    ``word_codes=True`` stores ``array<bigint>`` word codes
+    (similarity.sign_bit_words) instead of one packed BIGINT —
+    required beyond 64 dimensions (ceil(d/64)·8 bytes per vector);
+    probes auto-detect the stored shape from the parquet schema."""
+    _bq_encode(corpus, id_col, vec_col, word_codes).write.mode("overwrite").parquet(
+        os.path.join(index_path, "bq_codes")
     )
-    codes.write.mode("overwrite").parquet(os.path.join(index_path, "bq_codes"))
 
 
 def append_to_bq_index(
@@ -438,14 +455,14 @@ def append_to_bq_index(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    word_codes: bool = False,
 ) -> None:
-    """O(|new|) code append — the corpus is never re-encoded."""
-    from data_spark.operators.similarity import sign_bit_codes
-
-    codes = sign_bit_codes(new_vectors, id_col, vec_col).select(
-        F.col(id_col).alias("cid"), "code"
+    """O(|new|) code append — the corpus is never re-encoded. The code
+    shape (``word_codes``) must match the build; mixing shapes in one
+    index would fail the probe's schema detection loudly."""
+    _bq_encode(new_vectors, id_col, vec_col, word_codes).write.mode("append").parquet(
+        os.path.join(index_path, "bq_codes")
     )
-    codes.write.mode("append").parquet(os.path.join(index_path, "bq_codes"))
 
 
 def bq_index_topk(

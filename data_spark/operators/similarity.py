@@ -629,6 +629,54 @@ def sign_bit_codes(
     )
 
 
+def sign_bit_words(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, codes): sign bits packed into an ``array<bigint>`` of
+    64-bit words — the arbitrary-dimension generalization of
+    :func:`sign_bit_codes` (production embeddings are 384-4096 dims,
+    so one BIGINT is never enough). Word ``w`` holds components
+    ``[64w, 64w+63]``; bit 63 of each word contributes -2^63 (two's
+    complement) so every partial sum stays in BIGINT range, and the
+    word array is ordered by word index so Hamming distance is
+    XOR+popcount summed across aligned words. ceil(d/64)·8 bytes per
+    vector; one shuffle to (id, word) partial codes, one to assemble
+    the ordered array."""
+    x = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("idx", "xf")
+    ).select(
+        id_col,
+        (F.col("idx") / 64).cast("int").alias("word"),
+        F.pmod(F.col("idx"), F.lit(64)).cast("int").alias("bitpos"),
+        F.col("xf").cast("double").alias("xd"),
+    )
+    bit = F.when(
+        F.col("xd") >= 0,
+        F.when(F.col("bitpos") == 63, F.lit(-(2**63))).otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)")
+        ),
+    ).otherwise(F.lit(0))
+    per_word = x.groupBy(id_col, "word").agg(F.sum(bit).cast("bigint").alias("w"))
+    return per_word.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "w"))),
+            lambda s: s["w"],
+        ).alias("codes")
+    )
+
+
+def _hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length word arrays:
+    bit_count(XOR) summed across aligned words. The per-word XOR runs
+    inside the zip_with lambda on plain array elements (no re-evaluated
+    sub-expressions), and the fold is an integer aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
 def bq_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -645,12 +693,30 @@ def bq_rerank_topk(
     (qid, neighbor_id, rank, dot, cnorm2) — integer scores, rank by
     dot/sqrt(cnorm2) which IS cosine order (query norm constant per
     partition). The operator behind v_bq_rerank, factored so the codes
-    table can be a persisted index (operators/ann_index.build_bq_index)."""
-    q_codes = sign_bit_codes(queries, id_col, vec_col).select(
-        F.col(id_col).alias("qid"), F.col("code").alias("qcode")
-    )
-    c_codes = codes.select(F.col(id_col).alias("cid"), F.col("code").alias("ccode"))
-    ham = F.bit_count(F.col("qcode").bitwiseXOR(F.col("ccode"))).cast("bigint")
+    table can be a persisted index (operators/ann_index.build_bq_index).
+
+    ``codes`` may hold either a packed BIGINT ``code`` column (d <= 64,
+    the 8-bytes/vector fast path) or an ``array<bigint>`` ``codes``
+    column (:func:`sign_bit_words`, arbitrary d) — the word path sums
+    XOR+popcount across aligned words, ceil(d/64)·8 bytes per vector.
+    The stored form decides the path, so a persisted index probes with
+    exactly the code shape it was built with."""
+    if "codes" in codes.columns:
+        q_codes = sign_bit_words(queries, id_col, vec_col).select(
+            F.col(id_col).alias("qid"), F.col("codes").alias("qcode")
+        )
+        c_codes = codes.select(
+            F.col(id_col).alias("cid"), F.col("codes").alias("ccode")
+        )
+        ham = _hamming_words(F.col("qcode"), F.col("ccode"))
+    else:
+        q_codes = sign_bit_codes(queries, id_col, vec_col).select(
+            F.col(id_col).alias("qid"), F.col("code").alias("qcode")
+        )
+        c_codes = codes.select(
+            F.col(id_col).alias("cid"), F.col("code").alias("ccode")
+        )
+        ham = F.bit_count(F.col("qcode").bitwiseXOR(F.col("ccode"))).cast("bigint")
     w_short = Window.partitionBy("qid").orderBy("hamming", "cid")
     short = (
         c_codes.crossJoin(F.broadcast(q_codes))

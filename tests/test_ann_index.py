@@ -561,3 +561,127 @@ def test_sign_bit_codes_reject_wide_vectors(spark):
     )
     with _pytest.raises(Exception, match="64 dimensions"):
         sign_bit_codes(wide).collect()
+
+
+def _wide(spark, sf_small):
+    """>64-dim fixture: 96-dim vectors derived from the 64-dim testdata
+    (the leading 32 components repeated), forcing the word-packed code
+    path (2 words per vector)."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.slice(F.col("embedding").cast("array<double>"), 1, 32),
+        ).alias("embedding"),
+    )
+
+
+def _brute_bq(queries_rows, corpus_rows, k, shortlist):
+    """Test-side brute force of the two-stage BQ contract: sign-
+    mismatch Hamming shortlist, e6-integer cosine rerank."""
+    import math
+
+    out = {}
+    for qid, qv in queries_rows:
+        hams = sorted(
+            (
+                sum((a >= 0) != (b >= 0) for a, b in zip(qv, cv)),
+                cid,
+            )
+            for cid, cv in corpus_rows
+        )
+        short = [cid for _h, cid in hams[:shortlist]]
+        qe = [math.floor(a * 1e6 + 0.5) for a in qv]
+        scored = []
+        for cid, cv in corpus_rows:
+            if cid not in short:
+                continue
+            ce = [math.floor(b * 1e6 + 0.5) for b in cv]
+            dot = sum(a * b for a, b in zip(qe, ce))
+            cn2 = sum(b * b for b in ce)
+            if cn2 > 0:
+                scored.append((-(dot / math.sqrt(cn2)), cid, dot, cn2))
+        scored.sort()
+        for rank, (_s, cid, dot, cn2) in enumerate(scored[:k], start=1):
+            out[(qid, rank)] = (cid, dot, cn2)
+    return out
+
+
+def test_word_codes_match_brute_force_beyond_64_dims(spark, sf_small):
+    """VERDICT r9 #5 done criterion: the word-packed BQ path matches
+    the brute-force two-stage contract on a >64-dim fixture."""
+    from data_spark.operators.similarity import bq_rerank_topk, sign_bit_words
+
+    wide = _wide(spark, sf_small)
+    queries = wide.filter(F.col("vec_id") % 100 == 0)
+    rest = wide.filter(F.col("vec_id") % 100 != 0)
+    codes = sign_bit_words(rest)
+    assert dict(codes.dtypes)["codes"] == "array<bigint>"
+    assert codes.select(F.size("codes")).distinct().collect()[0][0] == 2
+
+    got = {
+        (r.qid, r.rank): (r.neighbor_id, r.dot, r.cnorm2)
+        for r in bq_rerank_topk(rest, queries, codes, k=5, shortlist=20).collect()
+    }
+    q_rows = [(r.vec_id, list(r.embedding)) for r in queries.collect()]
+    c_rows = [(r.vec_id, list(r.embedding)) for r in rest.collect()]
+    expect = _brute_bq(q_rows, c_rows, k=5, shortlist=20)
+    assert got == expect and len(got) == 5 * len(q_rows)
+
+
+def test_word_codes_single_word_equals_packed_bigint(spark, sf_small):
+    """For d <= 64 the word array has one element, numerically equal to
+    the packed-BIGINT fast path's code."""
+    from data_spark.operators.similarity import sign_bit_codes, sign_bit_words
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    packed = {r.vec_id: r.code for r in sign_bit_codes(emb).collect()}
+    words = {r.vec_id: list(r.codes) for r in sign_bit_words(emb).collect()}
+    assert set(packed) == set(words)
+    assert all(words[i] == [packed[i]] for i in packed)
+
+
+def test_bq_index_word_codes_roundtrip_append_and_delete(spark, sf_small, tmp_path):
+    """Persisted word-code index: build + O(delta) append equals a
+    full rebuild, probes auto-detect the stored shape, tombstones
+    apply — same contract as the packed-BIGINT index."""
+    from data_spark.operators.ann_index import (
+        append_to_bq_index,
+        bq_index_topk,
+        build_bq_index,
+        delete_from_ann_index,
+    )
+    from data_spark.operators.similarity import bq_rerank_topk, sign_bit_words
+
+    wide = _wide(spark, sf_small)
+    queries = wide.filter(F.col("vec_id") % 100 == 0)
+    rest = wide.filter(F.col("vec_id") % 100 != 0)
+    first = rest.filter(F.col("vec_id") % 3 != 0)
+    second = rest.filter(F.col("vec_id") % 3 == 0)
+
+    idx = str(tmp_path / "bq_words")
+    build_bq_index(first, idx, word_codes=True)
+    append_to_bq_index(second, idx, word_codes=True)
+
+    got = {
+        (r.qid, r.rank): (r.neighbor_id, r.dot, r.cnorm2)
+        for r in bq_index_topk(spark, idx, queries, rest, k=5, shortlist=20).collect()
+    }
+    expect = {
+        (r.qid, r.rank): (r.neighbor_id, r.dot, r.cnorm2)
+        for r in bq_rerank_topk(
+            rest, queries, sign_bit_words(rest), k=5, shortlist=20
+        ).collect()
+    }
+    assert got == expect and len(got) == 5 * queries.count()
+
+    victims = [v for (_q, _r), (v, _d, _n) in sorted(got.items())][:2]
+    delete_from_ann_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"), idx
+    )
+    after = {
+        r.neighbor_id
+        for r in bq_index_topk(spark, idx, queries, rest, k=5, shortlist=20).collect()
+    }
+    assert not (after & set(victims))
