@@ -640,28 +640,40 @@ def sign_bit_words(
     complement) so every partial sum stays in BIGINT range, and the
     word array is ordered by word index so Hamming distance is
     XOR+popcount summed across aligned words. ceil(d/64)·8 bytes per
-    vector; one shuffle to (id, word) partial codes, one to assemble
-    the ordered array."""
-    x = df.select(
-        F.col(id_col), F.posexplode(vec_col).alias("idx", "xf")
-    ).select(
-        id_col,
-        (F.col("idx") / 64).cast("int").alias("word"),
-        F.pmod(F.col("idx"), F.lit(64)).cast("int").alias("bitpos"),
-        F.col("xf").cast("double").alias("xd"),
+    vector — and the packing is a pure columnar PROJECTION (nested
+    higher-order functions over the vector array), zero shuffles: at
+    100 TB the encode is a map-only pass over the corpus.
+
+    Bit values come from a 64-element literal array (constant-folded)
+    rather than pow/shiftleft so every contribution is an exact BIGINT;
+    a short final word (d not a multiple of 64) zero-pads via the
+    null-guard (zip_with pads the shorter side with NULL)."""
+    bit_values = F.array(
+        *[F.lit(1 << i).cast("bigint") for i in range(63)],
+        F.lit(-(2**63)).cast("bigint"),
     )
-    bit = F.when(
-        F.col("xd") >= 0,
-        F.when(F.col("bitpos") == 63, F.lit(-(2**63))).otherwise(
-            F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)")
-        ),
-    ).otherwise(F.lit(0))
-    per_word = x.groupBy(id_col, "word").agg(F.sum(bit).cast("bigint").alias("w"))
-    return per_word.groupBy(id_col).agg(
+    positions = F.sequence(F.lit(0), F.lit(63))
+    v = F.col(vec_col).cast("array<double>")
+    n_words = F.ceil(F.size(v) / F.lit(64.0)).cast("int")
+
+    def word_code(w: Column) -> Column:
+        sl = F.slice(v, w * F.lit(64) + F.lit(1), F.lit(64))
+        contribs = F.zip_with(
+            sl,
+            positions,
+            lambda x, p: F.when(
+                x.isNotNull() & (x >= 0), F.element_at(bit_values, p + F.lit(1))
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(
+            contribs, F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        )
+
+    return df.select(
+        F.col(id_col),
         F.transform(
-            F.array_sort(F.collect_list(F.struct("word", "w"))),
-            lambda s: s["w"],
-        ).alias("codes")
+            F.sequence(F.lit(0), n_words - F.lit(1)), word_code
+        ).alias("codes"),
     )
 
 

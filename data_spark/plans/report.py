@@ -174,6 +174,7 @@ NESTED_LOOP_ALLOWED = frozenset(
         "e_decayed_engagement",  # 1-row max-day anchor broadcast
         "a_benjamini_hochberg",  # 1-row corpus language-marginals broadcast
         "v_bq_rerank",  # deliberate query-code x corpus broadcast (v_hamming_topk shape)
+        "v_bq_index_probe",  # same query-code x corpus broadcast, codes read from the persisted index
     }
 )
 

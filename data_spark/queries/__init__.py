@@ -20,6 +20,7 @@ from data_spark.queries import (
     analytics6,
     analytics7,
     analytics8,
+    analytics9,
     documents,
     events,
     graphq,
@@ -54,6 +55,7 @@ _ALL_QUERIES = {
     **analytics6.QUERIES,
     **analytics7.QUERIES,
     **analytics8.QUERIES,
+    **analytics9.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -78,88 +80,79 @@ ORACLE = {
     **analytics6.ORACLE,
     **analytics7.ORACLE,
     **analytics8.ORACLE,
+    **analytics9.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,
 }
 
-# Round-9 window (the driver records the first 50 entries; see
+# Round-10 window (the driver records the first 50 entries; see
 # WITNESS.md for the per-query ledger this ordering is derived from).
-# Composition — exactly as pre-planned in the r8 WITNESS.md / VERDICT r8:
-#   head:  queries created or contract-changed during r9 (never
-#          witnessed; each insertion displaces the r5 fill tail first,
-#          never the r4 block).
-#   then:  the 10 r4-witnessed queries displaced from the r8 window
-#          (a_percentiles ... e_json_extract), ledger order.
-#   then:  the remaining 34 r4-witnessed greens, ledger order
-#          (e_ohlc_hourly ... w_topk_global).
-#   fill:  oldest r5-witnessed greens (a_autocorr_lag1 ...) up to 50;
-#          these are the displacement buffer for r9 creations.
-# Target: after r9 the max witness age across the registry is <= r5.
+# Composition — exactly as pre-planned in the r9 WITNESS.md / VERDICT r9:
+#   head:  the 3 queries created in r10 (never witnessed): the driver
+#          gates for the r9-built maintenance tier (m_merge_upsert,
+#          m_optimize_incremental) and the persisted word-code BQ
+#          index probe (v_bq_index_probe).
+#   then:  ALL 47 remaining r5-witnessed greens, ledger order —
+#          3 + 47 = exactly 50, so this window clears the entire r5
+#          debt and the max witness age across the registry drops to
+#          r6 after CORRECTNESS_r10.
 _PRIORITY = [
-    # --- created in r9 (never witnessed; displace the r5 fill) ---
-    "m_wap_publish",
-    "m_partition_evolution",
-    "pipe_stream_join_e2e",
-    "a_mcnemar_test",
-    "v_bq_rerank",
-    "s_knn_grid_join",
-    # --- r4-witnessed, displaced from the r8 window (ledger order) ---
-    "a_percentiles",
-    "a_weighted_median",
-    "d_edit_distance_block",
-    "d_minhash_band_pairs",
-    "d_minhash_sig",
-    "d_simhash_exact_pairs",
-    "e_anomaly_zscore",
-    "e_asof_latest_view",
-    "e_day_expand",
-    "e_json_extract",
-    # --- remaining r4-witnessed greens (ledger order) ---
-    "e_ohlc_hourly",
-    "e_range_frame_7d",
-    "e_sliding_1h_15m",
-    "e_tumbling_hourly",
-    "e_watermark_split",
-    "f_epoch_roundtrip",
-    "f_scalar_repair",
-    "g_bfs_levels",
-    "g_components",
-    "g_degree_distribution",
-    "g_grouping_sets",
-    "g_kcore_peel",
-    "g_rollup_region",
-    "j_anti_unloaded",
-    "j_asof_click_attrib",
-    "j_bucketed_smb",
-    "j_interval_overlap",
-    "j_left_join_dim",
-    "j_outer_coalesce",
-    "j_range_tier",
-    "j_semi_active",
-    "m_upsert_latest",
-    "p_pivot_status",
-    "s_intersect_except",
-    "sq_above_avg_price",
-    "v_int8_cosine_topk",
-    "w_first_per_group",
-    "w_lag_delta",
-    "w_ntile_decile",
-    "w_rank_in_group",
-    "w_running_total",
-    "w_sample_deterministic",
-    "w_stratified_sample",
-    "w_topk_global",
-    # ---- window boundary (driver records the 50 above): the 6 r9
-    # creations displaced the entire r5 fill, so the window is exactly
-    # 6 new + all 44 remaining r4-witnessed greens — after r9 the max
-    # witness age across the registry is r5. r10 plan: new r10 gates at
-    # the head (candidates already built + pytest-gated in r9:
-    # io.merge_versioned as m_merge_upsert, optimize_versioned
-    # incremental as m_optimize_incremental, ann_index BQ probe), then
-    # a_autocorr_lag1, a_chi2_cells, a_cms_heavy_hitters,
-    # a_gini_revenue, a_hll_exact_rollup, a_hll_set_algebra, then the
-    # remaining r5 block in ledger order. ----
+    # --- created in r10 (never witnessed) ---
+    "m_merge_upsert",
+    "m_optimize_incremental",
+    "v_bq_index_probe",
+    # --- r5-witnessed greens, ledger order (entire remaining cohort) ---
+    "a_autocorr_lag1",
+    "a_chi2_cells",
+    "a_cms_heavy_hitters",
+    "a_gini_revenue",
+    "a_hll_exact_rollup",
+    "a_hll_set_algebra",
+    "a_itemcf_recommend",
+    "a_linreg_trend",
+    "a_mad_outliers",
+    "a_market_basket",
+    "a_median_via_rank",
+    "a_seasonal_index",
+    "a_theilsen_slope",
+    "a_yoy_growth",
+    "d_bpe_apply",
+    "d_bpe_train",
+    "d_containment_pairs",
+    "d_dup_passages",
+    "d_er_score_fusion",
+    "d_kl_source_drift",
+    "d_kmeans",
+    "d_pmi_bigrams",
+    "d_rake_keywords",
+    "d_semantic_dedup",
+    "d_sorted_neighborhood",
+    "d_winsorize",
+    "dq_benford_digits",
+    "dq_constraint_audit",
+    "dq_profile",
+    "e_pattern_seq",
+    "e_transition_matrix",
+    "f_null_semantics",
+    "f_phonetic_block",
+    "g_label_propagation",
+    "g_sssp_bellman",
+    "g_walk_sample",
+    "h_bom_rollup",
+    "j_multitouch_attrib",
+    "m_cdc_apply",
+    "m_incr_agg_maintain",
+    "m_incr_join_maintain",
+    "m_snapshot_diff",
+    "s_spatial_grid_join",
+    "v_ivf_kmeans_topk",
+    "v_pq_adc_topk",
+    "v_rrf_hybrid",
+    "w_max_drawdown",
+    # ---- window boundary (driver records the 50 above). r11 plan:
+    # new r11 gates at the head, then the oldest r6-witnessed block in
+    # ledger order (see WITNESS.md for the cohort listing). ----
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

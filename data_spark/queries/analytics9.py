@@ -1,0 +1,378 @@
+"""Round-10 tier: driver gates for the lakehouse maintenance surface
+built (and pytest-gated) in round 9 — atomic MERGE INTO, O(delta)
+incremental OPTIMIZE — plus the persisted word-code binary-quantization
+index probe.
+
+- ``m_merge_upsert``: MERGE INTO on the versioned store through
+  ``io.merge_versioned`` — matched-update + matched-delete
+  (``delete_col``) + unmatched-insert as ONE atomic version, with
+  per-file stats recorded on the merge's data commit and the final
+  read going through ``prune=...`` so the stats actually skip files
+  in-gate. Atomicity is asserted in-query: exactly one version was
+  published and the pre-merge snapshot still reads intact (no torn
+  delete-then-insert middle state, unlike the reference's two-step
+  serving loop, federal_fec_elastic_load_contributions/main.py's
+  delete-then-reinsert).
+- ``m_optimize_incremental``: append → OPTIMIZE(incremental) cycles —
+  each pass rewrites ONLY the un-clustered commit suffix (the O(delta)
+  maintenance shape; a full rewrite per cycle is unschedulable at
+  100 TB). The gate asserts commit-dir IDENTITY across passes (earlier
+  clustered commits are byte-untouched) and hashes answer invariance
+  against the oracle, with a mid-flow row-level DELETE proving
+  tombstones bake into the rewrite while ``upto`` scoping keeps later
+  appends alive.
+- ``v_bq_index_probe``: the PERSISTED binary-quantization index on
+  >64-dim vectors (word-packed ``array<bigint>`` codes): build +
+  O(delta) append (build files asserted untouched), probe auto-detects
+  the stored code shape, tombstoned ids drop out of the shortlist.
+  Oracle counts sign mismatches componentwise — identical to
+  XOR+popcount over aligned words by construction.
+
+Scale posture: both m_* gates do O(batch) store work and aggregate to
+tiny frames; the BQ probe scans ceil(d/64)·8 bytes per corpus vector
+for the shortlist and touches only shortlist·d values in the exact
+rerank.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_spark.queries.common import run_scratch_dir, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# m_merge_upsert — atomic MERGE INTO (update + delete + insert, one version)
+# ---------------------------------------------------------------------------
+
+# merged state = base (custkey%4=0, original price) plus the source
+# upserts (custkey%4 in (1,2), doubled price) minus delete-flagged
+# source keys (orderkey%7=0). Base %4=1 rows are all matched by source
+# keys, so they are replaced (or deleted), never duplicated. The final
+# read prunes on o_orderkey, so the same range bounds the oracle.
+_MERGE_LO, _MERGE_HI = 1_000, 12_000
+
+_MERGE_SQL = f"""
+WITH merged AS (
+    SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_custkey % 4 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) * 2 AS price
+    FROM orders WHERE o_custkey % 4 IN (1, 2) AND o_orderkey % 7 <> 0
+)
+SELECT
+    o_orderstatus,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM merged
+WHERE o_orderkey BETWEEN {_MERGE_LO} AND {_MERGE_HI}
+GROUP BY o_orderstatus
+"""
+
+
+@_q("m_merge_upsert", _MERGE_SQL)
+def m_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the versioned store: one ``merge_versioned`` call
+    lands matched updates (doubled price), matched deletes
+    (``is_del``), and unmatched inserts as ONE atomic version —
+    tombstones and data under a single manifest, so history never
+    exposes the torn middle state of a delete-then-reinsert pair
+    (reference: federal_fec_elastic_load_contributions/main.py:190-200
+    deletes re-sent keys then re-inserts as two visible steps on the
+    serving index).
+
+    In-query asserts: exactly one version was published by the merge,
+    the pre-merge snapshot still reads intact (time travel), and the
+    merge's data commit carries per-file stats — which the final
+    ``prune=`` read then uses, so file skipping on a merge-maintained
+    table is exercised by the gate itself (doubling is exact in
+    binary floating point, so the updated prices hash cleanly)."""
+    from data_spark.io import (  # noqa: PLC0415
+        _load_manifest,
+        merge_versioned,
+        read_versioned,
+        table_versions,
+        write_versioned,
+    )
+
+    base_dir = run_scratch_dir("mergeup", sf_dir)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_custkey") % 4 == 0)
+    source = (
+        o.filter(F.col("o_custkey") % 4 == 1)
+        .unionByName(o.filter(F.col("o_custkey") % 4 == 2))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("is_del", F.col("o_orderkey") % 7 == 0)
+    )
+
+    v0 = write_versioned(base, base_dir, mode="overwrite", stats_cols=["o_orderkey"])
+    base_n = base.count()
+    v1 = merge_versioned(
+        source,
+        base_dir,
+        keys=["o_orderkey"],
+        delete_col="is_del",
+        stats_cols=["o_orderkey"],
+    )
+
+    # atomicity: the merge published exactly ONE version, and the
+    # pre-merge snapshot is untouched (no torn middle state in history)
+    if table_versions(base_dir) != [v0, v1]:
+        raise AssertionError(
+            f"merge published {table_versions(base_dir)}, expected [{v0}, {v1}]"
+        )
+    pre_n = read_versioned(spark, base_dir, version=v0).count()
+    if pre_n != base_n:
+        raise AssertionError(
+            f"pre-merge snapshot corrupted: {pre_n} rows, expected {base_n}"
+        )
+    m = _load_manifest(base_dir, v1)
+    merge_commit = m["commits"][-1]
+    if merge_commit not in m.get("stats", {}):
+        raise AssertionError("merge commit carries no per-file stats")
+
+    got = read_versioned(
+        spark, base_dir, prune=("o_orderkey", _MERGE_LO, _MERGE_HI)
+    )
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m_optimize_incremental — O(delta) OPTIMIZE, clustered prefix untouched
+# ---------------------------------------------------------------------------
+
+# visible rows after the flow: all non-null-value events except the
+# deleted keys (event_id%10=0 among the commits visible at delete
+# time, i.e. event_id%3 in (0,1)); later-appended %3=2 rows survive
+# even when event_id%10=0 (tombstone `upto` scoping).
+_OPT_LO, _OPT_HI = 50, 7_000
+
+_OPT_SQL = f"""
+SELECT
+    event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE value IS NOT NULL
+  AND NOT (event_id % 10 = 0 AND event_id % 3 IN (0, 1))
+  AND event_id BETWEEN {_OPT_LO} AND {_OPT_HI}
+GROUP BY event_type
+"""
+
+
+@_q("m_optimize_incremental", _OPT_SQL)
+def m_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE ZORDER: append → optimize(incremental)
+    cycles where each pass rewrites ONLY the commits appended since the
+    last one — the O(delta) maintenance schedule (a full O(table)
+    rewrite per cycle cannot be scheduled against a 100 TB table). The
+    already-clustered prefix is asserted UNTOUCHED by commit-dir
+    identity across passes; a mid-flow row-level DELETE proves pending
+    tombstones bake into the rewrite while the clamped ``upto`` keeps
+    covering the kept prefix, and a later append's re-usable keys
+    survive (tombstones never apply forward). The final read prunes on
+    the manifest stats the optimize recorded. Answer invariance vs the
+    oracle is the gate; the O(delta) cost curve is pinned by
+    SCALE_PROBE and tests/test_compaction.py."""
+    from data_spark.io import (  # noqa: PLC0415
+        _load_manifest,
+        delete_versioned,
+        optimize_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    base_dir = run_scratch_dir("optincr", sf_dir)
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    base = e.filter(F.col("event_id") % 3 == 0)
+    delta1 = e.filter(F.col("event_id") % 3 == 1)
+    delta2 = e.filter(F.col("event_id") % 3 == 2)
+
+    write_versioned(base, base_dir, mode="overwrite", stats_cols=["event_id"])
+    vz1 = optimize_versioned(
+        spark, base_dir, zorder_cols=["event_id"], incremental=True
+    )
+    z1 = _load_manifest(base_dir, vz1)["commits"][-1]
+
+    write_versioned(delta1, base_dir, mode="append", stats_cols=["event_id"])
+    # row-level DELETE while delta1 is pending: covers z1 + delta1 only
+    doomed = e.filter(
+        (F.col("event_id") % 3 != 2) & (F.col("event_id") % 10 == 0)
+    ).select("event_id")
+    delete_versioned(doomed, base_dir)
+
+    vz2 = optimize_versioned(
+        spark, base_dir, zorder_cols=["event_id"], incremental=True
+    )
+    m2 = _load_manifest(base_dir, vz2)
+    if m2["commits"][0] != z1 or len(m2["commits"]) != 2:
+        raise AssertionError(
+            f"incremental optimize touched the clustered prefix: {m2['commits']}"
+        )
+    z2 = m2["commits"][-1]
+
+    write_versioned(delta2, base_dir, mode="append", stats_cols=["event_id"])
+    vz3 = optimize_versioned(
+        spark, base_dir, zorder_cols=["event_id"], incremental=True
+    )
+    m3 = _load_manifest(base_dir, vz3)
+    if m3["commits"][:2] != [z1, z2] or len(m3["commits"]) != 3:
+        raise AssertionError(
+            f"second incremental pass was not O(delta): {m3['commits']}"
+        )
+
+    got = read_versioned(spark, base_dir, prune=("event_id", _OPT_LO, _OPT_HI))
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# v_bq_index_probe — persisted word-code BQ index: build, append, probe
+# ---------------------------------------------------------------------------
+
+_BQI_SHORTLIST = 30
+_BQI_K = 8
+
+# 96-dim fixture (leading 32 components repeated) forces the
+# word-packed array<bigint> code path; Hamming over aligned words ==
+# componentwise sign-mismatch count, so the oracle never needs the
+# packed form. Tombstoned ids (cid%17=0) drop out of the shortlist.
+_BQI_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding || embedding[1:32] AS emb FROM embeddings
+), x AS (
+    SELECT vec_id, i AS idx,
+           CAST(emb[i] AS DOUBLE) AS xd,
+           CAST(FLOOR(CAST(emb[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xv
+    FROM e, UNNEST(range(1, len(emb) + 1)) AS r(i)
+), hams AS (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           CAST(SUM(CASE WHEN (q.xd >= 0) <> (c.xd >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    FROM x q JOIN x c ON q.idx = c.idx
+    WHERE q.vec_id % 100 = 0 AND c.vec_id % 100 <> 0 AND c.vec_id % 17 <> 0
+    GROUP BY q.vec_id, c.vec_id
+), short AS (
+    SELECT qid, cid, hamming,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS hrank
+    FROM hams
+), scores AS (
+    SELECT s.qid, s.cid,
+           CAST(SUM(q.xv * c.xv) AS BIGINT) AS dot,
+           CAST(SUM(c.xv * c.xv) AS BIGINT) AS cnorm2
+    FROM short s
+    JOIN x q ON q.vec_id = s.qid
+    JOIN x c ON c.vec_id = s.cid AND c.idx = q.idx
+    WHERE s.hrank <= {_BQI_SHORTLIST}
+    GROUP BY s.qid, s.cid
+)
+SELECT qid, cid AS neighbor_id, rank, dot, cnorm2 FROM (
+    SELECT qid, cid, dot, cnorm2,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(cnorm2 AS DOUBLE)) DESC, cid
+           ) AS BIGINT) AS rank
+    FROM scores WHERE cnorm2 > 0
+) WHERE rank <= {_BQI_K}
+"""
+
+
+@_q("v_bq_index_probe", _BQI_SQL)
+def v_bq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe of the PERSISTED binary-quantization index on >64-dim
+    vectors: codes are word-packed ``array<bigint>`` (ceil(96/64)=2
+    words, 16 bytes/vector — the shape production embeddings at
+    384-4096 dims require), built in two stages (build + O(delta)
+    append, with the build's files asserted byte-untouched in-query),
+    tombstoned ids dropped at probe time, and the stored code shape
+    auto-detected from the parquet schema. Stage 2 reranks only
+    shortlist·d values with exact e6-integer cosine; only integers are
+    hashed (dot/sqrt ranking is IEEE-deterministic on identical
+    inputs). The in-memory twin is v_bq_rerank (d<=64 packed-BIGINT
+    fast path); the error-free equivalence of the two code shapes is
+    pinned in tests/test_ann_index.py."""
+    from data_spark.operators.ann_index import (  # noqa: PLC0415
+        append_to_bq_index,
+        bq_index_topk,
+        build_bq_index,
+        delete_from_ann_index,
+    )
+
+    idx = run_scratch_dir("bqidx", sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    wide = emb.select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.slice(F.col("embedding").cast("array<double>"), 1, 32),
+        ).alias("embedding"),
+    )
+    q = wide.filter(F.col("vec_id") % 100 == 0)
+    corpus = wide.filter(F.col("vec_id") % 100 != 0)
+
+    build_bq_index(
+        corpus.filter(F.col("vec_id") % 3 != 0), idx, word_codes=True
+    )
+    codes_dir = os.path.join(idx, "bq_codes")
+    built_files = {
+        f: os.path.getmtime(os.path.join(codes_dir, f))
+        for f in os.listdir(codes_dir)
+        if f.endswith(".parquet")
+    }
+    append_to_bq_index(
+        corpus.filter(F.col("vec_id") % 3 == 0), idx, word_codes=True
+    )
+    # O(delta): the append added files without rewriting the build's
+    after = {
+        f: os.path.getmtime(os.path.join(codes_dir, f))
+        for f in os.listdir(codes_dir)
+        if f.endswith(".parquet")
+    }
+    if not all(after.get(f) == ts for f, ts in built_files.items()):
+        raise AssertionError("append_to_bq_index rewrote existing code files")
+    if len(after) <= len(built_files):
+        raise AssertionError("append_to_bq_index added no code files")
+
+    delete_from_ann_index(
+        corpus.filter(F.col("vec_id") % 17 == 0).select("vec_id"), idx
+    )
+    return bq_index_topk(
+        spark,
+        idx,
+        q,
+        corpus,
+        k=_BQI_K,
+        shortlist=_BQI_SHORTLIST,
+        id_col="vec_id",
+        vec_col="embedding",
+    )

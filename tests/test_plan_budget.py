@@ -287,6 +287,14 @@ EXCHANGE_BUDGET = {
     "v_bq_rerank": 6,
     # one cell-key shuffle + per-query top-k window
     "s_knn_grid_join": 2,
+    # --- r10 tier ---
+    # merge-on-read pruned scan: tombstone anti-join + status groupBy
+    "m_merge_upsert": 3,
+    # pruned union of 3 clustered commits + tombstone anti-join + groupBy
+    "m_optimize_incremental": 3,
+    # codes are a zero-shuffle projection; broadcast shortlist window +
+    # rerank join/agg + top-k (same spine as v_bq_rerank)
+    "v_bq_index_probe": 6,
 }
 
 
