@@ -987,6 +987,13 @@ def read_bloom_pruned(
     return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
 
 
+#: Above this many delete entries, read_versioned switches from the
+#: per-group anti-join plan to the indexed single-join plan (each
+#: tombstone dir read once with its ``upto``). Both produce identical
+#: rows; the cutover only bounds plan size on tombstone-heavy tables.
+_TOMBSTONE_JOIN_THRESHOLD = 8
+
+
 def _versions_dir(table_path: str) -> str:
     return os.path.join(table_path, "_manifests")
 
@@ -2239,11 +2246,13 @@ def read_versioned(
     # groups <= n_deletes + 1 (deletes are rare; appends don't grow
     # this). Null-safe equality so NULL keys tombstone too.
     groups: dict[tuple, list] = {}
+    group_rep: dict[tuple, int] = {}
     for i, c in enumerate(manifest["commits"]):
         applicable = tuple(d["dir"] for d in deletes if d["upto"] > i)
         paths = commit_paths(c)
         if paths:
             groups.setdefault(applicable, []).append((c, paths))
+            group_rep.setdefault(applicable, i)
     if not groups:
         # all files pruned: the empty frame must still carry the SAME
         # schema a non-empty read would — so build it through
@@ -2252,6 +2261,75 @@ def read_versioned(
         c0 = manifest["commits"][0]
         base = scan_commits([(c0, [os.path.join(table_path, "data", c0)])])
         return residual(base.filter(F.lit(False)))
+    # only tombstones that cover a SURVIVING group matter: a pruned
+    # read that resolves to recent commits (e.g. the latest merge's key
+    # range) must not pay for the table's whole delete history
+    live_dirs = {dname for applicable in groups for dname in applicable}
+    live_deletes = [d for d in deletes if d["dir"] in live_dirs]
+    if len(live_deletes) > _TOMBSTONE_JOIN_THRESHOLD:
+        # Indexed merge-on-read for tombstone-heavy tables (the MERGE
+        # steady state: one tombstone per micro-batch). The per-group
+        # formulation below re-reads every applicable tombstone dir in
+        # every group — with m merges that is O(m²) tombstone-dir scans
+        # and m anti-joins. Here ALL flat commits land in ONE
+        # multi-path scan whose commit index is derived from
+        # ``_metadata.file_path`` (a literal dir→index map, evaluated
+        # scan-side), every tombstone dir is read ONCE tagged with its
+        # ``upto``, and ONE anti-join on (keys, upto > idx) applies
+        # every tombstone: O(m) scans + one join. The single scan is
+        # deliberate — a union here would invite Catalyst's
+        # PushdownLeftSemiOrAntiJoin to split the anti-join per child
+        # and re-read the tombstone union once per child (measured:
+        # that variant was no better than the per-group plan). Spec'd
+        # commits (rare in a merge steady state) keep their per-commit
+        # basePath scans and accept the pushdown. Identical semantics;
+        # below the threshold the original plan is kept byte-for-byte
+        # (small-delete plans are pinned by gates).
+        commit_idx = {c: i for i, c in enumerate(manifest["commits"])}
+        flat_paths, map_args = [], []
+        spec_frames = []
+        for applicable, cs in groups.items():
+            for c, ps in cs:
+                if c in specs:
+                    spec_frames.append(
+                        scan_commits([(c, ps)]).withColumn(
+                            "__cidx", F.lit(commit_idx[c])
+                        )
+                    )
+                else:
+                    flat_paths.extend(ps)
+                    map_args.extend([F.lit(c), F.lit(commit_idx[c])])
+        frames = list(spec_frames)
+        if flat_paths:
+            dir_map = F.create_map(*map_args)
+            fr = mk_reader().parquet(*flat_paths).withColumn(
+                "__cidx",
+                F.element_at(
+                    dir_map,
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r"/data/([^/]+)/", 1
+                    ),
+                ),
+            )
+            frames.append(fr)
+        data = frames[0]
+        for p in frames[1:]:
+            data = data.unionByName(p, allowMissingColumns=merge_schema)
+        tomb_parts = [
+            spark.read.parquet(os.path.join(table_path, "deletes", d["dir"]))
+            .dropDuplicates()
+            .withColumn("__upto", F.lit(d["upto"]))
+            for d in live_deletes
+        ]
+        tomb = tomb_parts[0]
+        for p in tomb_parts[1:]:
+            tomb = tomb.unionByName(p)
+        cond = tomb["__upto"] > data["__cidx"]
+        for k in tomb.columns:
+            if k == "__upto":
+                continue
+            cond = cond & data[k].eqNullSafe(tomb[k])
+        return residual(data.join(tomb, cond, "left_anti").drop("__cidx"))
     parts = []
     for applicable, cs in groups.items():
         df = scan_commits(cs)

@@ -738,26 +738,36 @@ def bq_rerank_topk(
         .select("qid", "cid")
     )
 
-    def e6(df, out_id):
+    # exact rerank at ARRAY granularity: one row per (qid, cid) pair,
+    # dot/norm as integer folds over e6-snapped components (zip_with +
+    # aggregate) — never a d-fold row explosion. The exploded-row
+    # formulation turned the corpus into n·d rows before the shortlist
+    # join pruned it (measured: a 50k x 1024-dim probe blew the rerank
+    # join's memory); here the corpus is touched once per shortlisted
+    # id and each vector stays one array cell. Same integer addends,
+    # integer addition is associative — bit-identical dot/cnorm2.
+    def e6_vec(df, out_id):
         return df.select(
-            F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("idx", "xf")
-        ).select(
-            out_id,
-            "idx",
-            F.floor(F.col("xf").cast("double") * 1e6 + 0.5)
-            .cast("bigint")
-            .alias("xv"),
+            F.col(id_col).alias(out_id),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("bigint"),
+            ).alias(f"{out_id}_e6"),
         )
 
-    qx = e6(queries, "qid").withColumnRenamed("xv", "qv")
-    cx = e6(corpus, "cid").withColumnRenamed("xv", "cv")
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     scores = (
-        short.join(qx, "qid")
-        .join(cx, ["cid", "idx"])
-        .groupBy("qid", "cid")
-        .agg(
-            F.sum(F.col("qv") * F.col("cv")).cast("bigint").alias("dot"),
-            F.sum(F.col("cv") * F.col("cv")).cast("bigint").alias("cnorm2"),
+        short.join(e6_vec(queries, "qid"), "qid")
+        .join(e6_vec(corpus, "cid"), "cid")
+        .select(
+            "qid",
+            "cid",
+            int_dot(F.col("qid_e6"), F.col("cid_e6")).alias("dot"),
+            int_dot(F.col("cid_e6"), F.col("cid_e6")).alias("cnorm2"),
         )
         .filter(F.col("cnorm2") > 0)
     )

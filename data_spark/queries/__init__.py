@@ -102,7 +102,12 @@ _PRIORITY = [
     "m_merge_upsert",
     "m_optimize_incremental",
     "v_bq_index_probe",
-    # --- r5-witnessed greens, ledger order (entire remaining cohort) ---
+    # --- plan changed in r10 (array-level exact rerank in
+    #     bq_rerank_topk replaced the d-fold row explosion): must be
+    #     re-witnessed even though it was green in r9 ---
+    "v_bq_rerank",
+    # --- r5-witnessed greens, ledger order (46 of 47; w_max_drawdown
+    #     is displaced to the r11 window by the v_bq_rerank re-entry) ---
     "a_autocorr_lag1",
     "a_chi2_cells",
     "a_cms_heavy_hitters",
@@ -149,10 +154,10 @@ _PRIORITY = [
     "v_ivf_kmeans_topk",
     "v_pq_adc_topk",
     "v_rrf_hybrid",
-    "w_max_drawdown",
     # ---- window boundary (driver records the 50 above). r11 plan:
-    # new r11 gates at the head, then the oldest r6-witnessed block in
-    # ledger order (see WITNESS.md for the cohort listing). ----
+    # new r11 gates at the head, then w_max_drawdown (the one r5
+    # witness displaced by the v_bq_rerank re-entry), then the oldest
+    # r6-witnessed block in ledger order (see WITNESS.md). ----
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

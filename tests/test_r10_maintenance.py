@@ -340,3 +340,59 @@ def test_refs_not_picked_up_as_version(spark, tmp_path):
     tp = str(tmp_path / "t")
     write_versioned(spark.range(0, 5), tp, mode="overwrite")
     assert table_versions(tp) == [0]
+
+
+# ---------------------------------------------------------------------------
+# indexed merge-on-read for tombstone-heavy tables
+# ---------------------------------------------------------------------------
+
+
+def test_indexed_tombstone_read_equals_per_group_plan(spark, tmp_path, monkeypatch):
+    """Above _TOMBSTONE_JOIN_THRESHOLD delete entries, read_versioned
+    switches to the single-anti-join plan (each tombstone dir read once
+    with its upto). Both plans must return identical rows — including
+    upto scoping (a later re-insert of a deleted key survives) and
+    NULL-key tombstones."""
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 200, "a"), tp, mode="overwrite", stats_cols=["x"])
+    # 12 merges, each tombstoning its keys against prior commits only
+    for i in range(12):
+        src = (
+            _kv(spark, i * 10, i * 10 + 20, f"m{i}_")
+            .withColumn("del", F.col("k") % 4 == 0)
+        )
+        merge_versioned(src, tp, keys=["k"], delete_col="del")
+    assert len(_load_manifest(tp, 12)["deletes"]) == 12 > dio._TOMBSTONE_JOIN_THRESHOLD
+
+    got = {tuple(r) for r in read_versioned(spark, tp).collect()}
+    monkeypatch.setattr(dio, "_TOMBSTONE_JOIN_THRESHOLD", 10_000)
+    expect = {tuple(r) for r in read_versioned(spark, tp).collect()}
+    assert got == expect and len(got) > 0
+
+    # upto scoping is visible in the data: keys deleted by merge i but
+    # re-inserted by merge i+1 (k%4==0 overlaps across batches) survive
+    ks = {r[0] for r in got}
+    assert any(k % 4 == 0 for k in ks), "re-inserted deleted keys must survive"
+
+
+def test_indexed_tombstone_read_with_prune_and_nulls(spark, tmp_path, monkeypatch):
+    tp = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(None, "n0", 0)] + [(i, f"a{i}", i * 10) for i in range(1, 60)],
+        "k bigint, v string, x bigint",
+    )
+    write_versioned(base, tp, mode="overwrite", stats_cols=["x"])
+    # 10 single-key deletes incl. a NULL-key tombstone
+    delete_versioned(spark.createDataFrame([(None,)], "k bigint"), tp)
+    for i in range(1, 10):
+        delete_versioned(spark.createDataFrame([(i * 5,)], "k bigint"), tp)
+    got = sorted(
+        tuple(r) for r in read_versioned(spark, tp, prune=("x", 100, 400)).collect()
+    )
+    monkeypatch.setattr(dio, "_TOMBSTONE_JOIN_THRESHOLD", 10_000)
+    expect = sorted(
+        tuple(r) for r in read_versioned(spark, tp, prune=("x", 100, 400)).collect()
+    )
+    assert got == expect
+    ks = {r[0] for r in got}
+    assert None not in ks and 15 not in ks and 11 in ks

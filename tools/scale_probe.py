@@ -99,6 +99,12 @@ _CURVE_DEFAULTS = {
     "a_mcnemar_test": "documents",
     "v_bq_rerank": "embeddings",
     "s_knn_grid_join": "customer",
+    # round-10 additions: the store gates are O(batch) commit work plus
+    # fixed numbers of maintenance passes; the BQ index probe is the
+    # word-code sibling of v_bq_rerank (codes scan is |C|·words ints)
+    "m_merge_upsert": "orders",
+    "m_optimize_incremental": "events",
+    "v_bq_index_probe": "embeddings",
 }
 
 
@@ -658,6 +664,143 @@ def bloom_mode(n_rows: int = 1_000_000, n_files: int = 64) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def merge_accum_mode(n: int = 500_000, n_merges: int = 30, batch: int = 1_000) -> None:
+    """VERDICT r9 #7: tombstone ACCUMULATION under a MERGE steady state
+    (the CDC shape m_merge_upsert gates once). One base table, then
+    ``n_merges`` successive fixed-size merges (half matched updates,
+    half fresh inserts, 1 in 5 delete-flagged). Per-merge commit time
+    must stay flat in the number of prior merges (each merge is
+    O(source) writes + one manifest — tombstone history is untouched);
+    the full-read time may grow mildly with commit/tombstone count
+    (that is what purge_deletes/compact are scheduled for) and the
+    PRUNED read must stay cheap because every merge commit now records
+    per-file stats (r10)."""
+    import shutil
+    import tempfile
+
+    from data_spark.io import merge_versioned, read_versioned, write_versioned
+
+    spark = get_spark("scale_probe_merge")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="merge_accum_")
+    tp = os.path.join(work, "t")
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("c"),
+            (F.col("id") * 7).alias("x"),
+        )
+        .repartition(16, "k")
+    )
+    write_versioned(base, tp, mode="overwrite", stats_cols=["k"])
+    points = []
+    for i in range(n_merges):
+        lo = n + i * batch
+        src = (
+            spark.range(batch)
+            .select(
+                F.when(F.col("id") < batch // 2, F.col("id") * 97 % n)
+                .otherwise(F.lit(lo) + F.col("id"))
+                .alias("k"),
+                F.sha2((F.col("id") + lo).cast("string"), 256).alias("c"),
+                (F.col("id") + lo).alias("x"),
+                (F.col("id") % 5 == 0).alias("del"),
+            )
+        )
+        start = time.perf_counter()
+        merge_versioned(src, tp, keys=["k"], delete_col="del")
+        t_merge = time.perf_counter() - start
+        point = {"merge_i": i + 1, "merge_s": round(t_merge, 3)}
+        if (i + 1) % 10 == 0 or i == 0:
+            start = time.perf_counter()
+            total = read_versioned(spark, tp).count()
+            point["full_read_s"] = round(time.perf_counter() - start, 3)
+            point["rows"] = total
+            start = time.perf_counter()
+            pruned = read_versioned(spark, tp, prune=("k", lo, lo + batch)).count()
+            point["pruned_read_s"] = round(time.perf_counter() - start, 3)
+            point["pruned_rows"] = pruned
+            points.append(point)
+        print(f"merge_accum: {point}", file=sys.stderr, flush=True)
+    shutil.rmtree(work, ignore_errors=True)
+    first, last = points[0], points[-1]
+    print(
+        json.dumps(
+            {
+                "mode": "merge_accum",
+                "n": n,
+                "n_merges": n_merges,
+                "batch": batch,
+                "points": points,
+                "merge_flat_ratio": round(last["merge_s"] / max(first["merge_s"], 1e-3), 3),
+            }
+        )
+    )
+
+
+def bq_words_mode(dims: list[int] | None = None, n: int = 50_000, n_queries: int = 50) -> None:
+    """VERDICT r9 #7: the >64-dim BQ path's cost must grow with
+    words·corpus (words = ceil(d/64)), not worse — encode is a
+    zero-shuffle projection, the Hamming shortlist scans words·8 bytes
+    per corpus vector. Synthetic deterministic vectors at each d; times
+    a warm encode pass and a warm two-stage probe."""
+    from data_spark.operators.similarity import bq_rerank_topk, sign_bit_words
+
+    dims = dims or [64, 256, 1024]
+    spark = get_spark("scale_probe_bqw")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for d in dims:
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) - F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0),
+        )
+        corpus = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        corpus = corpus.localCheckpoint(eager=True)
+        queries = corpus.filter(F.col("vec_id") % (n // n_queries) == 0)
+        codes = sign_bit_words(corpus)
+        codes.count()  # cold: compile
+        start = time.perf_counter()
+        codes.count()
+        t_encode = time.perf_counter() - start
+        codes = codes.localCheckpoint(eager=True)
+        probe = lambda: bq_rerank_topk(  # noqa: E731
+            corpus, queries, codes, k=10, shortlist=40
+        ).count()
+        probe()  # cold
+        start = time.perf_counter()
+        rows = probe()
+        t_probe = time.perf_counter() - start
+        point = {
+            "d": d,
+            "words": -(-d // 64),
+            "encode_warm_s": round(t_encode, 3),
+            "probe_warm_s": round(t_probe, 3),
+            "rows_out": rows,
+        }
+        results.append(point)
+        print(f"bq_words: {point}", file=sys.stderr, flush=True)
+    xs = [math.log(p["words"]) for p in results]
+    ys = [math.log(max(p["probe_warm_s"], 1e-3)) for p in results]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    denom = sum((x - mx) ** 2 for x in xs) or 1e-9
+    b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+    print(
+        json.dumps(
+            {
+                "mode": "bq_words",
+                "n": n,
+                "results": results,
+                "probe_exponent_vs_words": round(b, 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "rewrite":
         rewrite_mode([int(x) for x in sys.argv[2:]] or [1_000, 10_000, 100_000])
@@ -670,6 +813,13 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "curve":
         curve(sys.argv[2:] or list(_CURVE_DEFAULTS))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "merge_accum":
+        args = [int(x) for x in sys.argv[2:]]
+        merge_accum_mode(*args)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bq_words":
+        bq_words_mode([int(x) for x in sys.argv[2:]] or None)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "incr":
         incr([int(x) for x in sys.argv[2:]] or [500, 5_000, 50_000])
