@@ -2349,6 +2349,139 @@ def read_versioned(
     return out
 
 
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    skip_layout_versions: bool = False,
+) -> DataFrame:
+    """Change Data Feed over the versioned store — the rows that
+    changed in ``(from_version, to_version]``, Delta CDF shaped: the
+    table's columns plus ``_change_type`` (``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage``) and
+    ``_commit_version``. The incremental-downstream contract: a
+    consumer that processed version F reads exactly what happened
+    since, instead of re-diffing snapshots (m_snapshot_diff's query
+    shape) or re-scanning the table.
+
+    Per-version semantics (main-branch versions only):
+
+    - ``append`` (and ``publish-*`` fast-forwards): the new commits'
+      rows as ``insert``;
+    - ``delete``: the tombstoned keys' full PRE-IMAGE rows as
+      ``delete`` (recovered by a semi-join of the prior version's
+      visible rows against the tombstone — the store keeps key
+      tombstones, not pre-images, so this costs one O(prior-version)
+      scan; Delta pays the equivalent by writing CDF files at commit
+      time);
+    - ``merge``: matched keys split into ``update_preimage`` /
+      ``update_postimage``, unmatched inserts as ``insert``, matched
+      deletes (``delete_col``) as ``delete`` — classification is two
+      key joins between the merge's tombstone scope and its insert
+      commit;
+    - layout-only versions (``optimize*``, ``purge``, compaction
+      ``overwrite``, ``restore-*``) change no logical row, but a USER
+      overwrite shares the ``overwrite`` mode string, so by default
+      any such version raises; ``skip_layout_versions=True`` asserts
+      the caller schedules only layout maintenance there and skips
+      them.
+
+    Time travel makes the feed replayable: the same interval always
+    yields the same changes (manifests and commit dirs are immutable
+    until vacuum)."""
+    versions = table_versions(table_path)
+    if from_version not in versions:
+        raise ValueError(f"from_version {from_version} not in {versions}")
+    hi = to_version if to_version is not None else versions[-1]
+    frames: list[DataFrame] = []
+    prev_main = from_version
+    for v in versions:
+        if v <= from_version or v > hi:
+            continue
+        m = _load_manifest(table_path, v)
+        if not _is_main_manifest(m):
+            continue
+        mode = m.get("mode", "")
+        specs = m.get("specs", {})
+
+        def commit_frame(c: str) -> DataFrame:
+            d = os.path.join(table_path, "data", c)
+            spec = specs.get(c)
+            if isinstance(spec, dict):
+                return _read_spec_commit(spark, [d], spec, base_path=d)
+            return spark.read.parquet(d)
+
+        def tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(kind)).withColumn(
+                "_commit_version", F.lit(v).cast("bigint")
+            )
+
+        prev_commits = set(
+            _load_manifest(table_path, prev_main).get("commits", [])
+        )
+        if mode in ("append",) or mode.startswith("publish-"):
+            for c in m["commits"]:
+                if c not in prev_commits:
+                    frames.append(tag(commit_frame(c), "insert"))
+        elif mode in ("delete", "merge"):
+            d_entry = m["deletes"][-1]
+            tomb = spark.read.parquet(
+                os.path.join(table_path, "deletes", d_entry["dir"])
+            ).dropDuplicates()
+            keys = tomb.columns
+            pre = read_versioned(spark, table_path, version=prev_main)
+            removed = pre.join(
+                tomb,
+                [pre[k].eqNullSafe(tomb[k]) for k in keys],
+                "left_semi",
+            )
+            if mode == "delete":
+                frames.append(tag(removed, "delete"))
+            else:
+                ins = commit_frame(m["commits"][-1])
+                ins_keys = ins.select(*keys).dropDuplicates()
+                rem_keys = removed.select(*keys).dropDuplicates()
+                matched = lambda df, other: df.join(  # noqa: E731
+                    other,
+                    [df[k].eqNullSafe(other[k]) for k in keys],
+                    "left_semi",
+                )
+                unmatched = lambda df, other: df.join(  # noqa: E731
+                    other,
+                    [df[k].eqNullSafe(other[k]) for k in keys],
+                    "left_anti",
+                )
+                frames.append(tag(matched(removed, ins_keys), "update_preimage"))
+                frames.append(tag(matched(ins, rem_keys), "update_postimage"))
+                frames.append(tag(unmatched(ins, rem_keys), "insert"))
+                frames.append(tag(unmatched(removed, ins_keys), "delete"))
+        elif skip_layout_versions:
+            pass
+        else:
+            raise ValueError(
+                f"read_changes: version {v} (mode={mode!r}) is not an "
+                "append/merge/delete; pass skip_layout_versions=True if it "
+                "is layout-only maintenance (OPTIMIZE/purge/compaction)"
+            )
+        prev_main = v
+    if not frames:
+        base = read_versioned(spark, table_path, version=from_version)
+        return (
+            base.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("bigint"))
+            .filter(F.lit(False))
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr, allowMissingColumns=True)
+    return out
+
+
+def _is_main_manifest(m: dict) -> bool:
+    return m.get("branch", "main") == "main"
+
+
 def restore_version(table_path: str, version: int) -> int:
     """Roll a versioned table back by COMMITTING a new version whose
     manifest equals the old one — history stays intact (the rollback

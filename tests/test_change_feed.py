@@ -1,0 +1,123 @@
+"""Change Data Feed over the versioned store (io.read_changes) —
+Delta-CDF-shaped incremental consumption of the commit log: inserts,
+full-pre-image deletes, and merge updates split into
+update_preimage/update_postimage, replayable by version interval.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_spark.io import (
+    compact_versioned,
+    delete_versioned,
+    merge_versioned,
+    read_changes,
+    read_versioned,
+    write_versioned,
+)
+
+
+def _kv(spark, lo, hi, tag):
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.concat(F.lit(tag), F.col("k").cast("string")))
+    )
+
+
+def _by_type(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["_change_type"], set()).add((r["k"], r["v"]))
+    return out
+
+
+def test_appends_feed_as_inserts(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    write_versioned(_kv(spark, 10, 20, "b"), tp, mode="append")
+    write_versioned(_kv(spark, 20, 30, "c"), tp, mode="append")
+    ch = _by_type(read_changes(spark, tp, from_version=0))
+    assert set(ch) == {"insert"}
+    assert {k for k, _v in ch["insert"]} == set(range(10, 30))
+    # interval scoping: only the second append
+    ch2 = _by_type(read_changes(spark, tp, from_version=1, to_version=2))
+    assert {k for k, _v in ch2["insert"]} == set(range(20, 30))
+
+
+def test_delete_feeds_full_preimage_rows(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 20, "a"), tp, mode="overwrite")
+    delete_versioned(spark.createDataFrame([(3,), (7,)], "k bigint"), tp)
+    ch = _by_type(read_changes(spark, tp, from_version=0))
+    assert ch == {"delete": {(3, "a3"), (7, "a7")}}
+
+
+def test_merge_splits_updates_inserts_deletes(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    # keys 5..9 matched (updates), 10..14 unmatched (inserts),
+    # matched key 6 and unmatched key 12 delete-flagged
+    src = _kv(spark, 5, 15, "m").withColumn("del", F.col("k").isin(6, 12))
+    merge_versioned(src, tp, keys=["k"], delete_col="del")
+    ch = _by_type(read_changes(spark, tp, from_version=0))
+    assert {k for k, _v in ch["update_preimage"]} == {5, 7, 8, 9}
+    assert ch["update_postimage"] == {(k, f"m{k}") for k in (5, 7, 8, 9)}
+    assert {k for k, _v in ch["insert"]} == {10, 11, 13, 14}
+    assert ch["delete"] == {(6, "a6")}  # unmatched delete (12) never existed
+    # the feed replays identically
+    again = _by_type(read_changes(spark, tp, from_version=0))
+    assert again == ch
+
+
+def test_layout_versions_raise_unless_skipped(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    compact_versioned(spark, tp)
+    write_versioned(_kv(spark, 10, 15, "b"), tp, mode="append")
+    with pytest.raises(ValueError, match="layout"):
+        read_changes(spark, tp, from_version=0)
+    ch = _by_type(read_changes(spark, tp, from_version=0, skip_layout_versions=True))
+    assert set(ch) == {"insert"}
+    assert {k for k, _v in ch["insert"]} == set(range(10, 15))
+
+
+def test_empty_interval_keeps_schema(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    ch = read_changes(spark, tp, from_version=0, to_version=0)
+    assert ch.count() == 0
+    assert set(ch.columns) == {"k", "v", "_change_type", "_commit_version"}
+
+
+def test_feed_composes_to_snapshot(spark, tmp_path):
+    """Applying the feed to the from-snapshot reproduces the
+    to-snapshot: the CDF invariant an incremental consumer relies on."""
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 30, "a"), tp, mode="overwrite")
+    write_versioned(_kv(spark, 30, 40, "b"), tp, mode="append")
+    delete_versioned(spark.createDataFrame([(2,), (35,)], "k bigint"), tp)
+    src = _kv(spark, 20, 45, "m").withColumn("del", F.col("k") % 9 == 0)
+    merge_versioned(src, tp, keys=["k"], delete_col="del")
+
+    base = {(r["k"], r["v"]) for r in read_versioned(spark, tp, version=0).collect()}
+    final = {(r["k"], r["v"]) for r in read_versioned(spark, tp).collect()}
+    ch = read_changes(spark, tp, from_version=0).collect()
+    state = dict(base)
+    # apply in version order: deletes/preimages remove, inserts/postimages add
+    for v in sorted({r["_commit_version"] for r in ch}):
+        for r in ch:
+            if r["_commit_version"] == v and r["_change_type"] in (
+                "delete",
+                "update_preimage",
+            ):
+                state.pop(r["k"], None)
+        for r in ch:
+            if r["_commit_version"] == v and r["_change_type"] in (
+                "insert",
+                "update_postimage",
+            ):
+                state[r["k"]] = r["v"]
+    assert set(state.items()) == final

@@ -1,0 +1,165 @@
+"""Streaming source over the versioned store (Spark 4 Python
+DataSource): the commit log as the offset sequence, Delta-streaming-
+source semantics per version (initial snapshot, append emission, merge
+= ignoreChanges, delete skipped, layout rewrites raise unless
+skip_change_commits). See data_spark/sources/versioned_datasource.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_spark.io import (
+    delete_versioned,
+    merge_versioned,
+    optimize_versioned,
+    publish_branch,
+    read_versioned,
+    write_versioned,
+)
+from data_spark.sources.versioned_datasource import register
+
+
+def _kv(spark, lo, hi, tag):
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.concat(F.lit(tag), F.col("k").cast("string")))
+        .withColumn("x", F.col("k") * 10)
+    )
+
+
+def _drain(spark, tp, ck, out, **options):
+    register(spark)
+    reader = spark.readStream.format("versioned_table").option("path", tp)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _rows(spark, out):
+    if not os.path.isdir(out):
+        return set()
+    df = spark.read.parquet(out)
+    return {tuple(r) for r in df.collect()}
+
+
+def test_initial_snapshot_applies_tombstones(spark, tmp_path):
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    write_versioned(_kv(spark, 0, 50, "a"), tp, mode="overwrite")
+    write_versioned(_kv(spark, 50, 80, "b"), tp, mode="append")
+    delete_versioned(
+        spark.createDataFrame([(k,) for k in range(0, 80, 7)], "k bigint"), tp
+    )
+    _drain(spark, tp, ck, out)
+    expect = {tuple(r) for r in read_versioned(spark, tp).collect()}
+    assert _rows(spark, out) == expect and len(expect) > 0
+
+
+def test_appends_and_merge_emit_incrementally(spark, tmp_path):
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    write_versioned(_kv(spark, 0, 30, "a"), tp, mode="overwrite")
+    _drain(spark, tp, ck, out)
+    assert len(_rows(spark, out)) == 30
+
+    write_versioned(_kv(spark, 30, 40, "b"), tp, mode="append")
+    src = _kv(spark, 25, 35, "m").withColumn("del", F.col("k") % 5 == 0)
+    merge_versioned(src, tp, keys=["k"], delete_col="del")
+    _drain(spark, tp, ck, out)
+    got = _rows(spark, out)
+    # the second drain added: the append's 10 rows + the merge's
+    # non-deleted inserts (k in 25..34, k%5!=0 -> 8 rows). Upserted
+    # keys re-emit (ignoreChanges semantics) — the old 'a'/'b' row
+    # versions remain in the append-only sink by design.
+    appended = {t for t in got if t[1].startswith("b")}
+    merged = {t for t in got if t[1].startswith("m")}
+    assert len(appended) == 10
+    assert {t[0] for t in merged} == {k for k in range(25, 35) if k % 5 != 0}
+    assert len(got) == 30 + 10 + 8
+
+
+def test_delete_version_is_skipped(spark, tmp_path):
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    write_versioned(_kv(spark, 0, 20, "a"), tp, mode="overwrite")
+    _drain(spark, tp, ck, out)
+    delete_versioned(spark.createDataFrame([(1,), (2,)], "k bigint"), tp)
+    write_versioned(_kv(spark, 20, 25, "c"), tp, mode="append")
+    _drain(spark, tp, ck, out)
+    got = _rows(spark, out)
+    assert len(got) == 25  # snapshot 20 + append 5; delete contributed nothing
+
+
+def test_layout_rewrite_raises_unless_skipped(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 20, "a"), tp, mode="overwrite")
+    ck1, out1 = str(tmp_path / "ck1"), str(tmp_path / "out1")
+    _drain(spark, tp, ck1, out1)
+    optimize_versioned(spark, tp, zorder_cols=["k"])
+    write_versioned(_kv(spark, 20, 30, "b"), tp, mode="append")
+    with pytest.raises(Exception, match="non-append change"):
+        _drain(spark, tp, ck1, out1)
+    # skip_change_commits: the optimize is skipped, the append flows
+    ck2, out2 = str(tmp_path / "ck2"), str(tmp_path / "out2")
+    _drain(spark, tp, ck2, out2, skip_change_commits="true")
+    write_versioned(_kv(spark, 30, 35, "c"), tp, mode="append")
+    _drain(spark, tp, ck2, out2, skip_change_commits="true")
+    got = _rows(spark, out2)
+    assert {t[0] for t in got} == set(range(35))
+
+
+def test_publish_emits_only_branch_commits(spark, tmp_path):
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    v0 = write_versioned(_kv(spark, 0, 20, "a"), tp, mode="overwrite")
+    _drain(spark, tp, ck, out)
+    # branch workflow entirely after the snapshot: W, A on branch, P
+    write_versioned(_kv(spark, 20, 40, "w"), tp, mode="append", branch="wap")
+    delete_versioned(
+        spark.createDataFrame([(22,), (23,)], "k bigint"), tp, branch="wap"
+    )
+    publish_branch(tp, "wap", expect_main=v0)
+    _drain(spark, tp, ck, out)
+    got = _rows(spark, out)
+    staged = {t[0] for t in got if t[1].startswith("w")}
+    # the publish emits the branch's data commit (tombstones are delete
+    # entries, skipped like main deletes) — branch rows appear exactly
+    # once and only after publish
+    assert staged == set(range(20, 40))
+    assert len(got) == 40
+
+
+def test_spec_partition_values_survive(spark, tmp_path):
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    padded = (
+        spark.range(0, 30)
+        .withColumnRenamed("id", "k")
+        .withColumn("pz", F.format_string("%03d", (F.col("k") % 3).cast("int")))
+    )
+    write_versioned(padded, tp, mode="overwrite", partition_by=["pz"])
+    _drain(spark, tp, ck, out)
+    got = _rows(spark, out)
+    assert {t[1] for t in got} == {"000", "001", "002"}
+    df = spark.read.parquet(out)
+    assert dict(df.dtypes)["pz"] == "string"
+
+
+def test_resume_from_checkpoint_is_exactly_once(spark, tmp_path):
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    _drain(spark, tp, ck, out)
+    # no new versions: a re-drain adds nothing
+    _drain(spark, tp, ck, out)
+    assert len(_rows(spark, out)) == 10
+    write_versioned(_kv(spark, 10, 15, "b"), tp, mode="append")
+    _drain(spark, tp, ck, out)
+    assert len(_rows(spark, out)) == 15
