@@ -233,6 +233,11 @@ HEADLINE = [
     "a_mcnemar_test",  # one scan to five integer counters
     "v_bq_rerank",  # 8-byte Hamming shortlist + exact integer rerank
     "s_knn_grid_join",  # cell-key shuffle + per-query top-k window
+    # r10 additions: atomic MERGE INTO with per-commit stats pruning,
+    # O(delta) incremental OPTIMIZE cycles, persisted word-code BQ index
+    "m_merge_upsert",  # merge commit + stats-pruned merge-on-read scan
+    "m_optimize_incremental",  # 2 append->optimize cycles, prefix untouched
+    "v_bq_index_probe",  # persisted 96-dim word codes, append + probe
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query
