@@ -2067,7 +2067,17 @@ def last_committed_batch_id(table_path: str) -> int | None:
     ``_manifests/stream_state.json``, where ``vacuum_versions``
     preserves the high-water id of any manifests it drops (ADVICE r7:
     without it, vacuuming the recording manifests between a batch's
-    commit and its crash-replay would re-append the batch)."""
+    commit and its crash-replay would re-append the batch).
+
+    A minutely stream calls this once per micro-batch, so the walk is
+    the store's hottest metadata path; ``batch_watermark.json`` caches
+    the prefix maximum — only manifests NEWER than its ``scanned_upto``
+    are read, then the watermark advances. max() over a growing prefix
+    is monotone, so a stale watermark can only cause extra reads,
+    never a wrong answer; it is written exclusively from completed
+    scans (trusted store metadata, like stream_state.json — not the
+    validated-advisory refs.json pattern, because validating it would
+    be the very walk it exists to avoid). Corrupt/missing → full walk."""
     import json
 
     ids = []
@@ -2077,10 +2087,37 @@ def last_committed_batch_id(table_path: str) -> int | None:
             hw = json.load(f).get("last_batch_id")
         if hw is not None:
             ids.append(int(hw))
-    for v in table_versions(table_path):
+    wm_path = os.path.join(_versions_dir(table_path), "batch_watermark.json")
+    scanned_upto = -1
+    try:
+        with open(wm_path) as f:
+            wm = json.load(f)
+        scanned_upto = int(wm["scanned_upto"])
+        if wm.get("max_batch_id") is not None:
+            ids.append(int(wm["max_batch_id"]))
+    except (OSError, ValueError, KeyError, TypeError):
+        scanned_upto = -1
+    versions = table_versions(table_path)
+    manifest_ids = []
+    for v in versions:
+        if v <= scanned_upto:
+            continue
         bid = _load_manifest(table_path, v).get("meta", {}).get("batch_id")
         if bid is not None:
-            ids.append(int(bid))
+            manifest_ids.append(int(bid))
+    ids.extend(manifest_ids)
+    if versions and versions[-1] > scanned_upto:
+        try:
+            new_wm = {
+                "scanned_upto": versions[-1],
+                "max_batch_id": max(ids) if ids else None,
+            }
+            tmp = f"{wm_path}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(new_wm, f)
+            os.replace(tmp, wm_path)
+        except OSError:
+            pass  # cache write failure never fails the guard
     return max(ids) if ids else None
 
 
@@ -2347,6 +2384,53 @@ def read_versioned(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=merge_schema)
     return out
+
+
+def maintain_versioned(
+    spark: SparkSession,
+    table_path: str,
+    max_delete_entries: int = 8,
+    max_commits: int = 32,
+    zorder_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Threshold-driven maintenance for merge/append-heavy tables —
+    the scheduling policy the store's cost model assumes, as one call
+    (Delta's auto-compaction idea): a CDC steady state accretes one
+    commit + one tombstone per micro-batch; reads stay O(commits +
+    live tombstones), so SOMETHING must periodically fold history.
+
+    - more than ``max_delete_entries`` delete entries → ``purge_deletes``
+      (rewrites only covered commits, O(covered data));
+    - more than ``max_commits`` visible commits → collapse to one
+      clustered commit (``optimize_versioned`` when ``zorder_cols``,
+      else ``compact_versioned``), O(live rows) — amortized O(1/\
+      max_commits) extra writes per row per epoch.
+
+    No-op (and no new version) when below both thresholds, so calling
+    it after every batch is safe and cheap: one manifest read. Returns
+    a report of what ran. History stays time-travelable until
+    ``vacuum_versions``."""
+    head = branch_head(table_path, "main")
+    report: dict = {"purged": None, "collapsed": None, "head": head}
+    if head is None:
+        return report
+    m = _load_manifest(table_path, head)
+    report["deletes_before"] = len(m.get("deletes", []))
+    report["commits_before"] = len(m.get("commits", []))
+    if report["deletes_before"] > max_delete_entries:
+        report["purged"] = purge_deletes(spark, table_path)
+        m = _load_manifest(table_path, report["purged"])
+    if len(m.get("commits", [])) > max_commits:
+        if zorder_cols:
+            report["collapsed"] = optimize_versioned(
+                spark, table_path, zorder_cols, stats_cols=stats_cols
+            )
+        else:
+            report["collapsed"] = compact_versioned(
+                spark, table_path, stats_cols=stats_cols
+            )
+    return report
 
 
 def read_changes(

@@ -396,3 +396,99 @@ def test_indexed_tombstone_read_with_prune_and_nulls(spark, tmp_path, monkeypatc
     assert got == expect
     ks = {r[0] for r in got}
     assert None not in ks and 15 not in ks and 11 in ks
+
+
+# ---------------------------------------------------------------------------
+# batch-watermark cache for the streaming replay guard
+# ---------------------------------------------------------------------------
+
+
+def test_batch_id_guard_scans_only_new_manifests(spark, tmp_path, monkeypatch):
+    from data_spark.io import last_committed_batch_id
+
+    tp = str(tmp_path / "t")
+    write_versioned(spark.range(5), tp, mode="overwrite", meta={"batch_id": 0})
+    for i in range(1, 6):
+        write_versioned(spark.range(5), tp, mode="append", meta={"batch_id": i})
+    assert last_committed_batch_id(tp) == 5  # full walk, writes the watermark
+    wm = os.path.join(tp, "_manifests", "batch_watermark.json")
+    assert os.path.exists(wm)
+    calls = _count_manifest_loads(monkeypatch)
+    assert last_committed_batch_id(tp) == 5
+    assert calls["n"] == 0, f"no new versions but {calls['n']} manifests read"
+    # a new commit: exactly one incremental manifest read
+    write_versioned(spark.range(5), tp, mode="append", meta={"batch_id": 6})
+    calls["n"] = 0
+    assert last_committed_batch_id(tp) == 6
+    assert calls["n"] == 1
+    # meta-less maintenance commits don't hide the recorded high water
+    write_versioned(spark.range(5), tp, mode="append")
+    assert last_committed_batch_id(tp) == 6
+
+
+def test_batch_id_guard_survives_corrupt_watermark(spark, tmp_path):
+    from data_spark.io import last_committed_batch_id
+
+    tp = str(tmp_path / "t")
+    write_versioned(spark.range(5), tp, mode="overwrite", meta={"batch_id": 3})
+    assert last_committed_batch_id(tp) == 3
+    wm = os.path.join(tp, "_manifests", "batch_watermark.json")
+    with open(wm, "w") as f:
+        f.write("{broken")
+    assert last_committed_batch_id(tp) == 3
+    os.remove(wm)
+    assert last_committed_batch_id(tp) == 3
+
+
+# ---------------------------------------------------------------------------
+# threshold-driven maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_maintain_versioned_thresholds(spark, tmp_path):
+    from data_spark.io import maintain_versioned, table_versions
+
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 100, "a"), tp, mode="overwrite", stats_cols=["x"])
+    # below both thresholds: no-op, no new version
+    before = table_versions(tp)
+    rep = maintain_versioned(spark, tp, max_delete_entries=2, max_commits=4)
+    assert rep["purged"] is None and rep["collapsed"] is None
+    assert table_versions(tp) == before
+
+    for i in range(3):
+        src = _kv(spark, 100 + i * 10, 110 + i * 10, "m")
+        merge_versioned(src, tp, keys=["k"])
+    delete_versioned(spark.createDataFrame([(1,), (2,)], "k bigint"), tp)
+    expect = {tuple(r) for r in read_versioned(spark, tp).collect()}
+
+    rep = maintain_versioned(spark, tp, max_delete_entries=2, max_commits=2)
+    assert rep["purged"] is not None and rep["collapsed"] is not None
+    m = _load_manifest(tp, rep["collapsed"])
+    assert len(m["commits"]) == 1 and not m.get("deletes")
+    got = {tuple(r) for r in read_versioned(spark, tp).collect()}
+    assert got == expect
+    # idempotent: a second call is a no-op
+    head = rep["collapsed"]
+    rep2 = maintain_versioned(spark, tp, max_delete_entries=2, max_commits=2)
+    assert rep2["purged"] is None and rep2["collapsed"] is None
+    assert rep2["head"] == head
+
+
+def test_maintain_versioned_zorder_path_keeps_stats(spark, tmp_path):
+    from data_spark.io import maintain_versioned
+
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 50, "a"), tp, mode="overwrite")
+    write_versioned(_kv(spark, 50, 100, "b"), tp, mode="append")
+    write_versioned(_kv(spark, 100, 150, "c"), tp, mode="append")
+    rep = maintain_versioned(
+        spark, tp, max_commits=2, zorder_cols=["x"], stats_cols=["x"]
+    )
+    v = rep["collapsed"]
+    m = _load_manifest(tp, v)
+    assert len(m["commits"]) == 1 and m["commits"][0] in m.get("stats", {})
+    # one 150-row table collapses to one file, so assert answer-level
+    # pruning correctness (file-subset pruning is pinned elsewhere)
+    pruned = read_versioned(spark, tp, version=v, prune=("x", 0, 100))
+    assert {r["k"] for r in pruned.collect()} == set(range(0, 11))
