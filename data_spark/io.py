@@ -2410,7 +2410,9 @@ def maintain_versioned(
     No-op (and no new version) when below both thresholds, so calling
     it after every batch is safe and cheap: one manifest read. Returns
     a report of what ran. History stays time-travelable until
-    ``vacuum_versions``."""
+    ``vacuum_versions``. ``stats_cols=None`` inherits the column set
+    the table's stats already track (the merge_versioned default), so
+    a scheduled collapse never silently drops file-pruning bounds."""
     head = branch_head(table_path, "main")
     report: dict = {"purged": None, "collapsed": None, "head": head}
     if head is None:
@@ -2418,6 +2420,15 @@ def maintain_versioned(
     m = _load_manifest(table_path, head)
     report["deletes_before"] = len(m.get("deletes", []))
     report["commits_before"] = len(m.get("commits", []))
+    if stats_cols is None:
+        stats_cols = sorted(
+            {
+                c
+                for files in m.get("stats", {}).values()
+                for b in files.values()
+                for c in b
+            }
+        ) or None
     if report["deletes_before"] > max_delete_entries:
         report["purged"] = purge_deletes(spark, table_path)
         m = _load_manifest(table_path, report["purged"])

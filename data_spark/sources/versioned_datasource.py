@@ -159,6 +159,12 @@ class VersionedStreamReader(SimpleDataSourceStreamReader):
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
         self.starting = options.get("starting_version")
+        # Delta's maxFilesPerTrigger analogue: bound how many versions
+        # one micro-batch drains, so a backlogged stream catches up in
+        # bounded batches instead of one giant one (state, sink
+        # transactions, and retry cost all scale with batch size)
+        mv = options.get("max_versions_per_trigger")
+        self.max_versions = int(mv) if mv is not None else None
 
     # -- offsets ---------------------------------------------------------
 
@@ -242,6 +248,13 @@ class VersionedStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[list, dict]:
         latest = _versions(self.path)
         end = (latest[-1] + 1) if latest else int(start["next_version"])
+        if self.max_versions is not None:
+            first = int(start["next_version"])
+            if start.get("snapshot_pending"):
+                # the snapshot is its own (bounded-by-table) batch
+                end = min(end, first + 1)
+            else:
+                end = min(end, first + self.max_versions)
         rows, off = self._read_interval(start, end)
         if off == dict(start):
             # no new versions: the engine probes the (empty) result with

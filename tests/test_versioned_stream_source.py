@@ -163,3 +163,40 @@ def test_resume_from_checkpoint_is_exactly_once(spark, tmp_path):
     write_versioned(_kv(spark, 10, 15, "b"), tp, mode="append")
     _drain(spark, tp, ck, out)
     assert len(_rows(spark, out)) == 15
+
+
+def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
+    """The maxFilesPerTrigger analogue: each read() call advances the
+    offset by at most N versions (snapshot alone first), so a
+    backlogged stream catches up in bounded batches. Asserted at the
+    reader level — availableNow coalesces the prefetched intervals
+    into one sink commit, which hides the cadence; rows must still
+    drain completely end-to-end."""
+    from data_spark.sources.versioned_datasource import VersionedStreamReader
+
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    for i in range(5):
+        write_versioned(_kv(spark, 10 + i * 5, 15 + i * 5, "b"), tp, mode="append")
+
+    schema = read_versioned(spark, tp).schema
+    r = VersionedStreamReader(
+        schema,
+        {"path": tp, "max_versions_per_trigger": "2", "starting_version": "0"},
+    )
+    off = r.initialOffset()
+    spans, total = [], 0
+    for _ in range(10):
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if nxt == dict(off):
+            break
+        spans.append(nxt["next_version"] - int(off["next_version"]))
+        total += len(rows)
+        off = nxt
+    # snapshot batch (1 version) then ceil(5/2) capped batches: 1,2,2,1
+    assert spans == [1, 2, 2, 1]
+    assert total == 35
+    # and the end-to-end drain still delivers everything
+    _drain(spark, tp, ck, out, max_versions_per_trigger="2")
+    assert {t[0] for t in _rows(spark, out)} == set(range(35))

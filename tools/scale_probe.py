@@ -664,7 +664,9 @@ def bloom_mode(n_rows: int = 1_000_000, n_files: int = 64) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def merge_accum_mode(n: int = 500_000, n_merges: int = 30, batch: int = 1_000) -> None:
+def merge_accum_mode(
+    n: int = 500_000, n_merges: int = 30, batch: int = 1_000, maintained: int = 0
+) -> None:
     """VERDICT r9 #7: tombstone ACCUMULATION under a MERGE steady state
     (the CDC shape m_merge_upsert gates once). One base table, then
     ``n_merges`` successive fixed-size merges (half matched updates,
@@ -678,7 +680,12 @@ def merge_accum_mode(n: int = 500_000, n_merges: int = 30, batch: int = 1_000) -
     import shutil
     import tempfile
 
-    from data_spark.io import merge_versioned, read_versioned, write_versioned
+    from data_spark.io import (
+        maintain_versioned,
+        merge_versioned,
+        read_versioned,
+        write_versioned,
+    )
 
     spark = get_spark("scale_probe_merge")
     spark.sparkContext.setLogLevel("ERROR")
@@ -712,6 +719,13 @@ def merge_accum_mode(n: int = 500_000, n_merges: int = 30, batch: int = 1_000) -
         merge_versioned(src, tp, keys=["k"], delete_col="del")
         t_merge = time.perf_counter() - start
         point = {"merge_i": i + 1, "merge_s": round(t_merge, 3)}
+        if maintained:
+            start = time.perf_counter()
+            rep = maintain_versioned(
+                spark, tp, max_delete_entries=8, max_commits=16
+            )
+            if rep["purged"] is not None or rep["collapsed"] is not None:
+                point["maint_s"] = round(time.perf_counter() - start, 3)
         if (i + 1) % 10 == 0 or i == 0:
             start = time.perf_counter()
             total = read_versioned(spark, tp).count()
@@ -729,6 +743,7 @@ def merge_accum_mode(n: int = 500_000, n_merges: int = 30, batch: int = 1_000) -
         json.dumps(
             {
                 "mode": "merge_accum",
+                "maintained": bool(maintained),
                 "n": n,
                 "n_merges": n_merges,
                 "batch": batch,
