@@ -278,3 +278,107 @@ def test_store_matches_model_with_branches(spark, tmp_path_factory, ops):
                 .collect()
             )
             assert got == expected, f"branch {b}: {got} != {expected}"
+
+
+# ---------------------------------------------------------------------------
+# r10 extension: threshold maintenance inside the fuzzed op stream, and
+# the Change-Data-Feed composition invariant. maintain_versioned may
+# publish 0, 1, or 2 versions (purge and/or collapse) — the model
+# mirrors exactly what the report says ran, and every version must
+# still read back the model's snapshot. For sequences containing no
+# content-rewriting ops (restore / later overwrite), applying
+# read_changes(0, head) to version 0's snapshot must reproduce the
+# head snapshot (inserts/deletes/update images, multiset semantics).
+# ---------------------------------------------------------------------------
+
+mop = st.one_of(
+    st.tuples(st.just("append"), keys_lists),
+    st.tuples(st.just("delete"), keys_lists),
+    st.tuples(st.just("merge"), keys_lists, keys_lists),
+    st.tuples(st.just("maintain")),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(mop, min_size=2, max_size=8))
+def test_maintenance_and_change_feed_match_model(spark, tmp_path_factory, ops):
+    from data_spark.io import maintain_versioned, merge_versioned, read_changes
+
+    table = str(tmp_path_factory.mktemp("vmaint") / "t")
+    model = _Model()
+
+    def rows_for(ks):
+        return [(k, k * 10.0) for k in ks]
+
+    def df_for(ks):
+        return spark.createDataFrame(rows_for(ks), "k long, x double")
+
+    write_versioned(df_for([1, 2, 3]), table, "overwrite")
+    model.overwrite(rows_for([1, 2, 3]))
+    for o in ops:
+        kind = o[0]
+        if kind == "append":
+            write_versioned(df_for(o[1]), table, "append")
+            model.append(rows_for(o[1]))
+        elif kind == "delete":
+            delete_versioned(
+                spark.createDataFrame([(k,) for k in o[1]], "k long"), table
+            )
+            model.delete(o[1])
+        elif kind == "merge":
+            ups, dels = o[1], o[2]
+            src = spark.createDataFrame(
+                [(k, k * 10.0, False) for k in ups]
+                + [(k, k * 10.0, True) for k in dels],
+                "k long, x double, del boolean",
+            )
+            merge_versioned(src, table, keys=["k"], delete_col="del")
+            base = model.snapshots[-1]
+            touched = set(ups) | set(dels)
+            model.snapshots.append(
+                sorted(
+                    [r for r in base if r[0] not in touched]
+                    + [(k, k * 10.0) for k in ups]
+                )
+            )
+        elif kind == "maintain":
+            rep = maintain_versioned(
+                spark, table, max_delete_entries=1, max_commits=2
+            )
+            if rep["purged"] is not None:
+                model.purge()
+            if rep["collapsed"] is not None:
+                model.purge()  # collapse is layout-only too
+
+    versions = table_versions(table)
+    assert len(versions) == len(model.snapshots)
+    for v, expected in zip(versions, model.snapshots):
+        got = sorted(tuple(r) for r in read_versioned(spark, table, v).collect())
+        assert got == expected, f"version {v}: {got} != {expected}"
+
+    # CDF composition: apply the feed to the first snapshot -> head.
+    # (No restore/overwrite ops in this op set, so the invariant holds;
+    # layout versions are legitimately skipped.)
+    feed = read_changes(spark, table, from_version=0, skip_layout_versions=True)
+    rows = feed.collect()
+    state = list(model.snapshots[0])
+    for v in sorted({r["_commit_version"] for r in rows}):
+        gone = {
+            r["k"]
+            for r in rows
+            if r["_commit_version"] == v
+            and r["_change_type"] in ("delete", "update_preimage")
+        }
+        state = [t for t in state if t[0] not in gone]
+        state += [
+            (r["k"], r["x"])
+            for r in rows
+            if r["_commit_version"] == v
+            and r["_change_type"] in ("insert", "update_postimage")
+        ]
+    assert sorted(state) == model.snapshots[-1]
