@@ -2495,7 +2495,7 @@ def read_changes(
         if v <= from_version or v > hi:
             continue
         m = _load_manifest(table_path, v)
-        if not _is_main_manifest(m):
+        if _manifest_branch(m) != "main":
             continue
         mode = m.get("mode", "")
         specs = m.get("specs", {})
@@ -2571,10 +2571,6 @@ def read_changes(
     for fr in frames[1:]:
         out = out.unionByName(fr, allowMissingColumns=True)
     return out
-
-
-def _is_main_manifest(m: dict) -> bool:
-    return m.get("branch", "main") == "main"
 
 
 def restore_version(table_path: str, version: int) -> int:
