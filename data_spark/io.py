@@ -1238,6 +1238,16 @@ def publish_branch(
 
 _PART_INFER_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"
 
+# Serializes the set/restore of the session-wide inference conf across
+# driver threads so two concurrent spec reads can never interleave
+# set/restore and leave the conf stuck in the wrong state. NOTE: an
+# UNRELATED read planned by another thread during the window still sees
+# inference off (a session conf cannot be scoped per-read); that read
+# gets raw partition strings — correct values, wider type. Multi-
+# threaded drivers that mix spec and non-spec partitioned reads should
+# pin partition dtypes with explicit schemas.
+_PART_INFER_LOCK = __import__("threading").Lock()
+
 
 def _read_spec_commit(
     spark: SparkSession,
@@ -1256,17 +1266,18 @@ def _read_spec_commit(
     of a spec'd commit (read_versioned, purge_deletes, incremental
     OPTIMIZE, stats collection) must come through here so rewrites
     never bake an inferred dtype into a new commit."""
-    old = spark.conf.get(_PART_INFER_CONF)
-    spark.conf.set(_PART_INFER_CONF, "false")
-    try:
-        r = spark.read
-        if merge_schema:
-            r = r.option("mergeSchema", "true")
-        if base_path is not None:
-            r = r.option("basePath", base_path)
-        df = r.parquet(*paths)
-    finally:
-        spark.conf.set(_PART_INFER_CONF, old)
+    with _PART_INFER_LOCK:
+        old = spark.conf.get(_PART_INFER_CONF)
+        spark.conf.set(_PART_INFER_CONF, "false")
+        try:
+            r = spark.read
+            if merge_schema:
+                r = r.option("mergeSchema", "true")
+            if base_path is not None:
+                r = r.option("basePath", base_path)
+            df = r.parquet(*paths)
+        finally:
+            spark.conf.set(_PART_INFER_CONF, old)
     for col_name, dtype in spec.items():
         df = df.withColumn(col_name, F.col(col_name).cast(dtype))
     return df
@@ -2339,13 +2350,32 @@ def read_versioned(
         frames = list(spec_frames)
         if flat_paths:
             dir_map = F.create_map(*map_args)
+            # greedy ^.* anchors on the LAST /data/ segment — a table
+            # stored under a path that itself contains /data/ (e.g.
+            # /data/warehouse/t) must not match the path prefix. A
+            # mis-parse must FAIL LOUDLY, never silently skip
+            # tombstones: try_element_at is NULL on a missing key in
+            # both ANSI modes, and the coalesce'd raise_error turns
+            # that NULL into an explicit error instead of letting the
+            # anti-join resurrect deleted rows (ADVICE r10).
             fr = mk_reader().parquet(*flat_paths).withColumn(
                 "__cidx",
-                F.element_at(
-                    dir_map,
-                    F.regexp_extract(
-                        F.col("_metadata.file_path"), r"/data/([^/]+)/", 1
+                F.coalesce(
+                    F.try_element_at(
+                        dir_map,
+                        F.regexp_extract(
+                            F.col("_metadata.file_path"), r"^.*/data/([^/]+)/", 1
+                        ),
                     ),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "versioned read: commit dir not derivable "
+                                "from file path "
+                            ),
+                            F.col("_metadata.file_path"),
+                        )
+                    ).cast("int"),
                 ),
             )
             frames.append(fr)

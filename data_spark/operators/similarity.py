@@ -669,11 +669,21 @@ def sign_bit_words(
             contribs, F.lit(0).cast("bigint"), lambda acc, c: acc + c
         )
 
+    # empty-vector guard: F.sequence(0, -1) yields the DESCENDING
+    # array [0, -1], i.e. two bogus ZERO words for a zero-length
+    # vector — indistinguishable from a real all-negative-sign
+    # 128-dim code, so an empty vector would silently compete in the
+    # shortlist. Empty vectors get an empty code array instead
+    # (ADVICE r10): Hamming against real codes is then NULL (word
+    # counts differ), surfacing the degenerate input instead of
+    # awarding it a fake distance — callers should drop empty
+    # vectors before encoding.
+    word_idx = F.when(
+        n_words > 0, F.sequence(F.lit(0), n_words - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
     return df.select(
         F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(0), n_words - F.lit(1)), word_code
-        ).alias("codes"),
+        F.transform(word_idx, word_code).alias("codes"),
     )
 
 

@@ -61,11 +61,15 @@ def _q(name: str, sql: str | None = None):
 # m_merge_upsert — atomic MERGE INTO (update + delete + insert, one version)
 # ---------------------------------------------------------------------------
 
-# merged state = base (custkey%4=0, original price) plus the source
-# upserts (custkey%4 in (1,2), doubled price) minus delete-flagged
-# source keys (orderkey%7=0). Base %4=1 rows are all matched by source
-# keys, so they are replaced (or deleted), never duplicated. The final
-# read prunes on o_orderkey, so the same range bounds the oracle.
+# base holds custkey%4<=1 rows (original price); the source re-sends
+# every custkey%4 in (1,2) key with doubled price and flags
+# orderkey%7=0 for deletion. Orders partition disjointly by custkey,
+# so base %4=1 rows are ALL matched (replaced by the doubled row, or
+# deleted when %7=0 — the WHEN MATCHED UPDATE/DELETE paths), %4=2
+# source rows are all unmatched inserts, and %4=0 base rows are
+# untouched. Merged state = %4=0 originals + %4 in (1,2) doubled
+# minus %7=0. The final read prunes on o_orderkey, so the same range
+# bounds the oracle.
 _MERGE_LO, _MERGE_HI = 1_000, 12_000
 
 _MERGE_SQL = f"""
@@ -115,7 +119,10 @@ def m_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    base = o.filter(F.col("o_custkey") % 4 == 0)
+    # %4<=1 so every %4==1 source key MATCHES an existing row: the
+    # merge exercises matched-update (replace with doubled price) and
+    # matched-delete (%7==0), not just unmatched inserts (ADVICE r10)
+    base = o.filter(F.col("o_custkey") % 4 <= 1)
     source = (
         o.filter(F.col("o_custkey") % 4 == 1)
         .unionByName(o.filter(F.col("o_custkey") % 4 == 2))
