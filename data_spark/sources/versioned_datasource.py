@@ -22,11 +22,11 @@ into an idempotent sink. Per-version semantics mirror Delta's source:
   (``ignore_deletes`` semantics — downstream joins against the store
   see deletes via merge-on-read reads, not the stream);
 - layout-only versions (``optimize*``, ``purge``, compaction
-  ``overwrite`` after the start, ``publish-*`` fast-forwards, restores)
-  REWRITE existing rows: emitting them would duplicate the table into
-  the stream. By default the source raises (the Delta default for
-  non-append changes); ``skip_change_commits=true`` opts into skipping
-  them (Delta ``skipChangeCommits``).
+  ``overwrite`` after the start, restores) REWRITE existing rows:
+  emitting them would duplicate the table into the stream. By default
+  the source raises (the Delta default for non-append changes);
+  ``skip_change_commits=true`` opts into skipping them (Delta
+  ``skipChangeCommits``).
 
 Branch commits are never emitted (main-only, like every default
 reader); a branch's rows enter the stream at the ``publish-*``
@@ -34,10 +34,34 @@ fast-forward — which lists commit dirs the stream has NOT seen, so the
 publish emits exactly the branch's audited commits (W-A-P composes
 with streaming for free).
 
-Executors read the parquet of each drained commit via pyarrow (hive
-partitioning for spec'd commits, cast to the manifest-pinned dtype) —
-the same Arrow batch path the multimodal tier uses. Schema is derived
-driver-side from the head commit's footer plus the manifest spec.
+Execution model (``DataSourceStreamReader``, the partition-based API):
+the DRIVER plans one ``InputPartition`` per data FILE (per commit dir
+for hive-partitioned commits, so partition values keep their
+manifest-pinned dtype) from manifest metadata only, and EXECUTORS read
+the parquet of each partition via pyarrow, emitting Arrow RecordBatch
+directly — no row is ever materialized on the driver, so the initial
+snapshot of an arbitrarily large table distributes like any batch
+scan. Snapshot partitions carry their applicable tombstone dirs;
+the anti-join runs executor-side (vectorized ``is_in`` for
+single-column keys, which covers the merge/CDC steady state).
+
+Offset resolution consults the store's advisory ``refs.json`` head
+cache and then probes FORWARD over the dense version numbering, so a
+steady-state trigger costs O(1) manifest reads + one stat per new
+version — never a full log walk (falls back to the listing whenever
+the cache is missing or stale; the cache can change costs, never
+answers).
+
+``max_versions_per_trigger`` (Delta's ``maxFilesPerTrigger``
+analogue) bounds how many versions a steady-state trigger drains, the
+initial snapshot alone first. The bound is enforced in
+``latestOffset``, which the engine calls BEFORE the reader learns the
+stream's position on its very first trigger (fresh query or restart)
+— that one batch (and an ``availableNow`` drain, which snapshots its
+end offset up front) may exceed the bound: for a fresh query the
+start IS the current head so the overshoot is only what committed
+concurrently; on restart of a backlogged stream the first catch-up
+batch is unbounded. Every subsequent trigger is clamped.
 
 Reference parity: the reference tails its warehouse with hand-rolled
 processed-markers (…pubsub_laundromat/main.py-style incremental
@@ -49,9 +73,13 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _ARROW_TO_DDL = {
@@ -68,6 +96,11 @@ _ARROW_TO_DDL = {
     "binary": "binary",
     "large_binary": "binary",
 }
+
+# parquet footer fields that are writer metadata, never table columns
+# (pandas/pyarrow index spill). User columns — even ones that happen to
+# start with an underscore — must survive schema inference (ADVICE r10).
+_NON_TABLE_FIELDS = {"__index_level_0__"}
 
 
 def _arrow_field_ddl(field) -> str:
@@ -88,8 +121,12 @@ def _arrow_field_ddl(field) -> str:
     )
 
 
+def _manifest_path(path: str, v: int) -> str:
+    return os.path.join(path, "_manifests", f"v{v}.json")
+
+
 def _manifest(path: str, v: int) -> dict:
-    with open(os.path.join(path, "_manifests", f"v{v}.json")) as f:
+    with open(_manifest_path(path, v)) as f:
         return json.load(f)
 
 
@@ -108,50 +145,83 @@ def _is_main(m: dict) -> bool:
     return m.get("branch", "main") == "main"
 
 
-def _commit_rows(
-    table_path: str, commit_dir: str, spec: dict | None, names: list[str]
-) -> Iterator[tuple]:
-    """Arrow read of one commit dir; hive partition values cast to the
-    manifest-pinned dtype (strings parsed exactly — '007' stays '007'
-    for a string spec column because the partition SCHEMA is forced to
-    string before the cast)."""
-    import pyarrow.compute  # noqa: F401
-    import pyarrow.dataset as ds
-
-    d = os.path.join(table_path, "data", commit_dir)
-    if spec:
-        import pyarrow as pa
-
-        part_schema = pa.schema([(c, pa.string()) for c in spec])
-        dataset = ds.dataset(
-            d, format="parquet", partitioning=ds.partitioning(part_schema, flavor="hive")
-        )
-    else:
-        dataset = ds.dataset(d, format="parquet")
-    tbl = dataset.to_table()
-    cols = {}
-    for n in names:
-        col = tbl.column(n).to_pylist() if n in tbl.column_names else [None] * len(tbl)
-        if spec and n in spec:
-            col = [_cast_part(v, spec[n]) for v in col]
-        cols[n] = col
-    for i in range(len(tbl)):
-        yield tuple(cols[n][i] for n in names)
+def _latest_version(path: str, anchor: int | None = None) -> int | None:
+    """Newest committed version (any branch). Anchors on the advisory
+    ``refs.json`` head cache (or the caller's known-live ``anchor``)
+    and probes FORWARD over the dense numbering — O(new versions)
+    stats, no log listing. Any dangling anchor (cache missing, stale
+    file, vacuumed version) falls back to the full listing, so the
+    cache can never change the answer."""
+    cand = anchor if anchor is not None else -1
+    try:
+        with open(os.path.join(path, "_manifests", "refs.json")) as f:
+            heads = json.load(f).get("heads", {})
+        cand = max([cand] + [int(v) for v in heads.values()])
+    except (OSError, ValueError, TypeError):
+        pass
+    if cand >= 0 and os.path.exists(_manifest_path(path, cand)):
+        v = cand + 1
+        while os.path.exists(_manifest_path(path, v)):
+            v += 1
+        return v - 1
+    vs = _versions(path)
+    return vs[-1] if vs else None
 
 
-def _cast_part(v, dtype: str):
-    if v is None:
+def _main_head(path: str) -> int | None:
+    """Latest MAIN version: validate the cached main head, then check
+    only manifests newer than it (zero in the common case); fall back
+    to a newest-first walk on any cache mismatch."""
+    latest = _latest_version(path)
+    if latest is None:
         return None
-    if dtype in ("tinyint", "smallint", "int", "bigint"):
-        return int(v)
-    if dtype in ("float", "double"):
-        return float(v)
-    if dtype == "boolean":
-        return v if isinstance(v, bool) else str(v).lower() == "true"
-    return str(v)
+    cand = None
+    try:
+        with open(os.path.join(path, "_manifests", "refs.json")) as f:
+            c = json.load(f).get("heads", {}).get("main")
+        cand = int(c) if c is not None else None
+    except (OSError, ValueError, TypeError):
+        pass
+    if cand is not None and os.path.exists(_manifest_path(path, cand)):
+        try:
+            if _is_main(_manifest(path, cand)):
+                for v in range(latest, cand, -1):
+                    if os.path.exists(_manifest_path(path, v)) and _is_main(
+                        _manifest(path, v)
+                    ):
+                        return v
+                return cand
+        except (OSError, ValueError):
+            pass
+    for v in reversed(_versions(path)):
+        if _is_main(_manifest(path, v)):
+            return v
+    return None
 
 
-class VersionedStreamReader(SimpleDataSourceStreamReader):
+class VersionSlice(InputPartition):
+    """One executor-readable slice of a drained version interval:
+    either a list of plain parquet ``files`` of one commit, or (for a
+    hive-partitioned commit) the whole ``commit`` dir read with its
+    manifest-pinned partition ``spec``. ``tombstones`` lists the
+    delete dirs applicable to this slice (snapshot partitions only)."""
+
+    def __init__(
+        self,
+        table_path: str,
+        commit: str,
+        files: list[str] | None,
+        spec: dict | None,
+        tombstones: list[str],
+    ):
+        self.table_path = table_path
+        self.commit = commit
+        self.files = files
+        self.spec = spec
+        self.tombstones = tombstones
+
+
+class VersionedStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.path = options["path"]
@@ -165,133 +235,209 @@ class VersionedStreamReader(SimpleDataSourceStreamReader):
         # transactions, and retry cost all scale with batch size)
         mv = options.get("max_versions_per_trigger")
         self.max_versions = int(mv) if mv is not None else None
+        # driver-side position memory for latestOffset clamping; never
+        # load-bearing for correctness (offsets live in the checkpoint)
+        self._cursor: dict | None = None
 
-    # -- offsets ---------------------------------------------------------
+    # -- offsets (driver) --------------------------------------------------
 
     def initialOffset(self) -> dict:
         if self.starting is not None:
-            return {"next_version": int(self.starting), "snapshot_pending": True}
-        vs = [v for v in _versions(self.path)]
-        heads = [v for v in vs if _is_main(_manifest(self.path, v))]
-        if not heads:
-            raise FileNotFoundError(f"no main versions under {self.path}")
-        return {"next_version": heads[-1], "snapshot_pending": True}
+            off = {"next_version": int(self.starting), "snapshot_pending": True}
+        else:
+            head = _main_head(self.path)
+            if head is None:
+                raise FileNotFoundError(f"no main versions under {self.path}")
+            off = {"next_version": head, "snapshot_pending": True}
+        self._cursor = dict(off)
+        return off
 
-    # -- version draining ------------------------------------------------
+    def latestOffset(self) -> dict:
+        anchor = None
+        if self._cursor is not None:
+            nv = int(self._cursor["next_version"])
+            anchor = nv if self._cursor.get("snapshot_pending") else nv - 1
+            if anchor < 0 or not os.path.exists(_manifest_path(self.path, anchor)):
+                anchor = None
+        latest = _latest_version(self.path, anchor=anchor)
+        if latest is None:
+            raise FileNotFoundError(f"no committed versions under {self.path}")
+        end_next = latest + 1
+        if self._cursor is not None:
+            first = int(self._cursor["next_version"])
+            if self._cursor.get("snapshot_pending"):
+                # the snapshot is always its own batch under a bound,
+                # and always plans even when it IS the head
+                end_next = (
+                    first + 1
+                    if self.max_versions is not None
+                    else max(end_next, first + 1)
+                )
+            else:
+                end_next = max(end_next, first)
+                if self.max_versions is not None:
+                    end_next = min(end_next, first + self.max_versions)
+        # the cursor advances when a batch is PLANNED (partitions) or
+        # COMMITTED, never here — repeated latestOffset polls without
+        # an intervening batch must keep returning the same bound
+        return {"next_version": end_next, "snapshot_pending": False}
 
-    def _snapshot_rows(self, v: int) -> list[tuple]:
-        """All rows visible at version v (tombstones applied) — the
-        initial-snapshot batch. Driver-side pyarrow, like every other
-        read of this source; the snapshot is one bounded batch."""
+    def commit(self, end: dict) -> None:
+        self._cursor = dict(end)
+
+    # -- planning (driver, manifest metadata only) --------------------------
+
+    def _commit_slices(
+        self, commit: str, spec: dict | None, tombstones: list[str]
+    ) -> list[VersionSlice]:
+        if spec:
+            # hive layout: one slice per commit so pyarrow's hive
+            # partitioning reconstructs the partition values with the
+            # manifest-pinned dtype
+            return [VersionSlice(self.path, commit, None, spec, tombstones)]
+        d = os.path.join(self.path, "data", commit)
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        return [
+            VersionSlice(self.path, commit, [f], None, tombstones) for f in files
+        ]
+
+    def _snapshot_slices(self, v: int) -> list[VersionSlice]:
         m = _manifest(self.path, v)
-        names = self.schema.fieldNames()
         specs = m.get("specs", {})
         deletes = m.get("deletes", [])
-        out: list[tuple] = []
-        tomb_cache: dict[str, set] = {}
+        out: list[VersionSlice] = []
         for i, c in enumerate(m["commits"]):
-            applicable = [d for d in deletes if d["upto"] > i]
-            rows = list(_commit_rows(self.path, c, specs.get(c), names))
-            if applicable:
-                keys, key_cols = set(), None
-                for d in applicable:
-                    kc, ks = self._tombstones(d["dir"], tomb_cache)
-                    key_cols = key_cols or kc
-                    keys |= ks
-                if key_cols:
-                    idx = [names.index(k) for k in key_cols]
-                    rows = [r for r in rows if tuple(r[j] for j in idx) not in keys]
-            out.extend(rows)
+            applicable = [d["dir"] for d in deletes if d["upto"] > i]
+            out.extend(self._commit_slices(c, specs.get(c), applicable))
         return out
 
-    def _tombstones(self, delete_dir: str, cache: dict) -> tuple[list, set]:
-        if delete_dir not in cache:
-            import pyarrow.dataset as ds
-
-            tbl = ds.dataset(
-                os.path.join(self.path, "deletes", delete_dir), format="parquet"
-            ).to_table()
-            key_cols = list(tbl.column_names)
-            cols = [tbl.column(n).to_pylist() for n in key_cols]
-            cache[delete_dir] = (key_cols, {tuple(vs) for vs in zip(*cols)} if cols else set())
-        return cache[delete_dir]
-
-    def _version_rows(self, v: int, prev_commits: set) -> list[tuple]:
-        """Rows a POST-snapshot version contributes to the stream."""
-        m = _manifest(self.path, v)
-        if not _is_main(m):
-            return []
-        mode = m.get("mode", "")
-        names = self.schema.fieldNames()
-        specs = m.get("specs", {})
-        if mode in ("append", "merge") or mode.startswith("publish-"):
-            new = [c for c in m["commits"] if c not in prev_commits]
-            rows: list[tuple] = []
-            for c in new:
-                rows.extend(_commit_rows(self.path, c, specs.get(c), names))
-            return rows
-        if mode == "delete":
-            return []
-        # overwrite / optimize / optimize-incr / purge / restore:
-        # rewrites of existing rows — emitting would duplicate history
-        if self.skip_change:
-            return []
-        raise ValueError(
-            f"versioned_table stream: version {v} is a non-append change "
-            f"(mode={mode!r}); set skip_change_commits=true to skip layout "
-            "rewrites, or restart the stream from a newer starting_version"
-        )
-
-    def _main_commits_at(self, v: int) -> set:
-        return set(_manifest(self.path, v).get("commits", []))
-
-    def read(self, start: dict) -> tuple[list, dict]:
-        latest = _versions(self.path)
-        end = (latest[-1] + 1) if latest else int(start["next_version"])
-        if self.max_versions is not None:
-            first = int(start["next_version"])
-            if start.get("snapshot_pending"):
-                # the snapshot is its own (bounded-by-table) batch
-                end = min(end, first + 1)
-            else:
-                end = min(end, first + self.max_versions)
-        rows, off = self._read_interval(start, end)
-        if off == dict(start):
-            # no new versions: the engine probes the (empty) result with
-            # next() to assert the offset legitimately failed to advance,
-            # so hand it an iterator; advancing batches return the
-            # materialized list (the prefetch cache copy.copy()s entries)
-            return iter(rows), off
-        return rows, off
-
     def _last_main_before(self, v: int) -> int:
-        for u in reversed([x for x in _versions(self.path) if x < v]):
+        # dense-suffix walk: one manifest read in the common case
+        # (previous version is main); a vacuumed hole falls back to
+        # the listing, which is authoritative over gaps
+        u = v - 1
+        while u >= 0:
+            p = _manifest_path(self.path, u)
+            if not os.path.exists(p):
+                break
             if _is_main(_manifest(self.path, u)):
                 return u
+            u -= 1
+        for w in reversed([x for x in _versions(self.path) if x < v]):
+            if _is_main(_manifest(self.path, w)):
+                return w
         return v - 1 if v > 0 else 0
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows, _ = self._read_interval(start, int(end["next_version"]))
-        return rows
-
-    def _read_interval(self, start: dict, end_v: int) -> tuple[list, dict]:
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         first = int(start["next_version"])
-        rows: list[tuple] = []
+        end_v = int(end["next_version"])
+        parts: list[VersionSlice] = []
         nxt = first
-        if start.get("snapshot_pending"):
-            rows.extend(self._snapshot_rows(first))
+        if start.get("snapshot_pending") and first < end_v:
+            parts.extend(self._snapshot_slices(first))
             nxt = first + 1
         # prev tracks the last MAIN manifest's commit list, so a publish
         # fast-forward emits exactly the branch commits main never saw
-        prev = None
+        prev: set | None = None
         for v in range(nxt, end_v):
-            if prev is None:
-                prev = self._main_commits_at(self._last_main_before(v))
-            rows.extend(self._version_rows(v, prev))
             m = _manifest(self.path, v)
-            if _is_main(m):
-                prev = set(m.get("commits", []))
-        return rows, {"next_version": max(nxt, end_v)}
+            if not _is_main(m):
+                continue
+            mode = m.get("mode", "")
+            specs = m.get("specs", {})
+            if prev is None:
+                prev = set(
+                    _manifest(self.path, self._last_main_before(v)).get(
+                        "commits", []
+                    )
+                )
+            if mode in ("append", "merge") or mode.startswith("publish-"):
+                for c in m["commits"]:
+                    if c not in prev:
+                        parts.extend(self._commit_slices(c, specs.get(c), []))
+            elif mode == "delete":
+                pass
+            elif not self.skip_change:
+                raise ValueError(
+                    f"versioned_table stream: version {v} is a non-append "
+                    f"change (mode={mode!r}); set skip_change_commits=true "
+                    "to skip layout rewrites, or restart the stream from a "
+                    "newer starting_version"
+                )
+            prev = set(m.get("commits", []))
+        self._cursor = dict(end)
+        return parts
+
+    # -- execution (runs on executors) --------------------------------------
+
+    def read(self, partition: VersionSlice) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        if partition.spec:
+            part_schema = pa.schema([(c, pa.string()) for c in partition.spec])
+            dataset = ds.dataset(
+                os.path.join(partition.table_path, "data", partition.commit),
+                format="parquet",
+                partitioning=ds.partitioning(part_schema, flavor="hive"),
+            )
+        else:
+            dataset = ds.dataset(partition.files, format="parquet")
+        tbl = dataset.to_table()
+        # align to the declared schema: spec columns were read as the
+        # RAW directory string (inference off — '007' survives) and are
+        # cast ONCE to the manifest-pinned dtype; columns a pre-
+        # evolution commit lacks surface as NULL
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(len(tbl), type=field.type))
+        out = pa.table(cols, schema=target)
+        if partition.tombstones:
+            out = _anti_join_tombstones(
+                out, partition.table_path, partition.tombstones
+            )
+        yield from out.to_batches()
+
+
+def _anti_join_tombstones(tbl, table_path: str, tombstone_dirs: list[str]):
+    """Drop rows whose key tuple appears in any of the tombstone dirs —
+    the merge-on-read anti-join, executor-side. Single-column keys (the
+    merge/CDC steady state) filter via vectorized ``is_in``, whose
+    null-in-value-set semantics equal null-safe equality; composite
+    keys fall back to a per-row set probe over the (bounded) tombstone
+    key set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    tomb_files = [
+        os.path.join(table_path, "deletes", d, f)
+        for d in tombstone_dirs
+        for f in sorted(os.listdir(os.path.join(table_path, "deletes", d)))
+        if f.endswith(".parquet")
+    ]
+    if not tomb_files:
+        return tbl
+    tomb = ds.dataset(tomb_files, format="parquet").to_table()
+    key_cols = list(tomb.column_names)
+    if not key_cols or len(tbl) == 0 or len(tomb) == 0:
+        return tbl
+    if len(key_cols) == 1:
+        k = key_cols[0]
+        values = tomb.column(k).combine_chunks().unique()
+        mask = pc.is_in(tbl.column(k), value_set=values.cast(tbl.schema.field(k).type))
+        return tbl.filter(pc.invert(mask))
+    keys = {tuple(vs) for vs in zip(*(tomb.column(n).to_pylist() for n in key_cols))}
+    cols = [tbl.column(n).to_pylist() for n in key_cols]
+    mask = pa.array([t not in keys for t in zip(*cols)], type=pa.bool_())
+    return tbl.filter(mask)
 
 
 class VersionedTableDataSource(DataSource):
@@ -309,11 +455,10 @@ class VersionedTableDataSource(DataSource):
         import pyarrow.parquet as pq
 
         path = self.options["path"]
-        vs = _versions(path)
-        heads = [v for v in vs if _is_main(_manifest(path, v))]
-        if not heads:
+        head = _main_head(path)
+        if head is None:
             raise FileNotFoundError(f"no main versions under {path}")
-        m = _manifest(path, heads[-1])
+        m = _manifest(path, head)
         c0 = m["commits"][-1]
         spec = m.get("specs", {}).get(c0) or {}
         d = os.path.join(path, "data", c0)
@@ -331,12 +476,12 @@ class VersionedTableDataSource(DataSource):
         parts = [
             f"{f.name} {_arrow_field_ddl(f)}"
             for f in schema
-            if not f.name.startswith("_")
+            if f.name not in _NON_TABLE_FIELDS
         ]
         parts += [f"{c} {dt}" for c, dt in spec.items()]
         return ", ".join(parts)
 
-    def simpleStreamReader(self, schema: StructType) -> VersionedStreamReader:
+    def streamReader(self, schema: StructType) -> VersionedStreamReader:
         return VersionedStreamReader(schema, self.options)
 
 

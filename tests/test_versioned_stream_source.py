@@ -165,12 +165,41 @@ def test_resume_from_checkpoint_is_exactly_once(spark, tmp_path):
     assert len(_rows(spark, out)) == 15
 
 
+def test_snapshot_plans_one_partition_per_file(spark, tmp_path):
+    """The scale contract of the partition-based reader: the initial
+    snapshot is planned as one InputPartition per data FILE from
+    manifest metadata only — executors read the parquet; no row is
+    materialized on the driver — and tombstones ride the snapshot
+    partitions to an executor-side anti-join."""
+    from data_spark.sources.versioned_datasource import VersionedStreamReader
+
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 40, "a").repartition(4), tp, mode="overwrite")
+    write_versioned(_kv(spark, 40, 60, "b").repartition(2), tp, mode="append")
+    delete_versioned(
+        spark.createDataFrame([(k,) for k in range(0, 60, 9)], "k bigint"), tp
+    )
+    schema = read_versioned(spark, tp).schema
+    r = VersionedStreamReader(schema, {"path": tp})
+    off = r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions(off, end)
+    assert len(parts) >= 6  # 4 + 2 files, one slice each
+    # every snapshot slice carries the applicable tombstones (the
+    # delete postdates both commits, so it applies to all slices)
+    assert all(len(p.tombstones) == 1 for p in parts)
+    batches = [b for p in parts for b in r.read(p)]
+    got = {tuple(row) for b in batches for row in zip(*[c.to_pylist() for c in b.columns])}
+    expect = {tuple(r_) for r_ in read_versioned(spark, tp).collect()}
+    assert got == expect and len(expect) == 60 - 7
+
+
 def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
-    """The maxFilesPerTrigger analogue: each read() call advances the
-    offset by at most N versions (snapshot alone first), so a
-    backlogged stream catches up in bounded batches. Asserted at the
-    reader level — availableNow coalesces the prefetched intervals
-    into one sink commit, which hides the cadence; rows must still
+    """The maxFilesPerTrigger analogue: each latestOffset advances the
+    offset by at most N versions past the last planned batch (snapshot
+    alone first), so a backlogged stream catches up in bounded
+    batches. Asserted at the reader level — availableNow snapshots its
+    end offset up front, which hides the cadence; rows must still
     drain completely end-to-end."""
     from data_spark.sources.versioned_datasource import VersionedStreamReader
 
@@ -187,13 +216,14 @@ def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     off = r.initialOffset()
     spans, total = [], 0
     for _ in range(10):
-        rows, nxt = r.read(off)
-        rows = list(rows)
-        if nxt == dict(off):
+        end = r.latestOffset()
+        if end == off:
             break
-        spans.append(nxt["next_version"] - int(off["next_version"]))
-        total += len(rows)
-        off = nxt
+        parts = r.partitions(off, end)
+        n = sum(b.num_rows for p in parts for b in r.read(p))
+        spans.append(int(end["next_version"]) - int(off["next_version"]))
+        total += n
+        off = end
     # snapshot batch (1 version) then ceil(5/2) capped batches: 1,2,2,1
     assert spans == [1, 2, 2, 1]
     assert total == 35
