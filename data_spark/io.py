@@ -1340,6 +1340,50 @@ def _collect_commit_stats(
     return out
 
 
+_ATOMIC_DTYPE_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "timestamp", "decimal", "boolean",
+)
+
+
+def _tombstone_bounds(keys_df: DataFrame) -> dict | None:
+    """Per-key-column ``[min, max, null_count]`` over a tombstone frame
+    — one tiny aggregate, O(tombstone), recorded in the delete entry
+    (``{"dir", "upto", "bounds"}``) at commit time. CDF pre-image
+    recovery (:func:`read_changes`) uses the bounds to PRUNE its
+    prior-snapshot scan to the files whose stats overlap the deleted
+    keys, the same way Delta bounds its CDF cost by writing change
+    files at commit time — without this, every delete/merge version in
+    a feed costs a full prior-snapshot scan. Null count rides along
+    because a bounds prune is only sound when no tombstoned key is
+    NULL (a BETWEEN residual would drop null-key pre-images).
+    Non-atomic key dtypes are skipped; returns None when nothing is
+    recordable (consumers treat that as "no bounds, scan fully")."""
+    cols = [
+        c
+        for c, dt in keys_df.dtypes
+        if dt.startswith(_ATOMIC_DTYPE_PREFIXES)
+    ]
+    if not cols:
+        return None
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+        ]
+    r = keys_df.agg(*aggs).first()
+    return {
+        c: [
+            _json_stat(r[f"{c}__min"]),
+            _json_stat(r[f"{c}__max"]),
+            int(r[f"{c}__nulls"] or 0),
+        ]
+        for c in cols
+    }
+
+
 def _check_append_schema(
     df: DataFrame, table_path: str, parent_manifest: dict
 ) -> None:
@@ -1592,6 +1636,13 @@ def delete_versioned(
     keys_df.dropDuplicates().write.mode("overwrite").parquet(
         os.path.join(table_path, "deletes", delete_dir)
     )
+    # bounds from the WRITTEN tombstone (tiny), not the caller's frame,
+    # whose lineage may be arbitrarily expensive to re-evaluate
+    bounds = _tombstone_bounds(
+        keys_df.sparkSession.read.parquet(
+            os.path.join(table_path, "deletes", delete_dir)
+        )
+    )
     while True:
         parent_v = branch_head(table_path, branch)
         if parent_v is None:
@@ -1599,12 +1650,14 @@ def delete_versioned(
                 f"branch {branch!r} has no commits under {table_path}"
             )
         parent = _load_manifest(table_path, parent_v)
+        d_entry = {"dir": delete_dir, "upto": len(parent["commits"])}
+        if bounds:
+            d_entry["bounds"] = bounds
         manifest = {
             "version": new_v,
             "mode": "delete",
             "commits": parent["commits"],
-            "deletes": parent.get("deletes", [])
-            + [{"dir": delete_dir, "upto": len(parent["commits"])}],
+            "deletes": parent.get("deletes", []) + [d_entry],
         }
         if branch != "main":
             manifest["branch"] = branch
@@ -1683,6 +1736,12 @@ def merge_versioned(
     source.select(*keys).dropDuplicates().write.mode("overwrite").parquet(
         os.path.join(table_path, "deletes", delete_dir)
     )
+    # bounds from the WRITTEN tombstone (tiny), not the source lineage
+    key_bounds = _tombstone_bounds(
+        source.sparkSession.read.parquet(
+            os.path.join(table_path, "deletes", delete_dir)
+        )
+    )
     upserts = (
         source.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
         if delete_col is not None
@@ -1720,12 +1779,14 @@ def merge_versioned(
                 f"branch {branch!r} has no commits under {table_path}"
             )
         parent = _load_manifest(table_path, parent_v)
+        d_entry = {"dir": delete_dir, "upto": len(parent["commits"])}
+        if key_bounds:
+            d_entry["bounds"] = key_bounds
         manifest = {
             "version": new_v,
             "mode": "merge",
             "commits": parent["commits"] + [commit_dir],
-            "deletes": parent.get("deletes", [])
-            + [{"dir": delete_dir, "upto": len(parent["commits"])}],
+            "deletes": parent.get("deletes", []) + [d_entry],
         }
         if branch != "main":
             manifest["branch"] = branch
@@ -2497,9 +2558,14 @@ def read_changes(
     - ``delete``: the tombstoned keys' full PRE-IMAGE rows as
       ``delete`` (recovered by a semi-join of the prior version's
       visible rows against the tombstone — the store keeps key
-      tombstones, not pre-images, so this costs one O(prior-version)
-      scan; Delta pays the equivalent by writing CDF files at commit
-      time);
+      tombstones, not pre-images). The prior-snapshot scan is PRUNED
+      by the key bounds the delete/merge commit recorded in its delete
+      entry (``bounds``, written at commit time) against the table's
+      per-file stats: on a stats-maintained table the recovery cost is
+      O(files overlapping the changed keys), not O(prior version) —
+      the manifest-level analogue of Delta writing CDF files at commit
+      time. Entries without bounds (pre-r11 tables, null-containing or
+      non-atomic keys) fall back to the full prior-snapshot semi-join;
     - ``merge``: matched keys split into ``update_preimage`` /
       ``update_postimage``, unmatched inserts as ``insert``, matched
       deletes (``delete_col``) as ``delete`` — classification is two
@@ -2521,6 +2587,7 @@ def read_changes(
     hi = to_version if to_version is not None else versions[-1]
     frames: list[DataFrame] = []
     prev_main = from_version
+    prev_commits = set(_load_manifest(table_path, from_version).get("commits", []))
     for v in versions:
         if v <= from_version or v > hi:
             continue
@@ -2542,9 +2609,6 @@ def read_changes(
                 "_commit_version", F.lit(v).cast("bigint")
             )
 
-        prev_commits = set(
-            _load_manifest(table_path, prev_main).get("commits", [])
-        )
         if mode in ("append",) or mode.startswith("publish-"):
             for c in m["commits"]:
                 if c not in prev_commits:
@@ -2555,7 +2619,17 @@ def read_changes(
                 os.path.join(table_path, "deletes", d_entry["dir"])
             ).dropDuplicates()
             keys = tomb.columns
-            pre = read_versioned(spark, table_path, version=prev_main)
+            # prune the pre-image scan with the tombstone's key bounds
+            # (recorded at commit time): only sound when that key has
+            # no NULLs — a BETWEEN residual would drop null-key rows
+            prune = None
+            for c, b in (d_entry.get("bounds") or {}).items():
+                if b[2] == 0 and b[0] is not None:
+                    prune = (c, b[0], b[1])
+                    break
+            pre = read_versioned(
+                spark, table_path, version=prev_main, prune=prune
+            )
             removed = pre.join(
                 tomb,
                 [pre[k].eqNullSafe(tomb[k]) for k in keys],
@@ -2590,6 +2664,7 @@ def read_changes(
                 "is layout-only maintenance (OPTIMIZE/purge/compaction)"
             )
         prev_main = v
+        prev_commits = set(m.get("commits", []))
     if not frames:
         base = read_versioned(spark, table_path, version=from_version)
         return (

@@ -21,6 +21,7 @@ from data_spark.queries import (
     analytics7,
     analytics8,
     analytics9,
+    analytics10,
     documents,
     events,
     graphq,
@@ -56,6 +57,7 @@ _ALL_QUERIES = {
     **analytics7.QUERIES,
     **analytics8.QUERIES,
     **analytics9.QUERIES,
+    **analytics10.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -81,83 +83,87 @@ ORACLE = {
     **analytics7.ORACLE,
     **analytics8.ORACLE,
     **analytics9.ORACLE,
+    **analytics10.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,
 }
 
-# Round-10 window (the driver records the first 50 entries; see
+# Round-11 window (the driver records the first 50 entries; see
 # WITNESS.md for the per-query ledger this ordering is derived from).
-# Composition — exactly as pre-planned in the r9 WITNESS.md / VERDICT r9:
-#   head:  the 3 queries created in r10 (never witnessed): the driver
-#          gates for the r9-built maintenance tier (m_merge_upsert,
-#          m_optimize_incremental) and the persisted word-code BQ
-#          index probe (v_bq_index_probe).
-#   then:  ALL 47 remaining r5-witnessed greens, ledger order —
-#          3 + 47 = exactly 50, so this window clears the entire r5
-#          debt and the max witness age across the registry drops to
-#          r6 after CORRECTNESS_r10.
+# Composition — exactly as pre-planned in the r10 WITNESS.md / VERDICT r10:
+#   head:  the 2 queries created in r11 (never witnessed): the CDF
+#          gate (m_change_feed) and the versioned_table streaming
+#          source driven end-to-end (pipe_stream_source_e2e);
+#   then:  the 2 queries whose PLANS changed in r11 — m_merge_upsert
+#          (base now overlaps the source keys so matched-update and
+#          matched-delete actually fire, ADVICE r10) and
+#          v_bq_index_probe (sign_bit_words empty-vector guard in the
+#          encode projection);
+#   then:  w_max_drawdown, the single remaining r5 witness;
+#   then:  the 45 OLDEST r6-witnessed greens, ledger order — the 4
+#          youngest r6 rows (v_lsh_ann, v_mmr_rerank,
+#          w_analytic_battery, w_distinct_over_window) lead the r12
+#          fill. 2 + 2 + 1 + 45 = exactly 50.
 _PRIORITY = [
-    # --- created in r10 (never witnessed) ---
+    # --- created in r11 (never witnessed) ---
+    "m_change_feed",
+    "pipe_stream_source_e2e",
+    # --- plan changed in r11: must be re-witnessed ---
     "m_merge_upsert",
-    "m_optimize_incremental",
     "v_bq_index_probe",
-    # --- plan changed in r10 (array-level exact rerank in
-    #     bq_rerank_topk replaced the d-fold row explosion): must be
-    #     re-witnessed even though it was green in r9 ---
-    "v_bq_rerank",
-    # --- r5-witnessed greens, ledger order (46 of 47; w_max_drawdown
-    #     is displaced to the r11 window by the v_bq_rerank re-entry) ---
-    "a_autocorr_lag1",
-    "a_chi2_cells",
-    "a_cms_heavy_hitters",
-    "a_gini_revenue",
-    "a_hll_exact_rollup",
-    "a_hll_set_algebra",
-    "a_itemcf_recommend",
-    "a_linreg_trend",
-    "a_mad_outliers",
-    "a_market_basket",
-    "a_median_via_rank",
-    "a_seasonal_index",
-    "a_theilsen_slope",
-    "a_yoy_growth",
-    "d_bpe_apply",
-    "d_bpe_train",
-    "d_containment_pairs",
-    "d_dup_passages",
-    "d_er_score_fusion",
-    "d_kl_source_drift",
-    "d_kmeans",
-    "d_pmi_bigrams",
-    "d_rake_keywords",
-    "d_semantic_dedup",
-    "d_sorted_neighborhood",
-    "d_winsorize",
-    "dq_benford_digits",
-    "dq_constraint_audit",
-    "dq_profile",
-    "e_pattern_seq",
-    "e_transition_matrix",
-    "f_null_semantics",
-    "f_phonetic_block",
-    "g_label_propagation",
-    "g_sssp_bellman",
-    "g_walk_sample",
-    "h_bom_rollup",
-    "j_multitouch_attrib",
-    "m_cdc_apply",
-    "m_incr_agg_maintain",
-    "m_incr_join_maintain",
-    "m_snapshot_diff",
-    "s_spatial_grid_join",
-    "v_ivf_kmeans_topk",
-    "v_pq_adc_topk",
-    "v_rrf_hybrid",
-    # ---- window boundary (driver records the 50 above). r11 plan:
-    # new r11 gates at the head, then w_max_drawdown (the one r5
-    # witness displaced by the v_bq_rerank re-entry), then the oldest
-    # r6-witnessed block in ledger order (see WITNESS.md). ----
+    # --- the last r5 witness (displaced from the r10 window) ---
+    "w_max_drawdown",
+    # --- oldest r6-witnessed greens, ledger order (45 of 49) ---
+    "a_salted_skew_agg",
+    "d_bpe_tokens",
+    "d_contamination",
+    "d_curation_e2e",
+    "d_dedup_exact",
+    "d_dedup_resolve",
+    "d_embed_near_dup_lsh",
+    "d_fingerprint",
+    "d_lang_id",
+    "d_minhash_lsh",
+    "d_ngram_jaccard",
+    "d_pack_sequences",
+    "d_pii_redact",
+    "d_quality",
+    "d_quality_classifier",
+    "d_repetition",
+    "d_source_quota",
+    "d_split_assign",
+    "d_token_stats",
+    "d_top_terms",
+    "e_cusum_changepoint",
+    "e_gap_fill_ffill",
+    "e_rollup_hierarchy",
+    "e_session_window_native",
+    "e_sessionize",
+    "g_hits",
+    "g_pagerank",
+    "g_ppr_personalized",
+    "g_resource_alloc",
+    "j_salted_skew_join",
+    "m_scd2_history",
+    "m_schema_evolution",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "pipe_incremental_e2e",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q20_heavy_suppliers",
+    "q21_lone_returned_supplier",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "v_hamming_topk",
+    # ---- window boundary (driver records the 50 above). r12 plan:
+    #     new/changed r12 gates at the head, then the remaining 4
+    #     r6-witnessed rows, then the oldest r7 block in ledger
+    #     order (see WITNESS.md). ----
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

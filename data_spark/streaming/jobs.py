@@ -1061,6 +1061,7 @@ def merge_stream_sink(
     delete_col: str | None = None,
     seq_cols: tuple[str, ...] = ("seq_ts", "seq_id"),
     stats_cols: list[str] | None = None,
+    maintenance: dict | None = None,
 ) -> StreamingQuery:
     """Streaming MERGE into the versioned store — the atomic sibling of
     :func:`cdc_stream_sink`: each micro-batch reduces to its newest
@@ -1078,9 +1079,24 @@ def merge_stream_sink(
     ``stats_cols``: per-file pruning bounds recorded on every batch's
     merge commit (and the bootstrap commit) — merge_versioned also
     inherits the parent's tracked columns when this is None, so a
-    stream-maintained table keeps file skipping without OPTIMIZE."""
+    stream-maintained table keeps file skipping without OPTIMIZE.
+
+    ``maintenance``: opt-in threshold maintenance after each batch —
+    kwargs for :func:`data_spark.io.maintain_versioned` (e.g.
+    ``{"max_delete_entries": 8, "max_commits": 32}``; ``{}`` for the
+    defaults). A merge stream accretes one commit + one tombstone per
+    batch; without periodic folding, merge-on-read cost grows with the
+    batch count. With this set the sink reaches the measured
+    bounded-full-read steady state (SCALE_PROBE ``merge_accum_
+    maintained``) without the caller hand-scheduling maintenance:
+    below thresholds the call is one manifest read (no new version),
+    above them it purges tombstones / collapses history as layout-only
+    versions, which carry no batch id and therefore never disturb the
+    crash-replay guard. A crash between the merge and its maintenance
+    simply defers the fold to the next batch over threshold."""
     from data_spark.io import (
         last_committed_batch_id,
+        maintain_versioned,
         merge_versioned,
         table_versions,
         write_versioned,
@@ -1120,6 +1136,8 @@ def merge_stream_sink(
             meta={"batch_id": batch_id},
             stats_cols=stats_cols,
         )
+        if maintenance is not None:
+            maintain_versioned(batch.sparkSession, table_path, **maintenance)
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -685,3 +685,63 @@ def test_bq_index_word_codes_roundtrip_append_and_delete(spark, sf_small, tmp_pa
         for r in bq_index_topk(spark, idx, queries, rest, k=5, shortlist=20).collect()
     }
     assert not (after & set(victims))
+
+
+def test_bq_word_code_recall_at_realistic_dims(spark, tmp_path):
+    """Retrieval QUALITY of the word-code BQ path at production
+    dimensionality (VERDICT r10 #7): the 96-dim parity tests prove the
+    packing is exact, and the d=1024 probe measured cost — neither
+    pins how much Hamming-over-sign-bits loses as a SHORTLIST stage.
+    A seeded clustered corpus (48 centers in R^384, 40 points each,
+    unit-normalized) gives ground truth via exact brute-force cosine;
+    the persisted index with shortlist = 4k must keep recall@10 above
+    the floor. If a corpus or dimensionality change drops this, raise
+    ``shortlist`` (see bq_rerank_topk's docstring for the sizing
+    guidance this test calibrates)."""
+    import numpy as np
+
+    from data_spark.operators.ann_index import bq_index_topk, build_bq_index
+    from data_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(20260816)
+    d, n_centers, per_center, n_queries, k = 384, 48, 40, 16, 10
+    centers = rng.standard_normal((n_centers, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    corpus_rows = []
+    # noise scaled by 1/sqrt(d) so the TOTAL perturbation norm is ~0.35
+    # of the unit center (per-component sigma would drown the signal at
+    # d=384 and turn the corpus into near-random vectors)
+    for ci in range(n_centers):
+        pts = centers[ci] + (0.35 / np.sqrt(d)) * rng.standard_normal(
+            (per_center, d)
+        )
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for j in range(per_center):
+            corpus_rows.append((ci * per_center + j, [float(x) for x in pts[j]]))
+    qpts = centers[:n_queries] + (0.2 / np.sqrt(d)) * rng.standard_normal(
+        (n_queries, d)
+    )
+    qpts /= np.linalg.norm(qpts, axis=1, keepdims=True)
+    query_rows = [(100_000 + i, [float(x) for x in qpts[i]]) for i in range(n_queries)]
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema).repartition(8)
+    queries = spark.createDataFrame(query_rows, schema)
+
+    truth = {}
+    for r in cosine_topk(corpus, queries, k=k).collect():
+        truth.setdefault(r.qid, set()).add(r.neighbor_id)
+
+    idx = str(tmp_path / "bq384")
+    build_bq_index(corpus, idx, word_codes=True)
+    got = {}
+    for r in bq_index_topk(
+        spark, idx, queries, corpus, k=k, shortlist=4 * k
+    ).collect():
+        got.setdefault(r.qid, set()).add(r.neighbor_id)
+
+    recalls = [len(got[q] & truth[q]) / k for q in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    # measured 2026-08: mean recall 1.0 at shortlist=4k on this fixture;
+    # the floor leaves margin for numeric jitter, not for regressions
+    assert mean_recall >= 0.9, (mean_recall, sorted(recalls))

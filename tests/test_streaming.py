@@ -1368,3 +1368,79 @@ def test_merge_stream_sink_one_atomic_version_per_batch(spark, tmp_path):
     )
     assert q2.awaitTermination(120)
     assert table_versions(table) == vs
+
+
+def test_merge_stream_sink_maintained_steady_state(spark, tmp_path):
+    """merge_stream_sink(maintenance=...): a long merge stream reaches
+    the bounded steady state WITHOUT the caller hand-scheduling
+    maintenance — visible commits and live delete entries stay under
+    the thresholds (layout-only collapse/purge versions interleave with
+    the merges), the final state equals a driver-side replay of the
+    same batches, and the crash-replay guard still no-ops across the
+    maintenance versions (they carry no batch id)."""
+    import os
+
+    from data_spark.io import branch_head, _load_manifest, read_versioned, table_versions
+    from data_spark.streaming.jobs import merge_stream_sink
+
+    n_batches, n_keys = 18, 10
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    expected: dict[int, float] = {}
+    for i in range(n_batches):
+        rows = []
+        for j in range(3):
+            k = (i + j) % n_keys
+            p = float(i * 100 + k)
+            dele = (i + j) % 7 == 0
+            rows.append((k, p, dele, float(i), i * 10 + j))
+            if dele:
+                expected.pop(k, None)
+            else:
+                expected[k] = p
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            rows,
+            "key long, payload double, is_del boolean, seq_ts double, seq_id long",
+        ).coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i:03d}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    table = str(tmp_path / "table")
+    q = merge_stream_sink(
+        stream,
+        table,
+        str(tmp_path / "ckpt"),
+        keys=["key"],
+        delete_col="is_del",
+        maintenance={"max_delete_entries": 4, "max_commits": 6},
+    )
+    assert q.awaitTermination(240)
+
+    got = {r.key: r.payload for r in read_versioned(spark, table).collect()}
+    assert got == expected
+    # bounded steady state: the head manifest never exceeds
+    # thresholds + the one batch committed since the last fold
+    head = _load_manifest(table, branch_head(table))
+    assert len(head.get("commits", [])) <= 7
+    assert len(head.get("deletes", [])) <= 5
+    # maintenance really committed layout versions between the merges
+    assert len(table_versions(table)) > n_batches
+    # crash-replay across maintenance versions: batch-id guard no-ops
+    vs = table_versions(table)
+    q2 = merge_stream_sink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        table,
+        str(tmp_path / "ckpt2"),
+        keys=["key"],
+        delete_col="is_del",
+        maintenance={"max_delete_entries": 4, "max_commits": 6},
+    )
+    assert q2.awaitTermination(240)
+    assert table_versions(table) == vs
