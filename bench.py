@@ -238,6 +238,11 @@ HEADLINE = [
     "m_merge_upsert",  # merge commit + stats-pruned merge-on-read scan
     "m_optimize_incremental",  # 2 append->optimize cycles, prefix untouched
     "v_bq_index_probe",  # persisted 96-dim word codes, append + probe
+    # r11 additions: the CDF reader (pre-image scans pruned by the
+    # tombstone bounds each commit records) and the versioned_table
+    # stream source drained through the engine (executor-side reads)
+    "m_change_feed",  # append -> merge -> delete feed vs SQL reconstruction
+    "pipe_stream_source_e2e",  # snapshot+appends+merge-inserts via the source
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

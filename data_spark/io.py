@@ -2638,23 +2638,73 @@ def read_changes(
             if mode == "delete":
                 frames.append(tag(removed, "delete"))
             else:
+                # classify the merge with ONE full-outer join between
+                # pre-images and the merge's inserts, then explode each
+                # row into its change events — matched keys yield the
+                # update_preimage/update_postimage pair, left-only rows
+                # are matched deletes, right-only rows plain inserts.
+                # The per-class semi/anti formulation would re-derive
+                # `removed` (and its pruned pre-image scan) once per
+                # class: 4 scans of the overlapping files per merge
+                # version; this is the same answer in one pass.
                 ins = commit_frame(m["commits"][-1])
-                ins_keys = ins.select(*keys).dropDuplicates()
-                rem_keys = removed.select(*keys).dropDuplicates()
-                matched = lambda df, other: df.join(  # noqa: E731
-                    other,
-                    [df[k].eqNullSafe(other[k]) for k in keys],
-                    "left_semi",
+                cols = removed.columns
+                r = removed.select(
+                    *[F.col(k).alias(f"__k_{k}") for k in keys],
+                    F.struct(*cols).alias("__r"),
+                    F.lit(True).alias("__rp"),
                 )
-                unmatched = lambda df, other: df.join(  # noqa: E731
-                    other,
-                    [df[k].eqNullSafe(other[k]) for k in keys],
-                    "left_anti",
+                i = ins.select(
+                    *[F.col(k).alias(f"__j_{k}") for k in keys],
+                    F.struct(*cols).alias("__i"),
+                    F.lit(True).alias("__ip"),
                 )
-                frames.append(tag(matched(removed, ins_keys), "update_preimage"))
-                frames.append(tag(matched(ins, rem_keys), "update_postimage"))
-                frames.append(tag(unmatched(ins, rem_keys), "insert"))
-                frames.append(tag(unmatched(removed, ins_keys), "delete"))
+                j = r.join(
+                    i,
+                    [
+                        r[f"__k_{k}"].eqNullSafe(i[f"__j_{k}"])
+                        for k in keys
+                    ],
+                    "full_outer",
+                )
+                pair = F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("t"),
+                        F.col("__r").alias("p"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("t"),
+                        F.col("__i").alias("p"),
+                    ),
+                )
+                events = (
+                    F.when(
+                        F.col("__rp").isNotNull() & F.col("__ip").isNotNull(),
+                        pair,
+                    )
+                    .when(
+                        F.col("__rp").isNotNull(),
+                        F.array(
+                            F.struct(
+                                F.lit("delete").alias("t"),
+                                F.col("__r").alias("p"),
+                            )
+                        ),
+                    )
+                    .otherwise(
+                        F.array(
+                            F.struct(
+                                F.lit("insert").alias("t"),
+                                F.col("__i").alias("p"),
+                            )
+                        )
+                    )
+                )
+                frames.append(
+                    j.select(F.explode(events).alias("__e"))
+                    .select("__e.p.*", F.col("__e.t").alias("_change_type"))
+                    .withColumn("_commit_version", F.lit(v).cast("bigint"))
+                )
         elif skip_layout_versions:
             pass
         else:

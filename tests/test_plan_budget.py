@@ -295,6 +295,13 @@ EXCHANGE_BUDGET = {
     # codes are a zero-shuffle projection; broadcast shortlist window +
     # rerank join/agg + top-k (same spine as v_bq_rerank)
     "v_bq_index_probe": 6,
+    # --- r11 tier ---
+    # 3-version feed: append insert scan + per-changed-version pruned
+    # pre-image semi-join, merge classified by ONE full-outer join +
+    # explode (the per-class semi/anti form was 22 exchanges)
+    "m_change_feed": 10,
+    # the returned frame is one groupBy over the drained sink
+    "pipe_stream_source_e2e": 2,
 }
 
 
