@@ -8,7 +8,7 @@ stream-tailing surfaces built (and pytest-gated) in round 10.
   them against a DuckDB oracle that derives the same changes from the
   base table. This is the amendments contract the reference implements
   as a delete-then-replace loop on its graph store
-  (federal_fec_load_graph_expenditures/cypher.py:40-75), expressed as
+  (federal/fec/functions/federal_fec_compute_load_graph_expenditures/cypher.py:40-75), expressed as
   a replayable feed over the commit log.
 - ``pipe_stream_source_e2e``: the ``versioned_table`` streaming source
   driven END TO END through the engine — a table built as
@@ -62,8 +62,10 @@ def _q(name: str, sql: str | None = None):
 #       v2: originals (k%3 in (0,1), k%5<>0) and merge upserts
 #       (k%5=0, k%11<>0) at the doubled price.
 # change_seq = _commit_version - v0 ∈ {1, 2, 3}. Doubling is exact in
-# binary floating point, so raw prices hash cleanly cross-engine.
-_CDF_LO, _CDF_HI = 2_000, 8_000
+# binary floating point, so raw prices hash cleanly cross-engine. Keys
+# are dense 0..N-1, so [200, 1200] is non-degenerate at every SF
+# (sf0.001 tops out at 1499).
+_CDF_LO, _CDF_HI = 200, 1_200
 
 _CDF_SQL = f"""
 WITH o AS (
@@ -108,7 +110,7 @@ def m_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes), and the delete's full pre-image rows — instead of
     re-diffing snapshots or re-scanning the table. The reference ships
     this contract as an amendment delete-then-replace loop on its graph
-    store (federal_fec_load_graph_expenditures/cypher.py:40-75); here
+    store (federal/fec/functions/federal_fec_compute_load_graph_expenditures/cypher.py:40-75); here
     the commit log IS the feed and the same interval always replays the
     same changes.
 

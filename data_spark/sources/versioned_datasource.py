@@ -110,7 +110,9 @@ def _arrow_field_ddl(field) -> str:
     if t.startswith("timestamp"):
         return "timestamp"
     if t.startswith("decimal"):
-        return t
+        # arrow spells it decimal128(p, s) / decimal256(p, s); Spark
+        # DDL wants decimal(p, s)
+        return "decimal" + t[t.index("(") :]
     if t.startswith("list<item: ") and t.endswith(">"):
         inner = t[len("list<item: ") : -1]
         if inner in _ARROW_TO_DDL:

@@ -165,6 +165,30 @@ def test_resume_from_checkpoint_is_exactly_once(spark, tmp_path):
     assert len(_rows(spark, out)) == 15
 
 
+def test_typed_columns_roundtrip_exactly(spark, tmp_path):
+    """timestamp / date / decimal survive the executor-side Arrow read
+    bit-exactly, and the inferred stream schema spells Spark DDL
+    (arrow says decimal128(p, s); Spark wants decimal(p, s))."""
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 3600).alias("ts"),
+        F.to_date(
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 86400)
+        ).alias("d"),
+        (F.col("id") * 1.5).cast("decimal(10,2)").alias("amt"),
+    )
+    write_versioned(df, tp, mode="overwrite")
+    _drain(spark, tp, ck, out)
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes) == {
+        "k": "bigint", "ts": "timestamp", "d": "date", "amt": "decimal(10,2)"
+    }
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, read_versioned(spark, tp).collect())
+    )
+
+
 def test_snapshot_plans_one_partition_per_file(spark, tmp_path):
     """The scale contract of the partition-based reader: the initial
     snapshot is planned as one InputPartition per data FILE from
