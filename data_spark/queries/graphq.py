@@ -149,6 +149,10 @@ def g_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    # the caller-side distinct looks redundant with triangle_count's
+    # canonicalize+dedup, but measured FASTER kept (r11 profile: 4.18 s
+    # vs 4.50 s at sf0.1) — it shrinks the cached und build's dedup
+    # input from the ~6M-row raw join output to 1.2M edges
     edges = (
         a.join(b, "o")
         .filter(F.col("pa") < F.col("pb"))
