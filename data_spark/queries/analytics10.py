@@ -9,7 +9,10 @@ stream-tailing surfaces built (and pytest-gated) in round 10.
   base table. This is the amendments contract the reference implements
   as a delete-then-replace loop on its graph store
   (federal/fec/functions/federal_fec_compute_load_graph_expenditures/cypher.py:40-75), expressed as
-  a replayable feed over the commit log.
+  a replayable feed over the commit log. The gate covers BOTH serving
+  modes: the merge version reconstructs (bounds-pruned pre-image scan +
+  one-pass classification), the delete version commits with
+  ``change_feed=True`` and is served from its stored change files.
 - ``pipe_stream_source_e2e``: the ``versioned_table`` streaming source
   driven END TO END through the engine — a table built as
   overwrite → append → merge → delete is tailed with
@@ -150,16 +153,25 @@ def m_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         source, base_dir, keys=["o_orderkey"], delete_col="is_del",
         stats_cols=["o_orderkey"],
     )
-    v3 = delete_versioned(o.filter(k % 7 == 0).select("o_orderkey"), base_dir)
+    # the delete commits WITH change_feed=True: its pre-images are
+    # materialized at commit time and read_changes serves them from
+    # stored files, while the merge exercises the reconstruction path —
+    # one gate covers both CDF serving modes
+    v3 = delete_versioned(
+        o.filter(k % 7 == 0).select("o_orderkey"), base_dir, change_feed=True
+    )
 
     # commit-time key bounds present and null-free on BOTH tombstoning
-    # versions — the contract read_changes prunes pre-image scans with
+    # versions — the contract read_changes prunes pre-image scans with —
+    # and the change_feed delete recorded its stored change files
     for v in (v2, v3):
         b = _load_manifest(base_dir, v)["deletes"][-1].get("bounds", {})
         if "o_orderkey" not in b or b["o_orderkey"][2] != 0:
             raise AssertionError(
                 f"version {v} tombstone carries no null-free key bounds: {b}"
             )
+    if "changes" not in _load_manifest(base_dir, v3):
+        raise AssertionError("change_feed delete recorded no change files")
 
     ch = read_changes(spark, base_dir, from_version=v0)
     return ch.filter(k.between(_CDF_LO, _CDF_HI)).select(

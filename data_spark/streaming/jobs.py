@@ -1062,6 +1062,7 @@ def merge_stream_sink(
     seq_cols: tuple[str, ...] = ("seq_ts", "seq_id"),
     stats_cols: list[str] | None = None,
     maintenance: dict | None = None,
+    change_feed: bool = False,
 ) -> StreamingQuery:
     """Streaming MERGE into the versioned store — the atomic sibling of
     :func:`cdc_stream_sink`: each micro-batch reduces to its newest
@@ -1093,7 +1094,11 @@ def merge_stream_sink(
     above them it purges tombstones / collapses history as layout-only
     versions, which carry no batch id and therefore never disturb the
     crash-replay guard. A crash between the merge and its maintenance
-    simply defers the fold to the next batch over threshold."""
+    simply defers the fold to the next batch over threshold.
+
+    ``change_feed=True``: each batch's merge also materializes its
+    change rows at commit time (``io.merge_versioned(change_feed=)``)
+    so downstream CDC consumers read the feed from stored files."""
     from data_spark.io import (
         last_committed_batch_id,
         maintain_versioned,
@@ -1135,6 +1140,7 @@ def merge_stream_sink(
             delete_col=delete_col,
             meta={"batch_id": batch_id},
             stats_cols=stats_cols,
+            change_feed=change_feed,
         )
         if maintenance is not None:
             maintain_versioned(batch.sparkSession, table_path, **maintenance)

@@ -121,3 +121,69 @@ def test_feed_composes_to_snapshot(spark, tmp_path):
             ):
                 state[r["k"]] = r["v"]
     assert set(state.items()) == final
+
+
+def _feed_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_change_feed_files_match_reconstruction(spark, tmp_path):
+    """change_feed=True materializes each version's change rows at
+    commit time (the Delta CDF write-side approach); read_changes must
+    serve them with EXACTLY the rows the reconstruction path derives —
+    same flow on a twin table without change files as the oracle."""
+    import os
+
+    from data_spark.io import _load_manifest
+
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    for tp, cf in ((ta, True), (tb, False)):
+        write_versioned(_kv(spark, 0, 20, "a"), tp, mode="overwrite",
+                        stats_cols=["k"])
+        src = (
+            _kv(spark, 10, 30, "m")
+            .withColumn("is_del", F.col("k") % 4 == 0)
+        )
+        merge_versioned(src, tp, keys=["k"], delete_col="is_del",
+                        change_feed=cf, stats_cols=["k"])
+        delete_versioned(
+            spark.createDataFrame([(k,) for k in range(0, 30, 7)], "k bigint"),
+            tp,
+            change_feed=cf,
+        )
+    # the CF table recorded change dirs; the twin did not
+    assert "changes" in _load_manifest(ta, 1) and "changes" in _load_manifest(ta, 2)
+    assert "changes" not in _load_manifest(tb, 1)
+    assert os.path.isdir(os.path.join(ta, "changes"))
+    got = _feed_rows(read_changes(spark, ta, from_version=0))
+    want = _feed_rows(read_changes(spark, tb, from_version=0))
+    assert got == want and len(got) > 0
+    # and the stored-file path is what actually served: drop the twin's
+    # reconstruction inputs equivalent — delete the CF table's
+    # tombstone dirs; the feed must still read (stored files only)
+    import shutil
+
+    shutil.rmtree(os.path.join(ta, "deletes"))
+    again = _feed_rows(read_changes(spark, ta, from_version=0))
+    assert again == want
+
+
+def test_vacuum_sweeps_unreferenced_change_dirs(spark, tmp_path):
+    import os
+
+    from data_spark.io import vacuum_versions
+
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    src = _kv(spark, 5, 15, "m").withColumn("is_del", F.lit(False))
+    merge_versioned(src, tp, keys=["k"], delete_col="is_del", change_feed=True)
+    write_versioned(_kv(spark, 20, 25, "c"), tp, mode="append")
+    ch_dirs = os.listdir(os.path.join(tp, "changes"))
+    assert len(ch_dirs) == 1
+    # keep everything: the referenced change dir survives
+    vacuum_versions(tp, keep_from=0)
+    assert os.listdir(os.path.join(tp, "changes")) == ch_dirs
+    # drop history below the append: the merge's manifest goes away and
+    # its change dir is reclaimed
+    vacuum_versions(tp, keep_from=2)
+    assert os.listdir(os.path.join(tp, "changes")) == []

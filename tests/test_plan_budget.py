@@ -296,10 +296,11 @@ EXCHANGE_BUDGET = {
     # rerank join/agg + top-k (same spine as v_bq_rerank)
     "v_bq_index_probe": 6,
     # --- r11 tier ---
-    # 3-version feed: append insert scan + per-changed-version pruned
-    # pre-image semi-join, merge classified by ONE full-outer join +
-    # explode (the per-class semi/anti form was 22 exchanges)
-    "m_change_feed": 10,
+    # 3-version feed: append insert scan, merge reconstructed by ONE
+    # pruned pre-image semi-join + full-outer/explode classification
+    # (the per-class semi/anti form was 22 exchanges), delete served
+    # from its commit-time stored change files (zero joins)
+    "m_change_feed": 4,
     # the returned frame is one groupBy over the drained sink
     "pipe_stream_source_e2e": 2,
 }
