@@ -34,6 +34,16 @@ fast-forward — which lists commit dirs the stream has NOT seen, so the
 publish emits exactly the branch's audited commits (W-A-P composes
 with streaming for free).
 
+``.option("read_changes", "true")`` switches the source to CHANGE-FEED
+mode (Delta's streaming ``readChangeFeed``): rows carry
+``_change_type`` + ``_commit_version``, the initial snapshot and
+appends emit as ``insert``, and merge/delete versions stream their
+commit-time ``changes/`` files (written by
+``io.merge_versioned/delete_versioned(change_feed=True)`` — stored
+files are what makes the feed partition-readable on executors; a
+tombstoning version without them raises with a pointer to the batch
+``io.read_changes`` fallback).
+
 Execution model (``DataSourceStreamReader``, the partition-based API):
 the DRIVER plans one ``InputPartition`` per data FILE (per commit dir
 for hive-partitioned commits, so partition values keep their
@@ -206,7 +216,11 @@ class VersionSlice(InputPartition):
     either a list of plain parquet ``files`` of one commit, or (for a
     hive-partitioned commit) the whole ``commit`` dir read with its
     manifest-pinned partition ``spec``. ``tombstones`` lists the
-    delete dirs applicable to this slice (snapshot partitions only)."""
+    delete dirs applicable to this slice (snapshot partitions only).
+    ``cdf`` (change-feed mode only) is ``(commit_version, kind)`` —
+    kind ``"insert"`` tags every row ``insert`` (snapshot / append
+    commits), kind ``"stored"`` reads rows that already carry their
+    ``_change_type`` from a commit-time ``changes/`` dir."""
 
     def __init__(
         self,
@@ -215,12 +229,14 @@ class VersionSlice(InputPartition):
         files: list[str] | None,
         spec: dict | None,
         tombstones: list[str],
+        cdf: tuple | None = None,
     ):
         self.table_path = table_path
         self.commit = commit
         self.files = files
         self.spec = spec
         self.tombstones = tombstones
+        self.cdf = cdf
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -231,6 +247,15 @@ class VersionedStreamReader(DataSourceStreamReader):
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
         self.starting = options.get("starting_version")
+        # Delta readChangeFeed streaming analogue: emit change ROWS
+        # (_change_type + _commit_version) instead of row versions —
+        # the initial snapshot as inserts, appends as inserts, and
+        # merge/delete versions from their commit-time changes/ files
+        # (io.merge_versioned/delete_versioned change_feed=True); a
+        # tombstoning version WITHOUT stored change files raises
+        # (reconstruction needs joins, which a partition read cannot
+        # run — use batch io.read_changes for such intervals)
+        self.cdf = str(options.get("read_changes", "false")).lower() == "true"
         # Delta's maxFilesPerTrigger analogue: bound how many versions
         # one micro-batch drains, so a backlogged stream catches up in
         # bounded batches instead of one giant one (state, sink
@@ -290,29 +315,45 @@ class VersionedStreamReader(DataSourceStreamReader):
     # -- planning (driver, manifest metadata only) --------------------------
 
     def _commit_slices(
-        self, commit: str, spec: dict | None, tombstones: list[str]
+        self,
+        commit: str,
+        spec: dict | None,
+        tombstones: list[str],
+        cdf: tuple | None = None,
     ) -> list[VersionSlice]:
         if spec:
             # hive layout: one slice per commit so pyarrow's hive
             # partitioning reconstructs the partition values with the
             # manifest-pinned dtype
-            return [VersionSlice(self.path, commit, None, spec, tombstones)]
+            return [VersionSlice(self.path, commit, None, spec, tombstones, cdf)]
         d = os.path.join(self.path, "data", commit)
         files = sorted(
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
         )
         return [
-            VersionSlice(self.path, commit, [f], None, tombstones) for f in files
+            VersionSlice(self.path, commit, [f], None, tombstones, cdf)
+            for f in files
+        ]
+
+    def _change_slices(self, ch_dir: str, v: int) -> list[VersionSlice]:
+        d = os.path.join(self.path, "changes", ch_dir)
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        return [
+            VersionSlice(self.path, ch_dir, [f], None, [], (v, "stored"))
+            for f in files
         ]
 
     def _snapshot_slices(self, v: int) -> list[VersionSlice]:
         m = _manifest(self.path, v)
         specs = m.get("specs", {})
         deletes = m.get("deletes", [])
+        cdf = (v, "insert") if self.cdf else None
         out: list[VersionSlice] = []
         for i, c in enumerate(m["commits"]):
             applicable = [d["dir"] for d in deletes if d["upto"] > i]
-            out.extend(self._commit_slices(c, specs.get(c), applicable))
+            out.extend(self._commit_slices(c, specs.get(c), applicable, cdf))
         return out
 
     def _last_main_before(self, v: int) -> int:
@@ -355,10 +396,23 @@ class VersionedStreamReader(DataSourceStreamReader):
                         "commits", []
                     )
                 )
-            if mode in ("append", "merge") or mode.startswith("publish-"):
+            if self.cdf and mode in ("merge", "delete"):
+                ch_dir = m.get("changes")
+                if ch_dir is None:
+                    raise ValueError(
+                        f"versioned_table change feed: version {v} "
+                        f"(mode={mode!r}) has no stored change files — "
+                        "commit with change_feed=True, or consume the "
+                        "interval with batch io.read_changes"
+                    )
+                parts.extend(self._change_slices(ch_dir, v))
+            elif mode in ("append", "merge") or mode.startswith("publish-"):
+                cdf = (v, "insert") if self.cdf else None
                 for c in m["commits"]:
                     if c not in prev:
-                        parts.extend(self._commit_slices(c, specs.get(c), []))
+                        parts.extend(
+                            self._commit_slices(c, specs.get(c), [], cdf)
+                        )
             elif mode == "delete":
                 pass
             elif not self.skip_change:
@@ -393,10 +447,25 @@ class VersionedStreamReader(DataSourceStreamReader):
         # align to the declared schema: spec columns were read as the
         # RAW directory string (inference off — '007' survives) and are
         # cast ONCE to the manifest-pinned dtype; columns a pre-
-        # evolution commit lacks surface as NULL
+        # evolution commit lacks surface as NULL. In change-feed mode
+        # the last two declared fields are _change_type (a literal
+        # 'insert' for snapshot/append slices; stored in the file for
+        # changes/ slices) and _commit_version (always a literal).
         cols = []
         for field in target:
-            if field.name in tbl.column_names:
+            if partition.cdf and field.name == "_change_type":
+                v, kind = partition.cdf
+                if kind == "stored":
+                    cols.append(tbl.column("_change_type").cast(field.type))
+                else:
+                    cols.append(
+                        pa.array(["insert"] * len(tbl), type=field.type)
+                    )
+            elif partition.cdf and field.name == "_commit_version":
+                cols.append(
+                    pa.array([partition.cdf[0]] * len(tbl), type=field.type)
+                )
+            elif field.name in tbl.column_names:
                 cols.append(tbl.column(field.name).cast(field.type))
             else:
                 cols.append(pa.nulls(len(tbl), type=field.type))
@@ -481,6 +550,8 @@ class VersionedTableDataSource(DataSource):
             if f.name not in _NON_TABLE_FIELDS
         ]
         parts += [f"{c} {dt}" for c, dt in spec.items()]
+        if str(self.options.get("read_changes", "false")).lower() == "true":
+            parts += ["_change_type string", "_commit_version bigint"]
         return ", ".join(parts)
 
     def streamReader(self, schema: StructType) -> VersionedStreamReader:

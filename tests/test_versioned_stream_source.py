@@ -254,3 +254,65 @@ def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     # and the end-to-end drain still delivers everything
     _drain(spark, tp, ck, out, max_versions_per_trigger="2")
     assert {t[0] for t in _rows(spark, out)} == set(range(35))
+
+
+def test_change_feed_stream_matches_batch_cdf(spark, tmp_path):
+    """read_changes=true (the streaming readChangeFeed analogue): the
+    drained feed must equal the initial snapshot tagged insert PLUS the
+    batch io.read_changes over the streamed interval — merge/delete
+    versions served from their commit-time changes/ files, executor-
+    side like every other slice."""
+    from data_spark.io import merge_versioned, read_changes
+
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    v0 = write_versioned(_kv(spark, 0, 20, "a"), tp, mode="overwrite")
+    write_versioned(_kv(spark, 20, 30, "b"), tp, mode="append")
+    src = _kv(spark, 15, 35, "m").withColumn("del", F.col("k") % 6 == 0)
+    merge_versioned(src, tp, keys=["k"], delete_col="del", change_feed=True)
+    delete_versioned(
+        spark.createDataFrame([(k,) for k in range(0, 35, 9)], "k bigint"),
+        tp,
+        change_feed=True,
+    )
+
+    register(spark)
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tp)
+        .option("read_changes", "true")
+        .option("starting_version", str(v0))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    snap = {
+        (r.k, r.v, r.x, "insert", v0)
+        for r in read_versioned(spark, tp, version=v0).collect()
+    }
+    feed = {
+        (r.k, r.v, r.x, r._change_type, r._commit_version)
+        for r in read_changes(spark, tp, from_version=v0).collect()
+    }
+    assert got == snap | feed
+    types = {t for _k, _v, _x, t, _c in got}
+    assert {"insert", "update_preimage", "update_postimage", "delete"} <= types
+
+
+def test_change_feed_stream_requires_stored_files(spark, tmp_path):
+    """A tombstoning version committed WITHOUT change_feed=True cannot
+    be served by the streaming feed (pre-image reconstruction needs
+    joins) — the stream fails with a pointer to batch read_changes."""
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    v0 = write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    delete_versioned(spark.createDataFrame([(1,)], "k bigint"), tp)
+    with pytest.raises(Exception, match="no stored change files"):
+        _drain(
+            spark, tp, ck, out,
+            read_changes="true", starting_version=str(v0),
+        )
