@@ -291,10 +291,13 @@ def test_store_matches_model_with_branches(spark, tmp_path_factory, ops):
 # head snapshot (inserts/deletes/update images, multiset semantics).
 # ---------------------------------------------------------------------------
 
+# the trailing boolean on delete/merge is change_feed: sequences mix
+# commit-time-stored and reconstructed CDF versions in ONE feed, and
+# every invariant below must hold identically for both serving modes
 mop = st.one_of(
     st.tuples(st.just("append"), keys_lists),
-    st.tuples(st.just("delete"), keys_lists),
-    st.tuples(st.just("merge"), keys_lists, keys_lists),
+    st.tuples(st.just("delete"), keys_lists, st.booleans()),
+    st.tuples(st.just("merge"), keys_lists, keys_lists, st.booleans()),
     st.tuples(st.just("maintain")),
 )
 
@@ -327,7 +330,9 @@ def test_maintenance_and_change_feed_match_model(spark, tmp_path_factory, ops):
             model.append(rows_for(o[1]))
         elif kind == "delete":
             delete_versioned(
-                spark.createDataFrame([(k,) for k in o[1]], "k long"), table
+                spark.createDataFrame([(k,) for k in o[1]], "k long"),
+                table,
+                change_feed=o[2],
             )
             model.delete(o[1])
         elif kind == "merge":
@@ -337,7 +342,9 @@ def test_maintenance_and_change_feed_match_model(spark, tmp_path_factory, ops):
                 + [(k, k * 10.0, True) for k in dels],
                 "k long, x double, del boolean",
             )
-            merge_versioned(src, table, keys=["k"], delete_col="del")
+            merge_versioned(
+                src, table, keys=["k"], delete_col="del", change_feed=o[3]
+            )
             base = model.snapshots[-1]
             touched = set(ups) | set(dels)
             model.snapshots.append(
