@@ -161,8 +161,11 @@ _PRIORITY = [
     "q9_product_profit",
     "v_hamming_topk",
     # ---- window boundary (driver records the 50 above). r12 plan:
-    #     new/changed r12 gates at the head, then the remaining 4
-    #     r6-witnessed rows, then the oldest r7 block in ledger
+    #     new/changed r12 gates at the head (candidate: a streaming
+    #     change-feed gate over versioned_table read_changes=true,
+    #     currently pytest-gated), then the remaining 4 r6-witnessed
+    #     rows (v_lsh_ann, v_mmr_rerank, w_analytic_battery,
+    #     w_distinct_over_window), then the oldest r7 block in ledger
     #     order (see WITNESS.md). ----
 ]
 
