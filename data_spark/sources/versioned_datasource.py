@@ -10,9 +10,11 @@ so a stream offset is just ``{"next_version": v}`` — resuming from a
 checkpoint replays a CLOSED version interval, which is exactly-once
 into an idempotent sink. Per-version semantics mirror Delta's source:
 
-- the STARTING version (the head when the stream first runs, or
-  ``starting_version``) is served as the initial snapshot — all rows
-  visible at that version, tombstones applied;
+- the STARTING version (the head when the stream first runs,
+  ``starting_version``, or the latest main version committed at or
+  before ``starting_timestamp`` — Delta's startingTimestamp) is served
+  as the initial snapshot — all rows visible at that version,
+  tombstones applied;
 - later ``append`` versions emit their new commit's rows;
 - later ``merge`` versions emit the merge's INSERTED row versions
   (Delta ``ignoreChanges`` semantics: upserted rows re-emit, deleted
@@ -247,6 +249,11 @@ class VersionedStreamReader(DataSourceStreamReader):
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
         self.starting = options.get("starting_version")
+        # Delta's startingTimestamp: resolve the starting version as
+        # the latest MAIN version committed at or before the given
+        # epoch seconds (manifest committed_at stamps); an explicit
+        # starting_version wins
+        self.starting_ts = options.get("starting_timestamp")
         # Delta readChangeFeed streaming analogue: emit change ROWS
         # (_change_type + _commit_version) instead of row versions —
         # the initial snapshot as inserts, appends as inserts, and
@@ -271,6 +278,16 @@ class VersionedStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.starting is not None:
             off = {"next_version": int(self.starting), "snapshot_pending": True}
+        elif self.starting_ts is not None:
+            from data_spark.io import version_at_timestamp  # noqa: PLC0415
+
+            v = version_at_timestamp(self.path, float(self.starting_ts))
+            if v is None:
+                raise ValueError(
+                    f"no main version committed at or before "
+                    f"{self.starting_ts} under {self.path}"
+                )
+            off = {"next_version": v, "snapshot_pending": True}
         else:
             head = _main_head(self.path)
             if head is None:

@@ -316,3 +316,51 @@ def test_change_feed_stream_requires_stored_files(spark, tmp_path):
             spark, tp, ck, out,
             read_changes="true", starting_version=str(v0),
         )
+
+
+def test_starting_timestamp_resolves_snapshot_version(spark, tmp_path):
+    """Delta's startingTimestamp analogue: the stream's snapshot
+    version is the latest main version committed at or before the
+    given epoch — resolved from the committed_at stamp every manifest
+    carries."""
+    import time
+
+    from data_spark.io import _load_manifest
+
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    ts_after_v0 = _load_manifest(tp, 0)["committed_at"] + 0.001
+    time.sleep(0.05)
+    write_versioned(_kv(spark, 10, 20, "b"), tp, mode="append")
+    _drain(spark, tp, ck, out, starting_timestamp=str(ts_after_v0))
+    got = _rows(spark, out)
+    # snapshot at v0 (10 rows) + the append drained incrementally
+    assert {t[0] for t in got} == set(range(20))
+
+
+def test_change_feed_stream_resumes_exactly_once(spark, tmp_path):
+    """CDF-mode checkpoint resume: a second drain adds only the new
+    versions' change rows, never replaying the snapshot or earlier
+    stored change files."""
+    from data_spark.io import merge_versioned
+
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    v0 = write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    _drain(spark, tp, ck, out, read_changes="true", starting_version=str(v0))
+    first = _rows(spark, out)
+    assert {t[3] for t in first} == {"insert"} and len(first) == 10
+
+    src = _kv(spark, 5, 12, "m").withColumn("del", F.col("k") % 4 == 0)
+    merge_versioned(src, tp, keys=["k"], delete_col="del", change_feed=True)
+    _drain(spark, tp, ck, out, read_changes="true", starting_version=str(v0))
+    got = _rows(spark, out)
+    assert first < got
+    new = got - first
+    # all new rows belong to the merge version; matched keys carry the
+    # pre/post pair, the delete-flagged matched keys full pre-images
+    assert {t[4] for t in new} == {v0 + 1}
+    kinds = {t[3] for t in new}
+    assert {"update_preimage", "update_postimage", "insert", "delete"} <= kinds
+    # re-drain with no new versions: nothing added
+    _drain(spark, tp, ck, out, read_changes="true", starting_version=str(v0))
+    assert _rows(spark, out) == got
