@@ -2230,7 +2230,7 @@ def read_versioned(
     table_path: str,
     version: int | None = None,
     merge_schema: bool = False,
-    prune: tuple | None = None,
+    prune: tuple | list | None = None,
     branch: str = "main",
     as_of: float | None = None,
 ) -> DataFrame:
@@ -2244,14 +2244,17 @@ def read_versioned(
     reads every commit's footer at planning time — at 100 TB you opt
     into that only on tables that actually evolved.
 
-    ``prune=(col, lo, hi)``: file skipping from the manifest's recorded
-    stats (``write_versioned(stats_cols=...)``) — commits with bounds
-    for ``col`` resolve to ONLY the files whose [min, max] overlaps
-    [lo, hi] (either bound may be None for one-sided ranges); commits
-    without stats read fully; the range predicate stays as a residual
-    filter so pruning can never change the answer, only the files
-    opened. The decision runs on manifest metadata — no footer is
-    touched for a skipped file.
+    ``prune=(col, lo, hi)`` — or a LIST of such triples, ANDed: file
+    skipping from the manifest's recorded stats
+    (``write_versioned(stats_cols=...)``) — commits with bounds for a
+    pruned column resolve to ONLY the files whose [min, max] overlaps
+    [lo, hi] on EVERY triple (either bound may be None for one-sided
+    ranges); commits without stats read fully; the range predicates
+    stay as residual filters so pruning can never change the answer,
+    only the files opened. Multi-column pruning is what multi-column
+    Z-order stats exist for: a 2-d probe of a table clustered on
+    (x, y) skips on both dimensions. The decision runs on manifest
+    metadata — no footer is touched for a skipped file.
 
     ``branch``: resolve the head of that branch instead of main when no
     explicit ``version`` is given. The default reader NEVER sees
@@ -2303,36 +2306,52 @@ def read_versioned(
     stats = manifest.get("stats", {})
     specs = manifest.get("specs", {})
 
+    # one (col, lo, hi) triple, or a LIST of triples ANDed together —
+    # multi-column pruning is what multi-column Z-order stats are FOR
+    # (a 2-d range probe on a z-ordered table should skip on both
+    # dimensions, not the first alone)
+    prunes = None
+    if prune is not None:
+        prunes = (
+            [tuple(p) for p in prune]
+            if isinstance(prune, list)
+            else [tuple(prune)]
+        )
+
     def commit_paths(c: str) -> list[str]:
         d = os.path.join(table_path, "data", c)
-        if prune is None:
+        if prunes is None:
             return [d]
-        col, lo, hi = prune
         st = stats.get(c)
         if st is None:
             return [d]
         keep = []
         for rel, bounds in st.items():
-            b = bounds.get(col)
-            if b is None:
-                keep.append(os.path.join(d, rel))
-                continue
-            mn, mx = b
-            if mn is None or mx is None:
-                continue  # all-NULL file: a range predicate never matches
-            if (hi is None or mn <= hi) and (lo is None or mx >= lo):
+            ok = True
+            for col, lo, hi in prunes:
+                b = bounds.get(col)
+                if b is None:
+                    continue  # no bounds for this column: cannot skip on it
+                mn, mx = b
+                if mn is None or mx is None:
+                    ok = False  # all-NULL file: a range never matches
+                    break
+                if not ((hi is None or mn <= hi) and (lo is None or mx >= lo)):
+                    ok = False
+                    break
+            if ok:
                 keep.append(os.path.join(d, rel))
         return keep
 
     def residual(df: DataFrame) -> DataFrame:
-        if prune is None:
+        if prunes is None:
             return df
-        col, lo, hi = prune
         cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(col) <= F.lit(hi))
+        for col, lo, hi in prunes:
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
         return df.filter(cond)
 
     def mk_reader():

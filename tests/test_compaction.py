@@ -1373,3 +1373,49 @@ def test_append_schema_enforcement(spark, tmp_path):
         spark.createDataFrame([(2, "1")], "k long, p string"), t2, "append"
     )
     assert read_versioned(spark, t2).count() == 2
+
+
+def test_multi_column_prune_skips_on_both_dimensions(spark, tmp_path):
+    """read_versioned(prune=[(x...), (y...)]): a 2-d range probe of a
+    table z-ordered on (x, y) must open fewer files than either
+    single-column prune — multi-column pruning is what multi-column
+    Z-order stats exist for — and the answer must equal the unpruned
+    filter exactly (residuals keep pruning answer-invariant)."""
+    from data_spark.io import optimize_versioned, read_versioned, write_versioned
+
+    tp = str(tmp_path / "t")
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.pmod(F.col("id") * 48271, F.lit(200))).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    write_versioned(df.repartition(8), tp, mode="overwrite")
+    # small target so the z-order rewrite yields MANY files (the 40k-row
+    # fixture would otherwise collapse to one and nothing could prune)
+    optimize_versioned(
+        spark, tp, zorder_cols=["x", "y"], target_file_bytes=40_000
+    )
+
+    full = read_versioned(spark, tp)
+    n_files = len(full.inputFiles())
+    px, py = ("x", 10, 40), ("y", 10, 40)
+    one_x = read_versioned(spark, tp, prune=px)
+    one_y = read_versioned(spark, tp, prune=py)
+    both = read_versioned(spark, tp, prune=[px, py])
+    nx, ny, nb = (len(d.inputFiles()) for d in (one_x, one_y, both))
+    assert nb <= nx and nb <= ny
+    assert nb < n_files and nb < max(nx, ny)
+
+    expect = sorted(
+        tuple(r)
+        for r in full.filter(
+            F.col("x").between(10, 40) & F.col("y").between(10, 40)
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in both.collect())
+    assert got == expect and len(got) > 0
+    # single-triple form is unchanged (back-compat)
+    assert sorted(tuple(r) for r in one_x.collect()) == sorted(
+        tuple(r) for r in full.filter(F.col("x").between(10, 40)).collect()
+    )
