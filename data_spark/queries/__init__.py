@@ -161,10 +161,12 @@ _PRIORITY = [
     "q9_product_profit",
     "v_hamming_topk",
     # ---- window boundary (driver records the 50 above). r12 plan:
-    #     new/changed r12 gates at the head (candidate: a streaming
-    #     change-feed gate over versioned_table read_changes=true,
-    #     currently pytest-gated), then the remaining 4 r6-witnessed
-    #     rows (v_lsh_ann, v_mmr_rerank, w_analytic_battery,
+    #     m_multi_prune_scan (created r11 after the window froze,
+    #     locally green at 3 SFs + shuffle=7) and any new/changed r12
+    #     gates at the head (candidate: a streaming change-feed gate
+    #     over versioned_table read_changes=true, currently
+    #     pytest-gated), then the remaining 4 r6-witnessed rows
+    #     (v_lsh_ann, v_mmr_rerank, w_analytic_battery,
     #     w_distinct_over_window), then the oldest r7 block in ledger
     #     order (see WITNESS.md). ----
 ]

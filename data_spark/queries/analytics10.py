@@ -284,3 +284,73 @@ def pipe_stream_source_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m_multi_prune_scan — 2-d stats pruning on a two-column z-ordered table
+# ---------------------------------------------------------------------------
+
+_MPS_X_LO, _MPS_X_HI = 100, 400      # o_custkey range
+_MPS_Y_LO, _MPS_Y_HI = 500, 4_000    # o_orderkey range
+
+_MPS_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_custkey BETWEEN {_MPS_X_LO} AND {_MPS_X_HI}
+  AND o_orderkey BETWEEN {_MPS_Y_LO} AND {_MPS_Y_HI}
+GROUP BY o_orderstatus
+"""
+
+
+@_q("m_multi_prune_scan", _MPS_SQL)
+def m_multi_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column file skipping: a 2-d range probe of a versioned
+    table z-ordered on (o_custkey, o_orderkey) reads through
+    ``read_versioned(prune=[(x...), (y...)])`` — both ranges prune
+    against the per-file manifest stats the OPTIMIZE recorded, and
+    both stay as residual filters so pruning is answer-invariant.
+    In-gate asserts that the 2-d prune opens no more files than the
+    x-only prune and (when the layout has enough files to show it)
+    strictly fewer than the full scan — the property multi-column
+    Z-order stats exist for. Oracle: the plain 2-d filter aggregate."""
+    from data_spark.io import (  # noqa: PLC0415
+        optimize_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    base_dir = run_scratch_dir("mprune", sf_dir)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_versioned(o, base_dir, mode="overwrite")
+    optimize_versioned(
+        spark,
+        base_dir,
+        zorder_cols=["o_custkey", "o_orderkey"],
+        target_file_bytes=64_000,
+    )
+
+    px = ("o_custkey", _MPS_X_LO, _MPS_X_HI)
+    py = ("o_orderkey", _MPS_Y_LO, _MPS_Y_HI)
+    full = read_versioned(spark, base_dir)
+    x_only = read_versioned(spark, base_dir, prune=px)
+    both = read_versioned(spark, base_dir, prune=[px, py])
+    n_full = len(full.inputFiles())
+    n_x, n_b = len(x_only.inputFiles()), len(both.inputFiles())
+    if not (n_b <= n_x <= n_full):
+        raise AssertionError(
+            f"2-d prune opened MORE files: both={n_b} x={n_x} full={n_full}"
+        )
+    if n_full >= 8 and not n_b < n_full:
+        raise AssertionError(
+            f"2-d prune skipped nothing on a {n_full}-file layout"
+        )
+    return both.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )

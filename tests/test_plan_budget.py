@@ -303,6 +303,8 @@ EXCHANGE_BUDGET = {
     "m_change_feed": 4,
     # the returned frame is one groupBy over the drained sink
     "pipe_stream_source_e2e": 2,
+    # pruned 2-d scan + status groupBy
+    "m_multi_prune_scan": 1,
 }
 
 

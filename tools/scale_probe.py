@@ -111,6 +111,7 @@ _CURVE_DEFAULTS = {
     # stream_source mode for the structural no-driver-rows evidence)
     "m_change_feed": "orders",
     "pipe_stream_source_e2e": "events",
+    "m_multi_prune_scan": "orders",
 }
 
 
