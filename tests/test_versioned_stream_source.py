@@ -364,3 +364,55 @@ def test_change_feed_stream_resumes_exactly_once(spark, tmp_path):
     # re-drain with no new versions: nothing added
     _drain(spark, tp, ck, out, read_changes="true", starting_version=str(v0))
     assert _rows(spark, out) == got
+
+
+def test_change_feed_stream_over_partitioned_table(spark, tmp_path):
+    """CDF mode over a hive-partitioned table: the snapshot's spec'd
+    slices carry the insert tag (partition values keep the manifest-
+    pinned dtype), and a later change_feed merge streams its stored —
+    flat — change files; the drained feed equals snapshot-as-inserts
+    plus the batch reader."""
+    from data_spark.io import merge_versioned, read_changes
+
+    tp, ck, out = (str(tmp_path / d) for d in ("t", "ck", "out"))
+    padded = (
+        spark.range(0, 30)
+        .withColumnRenamed("id", "k")
+        .withColumn("pz", F.format_string("%03d", (F.col("k") % 3).cast("int")))
+    )
+    v0 = write_versioned(padded, tp, mode="overwrite", partition_by=["pz"])
+    src = (
+        spark.range(20, 40)
+        .withColumnRenamed("id", "k")
+        .withColumn("pz", F.format_string("%03d", (F.col("k") % 3).cast("int")))
+        .withColumn("del", F.col("k") % 8 == 0)
+    )
+    merge_versioned(src, tp, keys=["k"], delete_col="del", change_feed=True)
+
+    register(spark)
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tp)
+        .option("read_changes", "true")
+        .option("starting_version", str(v0))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    snap = {
+        (r.k, r.pz, "insert", v0)
+        for r in read_versioned(spark, tp, version=v0).collect()
+    }
+    feed = {
+        (r.k, r.pz, r._change_type, r._commit_version)
+        for r in read_changes(spark, tp, from_version=v0).collect()
+    }
+    assert got == snap | feed
+    # partition values survived as zero-padded strings on BOTH paths
+    assert {t[1] for t in got} == {"000", "001", "002"}
