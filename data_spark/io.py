@@ -1743,9 +1743,18 @@ def merge_versioned(
     ``change_feed=True`` additionally classifies and materializes this
     merge's change rows (update_preimage / update_postimage / insert /
     delete) to ``changes/`` at commit time — Delta CDF's write-side
-    approach: one bounds-pruned O(changed files) parent read per merge,
-    and ``read_changes`` then serves the version from stored files with
-    zero reconstruction per consumer.
+    approach: one bounds-pruned parent read per merge, and
+    ``read_changes`` then serves the version from stored files with
+    zero reconstruction per consumer. COST CAVEAT (measured,
+    SCALE_PROBE_r11): the pre-image read prunes by the source keys'
+    bounds, so with KEY-LOCAL sources (the CDC hot-tail shape) the
+    extra cost is flat (~1 s/merge over a 500k-row table, independent
+    of merge count); with SCATTERED keys the bounds span the table and
+    every merge pays a full merge-on-read scan (3.9 → 8.7 s over 30
+    merges as tombstones accrete). For scattered-key feeds leave this
+    off and let consumers reconstruct via batch ``read_changes`` —
+    read-side cost is paid per consumer interval, not per commit —
+    or schedule ``maintain_versioned`` to keep the scan bounded.
 
     Reference parity: upload/main.py's load loop deletes re-sent keys
     then re-inserts (two visible steps on the serving index); this is

@@ -672,7 +672,11 @@ def bloom_mode(n_rows: int = 1_000_000, n_files: int = 64) -> None:
 
 
 def merge_accum_mode(
-    n: int = 500_000, n_merges: int = 30, batch: int = 1_000, maintained: int = 0
+    n: int = 500_000,
+    n_merges: int = 30,
+    batch: int = 1_000,
+    maintained: int = 0,
+    change_feed: int = 0,
 ) -> None:
     """VERDICT r9 #7: tombstone ACCUMULATION under a MERGE steady state
     (the CDC shape m_merge_upsert gates once). One base table, then
@@ -723,7 +727,9 @@ def merge_accum_mode(
             )
         )
         start = time.perf_counter()
-        merge_versioned(src, tp, keys=["k"], delete_col="del")
+        merge_versioned(
+            src, tp, keys=["k"], delete_col="del", change_feed=bool(change_feed)
+        )
         t_merge = time.perf_counter() - start
         point = {"merge_i": i + 1, "merge_s": round(t_merge, 3)}
         if maintained:
@@ -751,6 +757,7 @@ def merge_accum_mode(
             {
                 "mode": "merge_accum",
                 "maintained": bool(maintained),
+                "change_feed": bool(change_feed),
                 "n": n,
                 "n_merges": n_merges,
                 "batch": batch,
