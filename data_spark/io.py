@@ -10,7 +10,10 @@ staging-write → count-validate → atomic-swap writer.
 
 from __future__ import annotations
 
+import decimal
 import errno
+import logging
+import math
 import os
 import shutil
 import time
@@ -1283,14 +1286,32 @@ def _read_spec_commit(
     return df
 
 
-def _json_stat(v):
+def _json_stat(v, down: bool | None = None):
     """JSON-serializable min/max bound (dates/timestamps → ISO strings,
-    which compare lexicographically like the values do)."""
+    which compare lexicographically like the values do). Decimals are
+    converted to the nearest float AT OR BELOW the exact value for a
+    min (``down=True``) / at or above for a max (``down=False``) — a
+    straight ``str()`` would make the Python overlap test in
+    ``commit_paths`` compare decimal bounds LEXICOGRAPHICALLY
+    ('100.50' < '99.00'), falsely skipping overlapping files (ADVICE
+    r11); directed widening keeps the bounds numeric and conservative,
+    so pruning can drop only provably-disjoint files."""
     if v is None:
         return None
     if isinstance(v, (int, float, str, bool)):
         return v
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if down is True and decimal.Decimal(f) > v:
+            f = math.nextafter(f, float("-inf"))
+        elif down is False and decimal.Decimal(f) < v:
+            f = math.nextafter(f, float("inf"))
+        return f
     return str(v)
+
+
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
 
 
 def _collect_commit_stats(
@@ -1334,16 +1355,30 @@ def _collect_commit_stats(
             else os.path.basename(p)
         )
         out[rel] = {
-            c: [_json_stat(r[f"{c}__min"]), _json_stat(r[f"{c}__max"])]
+            c: [
+                _json_stat(r[f"{c}__min"], down=True),
+                _json_stat(r[f"{c}__max"], down=False),
+            ]
             for c in cols
         }
     return out
 
 
-_ATOMIC_DTYPE_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double",
-    "string", "date", "timestamp", "decimal", "boolean",
+# Exact dtype TOKENS (the part before any '('), not prefixes — a
+# startswith("int") test would also claim "interval day to second"
+# dtypes, whose str()-serialized bounds are neither JSON-stable nor
+# ordered like the values (ADVICE r11).
+_ATOMIC_DTYPES = frozenset(
+    (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "date", "timestamp", "timestamp_ntz", "decimal",
+        "boolean",
+    )
 )
+
+
+def _is_atomic_dtype(dt: str) -> bool:
+    return dt.split("(", 1)[0] in _ATOMIC_DTYPES
 
 
 def _tombstone_bounds(keys_df: DataFrame) -> dict | None:
@@ -1357,13 +1392,13 @@ def _tombstone_bounds(keys_df: DataFrame) -> dict | None:
     a feed costs a full prior-snapshot scan. Null count rides along
     because a bounds prune is only sound when no tombstoned key is
     NULL (a BETWEEN residual would drop null-key pre-images).
-    Non-atomic key dtypes are skipped; returns None when nothing is
-    recordable (consumers treat that as "no bounds, scan fully")."""
-    cols = [
-        c
-        for c, dt in keys_df.dtypes
-        if dt.startswith(_ATOMIC_DTYPE_PREFIXES)
-    ]
+    Non-atomic key dtypes are skipped, and so is any float/double
+    column whose min or max aggregates to NaN — every ordered compare
+    against NaN is False, so a NaN bound would make the overlap test
+    skip EVERY file and the feed silently report zero deletes (ADVICE
+    r11). Returns None when nothing is recordable (consumers treat
+    that as "no bounds, scan fully")."""
+    cols = [c for c, dt in keys_df.dtypes if _is_atomic_dtype(dt)]
     if not cols:
         return None
     aggs = []
@@ -1374,14 +1409,120 @@ def _tombstone_bounds(keys_df: DataFrame) -> dict | None:
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
         ]
     r = keys_df.agg(*aggs).first()
-    return {
-        c: [
-            _json_stat(r[f"{c}__min"]),
-            _json_stat(r[f"{c}__max"]),
+    out = {}
+    for c in cols:
+        mn, mx = r[f"{c}__min"], r[f"{c}__max"]
+        if _is_nan(mn) or _is_nan(mx):
+            continue
+        out[c] = [
+            _json_stat(mn, down=True),
+            _json_stat(mx, down=False),
             int(r[f"{c}__nulls"] or 0),
         ]
-        for c in cols
-    }
+    return out or None
+
+
+_log = logging.getLogger("data_spark.io")
+
+# Fraction of the table's stats envelope a tombstone's bounds must
+# cover (on EVERY recordable key column) before the commit logs the
+# scattered-keys maintenance hint, and the minimum number of
+# stats-tracked files for the hint to matter at all — below that a
+# "full" pre-image scan and a pruned one open the same handful of
+# files, so warning would just be gate/test noise.
+_SCATTER_COVERAGE = 0.95
+_SCATTER_MIN_FILES = 8
+
+
+def _warn_scattered_bounds(
+    table_path: str,
+    parent_manifest: dict | None,
+    bounds: dict | None,
+    change_feed: bool,
+) -> bool:
+    """Log a maintenance hint when a tombstoning commit's recorded key
+    bounds cover ~the table's whole stats envelope — bounds pruning
+    then skips nothing, so CDF pre-image recovery degrades to a full
+    prior-snapshot scan per feed version (SCALE_PROBE_r11 measured the
+    write-side cost climbing 3.9→8.7 s/merge on exactly this shape).
+    Pure manifest metadata: per-column envelope mins/maxes over the
+    parent's per-file stats, zero data reads. Fires only when EVERY
+    bounded column that has table stats is non-selective — one
+    selective column is enough for ``_bounds_prune`` (which ANDs all
+    columns) to keep recovery O(changed files). Returns whether the
+    hint fired (for tests)."""
+    if not bounds:
+        return False
+    stats = (parent_manifest or {}).get("stats") or {}
+    if not stats:
+        return False
+    if sum(len(files) for files in stats.values()) < _SCATTER_MIN_FILES:
+        return False
+    env: dict = {}
+    dropped: set = set()
+    for files in stats.values():
+        for b in files.values():
+            for c, (mn, mx) in b.items():
+                if c in dropped or mn is None or mx is None:
+                    continue
+                if _is_nan(mn) or _is_nan(mx):
+                    continue
+                cur = env.get(c)
+                try:
+                    env[c] = (
+                        mn if cur is None or mn < cur[0] else cur[0],
+                        mx if cur is None or mx > cur[1] else cur[1],
+                    )
+                except TypeError:
+                    env.pop(c, None)
+                    dropped.add(c)
+    covs = []
+    for c, bb in bounds.items():
+        e = env.get(c)
+        if e is None or bb[0] is None or bb[1] is None:
+            continue
+        lo, hi = bb[0], bb[1]
+        t_lo, t_hi = e
+        try:
+            numeric = all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in (lo, hi, t_lo, t_hi)
+            )
+            if numeric:
+                span = float(t_hi) - float(t_lo)
+                if span <= 0:
+                    covs.append(1.0 if (lo <= t_lo and hi >= t_hi) else 0.0)
+                else:
+                    ov = min(float(hi), float(t_hi)) - max(float(lo), float(t_lo))
+                    covs.append(max(0.0, ov) / span)
+            else:
+                covs.append(1.0 if (lo <= t_lo and hi >= t_hi) else 0.0)
+        except TypeError:
+            continue
+    if not covs or min(covs) < _SCATTER_COVERAGE:
+        return False
+    if change_feed:
+        hint = (
+            "its commit-time change-file write will scan ~the whole prior "
+            "snapshot; for feeds over scattered-key writers prefer batch "
+            "read_changes per consumer interval, or schedule "
+            "maintain_versioned to keep the table clustered on the keys"
+        )
+    else:
+        hint = (
+            "CDF pre-image reconstruction for this version will scan ~the "
+            "whole prior snapshot per consumer; consider change_feed=True "
+            "(pay the scan once at commit) or maintain_versioned"
+        )
+    _log.warning(
+        "scattered tombstone keys on %s: recorded bounds cover >=%d%% of "
+        "the table's stats envelope on every key column, so bounds pruning "
+        "will skip nothing — %s",
+        table_path,
+        int(_SCATTER_COVERAGE * 100),
+        hint,
+    )
+    return True
 
 
 def _check_append_schema(
@@ -1652,6 +1793,11 @@ def delete_versioned(
             os.path.join(table_path, "deletes", delete_dir)
         )
     )
+    probe_v = branch_head(table_path, branch)
+    if probe_v is not None:
+        _warn_scattered_bounds(
+            table_path, _load_manifest(table_path, probe_v), bounds, change_feed
+        )
     while True:
         parent_v = branch_head(table_path, branch)
         if parent_v is None:
@@ -1775,6 +1921,13 @@ def merge_versioned(
             os.path.join(table_path, "deletes", delete_dir)
         )
     )
+    warn_v = branch_head(table_path, branch)
+    if warn_v is None and branch != "main":
+        warn_v = branch_head(table_path, "main")
+    if warn_v is not None:
+        _warn_scattered_bounds(
+            table_path, _load_manifest(table_path, warn_v), key_bounds, change_feed
+        )
     upserts = (
         source.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
         if delete_col is not None
@@ -2345,9 +2498,20 @@ def read_versioned(
                 if mn is None or mx is None:
                     ok = False  # all-NULL file: a range never matches
                     break
-                if not ((hi is None or mn <= hi) and (lo is None or mx >= lo)):
-                    ok = False
-                    break
+                if _is_nan(mn) or _is_nan(mx) or _is_nan(lo) or _is_nan(hi):
+                    continue  # NaN compares False both ways: cannot skip
+                try:
+                    if not (
+                        (hi is None or mn <= hi) and (lo is None or mx >= lo)
+                    ):
+                        ok = False
+                        break
+                except TypeError:
+                    # probe/stat types incomparable (e.g. a numeric
+                    # probe against legacy str()-serialized bounds):
+                    # keep the file — pruning may only drop files
+                    # PROVABLY disjoint
+                    continue
             if ok:
                 keep.append(os.path.join(d, rel))
         return keep
@@ -2595,14 +2759,18 @@ def maintain_versioned(
     return report
 
 
-def _bounds_prune(bounds: dict | None) -> tuple | None:
-    """A ``read_versioned(prune=...)`` triple from a delete entry's
-    recorded key bounds — only sound for a null-free key column (a
-    BETWEEN residual would drop null-key rows)."""
-    for c, b in (bounds or {}).items():
-        if b[2] == 0 and b[0] is not None:
-            return (c, b[0], b[1])
-    return None
+def _bounds_prune(bounds: dict | None) -> list | None:
+    """``read_versioned(prune=...)`` triples from a delete entry's
+    recorded key bounds — ALL null-free key columns, ANDed by the
+    reader, so one selective column prunes the pre-image scan even
+    when another spans the whole table. Only sound for null-free
+    columns (a BETWEEN residual would drop null-key rows)."""
+    triples = [
+        (c, b[0], b[1])
+        for c, b in (bounds or {}).items()
+        if b[2] == 0 and b[0] is not None
+    ]
+    return triples or None
 
 
 def _tombstone_preimages(
@@ -2630,46 +2798,67 @@ def _tombstone_preimages(
 def _classify_merge_changes(
     removed: DataFrame, ins: DataFrame, keys: list[str]
 ) -> DataFrame:
-    """Classify a merge version's changes in ONE pass: a full-outer
-    join between the pre-image rows (``removed``) and the merge's
-    insert commit (``ins``), each row exploded into its change events —
-    matched keys yield the ``update_preimage``/``update_postimage``
-    pair, left-only rows are matched deletes, right-only rows plain
-    inserts. The per-class semi/anti formulation re-derives ``removed``
-    (and its pruned pre-image scan) once per class — 4 scans of the
-    overlapping files per merge version; this is the same answer in one
-    scan (22 → 10 exchanges on the m_change_feed gate). Returns the
-    table columns plus ``_change_type``."""
-    cols = removed.columns
-    ins = ins.select(*cols)
-    r = removed.select(
-        *[F.col(k).alias(f"__k_{k}") for k in keys],
-        F.struct(*cols).alias("__r"),
-        F.lit(True).alias("__rp"),
+    """Classify a merge version's changes in ONE pass: each side is
+    grouped per key into an array of its rows, the two per-key frames
+    full-outer joined (ONE row per key per side, so duplicate keys on
+    either side — appends never enforce key uniqueness — can NOT fan
+    the join out; a naive row-level full-outer with 2 pre-image rows ×
+    1 insert would emit 2 postimages where only 1 row was written,
+    ADVICE r11), then exploded into change events: matched keys yield
+    every pre-image row as ``update_preimage`` plus every inserted row
+    as ``update_postimage``, left-only keys are matched deletes,
+    right-only keys plain inserts — exactly the multiplicities the
+    per-class semi/anti formulation produced, in one scan of the
+    overlapping files instead of four. Columns are reconciled
+    ``unionByName(allowMissingColumns=True)``-style before grouping:
+    a schema-evolving merge commit's NEW columns survive into its
+    insert/postimage rows (pre-images surface them as NULL), and a
+    commit missing a parent column surfaces NULLs instead of raising.
+    Returns the union of both sides' columns plus ``_change_type``."""
+    r_fields = {f.name: f.dataType for f in removed.schema.fields}
+    i_fields = {f.name: f.dataType for f in ins.schema.fields}
+    cols = list(removed.columns) + [
+        c for c in ins.columns if c not in r_fields
+    ]
+    removed = removed.select(
+        *[
+            F.col(c) if c in r_fields else F.lit(None).cast(i_fields[c]).alias(c)
+            for c in cols
+        ]
     )
-    i = ins.select(
-        *[F.col(k).alias(f"__j_{k}") for k in keys],
-        F.struct(*cols).alias("__i"),
-        F.lit(True).alias("__ip"),
+    ins = ins.select(
+        *[
+            F.col(c) if c in i_fields else F.lit(None).cast(r_fields[c]).alias(c)
+            for c in cols
+        ]
     )
+    r = removed.groupBy(
+        *[F.col(k).alias(f"__k_{k}") for k in keys]
+    ).agg(F.collect_list(F.struct(*cols)).alias("__rs"))
+    i = ins.groupBy(
+        *[F.col(k).alias(f"__j_{k}") for k in keys]
+    ).agg(F.collect_list(F.struct(*cols)).alias("__is"))
     j = r.join(
         i,
         [r[f"__k_{k}"].eqNullSafe(i[f"__j_{k}"]) for k in keys],
         "full_outer",
     )
-    pair = F.array(
-        F.struct(F.lit("update_preimage").alias("t"), F.col("__r").alias("p")),
-        F.struct(F.lit("update_postimage").alias("t"), F.col("__i").alias("p")),
-    )
+
+    def tagged(arr: Column, t: str) -> Column:
+        return F.transform(
+            arr, lambda p: F.struct(F.lit(t).alias("t"), p.alias("p"))
+        )
+
     events = (
-        F.when(F.col("__rp").isNotNull() & F.col("__ip").isNotNull(), pair)
-        .when(
-            F.col("__rp").isNotNull(),
-            F.array(F.struct(F.lit("delete").alias("t"), F.col("__r").alias("p"))),
+        F.when(
+            F.col("__rs").isNotNull() & F.col("__is").isNotNull(),
+            F.concat(
+                tagged(F.col("__rs"), "update_preimage"),
+                tagged(F.col("__is"), "update_postimage"),
+            ),
         )
-        .otherwise(
-            F.array(F.struct(F.lit("insert").alias("t"), F.col("__i").alias("p")))
-        )
+        .when(F.col("__rs").isNotNull(), tagged(F.col("__rs"), "delete"))
+        .otherwise(tagged(F.col("__is"), "insert"))
     )
     return j.select(F.explode(events).alias("__e")).select(
         "__e.p.*", F.col("__e.t").alias("_change_type")

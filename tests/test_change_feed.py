@@ -187,3 +187,181 @@ def test_vacuum_sweeps_unreferenced_change_dirs(spark, tmp_path):
     # its change dir is reclaimed
     vacuum_versions(tp, keep_from=2)
     assert os.listdir(os.path.join(tp, "changes")) == []
+
+
+def test_merge_feed_duplicate_key_multiplicity(spark, tmp_path):
+    """ADVICE r11: appends never enforce key uniqueness, so a merge's
+    pre-image side can hold N rows per key while the insert commit
+    wrote exactly one — the feed must emit N update_preimages and ONE
+    update_postimage (what was actually written), never N x M join
+    fan-out. Both serving modes (stored change files and
+    reconstruction) must agree."""
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "x")], "k bigint, v string"
+    )
+    src = spark.createDataFrame([(1, "NEW", False)], "k bigint, v string, is_del boolean")
+    for cf in (True, False):
+        tp = str(tmp_path / f"t{cf}")
+        write_versioned(dup, tp, mode="overwrite", stats_cols=["k"])
+        merge_versioned(src, tp, keys=["k"], delete_col="is_del", change_feed=cf)
+        rows = sorted(
+            (r["_change_type"], r["k"], r["v"])
+            for r in read_changes(spark, tp, from_version=0).collect()
+        )
+        assert rows == [
+            ("update_postimage", 1, "NEW"),
+            ("update_preimage", 1, "a"),
+            ("update_preimage", 1, "b"),
+            ("update_preimage", 1, "c"),
+        ], rows
+
+
+def test_decimal_key_bounds_prune_is_numeric(spark, tmp_path):
+    """ADVICE r11: decimal bounds used to serialize via str() and the
+    Python overlap test compared them lexicographically ('100.50' >=
+    '99.00' is False), silently dropping pre-image rows from the feed.
+    Bounds are now directed-widened floats, so a decimal-keyed delete
+    over a stats-maintained multi-file table feeds every pre-image."""
+    df = (
+        spark.range(1, 301)
+        .select((F.col("id").cast("decimal(10,2)") + 0.25).alias("dk"),
+                F.col("id").alias("v"))
+        .repartition(8, "dk")
+    )
+    tp = str(tmp_path / "t")
+    write_versioned(df, tp, mode="overwrite", stats_cols=["dk"])
+    keys = spark.sql(
+        "SELECT cast(x as decimal(10,2)) AS dk FROM values (99.25), (100.25), (250.25) t(x)"
+    )
+    delete_versioned(keys, tp, change_feed=False)
+    ch = read_changes(spark, tp, from_version=0)
+    assert sorted(r["v"] for r in ch.collect()) == [99, 100, 250]
+    assert read_versioned(spark, tp).count() == 297
+
+
+def test_nan_float_key_bounds_unrecordable(spark, tmp_path):
+    """ADVICE r11: a NaN in a float key's min/max poisons every ordered
+    bounds compare (all False -> every file skipped -> feed reports
+    zero deletes). NaN-tainted columns are now skipped at bounds
+    recording time, falling back to the unpruned pre-image scan."""
+    from data_spark.io import _load_manifest
+
+    df = spark.createDataFrame(
+        [(float("nan"), "n"), (1.0, "a"), (2.0, "b"), (3.0, "c")],
+        "fk double, v string",
+    )
+    tp = str(tmp_path / "t")
+    write_versioned(df, tp, mode="overwrite", stats_cols=["fk"])
+    delete_versioned(
+        spark.createDataFrame([(float("nan"),), (1.0,)], "fk double"), tp
+    )
+    entry = _load_manifest(tp, 1)["deletes"][-1]
+    assert not (entry.get("bounds") or {}), entry
+    ch = read_changes(spark, tp, from_version=0)
+    assert sorted(r["v"] for r in ch.collect()) == ["a", "n"]
+    assert read_versioned(spark, tp).count() == 2
+
+
+def test_merge_feed_across_schema_evolution(spark, tmp_path):
+    """ADVICE r11 + VERDICT item 8: a schema-evolving merge commit's
+    NEW columns must survive into its insert/update_postimage change
+    rows, with pre-evolution pre-images surfacing NULLs — and a merge
+    commit missing a parent column must surface NULLs, not raise."""
+    tp = str(tmp_path / "t")
+    write_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        tp, mode="overwrite", stats_cols=["k"],
+    )
+    wide = spark.createDataFrame(
+        [(1, "A2", 9, False), (3, "C", 7, False)],
+        "k bigint, v string, extra bigint, is_del boolean",
+    )
+    for cf in (True, False):
+        t = str(tmp_path / f"cf{cf}")
+        write_versioned(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+            t, mode="overwrite", stats_cols=["k"],
+        )
+        merge_versioned(wide, t, keys=["k"], delete_col="is_del", change_feed=cf)
+        rows = sorted(
+            (r["_change_type"], r["k"], r["v"], r["extra"])
+            for r in read_changes(spark, t, from_version=0).collect()
+        )
+        assert rows == [
+            ("insert", 3, "C", 7),
+            ("update_postimage", 1, "A2", 9),
+            ("update_preimage", 1, "a", None),
+        ], rows
+    # narrow merge: source missing a parent column -> NULLs, no raise
+    tn = str(tmp_path / "narrow")
+    write_versioned(
+        spark.createDataFrame([(1, "a", 5)], "k bigint, v string, w bigint"),
+        tn, mode="overwrite", stats_cols=["k"],
+    )
+    import data_spark.io as dio
+
+    tomb = spark.createDataFrame([(1,)], "k bigint")
+    removed = read_versioned(spark, tn).join(tomb, "k", "left_semi")
+    ins = spark.createDataFrame([(1, "A2")], "k bigint, v string")
+    out = sorted(
+        (r["_change_type"], r["k"], r["v"], r["w"])
+        for r in dio._classify_merge_changes(removed, ins, ["k"]).collect()
+    )
+    assert out == [("update_postimage", 1, "A2", None),
+                   ("update_preimage", 1, "a", 5)], out
+
+
+def test_read_changes_on_vacuumed_interval_fails_loudly(spark, tmp_path):
+    """VERDICT item 7: after vacuum drops the manifests (and change
+    dirs) below the retention bound, a feed over the vacuumed interval
+    must raise — never silently return an empty/partial feed."""
+    from data_spark.io import vacuum_versions
+
+    tp = str(tmp_path / "t")
+    write_versioned(_kv(spark, 0, 10, "a"), tp, mode="overwrite")
+    src = _kv(spark, 5, 15, "m").withColumn("is_del", F.lit(False))
+    merge_versioned(src, tp, keys=["k"], delete_col="is_del", change_feed=True)
+    write_versioned(_kv(spark, 20, 25, "c"), tp, mode="append")
+    write_versioned(_kv(spark, 30, 33, "d"), tp, mode="append")
+    vacuum_versions(tp, keep_from=2)
+    with pytest.raises(ValueError, match="from_version"):
+        read_changes(spark, tp, from_version=0)
+    with pytest.raises(ValueError, match="from_version"):
+        read_changes(spark, tp, from_version=1)
+    # the surviving interval still serves
+    assert read_changes(spark, tp, from_version=2).count() == 3
+
+
+def test_scattered_bounds_commit_warning(spark, tmp_path, caplog):
+    """VERDICT item 3: a tombstoning commit whose recorded key bounds
+    cover ~the whole table stats envelope gets a commit-time
+    maintenance hint (bounds pruning will skip nothing); a hot-tail
+    merge stays silent. Metadata-only — no extra data reads."""
+    import logging
+
+    tp = str(tmp_path / "t")
+    write_versioned(
+        _kv(spark, 0, 1000, "a").repartition(8, "k"), tp,
+        mode="overwrite", stats_cols=["k"],
+    )
+    # hot-tail merge: keys confined to the top ~2% of the range
+    tail = _kv(spark, 980, 1000, "m").withColumn("is_del", F.lit(False))
+    with caplog.at_level(logging.WARNING, logger="data_spark.io"):
+        merge_versioned(tail, tp, keys=["k"], delete_col="is_del")
+    assert not [r for r in caplog.records if "scattered" in r.message]
+    caplog.clear()
+    # scattered merge: keys span the full range
+    scattered = (
+        spark.range(0, 1000, 97).withColumnRenamed("id", "k")
+        .withColumn("v", F.lit("s")).withColumn("is_del", F.lit(False))
+    )
+    with caplog.at_level(logging.WARNING, logger="data_spark.io"):
+        merge_versioned(scattered, tp, keys=["k"], delete_col="is_del")
+    assert [r for r in caplog.records if "scattered" in r.message]
+    caplog.clear()
+    # scattered delete too
+    with caplog.at_level(logging.WARNING, logger="data_spark.io"):
+        delete_versioned(
+            spark.range(0, 1000, 499).withColumnRenamed("id", "k"), tp
+        )
+    assert [r for r in caplog.records if "scattered" in r.message]
