@@ -2798,23 +2798,26 @@ def _tombstone_preimages(
 def _classify_merge_changes(
     removed: DataFrame, ins: DataFrame, keys: list[str]
 ) -> DataFrame:
-    """Classify a merge version's changes in ONE pass: each side is
-    grouped per key into an array of its rows, the two per-key frames
-    full-outer joined (ONE row per key per side, so duplicate keys on
-    either side — appends never enforce key uniqueness — can NOT fan
-    the join out; a naive row-level full-outer with 2 pre-image rows ×
-    1 insert would emit 2 postimages where only 1 row was written,
-    ADVICE r11), then exploded into change events: matched keys yield
-    every pre-image row as ``update_preimage`` plus every inserted row
-    as ``update_postimage``, left-only keys are matched deletes,
-    right-only keys plain inserts — exactly the multiplicities the
-    per-class semi/anti formulation produced, in one scan of the
-    overlapping files instead of four. Columns are reconciled
-    ``unionByName(allowMissingColumns=True)``-style before grouping:
-    a schema-evolving merge commit's NEW columns survive into its
-    insert/postimage rows (pre-images surface them as NULL), and a
-    commit missing a parent column surfaces NULLs instead of raising.
-    Returns the union of both sides' columns plus ``_change_type``."""
+    """Classify a merge version's changes in ONE pass and ONE shuffle:
+    pre-image rows (``removed``) and the merge's insert commit
+    (``ins``) are side-tagged, unioned, and grouped PER KEY into two
+    arrays — so duplicate keys on either side (appends never enforce
+    key uniqueness) can NOT fan anything out; a naive row-level
+    full-outer join with 2 pre-image rows × 1 insert would emit 2
+    postimages where only 1 row was written (ADVICE r11). Each key
+    then explodes into its change events: matched keys yield every
+    pre-image row as ``update_preimage`` plus every inserted row as
+    ``update_postimage``, pre-image-only keys are matched deletes,
+    insert-only keys plain inserts — exactly the multiplicities the
+    per-class semi/anti formulation produced, at 1 exchange instead of
+    that formulation's 4 scans of the overlapping files (groupBy puts
+    NULL keys in one group, matching the old eqNullSafe join).
+    Columns are reconciled ``unionByName(allowMissingColumns=True)``-
+    style before grouping: a schema-evolving merge commit's NEW
+    columns survive into its insert/postimage rows (pre-images
+    surface them as NULL), and a commit missing a parent column
+    surfaces NULLs instead of raising. Returns the union of both
+    sides' columns plus ``_change_type``."""
     r_fields = {f.name: f.dataType for f in removed.schema.fields}
     i_fields = {f.name: f.dataType for f in ins.schema.fields}
     cols = list(removed.columns) + [
@@ -2824,24 +2827,22 @@ def _classify_merge_changes(
         *[
             F.col(c) if c in r_fields else F.lit(None).cast(i_fields[c]).alias(c)
             for c in cols
-        ]
+        ],
+        F.lit(True).alias("__pre"),
     )
     ins = ins.select(
         *[
             F.col(c) if c in i_fields else F.lit(None).cast(r_fields[c]).alias(c)
             for c in cols
-        ]
+        ],
+        F.lit(False).alias("__pre"),
     )
-    r = removed.groupBy(
-        *[F.col(k).alias(f"__k_{k}") for k in keys]
-    ).agg(F.collect_list(F.struct(*cols)).alias("__rs"))
-    i = ins.groupBy(
-        *[F.col(k).alias(f"__j_{k}") for k in keys]
-    ).agg(F.collect_list(F.struct(*cols)).alias("__is"))
-    j = r.join(
-        i,
-        [r[f"__k_{k}"].eqNullSafe(i[f"__j_{k}"]) for k in keys],
-        "full_outer",
+    row = F.struct(*cols)
+    # collect_list drops NULL entries, so both sides' arrays come off
+    # the SAME single groupBy shuffle
+    g = removed.unionByName(ins).groupBy(*keys).agg(
+        F.collect_list(F.when(F.col("__pre"), row)).alias("__rs"),
+        F.collect_list(F.when(~F.col("__pre"), row)).alias("__is"),
     )
 
     def tagged(arr: Column, t: str) -> Column:
@@ -2851,16 +2852,16 @@ def _classify_merge_changes(
 
     events = (
         F.when(
-            F.col("__rs").isNotNull() & F.col("__is").isNotNull(),
+            (F.size("__rs") > 0) & (F.size("__is") > 0),
             F.concat(
                 tagged(F.col("__rs"), "update_preimage"),
                 tagged(F.col("__is"), "update_postimage"),
             ),
         )
-        .when(F.col("__rs").isNotNull(), tagged(F.col("__rs"), "delete"))
+        .when(F.size("__rs") > 0, tagged(F.col("__rs"), "delete"))
         .otherwise(tagged(F.col("__is"), "insert"))
     )
-    return j.select(F.explode(events).alias("__e")).select(
+    return g.select(F.explode(events).alias("__e")).select(
         "__e.p.*", F.col("__e.t").alias("_change_type")
     )
 

@@ -22,6 +22,7 @@ from data_spark.queries import (
     analytics8,
     analytics9,
     analytics10,
+    analytics11,
     documents,
     events,
     graphq,
@@ -58,6 +59,7 @@ _ALL_QUERIES = {
     **analytics8.QUERIES,
     **analytics9.QUERIES,
     **analytics10.QUERIES,
+    **analytics11.QUERIES,
     **matching.QUERIES,
     **mining.QUERIES,
     **quality.QUERIES,
@@ -84,91 +86,92 @@ ORACLE = {
     **analytics8.ORACLE,
     **analytics9.ORACLE,
     **analytics10.ORACLE,
+    **analytics11.ORACLE,
     **matching.ORACLE,
     **mining.ORACLE,
     **quality.ORACLE,
 }
 
-# Round-11 window (the driver records the first 50 entries; see
+# Round-12 window (the driver records the first 50 entries; see
 # WITNESS.md for the per-query ledger this ordering is derived from).
-# Composition — exactly as pre-planned in the r10 WITNESS.md / VERDICT r10:
-#   head:  the 2 queries created in r11 (never witnessed): the CDF
-#          gate (m_change_feed) and the versioned_table streaming
-#          source driven end-to-end (pipe_stream_source_e2e);
-#   then:  the 2 queries whose PLANS changed in r11 — m_merge_upsert
-#          (base now overlaps the source keys so matched-update and
-#          matched-delete actually fire, ADVICE r10) and
-#          v_bq_index_probe (sign_bit_words empty-vector guard in the
-#          encode projection);
-#   then:  w_max_drawdown, the single remaining r5 witness;
-#   then:  the 45 OLDEST r6-witnessed greens, ledger order — the 4
-#          youngest r6 rows (v_lsh_ann, v_mmr_rerank,
-#          w_analytic_battery, w_distinct_over_window) lead the r12
-#          fill. 2 + 2 + 1 + 45 = exactly 50.
+# Composition — exactly as pre-planned in the r11 WITNESS.md / VERDICT r11:
+#   head:  m_multi_prune_scan (created r11 AFTER the window froze —
+#          never driver-witnessed) and pipe_stream_cdf_e2e (created
+#          r12: the streaming change feed folded into a downstream
+#          table via foreachBatch merge);
+#   then:  the 2 r11-witnessed queries whose PLANS changed in r12 —
+#          m_change_feed (read_changes merge classification rebuilt on
+#          per-key grouped arrays + multi-column bounds pruning,
+#          ADVICE r11) and m_merge_upsert (commit-time bounds
+#          recording changed: exact dtype tokens, NaN guard, directed
+#          decimal widening);
+#   then:  the 5 remaining r6-witnessed rows (v_lsh_ann, v_mmr_rerank,
+#          w_analytic_battery, w_distinct_over_window,
+#          q12_shipmode_case);
+#   then:  the 41 OLDEST r7-witnessed greens, ledger order.
+#          2 + 2 + 5 + 41 = exactly 50.
 _PRIORITY = [
-    # --- created in r11 (never witnessed) ---
+    # --- never driver-witnessed ---
+    "m_multi_prune_scan",
+    "pipe_stream_cdf_e2e",
+    # --- plan changed in r12 (ADVICE r11 CDF/bounds fixes) ---
     "m_change_feed",
-    "pipe_stream_source_e2e",
-    # --- plan changed in r11: must be re-witnessed ---
     "m_merge_upsert",
-    "v_bq_index_probe",
-    # --- the last r5 witness (displaced from the r10 window) ---
-    "w_max_drawdown",
-    # --- oldest r6-witnessed greens, ledger order (45 of 49) ---
-    "a_salted_skew_agg",
-    "d_bpe_tokens",
-    "d_contamination",
-    "d_curation_e2e",
-    "d_dedup_exact",
-    "d_dedup_resolve",
-    "d_embed_near_dup_lsh",
-    "d_fingerprint",
-    "d_lang_id",
-    "d_minhash_lsh",
-    "d_ngram_jaccard",
-    "d_pack_sequences",
-    "d_pii_redact",
-    "d_quality",
-    "d_quality_classifier",
-    "d_repetition",
-    "d_source_quota",
-    "d_split_assign",
-    "d_token_stats",
-    "d_top_terms",
-    "e_cusum_changepoint",
-    "e_gap_fill_ffill",
-    "e_rollup_hierarchy",
-    "e_session_window_native",
-    "e_sessionize",
-    "g_hits",
-    "g_pagerank",
-    "g_ppr_personalized",
-    "g_resource_alloc",
-    "j_salted_skew_join",
-    "m_scd2_history",
-    "m_schema_evolution",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "pipe_incremental_e2e",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q20_heavy_suppliers",
-    "q21_lone_returned_supplier",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "v_hamming_topk",
-    # ---- window boundary (driver records the 50 above). r12 plan:
-    #     m_multi_prune_scan (created r11 after the window froze,
-    #     locally green at 3 SFs + shuffle=7) and any new/changed r12
-    #     gates at the head (candidate: a streaming change-feed gate
-    #     over versioned_table read_changes=true, currently
-    #     pytest-gated), then the remaining 4 r6-witnessed rows
-    #     (v_lsh_ann, v_mmr_rerank, w_analytic_battery,
-    #     w_distinct_over_window), then the oldest r7 block in ledger
-    #     order (see WITNESS.md). ----
+    # --- last r6-witnessed greens ---
+    "v_lsh_ann",
+    "v_mmr_rerank",
+    "w_analytic_battery",
+    "w_distinct_over_window",
+    "q12_shipmode_case",
+    # --- oldest r7-witnessed greens, ledger order (41 of 50) ---
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "p_compound_filter",
+    "u_union_pad_distinct",
+    "u_distinct_master",
+    "q4_order_priority",
+    "q14_promo_share",
+    "q16_brand_supplier_cnt",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_idle_customers",
+    "q19_disjunctive_join",
+    "q7_nation_volume",
+    "u_unpivot_metrics",
+    "f_map_struct_json",
+    "f_array_battery",
+    "a_histogram_fixed_bins",
+    "a_median_per_group",
+    "s_relational_division",
+    "e_funnel_3step",
+    "e_retention_cohorts",
+    "e_interval_merge",
+    "e_asof_tolerance",
+    "d_bigram_lm",
+    "v_cosine_topk",
+    "v_ivf_topk",
+    "d_embed_near_dup",
+    "j_suffix_containment",
+    "g_triangles",
+    "g_clustering_coeff",
+    "g_mis_luby",
+    "e_m4_downsample",
+    "a_ks_two_sample",
+    "a_mann_whitney_u",
+    "g_modularity",
+    "d_perplexity_filter",
+    "d_cdc_chunking",
+    "d_curation_ppl_e2e",
+    # ---- window boundary (driver records the 50 above). r13 plan:
+    #     any new/changed r13 gates at the head, then the 9 remaining
+    #     r7-witnessed rows (d_shard_assign, pipe_stream_drift_e2e,
+    #     d_chunk_dedup_rewrite, a_bootstrap_ci, a_hll_sliding_7d,
+    #     d_weighted_jaccard, pipe_stream_mg_e2e, a_welch_t,
+    #     dq_langid_eval), then the oldest r8 block in ledger order
+    #     (see WITNESS.md). ----
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -297,14 +297,20 @@ EXCHANGE_BUDGET = {
     "v_bq_index_probe": 6,
     # --- r11 tier ---
     # 3-version feed: append insert scan, merge reconstructed by ONE
-    # pruned pre-image semi-join + full-outer/explode classification
-    # (the per-class semi/anti form was 22 exchanges), delete served
-    # from its commit-time stored change files (zero joins)
-    "m_change_feed": 4,
+    # pruned pre-image semi-join + the single-shuffle union/groupBy
+    # classification (the per-class semi/anti form was 22 exchanges,
+    # the r11 full-outer form 4), delete served from its commit-time
+    # stored change files (zero joins)
+    "m_change_feed": 3,
     # the returned frame is one groupBy over the drained sink
     "pipe_stream_source_e2e": 2,
     # pruned 2-d scan + status groupBy
     "m_multi_prune_scan": 1,
+    # --- r12 tier ---
+    # the returned frame is the downstream merge-on-read scan: 4
+    # per-tombstone-scope anti-join groups + final union (fixed by the
+    # gate's version count, not by data volume)
+    "pipe_stream_cdf_e2e": 8,
 }
 
 
