@@ -2387,6 +2387,207 @@ def last_committed_batch_id(table_path: str) -> int | None:
     return max(ids) if ids else None
 
 
+_SQL_TOKEN_RE = __import__("re").compile(
+    r"""\s*(?:
+      (?P<str>'(?:[^']|'')*')
+    | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><>|!=|>=|<=|==|=|<|>)
+    | (?P<punct>[(),])
+    | (?P<arith>[%*/+\-.])
+    )""",
+    __import__("re").X,
+)
+
+
+def _sql_tokens(s: str) -> list | None:
+    """Tokenize an ANSI boolean predicate into (kind, value) pairs;
+    None when anything unrecognized appears (the caller then derives
+    no prune and relies on the residual filter alone)."""
+    out, pos = [], 0
+    while pos < len(s):
+        m = _SQL_TOKEN_RE.match(s, pos)
+        if m is None:
+            return None if s[pos:].strip() else out
+        pos = m.end()
+        for kind in ("str", "num", "ident", "op", "punct", "arith"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+def _split_conjuncts(toks: list) -> list[list]:
+    """Split a token list on top-level ``AND`` — parenthesized groups
+    stay whole, and the ``AND`` inside a top-level ``BETWEEN .. AND ..``
+    belongs to the BETWEEN, not the conjunction."""
+    out, cur, depth, between_pending = [], [], 0, 0
+    for t in toks:
+        kind, v = t
+        if kind == "punct" and v == "(":
+            depth += 1
+        elif kind == "punct" and v == ")":
+            depth -= 1
+        elif kind == "ident" and depth == 0:
+            u = v.upper()
+            if u == "BETWEEN":
+                between_pending += 1
+            elif u == "AND":
+                if between_pending:
+                    between_pending -= 1
+                else:
+                    out.append(cur)
+                    cur = []
+                    continue
+        cur.append(t)
+    out.append(cur)
+    return out
+
+
+def _sql_literal(toks: list):
+    """Parse a leading literal; returns (python value, tokens consumed)
+    or None. ``DATE '...'`` / ``TIMESTAMP '...'`` yield the ISO string,
+    which orders lexicographically like the recorded stats do."""
+    if not toks:
+        return None
+    kind, v = toks[0]
+    if kind == "num":
+        f = float(v)
+        return (int(v) if f.is_integer() and "." not in v and "e" not in v.lower() else f, 1)
+    if kind == "str":
+        return (v[1:-1].replace("''", "'"), 1)
+    if (
+        kind == "ident"
+        and v.upper() in ("DATE", "TIMESTAMP")
+        and len(toks) > 1
+        and toks[1][0] == "str"
+    ):
+        return (toks[1][1][1:-1].replace("''", "'"), 2)
+    return None
+
+
+def _conjunct_triples(c: list) -> list[tuple]:
+    """Prune triples derivable from ONE conjunct — a simple
+    single-column range/equality/BETWEEN/IN comparison against
+    literals; anything else (OR, NOT, arithmetic, function calls, IS
+    NULL, subqueries) derives nothing and is handled by the residual
+    filter alone. Strict bounds relax to inclusive ones (file skipping
+    needs only a superset of the matching files)."""
+    # a fully-parenthesized group may itself be a conjunction
+    while (
+        len(c) >= 2
+        and c[0] == ("punct", "(")
+        and c[-1] == ("punct", ")")
+    ):
+        depth = 0
+        for i, t in enumerate(c):
+            if t == ("punct", "("):
+                depth += 1
+            elif t == ("punct", ")"):
+                depth -= 1
+                if depth == 0 and i < len(c) - 1:
+                    break  # the leading paren closes early: not a shell
+        else:
+            c = c[1:-1]
+            subs = _split_conjuncts(c)
+            if len(subs) > 1:
+                return [t for s in subs for t in _conjunct_triples(s)]
+            continue
+        break
+    if any(
+        k == "ident" and v.upper() in ("OR", "NOT", "IS", "LIKE", "RLIKE")
+        for k, v in c
+    ):
+        return []
+    # col op literal
+    if len(c) >= 3 and c[0][0] == "ident" and c[1][0] == "op":
+        lit = _sql_literal(c[2:])
+        if lit is not None and 2 + lit[1] == len(c):
+            col, op, v = c[0][1], c[1][1], lit[0]
+            if op in ("=", "=="):
+                return [(col, v, v)]
+            if op in (">=", ">"):
+                return [(col, v, None)]
+            if op in ("<=", "<"):
+                return [(col, None, v)]
+            return []
+    # literal op col (flipped)
+    lit = _sql_literal(c)
+    if (
+        lit is not None
+        and len(c) == lit[1] + 2
+        and c[lit[1]][0] == "op"
+        and c[lit[1] + 1][0] == "ident"
+    ):
+        v, op, col = lit[0], c[lit[1]][1], c[lit[1] + 1][1]
+        if op in ("=", "=="):
+            return [(col, v, v)]
+        if op in (">=", ">"):
+            return [(col, None, v)]
+        if op in ("<=", "<"):
+            return [(col, v, None)]
+        return []
+    # col BETWEEN lit AND lit
+    if (
+        len(c) >= 5
+        and c[0][0] == "ident"
+        and c[1][0] == "ident"
+        and c[1][1].upper() == "BETWEEN"
+    ):
+        lo = _sql_literal(c[2:])
+        if lo is not None:
+            i = 2 + lo[1]
+            if i < len(c) and c[i][0] == "ident" and c[i][1].upper() == "AND":
+                hi = _sql_literal(c[i + 1 :])
+                if hi is not None and i + 1 + hi[1] == len(c):
+                    return [(c[0][1], lo[0], hi[0])]
+        return []
+    # col IN (lit, lit, ...)
+    if (
+        len(c) >= 5
+        and c[0][0] == "ident"
+        and c[1][0] == "ident"
+        and c[1][1].upper() == "IN"
+        and c[2] == ("punct", "(")
+        and c[-1] == ("punct", ")")
+    ):
+        vals, i = [], 3
+        while i < len(c) - 1:
+            lit = _sql_literal(c[i:])
+            if lit is None:
+                return []
+            vals.append(lit[0])
+            i += lit[1]
+            if i < len(c) - 1:
+                if c[i] != ("punct", ","):
+                    return []
+                i += 1
+        kinds = {type(v) in (int, float) for v in vals}
+        if vals and len(kinds) == 1:
+            try:
+                return [(c[0][1], min(vals), max(vals))]
+            except TypeError:
+                return []
+    return []
+
+
+def _derive_prune_triples(where: str) -> list[tuple]:
+    """Derive manifest-stats prune ranges from a SQL predicate's
+    top-level conjuncts — the ergonomic path to file skipping: callers
+    state the query's own filter once (``read_versioned(...,
+    where=...)``) instead of hand-computing ``prune`` triples. Purely
+    advisory: every derived range is a SUPERSET condition of its
+    conjunct, the full predicate is always re-applied as a residual
+    filter, and a conjunct this parser does not understand simply
+    derives nothing — so the answer can never depend on what was
+    derived, only the set of files opened can."""
+    toks = _sql_tokens(where)
+    if not toks:
+        return []
+    return [t for c in _split_conjuncts(toks) for t in _conjunct_triples(c)]
+
+
 def read_versioned(
     spark: SparkSession,
     table_path: str,
@@ -2395,6 +2596,7 @@ def read_versioned(
     prune: tuple | list | None = None,
     branch: str = "main",
     as_of: float | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just resolving that version's manifest to its commit
@@ -2434,8 +2636,38 @@ def read_versioned(
     pruning, and Spark's own partition pruning applies to any residual
     or caller filter on the spec columns — partition-spec evolution
     without rewriting history (each commit keeps the layout it was
-    written under)."""
+    written under).
+
+    ``where``: an ANSI boolean predicate applied as a filter AND mined
+    for prune ranges (:func:`_derive_prune_triples`) — simple
+    range/equality/BETWEEN/IN conjuncts on stats-tracked columns skip
+    files exactly as explicit ``prune`` triples do, without the caller
+    computing them. The full predicate always re-applies on the scan
+    (answer-invariance by construction: derivation only widens the set
+    of files opened, never the rows returned); non-derivable conjuncts
+    (OR, expressions, functions) just don't prune. The ergonomic path
+    to manifest file skipping at 100 TB: state the query's filter once."""
     import json
+
+    if where is not None:
+        derived = _derive_prune_triples(where)
+        if derived:
+            base = (
+                [tuple(p) for p in prune]
+                if isinstance(prune, list)
+                else [tuple(prune)] if prune is not None else []
+            )
+            prune = base + derived
+        inner = read_versioned(
+            spark,
+            table_path,
+            version=version,
+            merge_schema=merge_schema,
+            prune=prune,
+            branch=branch,
+            as_of=as_of,
+        )
+        return inner.filter(F.expr(where))
 
     versions = table_versions(table_path)
     if not versions:

@@ -306,15 +306,18 @@ GROUP BY o_orderstatus
 
 @_q("m_multi_prune_scan", _MPS_SQL)
 def m_multi_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-column file skipping: a 2-d range probe of a versioned
-    table z-ordered on (o_custkey, o_orderkey) reads through
-    ``read_versioned(prune=[(x...), (y...)])`` — both ranges prune
-    against the per-file manifest stats the OPTIMIZE recorded, and
-    both stay as residual filters so pruning is answer-invariant.
-    In-gate asserts that the 2-d prune opens no more files than the
-    x-only prune and (when the layout has enough files to show it)
-    strictly fewer than the full scan — the property multi-column
-    Z-order stats exist for. Oracle: the plain 2-d filter aggregate."""
+    """Multi-column file skipping from the query's OWN filter: a 2-d
+    range probe of a versioned table z-ordered on (o_custkey,
+    o_orderkey) reads through ``read_versioned(where=...)`` — the
+    predicate string is both the filter AND the prune source
+    (``_derive_prune_triples`` mines its BETWEEN conjuncts into
+    manifest-stats ranges), so callers never hand-compute prune
+    triples; the full predicate re-applies on the scan, making the
+    derivation answer-invariant by construction. In-gate asserts that
+    the 2-d ``where`` opens no more files than the x-only one and
+    (when the layout has enough files to show it) strictly fewer than
+    the full scan — the property multi-column Z-order stats exist for.
+    Oracle: the plain 2-d filter aggregate."""
     from data_spark.io import (  # noqa: PLC0415
         optimize_versioned,
         read_versioned,
@@ -333,11 +336,11 @@ def m_multi_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_file_bytes=64_000,
     )
 
-    px = ("o_custkey", _MPS_X_LO, _MPS_X_HI)
-    py = ("o_orderkey", _MPS_Y_LO, _MPS_Y_HI)
+    wx = f"o_custkey BETWEEN {_MPS_X_LO} AND {_MPS_X_HI}"
+    wy = f"o_orderkey BETWEEN {_MPS_Y_LO} AND {_MPS_Y_HI}"
     full = read_versioned(spark, base_dir)
-    x_only = read_versioned(spark, base_dir, prune=px)
-    both = read_versioned(spark, base_dir, prune=[px, py])
+    x_only = read_versioned(spark, base_dir, where=wx)
+    both = read_versioned(spark, base_dir, where=f"{wx} AND {wy}")
     n_full = len(full.inputFiles())
     n_x, n_b = len(x_only.inputFiles()), len(both.inputFiles())
     if not (n_b <= n_x <= n_full):
