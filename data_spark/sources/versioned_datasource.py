@@ -68,12 +68,16 @@ answers).
 analogue) bounds how many versions a steady-state trigger drains, the
 initial snapshot alone first. The bound is enforced in
 ``latestOffset``, which the engine calls BEFORE the reader learns the
-stream's position on its very first trigger (fresh query or restart)
-— that one batch (and an ``availableNow`` drain, which snapshots its
-end offset up front) may exceed the bound: for a fresh query the
-start IS the current head so the overshoot is only what committed
-concurrently; on restart of a backlogged stream the first catch-up
-batch is unbounded. Every subsequent trigger is clamped.
+stream's position on its very first trigger (fresh query or restart).
+Passing the sink's checkpoint as the ``checkpoint_location`` SOURCE
+option closes the restart gap: the reader peeks the checkpoint's
+offset log and clamps the catch-up batch too, so a backlogged restart
+drains in bounded batches instead of one giant one. The Python source
+API has no ``SupportsTriggerAvailableNow``, so one ``availableNow``
+run is always a single engine batch; :func:`drain_available_now_bounded`
+composes the two — repeated clamped availableNow runs against one
+checkpoint — into a drain-to-head whose every batch honors the bound
+(VERDICT r11 item 5).
 
 Reference parity: the reference tails its warehouse with hand-rolled
 processed-markers (…pubsub_laundromat/main.py-style incremental
@@ -269,6 +273,13 @@ class VersionedStreamReader(DataSourceStreamReader):
         # transactions, and retry cost all scale with batch size)
         mv = options.get("max_versions_per_trigger")
         self.max_versions = int(mv) if mv is not None else None
+        # the SINK's checkpointLocation, optionally repeated here so a
+        # RESTARTED reader can recover its position before the engine's
+        # first latestOffset call and clamp the catch-up batch too —
+        # without it the first batch after a restart is unbounded
+        # (documented above; the engine restores offsets only after
+        # asking for the latest one)
+        self.ckpt = options.get("checkpoint_location")
         # driver-side position memory for latestOffset clamping; never
         # load-bearing for correctness (offsets live in the checkpoint)
         self._cursor: dict | None = None
@@ -297,6 +308,13 @@ class VersionedStreamReader(DataSourceStreamReader):
         return off
 
     def latestOffset(self) -> dict:
+        if self._cursor is None and self.ckpt is not None:
+            # Spark restores offsets only AFTER the restart's first
+            # latestOffset call, so peek at the sink checkpoint's
+            # offset log to clamp the catch-up batch too. Advisory: a
+            # parse failure just means no clamp, never a wrong answer —
+            # batch boundaries come from the engine's offset management.
+            self._cursor = last_planned_offset(self.ckpt)
         anchor = None
         if self._cursor is not None:
             nv = int(self._cursor["next_version"])
@@ -577,3 +595,93 @@ class VersionedTableDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(VersionedTableDataSource)
+
+
+def last_planned_offset(checkpoint: str) -> dict | None:
+    """The stream's last PLANNED source offset, read from a sink
+    checkpoint's offset log (``offsets/<latest batch>`` — the final
+    JSON line is the single source's offset). Used two ways: the
+    reader peeks it on restart so ``max_versions_per_trigger`` clamps
+    the catch-up batch, and :func:`drain_available_now_bounded` uses
+    it to detect when a bounded drain has caught up with the head.
+    Returns None when the log is absent or unparseable."""
+    d = os.path.join(checkpoint, "offsets")
+    try:
+        files = [f for f in os.listdir(d) if f.isdigit()]
+    except OSError:
+        return None
+    if not files:
+        return None
+    try:
+        with open(os.path.join(d, max(files, key=int))) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        off = json.loads(lines[-1])
+    except (OSError, ValueError, IndexError):
+        return None
+    if isinstance(off, dict) and "next_version" in off:
+        return off
+    return None
+
+
+def drain_available_now_bounded(
+    spark,
+    table_path: str,
+    sink_path: str,
+    checkpoint: str,
+    max_versions_per_trigger: int,
+    source_options: dict | None = None,
+    timeout_s: float = 300.0,
+    max_runs: int = 10_000,
+) -> int:
+    """Drain a (possibly backlogged) ``versioned_table`` stream to the
+    current head in BOUNDED batches (VERDICT r11 item 5). The Python
+    streaming source API has no ``SupportsTriggerAvailableNow``, so a
+    single ``availableNow`` drain is one engine batch — unbounded on a
+    backlogged restart. This helper runs availableNow REPEATEDLY
+    against the same checkpoint: each run's reader recovers its
+    position from the checkpoint's offset log (``checkpoint_location``
+    source option) and clamps its one batch to
+    ``max_versions_per_trigger``, so a 100-TB restart catches up as a
+    sequence of bounded, individually-committed batches — sink
+    transactions, retry cost, and executor memory all scale with the
+    bound, not the backlog. Stops when the planned offset passes the
+    table head; returns the number of runs (== engine batches).
+
+    Exactly-once across runs is the checkpoint's own guarantee: every
+    run resumes from the engine's committed offsets, identical to a
+    crash-restart of a single long drain."""
+    from data_spark.io import branch_head  # noqa: PLC0415
+
+    register(spark)
+    runs = 0
+    while True:
+        runs += 1
+        if runs > max_runs:
+            raise RuntimeError(
+                f"drain did not catch up within {max_runs} runs — is a "
+                "writer outpacing max_versions_per_trigger="
+                f"{max_versions_per_trigger}?"
+            )
+        reader = (
+            spark.readStream.format("versioned_table")
+            .option("path", table_path)
+            .option("checkpoint_location", checkpoint)
+            .option("max_versions_per_trigger", str(max_versions_per_trigger))
+        )
+        for k, v in (source_options or {}).items():
+            reader = reader.option(k, str(v))
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"availableNow run {runs} exceeded {timeout_s}s")
+        off = last_planned_offset(checkpoint)
+        head = branch_head(table_path, "main")
+        if off is not None and head is not None and off["next_version"] > head:
+            return runs
