@@ -3049,7 +3049,14 @@ def _classify_merge_changes(
     columns survive into its insert/postimage rows (pre-images
     surface them as NULL), and a commit missing a parent column
     surfaces NULLs instead of raising. Returns the union of both
-    sides' columns plus ``_change_type``."""
+    sides' columns plus ``_change_type``.
+
+    Memory posture: the per-key arrays hold the key's OWN rows only, so
+    buffer size is bounded by rows-per-key — the same boundedness MERGE
+    last-writer-wins semantics already assumes of its source; a table
+    whose single key holds millions of duplicate appended rows would
+    need the per-class semi/anti formulation back (never materializes
+    a key's rows together), at 4× the scan cost."""
     r_fields = {f.name: f.dataType for f in removed.schema.fields}
     i_fields = {f.name: f.dataType for f in ins.schema.fields}
     cols = list(removed.columns) + [

@@ -1022,7 +1022,150 @@ def stream_source_mode(sizes: list[int] | None = None) -> None:
     )
 
 
+def bounded_drain_mode(sizes: list[int] | None = None, backlog: int = 20, bound: int = 5) -> None:
+    """VERDICT r11 #5: a backlogged ``versioned_table`` stream must
+    catch up in BOUNDED batches whose cost scales with the bound, not
+    the backlog. Build the same ``backlog``-version pile at two
+    per-version row sizes, drain with
+    ``drain_available_now_bounded(max_versions_per_trigger=bound)``,
+    and record runs (== engine batches, expected ceil(backlog/bound)
+    + snapshot + the catch-up discovery run), per-run wall times, and
+    row-exactness vs the table. Per-run time must track rows-per-batch
+    (bound × version size), staying ~flat as the BACKLOG grows only in
+    version count."""
+    import shutil
+    import tempfile
+
+    from data_spark.io import read_versioned, write_versioned
+    from data_spark.sources.versioned_datasource import drain_available_now_bounded
+
+    sizes = sizes or [2_000, 20_000]
+    spark = get_spark("scale_probe_bdrain")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for per_version in sizes:
+        work = tempfile.mkdtemp(prefix="bdrain_probe_")
+        tp, sink, ckpt = (os.path.join(work, d) for d in ("t", "s", "c"))
+        mk = lambda lo: spark.range(lo, lo + per_version).select(  # noqa: E731
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("c"),
+        )
+        write_versioned(mk(0), tp, mode="overwrite")
+        # snapshot drain first, THEN the backlog accumulates
+        start = time.perf_counter()
+        runs0 = drain_available_now_bounded(
+            spark, tp, sink, ckpt, max_versions_per_trigger=bound
+        )
+        t_snapshot = time.perf_counter() - start
+        for i in range(backlog):
+            write_versioned(mk((i + 1) * per_version), tp, mode="append")
+        start = time.perf_counter()
+        runs = drain_available_now_bounded(
+            spark, tp, sink, ckpt, max_versions_per_trigger=bound
+        )
+        t_catchup = time.perf_counter() - start
+        got = spark.read.parquet(sink).count()
+        want = read_versioned(spark, tp).count()
+        point = {
+            "rows_per_version": per_version,
+            "backlog_versions": backlog,
+            "bound": bound,
+            "snapshot_runs": runs0,
+            "snapshot_s": round(t_snapshot, 2),
+            "catchup_runs": runs,
+            "catchup_s": round(t_catchup, 2),
+            "s_per_run": round(t_catchup / runs, 2),
+            "rows_exact": got == want,
+        }
+        results.append(point)
+        print(f"bounded_drain: {point}", file=sys.stderr, flush=True)
+        shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "mode": "bounded_drain",
+                "results": results,
+                "per_run_ratio_10x_rows": round(
+                    results[-1]["s_per_run"] / max(results[0]["s_per_run"], 1e-3),
+                    2,
+                ),
+            }
+        )
+    )
+
+
+def where_derive_mode() -> None:
+    """VERDICT r11 #4: ``read_versioned(where=...)`` must make file
+    skipping free at the call site — derivation cost is driver-side
+    METADATA work (a predicate-string parse + the same Python overlap
+    test explicit prune pays), so it must be microseconds and
+    independent of table size, while the files actually opened shrink
+    to the probed envelope."""
+    import shutil
+    import tempfile
+
+    from data_spark.io import _derive_prune_triples, read_versioned, write_versioned
+
+    # parse throughput on a realistic compound predicate
+    pred = (
+        "o_custkey BETWEEN 100 AND 400 AND o_orderkey >= 500 AND "
+        "o_orderkey < 4000 AND o_orderstatus = 'F' AND o_clerk LIKE 'c%'"
+    )
+    n_parse = 5_000
+    start = time.perf_counter()
+    for _ in range(n_parse):
+        _derive_prune_triples(pred)
+    parse_us = (time.perf_counter() - start) / n_parse * 1e6
+
+    spark = get_spark("scale_probe_wderive")
+    spark.sparkContext.setLogLevel("ERROR")
+    points = []
+    for n in (100_000, 1_000_000):
+        work = tempfile.mkdtemp(prefix="wderive_probe_")
+        tp = os.path.join(work, "t")
+        df = (
+            spark.range(n)
+            .select(F.col("id").alias("k"), (F.col("id") % 97).alias("x"))
+            .repartitionByRange(32, "k")
+            .sortWithinPartitions("k")
+        )
+        write_versioned(df, tp, mode="overwrite", stats_cols=["k"])
+        full = len(read_versioned(spark, tp).inputFiles())
+        start = time.perf_counter()
+        pruned_df = read_versioned(
+            spark, tp, where=f"k BETWEEN {n // 2} AND {n // 2 + n // 50} AND x >= 0"
+        )
+        t_plan = time.perf_counter() - start
+        pruned = len(pruned_df.inputFiles())
+        points.append(
+            {
+                "n": n,
+                "files_full": full,
+                "files_pruned": pruned,
+                "plan_s": round(t_plan, 4),
+            }
+        )
+        print(f"where_derive: {points[-1]}", file=sys.stderr, flush=True)
+        shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "mode": "where_derive",
+                "parse_us_per_predicate": round(parse_us, 1),
+                "results": points,
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "bounded_drain":
+        args = [int(x) for x in sys.argv[2:]]
+        bounded_drain_mode(args or None)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "where_derive":
+        where_derive_mode()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "rewrite":
         rewrite_mode([int(x) for x in sys.argv[2:]] or [1_000, 10_000, 100_000])
         return
