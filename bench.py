@@ -244,6 +244,9 @@ HEADLINE = [
     "m_change_feed",  # append -> merge -> delete feed vs SQL reconstruction
     "pipe_stream_source_e2e",  # snapshot+appends+merge-inserts via the source
     "m_multi_prune_scan",  # 2-d stats pruning on a two-column z-ordered table
+    # r12 addition: the streaming change feed folded into a downstream
+    # table (foreachBatch merge per commit version)
+    "pipe_stream_cdf_e2e",
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -15,6 +15,7 @@ import errno
 import logging
 import math
 import os
+import re
 import shutil
 import time
 import uuid
@@ -2387,7 +2388,7 @@ def last_committed_batch_id(table_path: str) -> int | None:
     return max(ids) if ids else None
 
 
-_SQL_TOKEN_RE = __import__("re").compile(
+_SQL_TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<str>'(?:[^']|'')*')
     | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
@@ -2396,7 +2397,7 @@ _SQL_TOKEN_RE = __import__("re").compile(
     | (?P<punct>[(),])
     | (?P<arith>[%*/+\-.])
     )""",
-    __import__("re").X,
+    re.X,
 )
 
 
