@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import decimal
 import errno
+import functools
 import logging
 import math
 import os
@@ -1233,7 +1234,7 @@ def publish_branch(
             "mode": f"publish-{branch}@{bh}",
             "commits": src["commits"],
         }
-        for k in ("deletes", "stats", "specs", "zorder"):
+        for k in ("deletes", "stats", "specs", "zorder", "bloom"):
             if src.get(k):
                 manifest[k] = src[k]
         if _publish_manifest(table_path, new_v, manifest):
@@ -1569,6 +1570,256 @@ def _check_append_schema(
         )
 
 
+# Above this many DISTINCT tombstoned keys the bloom probe is skipped
+# and pre-image recovery falls back to bounds pruning / full scan. The
+# cap is principled, not a resource dodge: the probe costs
+# O(keys x candidate files) bit tests, and bloom pruning only WINS when
+# the key set is small relative to the table's per-file key density —
+# with this many scattered keys nearly every file genuinely contains a
+# match, so membership pruning could not skip much even if computed.
+_BLOOM_PROBE_MAX_KEYS = 65536
+
+
+def _commit_bloom_path(table_path: str, commit_dir: str) -> str:
+    return os.path.join(table_path, "blooms", commit_dir)
+
+
+def _strip_file_scheme(col: Column) -> Column:
+    # `file:///x` and `file:/x` both normalize to `/x`, matching the
+    # driver-side normalization in _collect_commit_stats
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _build_commit_bloom(
+    spark: SparkSession,
+    table_path: str,
+    commit_dir: str,
+    cfg: dict,
+    spec: dict | None = None,
+) -> bool:
+    """Per-FILE key bloom for one commit directory — MEMBERSHIP data
+    skipping on the table's key tuple, the complement of the min/max
+    manifest stats: after enough scattered writes every file's [min,
+    max] envelope spans the whole key domain and bounds pruning skips
+    nothing, but a bloom still answers "can file F contain key K?"
+    per file (Delta/Iceberg's bloom-filter data-skipping idea, held as
+    table metadata instead of parquet footers so no footer is opened
+    for a skipped file).
+
+    One O(commit) aggregate at write time: each row's key tuple
+    (``cfg["cols"]``, hashed as ONE struct so multi-column keys probe
+    as a unit) contributes k bit positions, folded per (file, 64-bit
+    word) with ``bit_or`` — the output is ``files x bits/64`` one-long
+    rows under ``blooms/<commit_dir>/``, metadata-sized at any table
+    size. File paths are stored RELATIVE to the commit dir, so the
+    lost-race rename of a commit (and its bloom dir alongside) never
+    invalidates the rows. Rows with a NULL in any key column set no
+    bits (the probe bails out when the tombstone holds NULL keys, so
+    null-key matches can never be pruned away). Returns False — and
+    builds nothing — when the commit's key dtypes differ from the
+    convention the table recorded at bloom setup: a probe hashed under
+    different dtypes would silently miss files (xxhash64 hashes by
+    type as well as value), and an absent bloom is merely unpruned,
+    never wrong."""
+    commit_path = os.path.join(table_path, "data", commit_dir)
+    if spec:
+        df = _read_spec_commit(spark, [commit_path], spec)
+    else:
+        df = spark.read.parquet(commit_path)
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if any(have.get(c) != dt for c, dt in cfg["dtypes"].items()):
+        return False
+    cols, bits, k = cfg["cols"], cfg["bits"], cfg["k"]
+    prefix = os.path.abspath(commit_path) + os.sep
+    key = F.struct(*[F.col(c) for c in cols])
+    pos = (
+        df.filter(
+            ~functools.reduce(
+                lambda a, b: a | b, [F.col(c).isNull() for c in cols]
+            )
+        )
+        .select(
+            F.substring(
+                _strip_file_scheme(F.col("_metadata.file_path")),
+                len(prefix) + 1,
+                1 << 20,
+            ).alias("file"),
+            F.explode(F.array(*_bloom_positions(key, bits, k))).alias("pos"),
+        )
+    )
+    (
+        pos.select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("m").alias("word"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_commit_bloom_path(table_path, commit_dir))
+    )
+    return True
+
+
+def _bloom_cfg(
+    parent_manifest: dict | None, bloom_cols: list[str] | None, df: DataFrame
+) -> dict | None:
+    """Resolve the bloom convention a new commit should build under:
+    an explicit ``bloom_cols`` starts (or restates) the table's
+    convention with dtypes pinned from ``df``; otherwise the parent
+    manifest's convention is inherited — the stats-columns inheritance
+    discipline, so a MERGE-maintained table keeps membership pruning
+    on every commit. None = table doesn't maintain blooms."""
+    if bloom_cols:
+        return {
+            "cols": list(bloom_cols),
+            "bits": _BLOOM_BITS,
+            "k": _BLOOM_K,
+            "hash_version": _BLOOM_HASH_VERSION,
+            "dtypes": {
+                c: df.schema[c].dataType.simpleString() for c in bloom_cols
+            },
+            "dirs": [],
+        }
+    pb = (parent_manifest or {}).get("bloom")
+    if pb:
+        return {**pb, "dirs": list(pb.get("dirs", []))}
+    return None
+
+
+def _bloom_convention(cfg: dict) -> tuple:
+    """The build/probe-compatibility identity of a bloom config —
+    everything except ``dirs``. Two configs with equal conventions can
+    share one manifest's ``dirs`` list; unequal ones cannot (a probe
+    under one would silently miss files built under the other)."""
+    return (
+        list(cfg["cols"]),
+        cfg["bits"],
+        cfg["k"],
+        cfg["hash_version"],
+        dict(cfg["dtypes"]),
+    )
+
+
+def _bloom_manifest_entry(
+    cfg: dict, commits: list[str], built: list[str]
+) -> dict:
+    """The child manifest's ``bloom`` field: the convention with
+    ``dirs`` restricted to commit dirs still visible plus the dirs
+    this write just built — a commit dropped from the manifest (purge,
+    compact) silently drops its bloom reference too (vacuum reclaims
+    the files)."""
+    visible = set(commits)
+    dirs = [d for d in cfg.get("dirs", []) if d in visible]
+    dirs += [d for d in built if d not in dirs]
+    return {**cfg, "dirs": dirs}
+
+
+def _bloom_keep_files(
+    spark: SparkSession,
+    table_path: str,
+    manifest: dict,
+    tomb: DataFrame,
+) -> dict[str, set[str]] | None:
+    """Membership file pruning for tombstone pre-image recovery: which
+    files of which bloom-covered commits MIGHT contain any tombstoned
+    key. Returns ``{commit_dir: {relative file, ...}}`` for exactly the
+    commits in the manifest's ``bloom.dirs`` (commits without a bloom
+    are absent — read fully), or None when the probe cannot run soundly
+    (no bloom config, hash-convention drift, NULL keys, dtype casts
+    that lose values, or a key set past ``_BLOOM_PROBE_MAX_KEYS``).
+
+    Soundness: blooms have no false negatives under the recorded
+    convention, and the caller's key semi-join is the row-level
+    residual — pruning changes which files OPEN, never which rows
+    match. Probe cost: the distinct keys' (word, mask) requirement
+    lists broadcast against ``files x bits/64`` bloom rows aggregated
+    to one map row per file — O(keys x candidate files) vectorized bit
+    tests with both factors bounded (keys by the cap, files by bounds
+    pruning having already run at stats level on the same manifest)."""
+    cfg = manifest.get("bloom")
+    if not cfg or cfg.get("hash_version") != _BLOOM_HASH_VERSION:
+        return None
+    cols = cfg["cols"]
+    if not set(cols) <= set(tomb.columns):
+        return None
+    dirs = [d for d in cfg.get("dirs", []) if d in set(manifest["commits"])]
+    dirs = [
+        d for d in dirs if os.path.isdir(_commit_bloom_path(table_path, d))
+    ]
+    if not dirs:
+        return None
+    bits, k = cfg["bits"], cfg["k"]
+    probe = tomb.select(
+        *[F.col(c).cast(cfg["dtypes"][c]).alias(c) for c in cols],
+        *[F.col(c).isNull().alias(f"__wasnull_{c}") for c in cols],
+    )
+    # NULL keys (eqNullSafe can match stored NULL rows, which set no
+    # bits) and value-losing casts (probe would hash a different value
+    # than the build did) both make pruning unsound -> bail
+    bad = probe.filter(
+        functools.reduce(
+            lambda a, b: a | b,
+            [
+                F.col(c).isNull() | F.col(f"__wasnull_{c}")
+                for c in cols
+            ],
+        )
+    ).limit(1)
+    if bad.count() > 0:
+        return None
+    keys = probe.select(*cols).dropDuplicates()
+    n_keys = keys.count()
+    if n_keys == 0 or n_keys > _BLOOM_PROBE_MAX_KEYS:
+        return None
+    key = F.struct(*[F.col(c) for c in cols])
+    req = (
+        keys.select(
+            key.alias("__key"),
+            F.explode(F.array(*_bloom_positions(key, bits, k))).alias("pos"),
+        )
+        .select(
+            "__key",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("__key")
+        .agg(F.collect_list(F.struct("w", "m")).alias("req"))
+        .select("req")
+    )
+    blooms = (
+        spark.read.parquet(*[_commit_bloom_path(table_path, d) for d in dirs])
+        .withColumn("__p", _strip_file_scheme(F.col("_metadata.file_path")))
+        .withColumn("commit", F.element_at(F.split(F.col("__p"), "/"), -2))
+        .groupBy("commit", "file")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("w"), F.col("word")))
+            ).alias("wm")
+        )
+    )
+    hits = (
+        blooms.join(F.broadcast(req))
+        .filter(
+            F.forall(
+                "req",
+                lambda r: F.coalesce(
+                    F.element_at(F.col("wm"), r["w"]), F.lit(0)
+                ).bitwiseAND(r["m"])
+                != 0,
+            )
+        )
+        .select("commit", "file")
+        .distinct()
+        .collect()
+    )
+    keep: dict[str, set[str]] = {d: set() for d in dirs}
+    for r in hits:
+        keep.setdefault(r["commit"], set()).add(r["file"])
+    return keep
+
+
 def write_versioned(
     df: DataFrame,
     table_path: str,
@@ -1578,6 +1829,7 @@ def write_versioned(
     branch: str = "main",
     partition_by: list[str] | None = None,
     allow_schema_evolution: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version — snapshot isolation and
     time travel on plain parquet, the lakehouse commit-log idea
@@ -1636,7 +1888,19 @@ def write_versioned(
     partition-spec evolution: old commits keep their layout, new
     commits get the new one, and ``read_versioned`` plans each commit
     under its own spec (partition pruning on new commits, stats/file
-    pruning on old — no rewrite to change the spec)."""
+    pruning on old — no rewrite to change the spec).
+
+    ``bloom_cols``: maintain a per-file KEY BLOOM over these columns
+    (hashed as one tuple) for this and — via inheritance, like stats
+    columns — every later append/merge: membership file skipping for
+    tombstone pre-image recovery where min/max bounds can't prune
+    because scattered writes made every file's envelope span the whole
+    key domain (:func:`_build_commit_bloom`). Append mode inherits the
+    parent's convention when None; overwrite drops it unless restated
+    (the stats_cols discipline). Starting blooms on an EXISTING table
+    covers new commits only — run ``compact_versioned`` /
+    ``optimize_versioned`` to extend coverage to the rewritten
+    history."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     token = uuid.uuid4().hex[:8]
@@ -1667,6 +1931,17 @@ def write_versioned(
         )
         if stats_cols
         else None
+    )
+    bloom_parent = None
+    if bloom_cols is None and mode == "append" and existing:
+        bp_v = branch_head(table_path, branch)
+        if bp_v is None and branch != "main":
+            bp_v = branch_head(table_path, "main")
+        if bp_v is not None:
+            bloom_parent = _load_manifest(table_path, bp_v)
+    bloom_cfg = _bloom_cfg(bloom_parent, bloom_cols, df)
+    bloom_built = bool(bloom_cfg) and _build_commit_bloom(
+        df.sparkSession, table_path, commit_dir, bloom_cfg, spec=commit_spec
     )
     while True:
         if mode == "append" and existing:
@@ -1710,6 +1985,25 @@ def write_versioned(
             manifest["zorder"] = zorder
         if meta:
             manifest["meta"] = meta
+        # the IN-LOOP parent's bloom dirs (a lost race may have added
+        # commits with blooms); on a concurrent CONVENTION change the
+        # parent's wins and our just-built dir stays unreferenced
+        # (vacuum-swept) — an absent bloom is unpruned, never wrong
+        parent_bloom = (
+            parent.get("bloom") if mode == "append" and existing else None
+        )
+        if bloom_cfg is not None and (
+            parent_bloom is None
+            or _bloom_convention(parent_bloom) == _bloom_convention(bloom_cfg)
+        ):
+            base = {**bloom_cfg, "dirs": (parent_bloom or {}).get("dirs", [])}
+            manifest["bloom"] = _bloom_manifest_entry(
+                base, manifest["commits"], [commit_dir] if bloom_built else []
+            )
+        elif parent_bloom is not None:
+            manifest["bloom"] = _bloom_manifest_entry(
+                parent_bloom, manifest["commits"], []
+            )
         if _publish_manifest(table_path, new_v, manifest):
             return new_v
         # lost the race: rename our (exclusively-owned) commit dir to
@@ -1722,6 +2016,11 @@ def write_versioned(
             os.path.join(table_path, "data", commit_dir),
             os.path.join(table_path, "data", renamed),
         )
+        if bloom_built:
+            os.rename(
+                _commit_bloom_path(table_path, commit_dir),
+                _commit_bloom_path(table_path, renamed),
+            )
         commit_dir, new_v = renamed, next_v
 
 
@@ -1823,6 +2122,8 @@ def delete_versioned(
             manifest["specs"] = parent["specs"]
         if parent.get("zorder"):
             manifest["zorder"] = parent["zorder"]
+        if parent.get("bloom"):
+            manifest["bloom"] = parent["bloom"]
         if change_feed:
             changes_dir = delete_dir.replace("delete-", "change-", 1)
             _write_change_files(
@@ -1937,25 +2238,33 @@ def merge_versioned(
     upserts.write.mode("overwrite").parquet(
         os.path.join(table_path, "data", commit_dir)
     )
+    probe_v = branch_head(table_path, branch)
+    if probe_v is None and branch != "main":
+        probe_v = branch_head(table_path, "main")
+    probe_manifest = (
+        _load_manifest(table_path, probe_v) if probe_v is not None else {}
+    )
     cols = stats_cols
     if cols is None:
         # inherit the parent's tracked stats columns so merge-heavy
         # tables never silently stop recording pruning bounds
-        probe_v = branch_head(table_path, branch)
-        if probe_v is None and branch != "main":
-            probe_v = branch_head(table_path, "main")
-        if probe_v is not None:
-            pstats = _load_manifest(table_path, probe_v).get("stats", {})
-            tracked = sorted(
-                {c for files in pstats.values() for b in files.values() for c in b}
-            )
-            cols = [c for c in tracked if c in upserts.columns]
+        pstats = probe_manifest.get("stats", {})
+        tracked = sorted(
+            {c for files in pstats.values() for b in files.values() for c in b}
+        )
+        cols = [c for c in tracked if c in upserts.columns]
     commit_stats = (
         _collect_commit_stats(
             source.sparkSession, os.path.join(table_path, "data", commit_dir), cols
         )
         if cols
         else None
+    )
+    # inherit the table's bloom convention (same discipline as stats):
+    # a MERGE-maintained table keeps membership pruning on every commit
+    bloom_cfg = _bloom_cfg(probe_manifest, None, upserts)
+    bloom_built = bool(bloom_cfg) and _build_commit_bloom(
+        source.sparkSession, table_path, commit_dir, bloom_cfg
     )
     while True:
         parent_v = branch_head(table_path, branch)
@@ -1988,6 +2297,19 @@ def merge_versioned(
             manifest["zorder"] = parent["zorder"]
         if meta:
             manifest["meta"] = meta
+        parent_bloom = parent.get("bloom")
+        if bloom_cfg is not None and (
+            parent_bloom is None
+            or _bloom_convention(parent_bloom) == _bloom_convention(bloom_cfg)
+        ):
+            base = {**bloom_cfg, "dirs": (parent_bloom or {}).get("dirs", [])}
+            manifest["bloom"] = _bloom_manifest_entry(
+                base, manifest["commits"], [commit_dir] if bloom_built else []
+            )
+        elif parent_bloom is not None:
+            manifest["bloom"] = _bloom_manifest_entry(
+                parent_bloom, manifest["commits"], []
+            )
         if change_feed:
             changes_dir = commit_dir.replace("commit-", "change-", 1)
             _write_change_files(
@@ -2005,6 +2327,13 @@ def merge_versioned(
             os.rename(
                 os.path.join(table_path, sub, old),
                 os.path.join(table_path, sub, renamed),
+            )
+        if bloom_built:
+            os.rename(
+                _commit_bloom_path(table_path, commit_dir),
+                _commit_bloom_path(
+                    table_path, commit_dir.replace(f"-{new_v}-", f"-{next_v}-", 1)
+                ),
             )
         delete_dir = delete_dir.replace(f"-{new_v}-", f"-{next_v}-", 1)
         commit_dir = commit_dir.replace(f"-{new_v}-", f"-{next_v}-", 1)
@@ -2091,6 +2420,23 @@ def purge_deletes(spark: SparkSession, table_path: str) -> int:
                     spark, os.path.join(table_path, "data", purged_dir), cols
                 )
         new_manifest = {"version": new_v, "mode": "purge", "commits": new_commits}
+        bcfg = manifest.get("bloom")
+        if bcfg:
+            # uncovered commits keep their dirs as-is; only the
+            # tombstone-covered rewrites rebuild (their surviving rows
+            # changed) — purge stays O(covered data), never a full
+            # coverage backfill
+            rewritten = [
+                c for c in new_commits if c not in set(manifest["commits"])
+            ]
+            built = [
+                c
+                for c in rewritten
+                if _build_commit_bloom(spark, table_path, c, bcfg)
+            ]
+            new_manifest["bloom"] = _bloom_manifest_entry(
+                bcfg, new_commits, built
+            )
         if new_stats:
             new_manifest["stats"] = new_stats
         if new_specs:
@@ -2147,6 +2493,12 @@ def compact_versioned(
                     spark, os.path.join(table_path, "data", commit_dir), stats_cols
                 )
             }
+        bcfg = _load_manifest(table_path, read_v).get("bloom")
+        if bcfg:
+            built = _build_commit_bloom(spark, table_path, commit_dir, bcfg)
+            manifest["bloom"] = _bloom_manifest_entry(
+                bcfg, [commit_dir], [commit_dir] if built else []
+            )
         if _publish_manifest(table_path, new_v, manifest):
             return new_v
     raise RuntimeError(
@@ -2291,6 +2643,12 @@ def optimize_versioned(
             zmap = {c: zmap[c] for c in commits[:kept] if c in zmap}
             zmap[commit_dir] = list(zorder_cols)
             manifest["zorder"] = zmap
+            bcfg = manifest_read.get("bloom")
+            if bcfg:
+                built = _build_commit_bloom(spark, table_path, commit_dir, bcfg)
+                manifest["bloom"] = _bloom_manifest_entry(
+                    bcfg, new_commits, [commit_dir] if built else []
+                )
             if _publish_manifest(table_path, new_v, manifest):
                 return new_v
             continue
@@ -2316,6 +2674,12 @@ def optimize_versioned(
             manifest["stats"] = {
                 commit_dir: _collect_commit_stats(spark, commit_path, stats_cols)
             }
+        bcfg = manifest_read.get("bloom")
+        if bcfg:
+            built = _build_commit_bloom(spark, table_path, commit_dir, bcfg)
+            manifest["bloom"] = _bloom_manifest_entry(
+                bcfg, [commit_dir], [commit_dir] if built else []
+            )
         if _publish_manifest(table_path, new_v, manifest):
             return new_v
     raise RuntimeError(
@@ -2598,6 +2962,7 @@ def read_versioned(
     branch: str = "main",
     as_of: float | None = None,
     where: str | None = None,
+    _keep_files: dict | None = None,
 ) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just resolving that version's manifest to its commit
@@ -2647,7 +3012,15 @@ def read_versioned(
     (answer-invariance by construction: derivation only widens the set
     of files opened, never the rows returned); non-derivable conjuncts
     (OR, expressions, functions) just don't prune. The ergonomic path
-    to manifest file skipping at 100 TB: state the query's filter once."""
+    to manifest file skipping at 100 TB: state the query's filter once.
+
+    ``_keep_files`` (PRIVATE — tombstone pre-image recovery only):
+    ``{commit_dir: {relative file, ...}}`` restricting listed commits
+    to exactly those files (intersected with stats pruning); unlisted
+    commits read fully. Unlike ``prune``/``where`` this has NO residual
+    filter, so it is only sound when the CALLER re-applies a row-level
+    membership predicate — :func:`_tombstone_preimages`' key semi-join
+    over a no-false-negative bloom keep-set."""
     import json
 
     if where is not None:
@@ -2667,6 +3040,7 @@ def read_versioned(
             prune=prune,
             branch=branch,
             as_of=as_of,
+            _keep_files=_keep_files,
         )
         return inner.filter(F.expr(where))
 
@@ -2715,13 +3089,18 @@ def read_versioned(
 
     def commit_paths(c: str) -> list[str]:
         d = os.path.join(table_path, "data", c)
-        if prunes is None:
-            return [d]
-        st = stats.get(c)
+        bloom_keep = None if _keep_files is None else _keep_files.get(c)
+        st = stats.get(c) if prunes is not None else None
         if st is None:
-            return [d]
+            if bloom_keep is None:
+                return [d]
+            # membership keep-set alone: the bloom probe covered every
+            # file of this commit, so the set is authoritative
+            return [os.path.join(d, rel) for rel in sorted(bloom_keep)]
         keep = []
         for rel, bounds in st.items():
+            if bloom_keep is not None and rel not in bloom_keep:
+                continue
             ok = True
             for col, lo, hi in prunes:
                 b = bounds.get(col)
@@ -2801,7 +3180,7 @@ def read_versioned(
         return out
 
     deletes = manifest.get("deletes", [])
-    if not deletes and prune is None and not specs:
+    if not deletes and prune is None and not specs and _keep_files is None:
         return reader.parquet(
             *[os.path.join(table_path, "data", c) for c in manifest["commits"]]
         )
@@ -3015,11 +3394,24 @@ def _tombstone_preimages(
 ) -> DataFrame:
     """The full rows a tombstone removed from version ``parent_v`` —
     the parent snapshot (pruned to the files overlapping the
-    tombstone's recorded key bounds) semi-joined against the tombstone
-    keys. O(files overlapping the changed keys) on a stats-maintained
-    table; O(parent) without bounds."""
+    tombstone's recorded key bounds, AND — on a bloom-maintained table
+    — to the files whose key bloom says a tombstoned key MIGHT be
+    present) semi-joined against the tombstone keys. O(files
+    overlapping the changed keys) on a stats-maintained table; on a
+    bloom-maintained table O(files actually containing changed keys)
+    even when the keys are SCATTERED and every file's min/max envelope
+    spans the whole domain (the regime where bounds pruning degrades
+    to a full prior-snapshot scan); O(parent) with neither. The semi-
+    join is the row-level residual that makes both prunes sound."""
+    keep = _bloom_keep_files(
+        spark, table_path, _load_manifest(table_path, parent_v), tomb
+    )
     pre = read_versioned(
-        spark, table_path, version=parent_v, prune=_bounds_prune(bounds)
+        spark,
+        table_path,
+        version=parent_v,
+        prune=_bounds_prune(bounds),
+        _keep_files=keep,
     )
     return pre.join(
         tomb,
@@ -3297,6 +3689,10 @@ def restore_version(table_path: str, version: int) -> int:
             manifest["specs"] = old["specs"]
         if old.get("zorder"):
             manifest["zorder"] = old["zorder"]
+        if old.get("bloom"):
+            # dirs whose bloom files were vacuumed since probe absent
+            # at read time (_bloom_keep_files re-checks on disk)
+            manifest["bloom"] = old["bloom"]
         if _publish_manifest(table_path, new_v, manifest):
             return new_v
 
@@ -3400,6 +3796,16 @@ def vacuum_versions(
             if c.startswith("change-") and c not in live_changes and _old_enough(p):
                 shutil.rmtree(p)
                 removed.append(c)
+    # bloom dirs parallel commit dirs 1:1 by name — a bloom whose
+    # commit became unreachable is dead weight (probes re-check disk
+    # presence, so sweeping never breaks a reader)
+    blooms_dir = os.path.join(table_path, "blooms")
+    if os.path.isdir(blooms_dir):
+        for c in sorted(os.listdir(blooms_dir)):
+            p = os.path.join(blooms_dir, c)
+            if c.startswith("commit-") and c not in reachable and _old_enough(p):
+                shutil.rmtree(p)
+                removed.append(os.path.join("blooms", c))
     for v in versions:
         if v < keep_from and v not in protected:
             os.remove(os.path.join(_versions_dir(table_path), f"v{v}.json"))

@@ -1,0 +1,257 @@
+"""Per-commit key blooms for the versioned store — MEMBERSHIP file
+skipping for tombstone pre-image recovery in the regime min/max bounds
+can't help: scattered keys whose bounds span the whole table. Covers
+the maintenance contract (inheritance across append/merge, rebuild on
+compact/optimize/purge, lost-race rename, vacuum sweep) and probe
+soundness (null-key bail, keep-set answer-invariance, cast guard).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+import data_spark.io as dio
+from data_spark.io import (
+    _bloom_keep_files,
+    _load_manifest,
+    branch_head,
+    compact_versioned,
+    delete_versioned,
+    maintain_versioned,
+    merge_versioned,
+    optimize_versioned,
+    read_changes,
+    read_versioned,
+    vacuum_versions,
+    write_versioned,
+)
+
+
+def _scattered_table(spark, tp, n=4000, commits=4, bloom=True):
+    """n rows split round-robin across commits, so every commit's [min,
+    max] envelope on k spans ~the whole domain — bounds pruning skips
+    nothing for any probe, the shape blooms exist for."""
+    base = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 101).cast("bigint").alias("v")
+    )
+    write_versioned(
+        base.filter(F.col("k") % commits == 0),
+        tp,
+        mode="overwrite",
+        stats_cols=["k"],
+        bloom_cols=["k"] if bloom else None,
+    )
+    for i in range(1, commits):
+        write_versioned(
+            base.filter(F.col("k") % commits == i),
+            tp,
+            mode="append",
+            stats_cols=["k"],
+        )
+    return base
+
+
+def _tomb(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k bigint")
+
+
+def test_bloom_inherited_across_appends_and_merge(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    assert m["bloom"]["cols"] == ["k"]
+    assert sorted(m["bloom"]["dirs"]) == sorted(m["commits"])
+    # a merge's data commit joins the bloom dirs without being asked
+    src = spark.createDataFrame([(7, 999, False)], "k bigint, v bigint, is_del boolean")
+    merge_versioned(src, tp, keys=["k"], delete_col="is_del")
+    m2 = _load_manifest(tp, branch_head(tp, "main"))
+    assert sorted(m2["bloom"]["dirs"]) == sorted(m2["commits"])
+    for d in m2["bloom"]["dirs"]:
+        assert os.path.isdir(os.path.join(tp, "blooms", d))
+
+
+def test_scattered_keys_prune_to_containing_files(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    keys = [3, 1001, 2002, 3999]
+    keep = _bloom_keep_files(spark, tp, m, _tomb(spark, keys))
+    assert keep is not None and set(keep) == set(m["commits"])
+    kept = sum(len(s) for s in keep.values())
+    total = sum(
+        1
+        for c in m["commits"]
+        for f in os.listdir(os.path.join(tp, "data", c))
+        if f.endswith(".parquet")
+    )
+    # 4 keys can live in at most 4 files; bloom fpp may add a few false
+    # positives but must never approach the full file count
+    assert kept <= 8, (kept, total)
+    assert total >= 64  # the scan this probe avoided
+    # and recovery through the probe is exact: CDF delete pre-images
+    v0 = branch_head(tp, "main")
+    delete_versioned(_tomb(spark, keys), tp)
+    got = sorted(r["k"] for r in read_changes(spark, tp, v0).collect())
+    assert got == sorted(keys)
+    assert read_versioned(spark, tp).count() == 4000 - len(keys)
+
+
+def test_bloom_equals_bloomless_feed(spark, tmp_path):
+    """Answer-invariance: the same scattered merge interval feeds
+    identical change rows with and without blooms maintained."""
+    rows = {}
+    for name, bloom in (("b", True), ("p", False)):
+        tp = str(tmp_path / name)
+        _scattered_table(spark, tp, bloom=bloom)
+        v0 = branch_head(tp, "main")
+        src = spark.createDataFrame(
+            [(5, -1, False), (1500, -2, False), (3997, -3, True), (9999, -4, False)],
+            "k bigint, v bigint, is_del boolean",
+        )
+        merge_versioned(src, tp, keys=["k"], delete_col="is_del", change_feed=True)
+        delete_versioned(_tomb(spark, [8, 2500]), tp, change_feed=True)
+        rows[name] = sorted(
+            (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in read_changes(spark, tp, v0).collect()
+        )
+    assert rows["b"] == rows["p"]
+
+
+def test_null_tombstone_key_bails_and_stays_correct(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=400, commits=2)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    tomb = spark.createDataFrame([(None,), (5,)], "k bigint")
+    assert _bloom_keep_files(spark, tp, m, tomb) is None
+    v0 = branch_head(tp, "main")
+    delete_versioned(_tomb(spark, [5]), tp)
+    assert [r["k"] for r in read_changes(spark, tp, v0).collect()] == [5]
+
+
+def test_probe_bails_on_convention_mismatch(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=400, commits=2)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    # key set not covering the bloom columns
+    assert (
+        _bloom_keep_files(
+            spark, tp, m, spark.createDataFrame([(1,)], "other bigint")
+        )
+        is None
+    )
+    # hash-convention drift
+    stale = {**m, "bloom": {**m["bloom"], "hash_version": -1}}
+    assert _bloom_keep_files(spark, tp, stale, _tomb(spark, [1])) is None
+    # oversized key set
+    old = dio._BLOOM_PROBE_MAX_KEYS
+    dio._BLOOM_PROBE_MAX_KEYS = 2
+    try:
+        assert _bloom_keep_files(spark, tp, m, _tomb(spark, [1, 2, 3])) is None
+    finally:
+        dio._BLOOM_PROBE_MAX_KEYS = old
+
+
+def test_compact_optimize_rebuild_blooms(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=800, commits=3)
+    compact_versioned(spark, tp, stats_cols=["k"])
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    assert len(m["commits"]) == 1 and m["bloom"]["dirs"] == m["commits"]
+    optimize_versioned(spark, tp, zorder_cols=["k"])
+    m2 = _load_manifest(tp, branch_head(tp, "main"))
+    assert m2["bloom"]["dirs"] == m2["commits"]
+    keep = _bloom_keep_files(spark, tp, m2, _tomb(spark, [17]))
+    assert keep is not None and sum(len(s) for s in keep.values()) >= 1
+
+
+def test_purge_rebuilds_covered_commits_only(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=800, commits=3)
+    delete_versioned(_tomb(spark, [3, 400]), tp)
+    report = maintain_versioned(spark, tp, max_delete_entries=0)
+    assert report["purged"] is not None
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    assert sorted(m["bloom"]["dirs"]) == sorted(m["commits"])
+    # purged rows are really out of the bloom: probing a purged key
+    # must still be CORRECT (semi-join residual) after the rewrite
+    v0 = branch_head(tp, "main")
+    delete_versioned(_tomb(spark, [5]), tp)
+    assert [r["k"] for r in read_changes(spark, tp, v0).collect()] == [5]
+
+
+def test_vacuum_sweeps_dead_bloom_dirs(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=400, commits=2)
+    old_dirs = _load_manifest(tp, branch_head(tp, "main"))["bloom"]["dirs"]
+    compact_versioned(spark, tp, stats_cols=["k"])
+    keep_from = branch_head(tp, "main")
+    removed = vacuum_versions(tp, keep_from=keep_from)
+    for d in old_dirs:
+        assert not os.path.isdir(os.path.join(tp, "blooms", d))
+        assert os.path.join("blooms", d) in removed
+    m = _load_manifest(tp, keep_from)
+    keep = _bloom_keep_files(spark, tp, m, _tomb(spark, [9]))
+    assert keep is not None  # the surviving commit's bloom still probes
+
+
+def test_missing_bloom_dir_reads_fully_not_wrongly(spark, tmp_path):
+    """A bloom dir deleted out-of-band (partial vacuum, manual rm) must
+    drop that commit from the keep map — unpruned, never empty."""
+    import shutil
+
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=400, commits=2)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    victim = m["bloom"]["dirs"][0]
+    shutil.rmtree(os.path.join(tp, "blooms", victim))
+    keep = _bloom_keep_files(spark, tp, m, _tomb(spark, [6]))
+    assert keep is not None and victim not in keep
+    v0 = branch_head(tp, "main")
+    delete_versioned(_tomb(spark, [6]), tp)
+    assert [r["k"] for r in read_changes(spark, tp, v0).collect()] == [6]
+
+
+def test_lost_race_renames_bloom_dir(spark, tmp_path, monkeypatch):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=400, commits=2)
+    real = dio._publish_manifest
+    fails = {"n": 1}
+
+    def flaky(table_path, new_v, manifest):
+        if fails["n"]:
+            fails["n"] -= 1
+            # simulate a concurrent writer landing this version first
+            # (a faithful head copy, so the bloom convention survives)
+            head = _load_manifest(table_path, branch_head(table_path, "main"))
+            real(table_path, new_v, {**head, "version": new_v})
+            return False
+        return real(table_path, new_v, manifest)
+
+    monkeypatch.setattr(dio, "_publish_manifest", flaky)
+    write_versioned(
+        spark.range(4).select(F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")),
+        tp,
+        mode="append",
+        stats_cols=["k"],
+    )
+    monkeypatch.setattr(dio, "_publish_manifest", real)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    # the renamed commit's bloom dir exists under the FINAL name and is
+    # referenced; probing it finds the appended key
+    assert sorted(m["bloom"]["dirs"]) == sorted(
+        d for d in m["commits"] if os.path.isdir(os.path.join(tp, "blooms", d))
+    )
+    keep = _bloom_keep_files(spark, tp, m, _tomb(spark, [2]))
+    assert keep is not None
+    assert any(m["commits"][-1] == c and s for c, s in keep.items())
+
+
+def test_int_probe_against_bigint_bloom_casts_soundly(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=400, commits=2)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    tomb32 = spark.createDataFrame([(7,)], "k int")
+    keep = _bloom_keep_files(spark, tp, m, tomb32)
+    assert keep is not None and sum(len(s) for s in keep.values()) >= 1
