@@ -247,6 +247,9 @@ HEADLINE = [
     # r12 addition: the streaming change feed folded into a downstream
     # table (foreachBatch merge per commit version)
     "pipe_stream_cdf_e2e",
+    # r12 addition: key-bloom membership pruning of CDF pre-image
+    # recovery on a layout where min/max bounds provably can't prune
+    "m_cdf_bloom_scatter",
     # d_kmeans / d_semantic_dedup / v_pq_adc_topk are gate-checked at sf0.01 but not
     # benched: Lloyd-iteration counts are cluster-shape properties, not
     # scan-throughput signals, and would drown the headline in one query

@@ -1455,6 +1455,15 @@ def _warn_scattered_bounds(
     hint fired (for tests)."""
     if not bounds:
         return False
+    # a bloom-maintained table recovers pre-images by per-file key
+    # MEMBERSHIP — scattered bounds are exactly the regime blooms
+    # close, so there is nothing to warn about when every commit is
+    # covered
+    pb = (parent_manifest or {}).get("bloom")
+    if pb and set((parent_manifest or {}).get("commits", [])) <= set(
+        pb.get("dirs", [])
+    ):
+        return False
     stats = (parent_manifest or {}).get("stats") or {}
     if not stats:
         return False
@@ -1506,15 +1515,19 @@ def _warn_scattered_bounds(
     if change_feed:
         hint = (
             "its commit-time change-file write will scan ~the whole prior "
-            "snapshot; for feeds over scattered-key writers prefer batch "
-            "read_changes per consumer interval, or schedule "
-            "maintain_versioned to keep the table clustered on the keys"
+            "snapshot; maintain per-file key blooms "
+            "(write_versioned bloom_cols=...) to bound the read by key "
+            "membership, or prefer batch read_changes per consumer "
+            "interval, or schedule maintain_versioned to keep the table "
+            "clustered on the keys"
         )
     else:
         hint = (
             "CDF pre-image reconstruction for this version will scan ~the "
-            "whole prior snapshot per consumer; consider change_feed=True "
-            "(pay the scan once at commit) or maintain_versioned"
+            "whole prior snapshot per consumer; maintain per-file key "
+            "blooms (write_versioned bloom_cols=...), or consider "
+            "change_feed=True (pay the scan once at commit) or "
+            "maintain_versioned"
         )
     _log.warning(
         "scattered tombstone keys on %s: recorded bounds cover >=%d%% of "
@@ -1662,19 +1675,46 @@ def _build_commit_bloom(
     return True
 
 
+# Auto-sizing clamp for a new bloom convention: bits ≈ 10 x the first
+# commit's rows-per-file (≈1% fpp), rounded up to a power of two. The
+# floor keeps tiny tables at the legacy default; the ceiling (4M bits =
+# 512 KiB of words per file) bounds the per-file metadata at ~0.4% of a
+# 128 MB data file — past that density callers size explicitly.
+_BLOOM_MIN_BITS = _BLOOM_BITS
+_BLOOM_MAX_BITS = 1 << 22
+
+
+def _auto_bloom_bits(spark: SparkSession, commit_path: str) -> int:
+    n_files = 0
+    for dp, _dirs, fs in os.walk(commit_path):
+        n_files += sum(1 for f in fs if f.endswith(".parquet"))
+    rows = spark.read.parquet(commit_path).count()
+    per_file = rows / max(n_files, 1)
+    bits = _BLOOM_MIN_BITS
+    while bits < per_file * 10 and bits < _BLOOM_MAX_BITS:
+        bits <<= 1
+    return bits
+
+
 def _bloom_cfg(
-    parent_manifest: dict | None, bloom_cols: list[str] | None, df: DataFrame
+    parent_manifest: dict | None,
+    bloom_cols: list[str] | None,
+    df: DataFrame,
+    bits: int | None = None,
 ) -> dict | None:
     """Resolve the bloom convention a new commit should build under:
     an explicit ``bloom_cols`` starts (or restates) the table's
     convention with dtypes pinned from ``df``; otherwise the parent
     manifest's convention is inherited — the stats-columns inheritance
     discipline, so a MERGE-maintained table keeps membership pruning
-    on every commit. None = table doesn't maintain blooms."""
+    on every commit. None = table doesn't maintain blooms. ``bits`` is
+    caller-sized or density-derived (:func:`_auto_bloom_bits`) — the
+    convention is table-level and fixed at setup, because probe and
+    build must agree on the bit layout for every covered commit."""
     if bloom_cols:
         return {
             "cols": list(bloom_cols),
-            "bits": _BLOOM_BITS,
+            "bits": int(bits) if bits else _BLOOM_BITS,
             "k": _BLOOM_K,
             "hash_version": _BLOOM_HASH_VERSION,
             "dtypes": {
@@ -1755,24 +1795,26 @@ def _bloom_keep_files(
         *[F.col(c).cast(cfg["dtypes"][c]).alias(c) for c in cols],
         *[F.col(c).isNull().alias(f"__wasnull_{c}") for c in cols],
     )
+    # ONE aggregate over the (tiny) tombstone answers both guards:
     # NULL keys (eqNullSafe can match stored NULL rows, which set no
     # bits) and value-losing casts (probe would hash a different value
-    # than the build did) both make pruning unsound -> bail
-    bad = probe.filter(
-        functools.reduce(
-            lambda a, b: a | b,
-            [
-                F.col(c).isNull() | F.col(f"__wasnull_{c}")
-                for c in cols
-            ],
-        )
-    ).limit(1)
-    if bad.count() > 0:
+    # than the build did) make pruning unsound -> bail; so does a key
+    # set past the cap. count(DISTINCT cols...) ignoring null rows is
+    # fine — a single bad row already bails.
+    bad_row = functools.reduce(
+        lambda a, b: a | b,
+        [F.col(c).isNull() | F.col(f"__wasnull_{c}") for c in cols],
+    )
+    g = probe.agg(
+        F.sum(bad_row.cast("bigint")).alias("bad"),
+        F.count_distinct(*[F.col(c) for c in cols]).alias("nk"),
+    ).first()
+    if (g["bad"] or 0) > 0:
         return None
-    keys = probe.select(*cols).dropDuplicates()
-    n_keys = keys.count()
+    n_keys = g["nk"]
     if n_keys == 0 or n_keys > _BLOOM_PROBE_MAX_KEYS:
         return None
+    keys = probe.select(*cols).dropDuplicates()
     key = F.struct(*[F.col(c) for c in cols])
     req = (
         keys.select(
@@ -1830,6 +1872,7 @@ def write_versioned(
     partition_by: list[str] | None = None,
     allow_schema_evolution: bool = False,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version — snapshot isolation and
     time travel on plain parquet, the lakehouse commit-log idea
@@ -1900,7 +1943,11 @@ def write_versioned(
     (the stats_cols discipline). Starting blooms on an EXISTING table
     covers new commits only — run ``compact_versioned`` /
     ``optimize_versioned`` to extend coverage to the rewritten
-    history."""
+    history. ``bloom_bits`` sizes the per-file filter; default =
+    density-derived from this first commit (≈10 bits per row-per-file,
+    ~1% fpp) — tables whose later commits are much denser than the
+    first should size explicitly, since the convention is fixed at
+    setup."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     token = uuid.uuid4().hex[:8]
@@ -1939,7 +1986,11 @@ def write_versioned(
             bp_v = branch_head(table_path, "main")
         if bp_v is not None:
             bloom_parent = _load_manifest(table_path, bp_v)
-    bloom_cfg = _bloom_cfg(bloom_parent, bloom_cols, df)
+    if bloom_cols and bloom_bits is None:
+        bloom_bits = _auto_bloom_bits(
+            df.sparkSession, os.path.join(table_path, "data", commit_dir)
+        )
+    bloom_cfg = _bloom_cfg(bloom_parent, bloom_cols, df, bits=bloom_bits)
     bloom_built = bool(bloom_cfg) and _build_commit_bloom(
         df.sparkSession, table_path, commit_dir, bloom_cfg, spec=commit_spec
     )
@@ -2197,12 +2248,17 @@ def merge_versioned(
     SCALE_PROBE_r11): the pre-image read prunes by the source keys'
     bounds, so with KEY-LOCAL sources (the CDC hot-tail shape) the
     extra cost is flat (~1 s/merge over a 500k-row table, independent
-    of merge count); with SCATTERED keys the bounds span the table and
-    every merge pays a full merge-on-read scan (3.9 → 8.7 s over 30
-    merges as tombstones accrete). For scattered-key feeds leave this
-    off and let consumers reconstruct via batch ``read_changes`` —
-    read-side cost is paid per consumer interval, not per commit —
-    or schedule ``maintain_versioned`` to keep the scan bounded.
+    of merge count); with SCATTERED keys the bounds span the table
+    and, on a bounds-only table, every merge pays a full merge-on-read
+    scan (3.9 → 8.7 s over 30 merges as tombstones accrete). Round 12
+    closes that regime: a table set up with
+    ``write_versioned(bloom_cols=...)`` prunes the pre-image read by
+    per-file key-bloom MEMBERSHIP instead (O(files containing the
+    keys) however scattered they are — SCALE_PROBE_r12 ``bloom_cdf``).
+    For scattered-key feeds on a bloomless table, leave this off and
+    let consumers reconstruct via batch ``read_changes`` — read-side
+    cost is paid per consumer interval, not per commit — or schedule
+    ``maintain_versioned`` to keep the scan bounded.
 
     Reference parity: upload/main.py's load loop deletes re-sent keys
     then re-inserts (two visible steps on the serving index); this is

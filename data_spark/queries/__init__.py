@@ -96,9 +96,12 @@ ORACLE = {
 # WITNESS.md for the per-query ledger this ordering is derived from).
 # Composition — exactly as pre-planned in the r11 WITNESS.md / VERDICT r11:
 #   head:  m_multi_prune_scan (created r11 AFTER the window froze —
-#          never driver-witnessed) and pipe_stream_cdf_e2e (created
-#          r12: the streaming change feed folded into a downstream
-#          table via foreachBatch merge);
+#          never driver-witnessed), pipe_stream_cdf_e2e (created r12:
+#          the streaming change feed folded into a downstream table
+#          via foreachBatch merge), and m_cdf_bloom_scatter (created
+#          r12: per-commit key blooms pruning pre-image recovery where
+#          min/max bounds provably cannot — displaces the youngest
+#          planned r7 refresh, d_curation_ppl_e2e, to the r13 fill);
 #   then:  the 2 r11-witnessed queries whose PLANS changed in r12 —
 #          m_change_feed (read_changes merge classification rebuilt on
 #          per-key grouped arrays + multi-column bounds pruning,
@@ -114,6 +117,7 @@ _PRIORITY = [
     # --- never driver-witnessed ---
     "m_multi_prune_scan",
     "pipe_stream_cdf_e2e",
+    "m_cdf_bloom_scatter",
     # --- plan changed in r12 (ADVICE r11 CDF/bounds fixes) ---
     "m_change_feed",
     "m_merge_upsert",
@@ -164,9 +168,10 @@ _PRIORITY = [
     "g_modularity",
     "d_perplexity_filter",
     "d_cdc_chunking",
-    "d_curation_ppl_e2e",
-    # ---- window boundary (driver records the 50 above). r13 plan:
-    #     any new/changed r13 gates at the head, then the 9 remaining
+    # ---- window boundary (driver records the 50 above; the
+    #     2+2+5+41 plan became 3+2+5+40 when m_cdf_bloom_scatter
+    #     landed). r13 plan: any new/changed r13 gates at the head,
+    #     then d_curation_ppl_e2e (displaced here) and the 9 remaining
     #     r7-witnessed rows (d_shard_assign, pipe_stream_drift_e2e,
     #     d_chunk_dedup_rewrite, a_bootstrap_ci, a_hll_sliding_7d,
     #     d_weighted_jaccard, pipe_stream_mg_e2e, a_welch_t,

@@ -201,3 +201,156 @@ def pipe_stream_cdf_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m_cdf_bloom_scatter — membership-pruned pre-image recovery where
+# min/max bounds provably cannot prune
+# ---------------------------------------------------------------------------
+
+# the table is written ROUND-ROBIN (repartition(8) per commit), so every
+# file's [min, max] envelope on o_orderkey spans ~the whole domain and
+# bounds pruning keeps every file — the shape a merge/CDC workload
+# reaches after enough scattered writes. The tombstoned/merged keys are
+# a SMALL fixed stride across the domain (the regime membership pruning
+# exists for); per-commit key blooms must bound the pre-image reads to
+# the files actually containing them, asserted in-gate.
+#   v0 overwrite: k%2=0   v1 append: k%2=1        (k <= 4800)
+#   v2 delete:  keys 7+480j   (all odd -> all in v1's files)
+#   v3 merge:   keys 11+480j matched at doubled price, plus two fresh
+#               literal inserts beyond the domain
+# feed from v1: delete pre-images (seq 1), merge pre/postimages and the
+# unmatched inserts (seq 2). Keys are dense at every SF, so stride keys
+# above the SF's max key simply do not exist — in BOTH engines.
+_BLOOM_DEL = [7 + 480 * j for j in range(10)]
+_BLOOM_MRG = [11 + 480 * j for j in range(10)]
+
+_BLOOM_SQL = f"""
+WITH o AS (
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS p
+    FROM orders WHERE o_orderkey <= 4800
+), ch AS (
+    SELECT k, status, p, 1 AS change_seq, 'delete' AS change_type
+    FROM o WHERE k IN ({", ".join(map(str, _BLOOM_DEL))})
+    UNION ALL
+    SELECT k, status, p, 2, 'update_preimage'
+    FROM o WHERE k IN ({", ".join(map(str, _BLOOM_MRG))})
+    UNION ALL
+    SELECT k, status, p * 2, 2, 'update_postimage'
+    FROM o WHERE k IN ({", ".join(map(str, _BLOOM_MRG))})
+    UNION ALL
+    SELECT 6000001, 'XX', 1.5, 2, 'insert'
+    UNION ALL
+    SELECT 6000002, 'XX', 2.5, 2, 'insert'
+)
+SELECT k AS o_orderkey, status AS o_orderstatus, p AS price,
+       CAST(change_seq AS BIGINT) AS change_seq, change_type
+FROM ch
+"""
+
+
+@_q("m_cdf_bloom_scatter", _BLOOM_SQL)
+def m_cdf_bloom_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF pre-image recovery through per-commit KEY BLOOMS on a table
+    whose file layout defeats min/max pruning entirely: every commit is
+    written round-robin, so each file's key envelope spans the whole
+    domain and the recorded tombstone bounds overlap every file. The
+    r11 design accepted a full prior-snapshot scan per version in this
+    regime; with ``write_versioned(bloom_cols=...)`` the recovery scan
+    must open only the files whose bloom admits a tombstoned key.
+
+    In-gate asserts: (1) the bloom convention covers every commit
+    (inheritance across append/merge), (2) bounds pruning provably
+    keeps ALL files (every file's stats envelope overlaps the recorded
+    tombstone bounds — the scatter premise, not an assumption), (3) the
+    bloom keep-map opens at most 10 of the >=16 files. Correctness is
+    the oracle: the feed's rows must hash-match a SQL reconstruction,
+    and the keep-map can only ever change files OPENED (the key
+    semi-join is the row residual)."""
+    from data_spark.io import (  # noqa: PLC0415
+        _bloom_keep_files,
+        _load_manifest,
+        branch_head,
+        delete_versioned,
+        merge_versioned,
+        read_changes,
+        write_versioned,
+    )
+
+    base_dir = run_scratch_dir("cdfbloom", sf_dir)
+    o = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 4800)
+    )
+    k = F.col("o_orderkey")
+    write_versioned(
+        o.filter(k % 2 == 0).repartition(8),
+        base_dir,
+        mode="overwrite",
+        stats_cols=["o_orderkey"],
+        bloom_cols=["o_orderkey"],
+    )
+    v1 = write_versioned(
+        o.filter(k % 2 == 1).repartition(8),
+        base_dir,
+        mode="append",
+        stats_cols=["o_orderkey"],
+    )
+    tomb = spark.createDataFrame([(x,) for x in _BLOOM_DEL], "o_orderkey bigint")
+    v2 = delete_versioned(tomb, base_dir)
+    src = o.filter(k.isin(_BLOOM_MRG)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    fresh = spark.createDataFrame(
+        [(6000001, "XX", 1.5), (6000002, "XX", 2.5)],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    merge_versioned(
+        src.unionByName(fresh),
+        base_dir,
+        keys=["o_orderkey"],
+        stats_cols=["o_orderkey"],
+    )
+
+    head = _load_manifest(base_dir, branch_head(base_dir, "main"))
+    if sorted(head["bloom"]["dirs"]) != sorted(head["commits"]):
+        raise AssertionError(
+            f"bloom coverage gap: {head['bloom']['dirs']} vs {head['commits']}"
+        )
+    # the scatter premise, proven from manifest metadata: the delete's
+    # recorded bounds overlap EVERY file's stats envelope, so bounds
+    # pruning keeps all of them
+    pre_m = _load_manifest(base_dir, v1)
+    blo, bhi, nnull = _load_manifest(base_dir, v2)["deletes"][-1]["bounds"][
+        "o_orderkey"
+    ]
+    n_files = 0
+    for c in pre_m["commits"]:
+        for rel, bounds in pre_m["stats"][c].items():
+            mn, mx = bounds["o_orderkey"]
+            n_files += 1
+            if mx < blo or mn > bhi:
+                raise AssertionError(
+                    f"file {rel} [{mn},{mx}] escapes bounds [{blo},{bhi}] — "
+                    "the layout is not scattered; the gate premise broke"
+                )
+    keep = _bloom_keep_files(spark, base_dir, pre_m, tomb)
+    if keep is None:
+        raise AssertionError("bloom probe refused to run")
+    kept = sum(len(s) for s in keep.values())
+    if not (1 <= kept <= 10) or n_files < 16 or kept >= n_files:
+        raise AssertionError(
+            f"bloom keep-map opened {kept} of {n_files} files — "
+            "membership pruning did not bite"
+        )
+
+    ch = read_changes(spark, base_dir, from_version=v1)
+    return ch.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("_commit_version") - F.lit(v1)).cast("bigint").alias("change_seq"),
+        F.col("_change_type").alias("change_type"),
+    )

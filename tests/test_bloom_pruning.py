@@ -255,3 +255,25 @@ def test_int_probe_against_bigint_bloom_casts_soundly(spark, tmp_path):
     tomb32 = spark.createDataFrame([(7,)], "k int")
     keep = _bloom_keep_files(spark, tp, m, tomb32)
     assert keep is not None and sum(len(s) for s in keep.values()) >= 1
+
+
+def test_scatter_hint_silent_on_bloom_covered_table(spark, tmp_path, caplog):
+    """The scattered-bounds maintenance hint exists to route callers to
+    a fix; a bloom-covered table already HAS the fix, so a scattered
+    merge there must not warn."""
+    import logging
+
+    tp_b = str(tmp_path / "b")
+    tp_p = str(tmp_path / "p")
+    _scattered_table(spark, tp_b, n=2000, commits=3, bloom=True)
+    _scattered_table(spark, tp_p, n=2000, commits=3, bloom=False)
+    src = spark.createDataFrame(
+        [(1, -1, False), (1999, -2, False)], "k bigint, v bigint, is_del boolean"
+    )
+    with caplog.at_level(logging.WARNING, logger="data_spark.io"):
+        merge_versioned(src, tp_b, keys=["k"], delete_col="is_del")
+    assert not [r for r in caplog.records if "scattered" in r.message]
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="data_spark.io"):
+        merge_versioned(src, tp_p, keys=["k"], delete_col="is_del")
+    assert [r for r in caplog.records if "scattered" in r.message]

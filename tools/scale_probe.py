@@ -906,6 +906,117 @@ def cdf_mode(sizes: list[int] | None = None, n_merges: int = 30, batch: int = 1_
     )
 
 
+def bloom_cdf_mode(
+    sizes: list[int] | None = None, n_merges: int = 10, batch: int = 50
+) -> None:
+    """Round 12: per-commit key blooms must make SCATTERED-key CDF
+    writes O(files containing the keys), closing the r11 caveat that
+    such merges degrade to a full prior-snapshot scan per commit (the
+    bounds envelope spans the table, so min/max pruning skips
+    nothing). Same scattered merge sequence (keys strided across the
+    WHOLE domain, change_feed=True so every commit pays the pre-image
+    read) against a bloom-maintained table vs a bounds-only one:
+
+    - bounds-only per-merge cost grows with the base size (full
+      merge-on-read scan each commit);
+    - bloom per-merge cost must stay ~flat across the size range (the
+      probe opens only the files that can contain a tombstoned key),
+      with the probe itself metadata-sized (keys x files bit tests).
+
+    Both variants must produce IDENTICAL change feeds (hash compare
+    in-probe) — pruning changes files opened, never rows."""
+    import shutil
+    import tempfile
+
+    from data_spark.io import merge_versioned, read_changes, write_versioned
+
+    sizes = sizes or [200_000, 800_000]
+    spark = get_spark("scale_probe_bloom_cdf")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for n in sizes:
+        point = {"n": n, "n_merges": n_merges}
+        feeds = {}
+        for variant in ("bloom", "bounds_only"):
+            work = tempfile.mkdtemp(prefix="bloom_cdf_")
+            tp = os.path.join(work, "t")
+            base = (
+                spark.range(n)
+                .select(
+                    F.col("id").alias("k"),
+                    # ~1 KB payload per row: the pre-image scan the
+                    # bloom avoids must COST something, or the probe
+                    # only measures its own fixed per-version job
+                    # overhead (~1-2 s) against a near-free scan
+                    F.repeat(F.sha2(F.col("id").cast("string"), 256), 16).alias("c"),
+                )
+                # round-robin layout: every file's [min, max] on k spans
+                # ~the whole domain — bounds pruning can never skip.
+                # 128 files x a ~40-key batch is the membership-pruning
+                # regime: far fewer changed keys than files, so a probe
+                # can bound the read while a full scan pays for all 128
+                .repartition(128)
+            )
+            v0 = write_versioned(
+                base,
+                tp,
+                mode="overwrite",
+                stats_cols=["k"],
+                bloom_cols=["k"] if variant == "bloom" else None,
+            )
+            t_total = 0.0
+            for i in range(n_merges):
+                # deterministic stride: batch keys spread over the whole
+                # table plus a few fresh inserts past the domain
+                src = spark.range(batch).select(
+                    F.when(
+                        F.col("id") < batch - 10,
+                        (F.col("id") * 7919 + F.lit(i * 13)) % n,
+                    )
+                    .otherwise(F.lit(n + i * 10) + F.col("id"))
+                    .alias("k"),
+                    F.sha2((F.col("id") + i).cast("string"), 256).alias("c"),
+                    F.lit(False).alias("del"),
+                )
+                start = time.perf_counter()
+                merge_versioned(
+                    src, tp, keys=["k"], delete_col="del", change_feed=True
+                )
+                t_total += time.perf_counter() - start
+            point[f"{variant}_merges_total_s"] = round(t_total, 3)
+            point[f"{variant}_per_merge_s"] = round(t_total / n_merges, 3)
+            feed = read_changes(spark, tp, from_version=v0)
+            feeds[variant] = sorted(
+                (r["k"], r["c"], r["_change_type"], r["_commit_version"])
+                for r in feed.collect()
+            )
+            shutil.rmtree(work, ignore_errors=True)
+        point["feeds_identical"] = feeds["bloom"] == feeds["bounds_only"]
+        point["change_rows"] = len(feeds["bloom"])
+        results.append(point)
+        print(f"bloom_cdf: {point}", file=sys.stderr, flush=True)
+    first, last = results[0], results[-1]
+    print(
+        json.dumps(
+            {
+                "mode": "bloom_cdf",
+                "results": results,
+                "bloom_cost_ratio_across_sizes": round(
+                    last["bloom_per_merge_s"]
+                    / max(first["bloom_per_merge_s"], 1e-3),
+                    3,
+                ),
+                "bounds_only_cost_ratio_across_sizes": round(
+                    last["bounds_only_per_merge_s"]
+                    / max(first["bounds_only_per_merge_s"], 1e-3),
+                    3,
+                ),
+                "table_ratio": round(last["n"] / first["n"], 1),
+            }
+        )
+    )
+
+
 def stream_source_mode(sizes: list[int] | None = None) -> None:
     """VERDICT r10 #1: the rebuilt ``versioned_table`` stream source
     must not materialize the table on the driver. Structural evidence:
@@ -1187,6 +1298,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "cdf":
         cdf_mode([int(x) for x in sys.argv[2:]] or None)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bloom_cdf":
+        bloom_cdf_mode([int(x) for x in sys.argv[2:]] or None)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "stream_source":
         stream_source_mode([int(x) for x in sys.argv[2:]] or None)
