@@ -1756,11 +1756,57 @@ def _bloom_manifest_entry(
     return {**cfg, "dirs": dirs}
 
 
+def _bounds_candidate_dirs(
+    manifest: dict, bounds: dict | None
+) -> set[str] | None:
+    """Commits with at least one file whose stats envelope overlaps the
+    tombstone's recorded bounds — driver-side manifest metadata, the
+    same conservative overlap test ``read_versioned``'s stats pruning
+    applies per file. None = no bounds or no stats (every commit is a
+    candidate). Lets the bloom probe skip reading bloom rows for
+    commits bounds pruning already excludes wholesale — the hot-tail
+    CDC shape, where older commits' files all fall outside the changed
+    key range and the probe should cost nothing for them."""
+    triples = _bounds_prune(bounds)
+    stats = manifest.get("stats") or {}
+    if not triples or not stats:
+        return None
+    out: set[str] = set()
+    for c in manifest.get("commits", []):
+        st = stats.get(c)
+        if st is None:
+            out.add(c)  # no stats: cannot exclude, must probe
+            continue
+        for b in st.values():
+            ok = True
+            for col, lo, hi in triples:
+                cb = b.get(col)
+                if cb is None:
+                    continue
+                mn, mx = cb
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                if _is_nan(mn) or _is_nan(mx) or _is_nan(lo) or _is_nan(hi):
+                    continue
+                try:
+                    if not (mn <= hi and mx >= lo):
+                        ok = False
+                        break
+                except TypeError:
+                    continue
+            if ok:
+                out.add(c)
+                break
+    return out
+
+
 def _bloom_keep_files(
     spark: SparkSession,
     table_path: str,
     manifest: dict,
     tomb: DataFrame,
+    candidate_dirs: set[str] | None = None,
 ) -> dict[str, set[str]] | None:
     """Membership file pruning for tombstone pre-image recovery: which
     files of which bloom-covered commits MIGHT contain any tombstoned
@@ -1785,6 +1831,10 @@ def _bloom_keep_files(
     if not set(cols) <= set(tomb.columns):
         return None
     dirs = [d for d in cfg.get("dirs", []) if d in set(manifest["commits"])]
+    if candidate_dirs is not None:
+        # commits bounds pruning already excludes wholesale need no
+        # membership probe — their bloom rows are never read
+        dirs = [d for d in dirs if d in candidate_dirs]
     dirs = [
         d for d in dirs if os.path.isdir(_commit_bloom_path(table_path, d))
     ]
@@ -3459,8 +3509,13 @@ def _tombstone_preimages(
     spans the whole domain (the regime where bounds pruning degrades
     to a full prior-snapshot scan); O(parent) with neither. The semi-
     join is the row-level residual that makes both prunes sound."""
+    manifest = _load_manifest(table_path, parent_v)
     keep = _bloom_keep_files(
-        spark, table_path, _load_manifest(table_path, parent_v), tomb
+        spark,
+        table_path,
+        manifest,
+        tomb,
+        candidate_dirs=_bounds_candidate_dirs(manifest, bounds),
     )
     pre = read_versioned(
         spark,

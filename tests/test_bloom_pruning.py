@@ -277,3 +277,39 @@ def test_scatter_hint_silent_on_bloom_covered_table(spark, tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="data_spark.io"):
         merge_versioned(src, tp_p, keys=["k"], delete_col="is_del")
     assert [r for r in caplog.records if "scattered" in r.message]
+
+
+def test_hot_tail_bounds_skip_bloom_probe(spark, tmp_path):
+    """On a key-CLUSTERED table the bounds candidate filter must keep
+    the bloom probe away from commits whose files all fall outside the
+    changed key range — hot-tail merges pay nothing for older history."""
+    from data_spark.io import _bounds_candidate_dirs
+
+    tp = str(tmp_path / "t")
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 101).cast("bigint").alias("v")
+    )
+    # RANGE-partitioned commits: commit i holds keys [i*1000, (i+1)*1000)
+    write_versioned(
+        base.filter(F.col("k") < 1000), tp, mode="overwrite",
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    for i in range(1, 4):
+        write_versioned(
+            base.filter((F.col("k") >= i * 1000) & (F.col("k") < (i + 1) * 1000)),
+            tp, mode="append", stats_cols=["k"],
+        )
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    # a hot-tail tombstone: keys only in the LAST commit's range
+    bounds = {"k": [3900, 3950, 0]}
+    cand = _bounds_candidate_dirs(m, bounds)
+    assert cand == {m["commits"][-1]}
+    keep = _bloom_keep_files(
+        spark, tp, m, _tomb(spark, [3901, 3944]), candidate_dirs=cand
+    )
+    assert keep is not None and set(keep) == {m["commits"][-1]}
+    # and the recovery is exact through the restricted probe
+    v0 = branch_head(tp, "main")
+    delete_versioned(_tomb(spark, [3901, 3944]), tp)
+    got = sorted(r["k"] for r in read_changes(spark, tp, v0).collect())
+    assert got == [3901, 3944]
