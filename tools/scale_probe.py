@@ -907,7 +907,7 @@ def cdf_mode(sizes: list[int] | None = None, n_merges: int = 30, batch: int = 1_
 
 
 def bloom_cdf_mode(
-    sizes: list[int] | None = None, n_merges: int = 10, batch: int = 50
+    sizes: list[int] | None = None, n_merges: int | None = None, batch: int = 50
 ) -> None:
     """Round 12: per-commit key blooms must make SCATTERED-key CDF
     writes O(files containing the keys), closing the r11 caveat that
@@ -931,6 +931,8 @@ def bloom_cdf_mode(
     from data_spark.io import merge_versioned, read_changes, write_versioned
 
     sizes = sizes or [200_000, 800_000]
+    if n_merges is None:
+        n_merges = int(os.environ.get("SPARK_GRAFT_BLOOM_MERGES", "10"))
     spark = get_spark("scale_probe_bloom_cdf")
     spark.sparkContext.setLogLevel("ERROR")
     results = []
@@ -964,7 +966,7 @@ def bloom_cdf_mode(
                 stats_cols=["k"],
                 bloom_cols=["k"] if variant == "bloom" else None,
             )
-            t_total = 0.0
+            per_merge = []
             for i in range(n_merges):
                 # deterministic stride: batch keys spread over the whole
                 # table plus a few fresh inserts past the domain
@@ -982,9 +984,49 @@ def bloom_cdf_mode(
                 merge_versioned(
                     src, tp, keys=["k"], delete_col="del", change_feed=True
                 )
-                t_total += time.perf_counter() - start
+                per_merge.append(time.perf_counter() - start)
+            t_total = sum(per_merge)
+            third = max(1, n_merges // 3)
             point[f"{variant}_merges_total_s"] = round(t_total, 3)
             point[f"{variant}_per_merge_s"] = round(t_total / n_merges, 3)
+            # accretion trend: each merge's pre-image scan anti-joins
+            # every PRIOR tombstone across the files it opens, so a
+            # full-scan path climbs with merge count while a
+            # membership-pruned one pays accretion only on the files
+            # that contain keys
+            point[f"{variant}_first_third_s"] = round(
+                sum(per_merge[:third]) / third, 3
+            )
+            point[f"{variant}_last_third_s"] = round(
+                sum(per_merge[-third:]) / third, 3
+            )
+            if variant == "bloom":
+                # the structural claim, measured: the LAST merge's
+                # pre-image read opened only the files its keys can
+                # inhabit, out of every data file visible at its parent
+                from data_spark.io import (
+                    _bloom_keep_files,
+                    _load_manifest,
+                    branch_head,
+                )
+
+                head = _load_manifest(tp, branch_head(tp, "main"))
+                tomb_df = spark.range(batch).select(
+                    F.when(
+                        F.col("id") < batch - 10,
+                        (F.col("id") * 7919 + F.lit((n_merges - 1) * 13)) % n,
+                    )
+                    .otherwise(F.lit(n + (n_merges - 1) * 10) + F.col("id"))
+                    .alias("k")
+                )
+                keep = _bloom_keep_files(spark, tp, head, tomb_df)
+                total_files = sum(
+                    len(files) for files in head.get("stats", {}).values()
+                )
+                point["bloom_files_opened"] = (
+                    None if keep is None else sum(len(s) for s in keep.values())
+                )
+                point["bloom_files_total"] = total_files
             feed = read_changes(spark, tp, from_version=v0)
             feeds[variant] = sorted(
                 (r["k"], r["c"], r["_change_type"], r["_commit_version"])
