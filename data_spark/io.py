@@ -3069,6 +3069,7 @@ def read_versioned(
     as_of: float | None = None,
     where: str | None = None,
     _keep_files: dict | None = None,
+    _eq_probe: dict | None = None,
 ) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just resolving that version's manifest to its commit
@@ -3126,7 +3127,17 @@ def read_versioned(
     commits read fully. Unlike ``prune``/``where`` this has NO residual
     filter, so it is only sound when the CALLER re-applies a row-level
     membership predicate — :func:`_tombstone_preimages`' key semi-join
-    over a no-false-negative bloom keep-set."""
+    over a no-false-negative bloom keep-set.
+
+    ``_eq_probe`` (PRIVATE — set by the ``where`` branch only):
+    ``{col: literal}`` equality conjuncts mined from ``where``. When
+    the table maintains a key bloom over a subset of these columns,
+    the POINT LOOKUP consults it and opens only the files that can
+    contain the probed key — S9-style existence probes become O(files
+    containing the key) on a scattered table where the min/max
+    envelope skips nothing. Sound for the same reason ``where``
+    derivation is: the full predicate re-applies as the residual, and
+    blooms have no false negatives under the recorded convention."""
     import json
 
     if where is not None:
@@ -3138,6 +3149,11 @@ def read_versioned(
                 else [tuple(prune)] if prune is not None else []
             )
             prune = base + derived
+        eqs = {
+            c: lo
+            for c, lo, hi in (derived or [])
+            if lo is not None and lo == hi
+        }
         inner = read_versioned(
             spark,
             table_path,
@@ -3147,6 +3163,7 @@ def read_versioned(
             branch=branch,
             as_of=as_of,
             _keep_files=_keep_files,
+            _eq_probe=eqs or None,
         )
         return inner.filter(F.expr(where))
 
@@ -3174,6 +3191,27 @@ def read_versioned(
         raise ValueError(f"version {v} not in {versions}")
     with open(os.path.join(_versions_dir(table_path), f"v{v}.json")) as f:
         manifest = json.load(f)
+
+    if _eq_probe and _keep_files is None:
+        bcfg = manifest.get("bloom")
+        if bcfg and set(bcfg["cols"]) <= set(_eq_probe):
+            try:
+                probe_df = spark.createDataFrame(
+                    [tuple(_eq_probe[c] for c in bcfg["cols"])],
+                    ", ".join(
+                        f"{c} {bcfg['dtypes'][c]}" for c in bcfg["cols"]
+                    ),
+                )
+                _keep_files = _bloom_keep_files(
+                    spark, table_path, manifest, probe_df
+                )
+            except Exception:
+                # a literal the declared dtype can't represent (or any
+                # probe-side surprise) must degrade to an unpruned
+                # read, never a failed one — the caller's predicate
+                # still filters rows either way
+                _keep_files = None
+
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")

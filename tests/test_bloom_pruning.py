@@ -313,3 +313,42 @@ def test_hot_tail_bounds_skip_bloom_probe(spark, tmp_path):
     delete_versioned(_tomb(spark, [3901, 3944]), tp)
     got = sorted(r["k"] for r in read_changes(spark, tp, v0).collect())
     assert got == [3901, 3944]
+
+
+def _data_files(df):
+    return [f for f in df.inputFiles() if "/data/" in f]
+
+
+def test_where_equality_point_lookup_uses_bloom(spark, tmp_path):
+    """S9-style point get through ``read_versioned(where='k = N')`` on
+    a scattered-layout table: the equality conjunct consults the key
+    bloom, so the scan opens only the files that can contain the key —
+    the where residual keeps it answer-exact."""
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp)
+    full = read_versioned(spark, tp).filter("k = 1234").collect()
+    pt = read_versioned(spark, tp, where="k = 1234")
+    assert sorted(map(tuple, pt.collect())) == sorted(map(tuple, full))
+    opened = _data_files(pt)
+    total = _data_files(read_versioned(spark, tp))
+    assert len(total) >= 64
+    assert len(opened) <= 4, (len(opened), len(total))
+    # a key past the domain: zero files opened, empty result, no error
+    miss = read_versioned(spark, tp, where="k = 999999")
+    assert miss.count() == 0
+    assert len(_data_files(miss)) == 0
+
+
+def test_where_point_lookup_composes_and_degrades(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp)
+    # equality on a NON-bloom column: no bloom consult, still correct
+    got = read_versioned(spark, tp, where="v = 7")
+    want = read_versioned(spark, tp).filter("v = 7")
+    assert got.count() == want.count() > 0
+    # compound predicate: the bloom prunes on k, the rest filters rows
+    got2 = read_versioned(spark, tp, where="k = 2000 AND v >= 0").collect()
+    assert [r["k"] for r in got2] == [2000]
+    # point lookup still correct after a delete tombstones the key
+    delete_versioned(_tomb(spark, [2000]), tp)
+    assert read_versioned(spark, tp, where="k = 2000").count() == 0
