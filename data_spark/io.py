@@ -2601,6 +2601,17 @@ def compact_versioned(
             }
         bcfg = _load_manifest(table_path, read_v).get("bloom")
         if bcfg:
+            # a full rewrite changes rows-per-file by orders of
+            # magnitude (many small commits -> few packed files); the
+            # single-commit result manifest can re-derive the bit size
+            # for the NEW density — an inherited small filter would
+            # saturate and prune nothing while still costing probes
+            bcfg = {
+                **bcfg,
+                "bits": _auto_bloom_bits(
+                    spark, os.path.join(table_path, "data", commit_dir)
+                ),
+            }
             built = _build_commit_bloom(spark, table_path, commit_dir, bcfg)
             manifest["bloom"] = _bloom_manifest_entry(
                 bcfg, [commit_dir], [commit_dir] if built else []
@@ -2782,6 +2793,12 @@ def optimize_versioned(
             }
         bcfg = manifest_read.get("bloom")
         if bcfg:
+            # single-commit full OPTIMIZE: re-derive bits for the
+            # clustered density (see compact_versioned); the
+            # incremental path above must NOT — its kept prefix holds
+            # blooms built under the existing convention, and one
+            # manifest cannot mix bit layouts
+            bcfg = {**bcfg, "bits": _auto_bloom_bits(spark, commit_path)}
             built = _build_commit_bloom(spark, table_path, commit_dir, bcfg)
             manifest["bloom"] = _bloom_manifest_entry(
                 bcfg, [commit_dir], [commit_dir] if built else []

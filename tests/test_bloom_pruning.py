@@ -352,3 +352,47 @@ def test_where_point_lookup_composes_and_degrades(spark, tmp_path):
     # point lookup still correct after a delete tombstones the key
     delete_versioned(_tomb(spark, [2000]), tp)
     assert read_versioned(spark, tp, where="k = 2000").count() == 0
+
+
+def test_compact_rederives_bloom_bits_for_density(spark, tmp_path):
+    """A full rewrite packs many small files into few dense ones; the
+    inherited bit size would saturate (fpp -> 1, all files kept). The
+    single-commit compact/optimize result re-derives bits from the new
+    density, and the probe still prunes afterwards."""
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=20000, commits=4)
+    bits0 = _load_manifest(tp, branch_head(tp, "main"))["bloom"]["bits"]
+    compact_versioned(spark, tp, stats_cols=["k"])
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    # 20k rows in one commit of few files: bits must have grown past
+    # the multi-file setup sizing
+    assert m["bloom"]["bits"] > bits0
+    keep = _bloom_keep_files(spark, tp, m, _tomb(spark, [17]))
+    assert keep is not None
+    kept = sum(len(s) for s in keep.values())
+    total = sum(len(files) for files in m["stats"].values())
+    assert 1 <= kept < total or total == 1
+
+
+def test_compound_key_point_lookup(spark, tmp_path):
+    """Multi-column bloom keys hash as ONE tuple; a where= with
+    equality on every key column probes it."""
+    tp = str(tmp_path / "t")
+    base = spark.range(0, 3000).select(
+        (F.col("id") % 50).alias("a"),
+        (F.col("id") / 50).cast("bigint").alias("b"),
+        F.col("id").alias("v"),
+    )
+    write_versioned(
+        base.repartition(16), tp, mode="overwrite",
+        stats_cols=["a", "b"], bloom_cols=["a", "b"],
+    )
+    got = read_versioned(spark, tp, where="a = 7 AND b = 33").collect()
+    assert [(r["a"], r["b"], r["v"]) for r in got] == [(7, 33, 33 * 50 + 7)]
+    opened = _data_files(read_versioned(spark, tp, where="a = 7 AND b = 33"))
+    total = _data_files(read_versioned(spark, tp))
+    assert len(opened) < len(total)
+    # equality on only ONE of the two key columns: no probe (the bloom
+    # hashes the tuple), full correctness anyway
+    part = read_versioned(spark, tp, where="a = 7")
+    assert part.count() == 60
