@@ -996,6 +996,7 @@ def cdc_stream_sink(
     keys: list[str],
     op_col: str = "op",
     seq_cols: tuple[str, ...] = ("seq_ts", "seq_id"),
+    bloom_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Streaming CDC apply into the versioned snapshot store: each
     micro-batch of I/U/D change events becomes one last-writer-wins
@@ -1043,6 +1044,9 @@ def cdc_stream_sink(
             table_path,
             mode="append" if bootstrapped else "overwrite",
             meta={"batch_id": batch_id},
+            # appends inherit the convention; only the bootstrap needs
+            # the explicit columns
+            bloom_cols=None if bootstrapped else bloom_cols,
         )
 
     return (
@@ -1063,6 +1067,7 @@ def merge_stream_sink(
     stats_cols: list[str] | None = None,
     maintenance: dict | None = None,
     change_feed: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Streaming MERGE into the versioned store — the atomic sibling of
     :func:`cdc_stream_sink`: each micro-batch reduces to its newest
@@ -1098,7 +1103,14 @@ def merge_stream_sink(
 
     ``change_feed=True``: each batch's merge also materializes its
     change rows at commit time (``io.merge_versioned(change_feed=)``)
-    so downstream CDC consumers read the feed from stored files."""
+    so downstream CDC consumers read the feed from stored files.
+
+    ``bloom_cols``: start a per-commit key-bloom convention on the
+    BOOTSTRAP commit (usually ``keys`` — the columns pre-image
+    recovery probes); every later merge inherits it, so a
+    scattered-key CDC stream keeps its change-feed writes O(files
+    containing the batch's keys) instead of full prior-snapshot
+    scans."""
     from data_spark.io import (
         last_committed_batch_id,
         maintain_versioned,
@@ -1131,6 +1143,7 @@ def merge_stream_sink(
                 mode="overwrite",
                 meta={"batch_id": batch_id},
                 stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
             )
             return
         merge_versioned(

@@ -396,3 +396,42 @@ def test_compound_key_point_lookup(spark, tmp_path):
     # hashes the tuple), full correctness anyway
     part = read_versioned(spark, tp, where="a = 7")
     assert part.count() == 60
+
+
+def test_merge_stream_sink_starts_and_inherits_blooms(spark, tmp_path):
+    """A CDC stream whose sink bootstraps with bloom_cols keeps the
+    convention on every merged batch — the steady-state shape the
+    feature exists for."""
+    from data_spark.streaming.jobs import merge_stream_sink
+
+    src_dir = str(tmp_path / "src")
+    tp = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    rows = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("seq_ts"),
+        F.col("id").alias("seq_id"),
+        (F.col("id") % 7).alias("v"),
+        F.lit(False).alias("is_del"),
+    )
+    rows.write.parquet(src_dir)
+    stream = spark.readStream.schema(rows.schema).parquet(src_dir)
+    q = merge_stream_sink(
+        stream, tp, ckpt, keys=["k"], delete_col="is_del",
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    q.awaitTermination(120)
+    # second batch: an update lands as a MERGE and must inherit
+    spark.createDataFrame(
+        [(5, 1000, 1000, 99, False)],
+        "k bigint, seq_ts bigint, seq_id bigint, v bigint, is_del boolean",
+    ).write.mode("append").parquet(src_dir)
+    q2 = merge_stream_sink(
+        stream, tp, ckpt, keys=["k"], delete_col="is_del",
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    q2.awaitTermination(120)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    assert m["bloom"]["cols"] == ["k"]
+    assert sorted(m["bloom"]["dirs"]) == sorted(m["commits"])
+    assert read_versioned(spark, tp).filter("k = 5").first()["v"] == 99
