@@ -3060,6 +3060,45 @@ def _conjunct_triples(c: list) -> list[tuple]:
     return []
 
 
+def _derive_in_values(where: str) -> dict[str, list]:
+    """The exact value lists of top-level ``col IN (lit, ...)``
+    conjuncts — the membership complement of ``_conjunct_triples``'
+    [min, max] collapse: a bloom probe wants the listed values
+    themselves (P9 ids-in probes), not their envelope. Same
+    conservative contract: a conjunct that doesn't match the shape
+    contributes nothing, and consumers only ever use the result to
+    SHRINK the files opened under the full residual filter."""
+    out: dict[str, list] = {}
+    for c in _split_conjuncts(_sql_tokens(where) or []):
+        if not (
+            len(c) >= 5
+            and c[0][0] == "ident"
+            and c[1][0] == "ident"
+            and c[1][1].upper() == "IN"
+            and c[2] == ("punct", "(")
+            and c[-1] == ("punct", ")")
+        ):
+            continue
+        vals, i = [], 3
+        while i < len(c) - 1:
+            lit = _sql_literal(c[i:])
+            if lit is None:
+                vals = None
+                break
+            vals.append(lit[0])
+            i += lit[1]
+            if i < len(c) - 1:
+                if c[i] != ("punct", ","):
+                    vals = None
+                    break
+                i += 1
+        if vals:
+            col = c[0][1]
+            if col not in out or len(vals) < len(out[col]):
+                out[col] = vals
+    return out
+
+
 def _derive_prune_triples(where: str) -> list[tuple]:
     """Derive manifest-stats prune ranges from a SQL predicate's
     top-level conjuncts — the ergonomic path to file skipping: callers
@@ -3167,10 +3206,14 @@ def read_versioned(
             )
             prune = base + derived
         eqs = {
-            c: lo
+            c: [lo]
             for c, lo, hi in (derived or [])
             if lo is not None and lo == hi
         }
+        for col, vals in _derive_in_values(where).items():
+            # a plain equality (1 value) always beats an IN list on
+            # the same column; both are sound supersets of the rows
+            eqs.setdefault(col, vals)
         inner = read_versioned(
             spark,
             table_path,
@@ -3212,22 +3255,38 @@ def read_versioned(
     if _eq_probe and _keep_files is None:
         bcfg = manifest.get("bloom")
         if bcfg and set(bcfg["cols"]) <= set(_eq_probe):
-            try:
-                probe_df = spark.createDataFrame(
-                    [tuple(_eq_probe[c] for c in bcfg["cols"])],
-                    ", ".join(
-                        f"{c} {bcfg['dtypes'][c]}" for c in bcfg["cols"]
+            import itertools
+
+            # the cross product across the key columns' value lists is
+            # a SUPERSET of the keys the predicate can match — sound,
+            # and small by construction (equality lists are length 1,
+            # IN lists are human-written); a blown cap degrades to the
+            # unpruned read
+            rows = list(
+                itertools.islice(
+                    itertools.product(
+                        *[_eq_probe[c] for c in bcfg["cols"]]
                     ),
+                    257,
                 )
-                _keep_files = _bloom_keep_files(
-                    spark, table_path, manifest, probe_df
-                )
-            except Exception:
-                # a literal the declared dtype can't represent (or any
-                # probe-side surprise) must degrade to an unpruned
-                # read, never a failed one — the caller's predicate
-                # still filters rows either way
-                _keep_files = None
+            )
+            if 0 < len(rows) <= 256:
+                try:
+                    probe_df = spark.createDataFrame(
+                        rows,
+                        ", ".join(
+                            f"{c} {bcfg['dtypes'][c]}" for c in bcfg["cols"]
+                        ),
+                    )
+                    _keep_files = _bloom_keep_files(
+                        spark, table_path, manifest, probe_df
+                    )
+                except Exception:
+                    # a literal the declared dtype can't represent (or
+                    # any probe-side surprise) must degrade to an
+                    # unpruned read, never a failed one — the caller's
+                    # predicate still filters rows either way
+                    _keep_files = None
 
     reader = spark.read
     if merge_schema:

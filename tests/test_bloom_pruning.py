@@ -435,3 +435,24 @@ def test_merge_stream_sink_starts_and_inherits_blooms(spark, tmp_path):
     assert m["bloom"]["cols"] == ["k"]
     assert sorted(m["bloom"]["dirs"]) == sorted(m["commits"])
     assert read_versioned(spark, tp).filter("k = 5").first()["v"] == 99
+
+
+def test_where_in_list_membership_probe(spark, tmp_path):
+    """P9-style ids-in probes: ``where="k IN (...)"`` probes the bloom
+    with the LISTED values (the range collapse would keep every file on
+    a scattered layout); answer-exact under the residual."""
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp)
+    q = read_versioned(spark, tp, where="k IN (15, 1230, 3888)")
+    assert sorted(r["k"] for r in q.collect()) == [15, 1230, 3888]
+    opened = _data_files(q)
+    total = _data_files(read_versioned(spark, tp))
+    assert len(total) >= 64
+    assert len(opened) <= 9, (len(opened), len(total))
+    # equality + IN on the same column: the equality (shorter list) wins
+    q2 = read_versioned(spark, tp, where="k = 15 AND k IN (15, 1230)")
+    assert [r["k"] for r in q2.collect()] == [15]
+    assert len(_data_files(q2)) <= 4
+    # an IN list mixing representable values stays exact
+    q3 = read_versioned(spark, tp, where="k IN (999998, 999999)")
+    assert q3.count() == 0 and len(_data_files(q3)) == 0
