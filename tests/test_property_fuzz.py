@@ -506,3 +506,99 @@ def test_rollup_having_parity(engines, pred, shape, min_n):
         f"GROUP BY {shape} HAVING COUNT(*) >= {min_n}"
     )
     _parity(spark, con, sql)
+
+
+# ---------------------------------------------------------------------------
+# bloom membership pruning: pruned and unpruned recovery must agree on
+# EVERY key set (r12 — the probe is pure file-skipping, the semi-join
+# is the residual; any divergence is a false negative, i.e. corruption)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_tables(spark, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    from data_spark.io import write_versioned
+
+    root = tmp_path_factory.mktemp("bloomfuzz")
+    base = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 13).cast("bigint").alias("v"),
+        (F.col("id") % 4).cast("string").alias("p"),
+    )
+    paths = {}
+    for name, bloom, part in (
+        ("bloom_flat", True, None),
+        ("plain_flat", False, None),
+        ("bloom_hive", True, ["p"]),
+    ):
+        tp = str(root / name)
+        for i in range(3):
+            write_versioned(
+                base.filter(F.col("k") % 3 == i).repartition(6),
+                tp,
+                mode="overwrite" if i == 0 else "append",
+                stats_cols=["k"],
+                bloom_cols=["k"] if bloom and i == 0 else None,
+                partition_by=part,
+            )
+        paths[name] = tp
+    return paths
+
+
+key_sets = st.lists(
+    st.integers(min_value=-50, max_value=3300), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(keys=key_sets)
+def test_fuzz_bloom_preimages_equal_plain(spark, bloom_tables, keys):
+    from data_spark.io import (
+        _load_manifest,
+        _tombstone_bounds,
+        _tombstone_preimages,
+        branch_head,
+    )
+
+    tomb = spark.createDataFrame([(k,) for k in keys], "k bigint").dropDuplicates()
+    bounds = _tombstone_bounds(tomb)
+    got = {}
+    for name in ("bloom_flat", "plain_flat", "bloom_hive"):
+        tp = bloom_tables[name]
+        v = branch_head(tp, "main")
+        pre = _tombstone_preimages(spark, tp, v, tomb, bounds)
+        got[name] = sorted((r["k"], r["v"]) for r in pre.select("k", "v").collect())
+    assert got["bloom_flat"] == got["plain_flat"]
+    assert got["bloom_hive"] == got["plain_flat"]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(keys=st.lists(st.integers(min_value=-50, max_value=3300), min_size=1, max_size=5))
+def test_fuzz_bloom_point_lookup_equals_filter(spark, bloom_tables, keys):
+    from data_spark.io import read_versioned
+
+    tp = bloom_tables["bloom_flat"]
+    if len(keys) == 1:
+        where = f"k = {keys[0]}"
+    else:
+        where = f"k IN ({', '.join(map(str, keys))})"
+    got = sorted(
+        (r["k"], r["v"]) for r in read_versioned(spark, tp, where=where).select("k", "v").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in read_versioned(spark, tp).filter(where).select("k", "v").collect()
+    )
+    assert got == want
