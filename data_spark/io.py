@@ -1316,21 +1316,167 @@ def _is_nan(v) -> bool:
     return isinstance(v, float) and v != v
 
 
+# Parquet (physical_type, converted_type) pairs whose FOOTER statistics
+# decode to exactly the Python values the Spark-scan stats path yields
+# (pyarrow: int / str / bool / datetime.date), so the two paths produce
+# byte-identical manifest JSON. Deliberately excluded: FLOAT/DOUBLE (a
+# file containing NaN has writer-dependent footer min/max while the
+# Spark path sees NaN and the NaN guards fire), DECIMAL / INT96 /
+# TIMESTAMP_* (footer decoding or tz canonicalization differs from the
+# ``_json_stat`` string forms), unsigned ints (Spark never writes them,
+# so a file carrying one was made elsewhere — let the scan path decide).
+_FOOTER_SAFE_TYPES = frozenset(
+    (
+        ("INT32", "NONE"), ("INT32", "INT_8"), ("INT32", "INT_16"),
+        ("INT32", "INT_32"), ("INT32", "DATE"),
+        ("INT64", "NONE"), ("INT64", "INT_64"),
+        ("BYTE_ARRAY", "UTF8"), ("BOOLEAN", "NONE"),
+    )
+)
+
+# footer-safe parquet type -> the Spark dtype the scan path would see
+# (all members of _ATOMIC_DTYPES; used by the tombstone-bounds gate)
+_FOOTER_SPARK_DTYPE = {
+    ("INT32", "NONE"): "int", ("INT32", "INT_8"): "tinyint",
+    ("INT32", "INT_16"): "smallint", ("INT32", "INT_32"): "int",
+    ("INT32", "DATE"): "date",
+    ("INT64", "NONE"): "bigint", ("INT64", "INT_64"): "bigint",
+    ("BYTE_ARRAY", "UTF8"): "string", ("BOOLEAN", "NONE"): "boolean",
+}
+
+
+def _footer_dir_stats(commit_path: str, cols: list[str] | None):
+    """Per-file min/max/null-count for ``cols`` read from parquet FOOTER
+    metadata — the write-side stats pass without a second scan of the
+    commit's rows (guide §1.2/§6: a commit used to pay write + full
+    re-read; footers make the stats step O(files) driver-side metadata,
+    which is also the only posture that survives 100 TB commits).
+
+    Returns ``(stats, total_rows)`` where ``stats`` maps RELATIVE file
+    path → ``{col: (min, max, null_count)}`` (``(None, None, n)`` for an
+    all-NULL or empty file), or ``None`` whenever anything about the
+    footers is not PROVABLY equivalent to the Spark-scan path — unknown
+    physical/converted type, missing column, absent or unreadable
+    statistics — in which case the caller falls back to the scan.
+    ``cols=None`` collects every footer-safe column in the schema."""
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    files = []
+    for dp, _dirs, fs in os.walk(commit_path):
+        files.extend(os.path.join(dp, f) for f in fs if f.endswith(".parquet"))
+    if not files:
+        return None
+    abs_commit = os.path.abspath(commit_path)
+    out: dict = {}
+    total_rows = 0
+    want = cols
+    try:
+        for path in sorted(files):
+            md = pq.ParquetFile(path).metadata
+            total_rows += md.num_rows
+            if md.num_rows == 0:
+                # the scan path's groupBy never yields a row for an
+                # empty file, so it is absent from scan stats; mirror
+                # that (pruning drops it either way — it has no rows)
+                continue
+            idx: dict[str, int] = {}
+            for i in range(md.num_columns):
+                sc = md.schema.column(i)
+                if sc.max_repetition_level == 0 and "." not in sc.path:
+                    idx.setdefault(sc.path, i)
+            if want is None:
+                want = [
+                    c
+                    for c in idx
+                    if (
+                        md.schema.column(idx[c]).physical_type,
+                        md.schema.column(idx[c]).converted_type,
+                    )
+                    in _FOOTER_SAFE_TYPES
+                ]
+                # cols=None means "the whole schema": every leaf must be
+                # a footer-safe top-level column, or the caller's scan
+                # path (which sees the real dtypes and applies the
+                # NaN/atomic-dtype guards) must run instead
+                if not want or len(want) != md.num_columns:
+                    return None
+            per_col = {}
+            for c in want:
+                i = idx.get(c)
+                if i is None:
+                    return None
+                sc = md.schema.column(i)
+                if (sc.physical_type, sc.converted_type) not in _FOOTER_SAFE_TYPES:
+                    return None
+                mn = mx = None
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    rg_meta = md.row_group(rg)
+                    st = rg_meta.column(i).statistics
+                    if st is None or not st.has_null_count:
+                        return None
+                    nulls += st.null_count
+                    if st.has_min_max:
+                        v0, v1 = st.min, st.max
+                        mn = v0 if mn is None or v0 < mn else mn
+                        mx = v1 if mx is None or v1 > mx else mx
+                    elif rg_meta.num_rows - st.null_count > 0:
+                        # non-null rows present but no min/max recorded
+                        # (e.g. a >4 KB binary value made the writer
+                        # drop them): not provably equivalent — scan
+                        return None
+                per_col[c] = (mn, mx, nulls)
+            rel = (
+                os.path.relpath(path, abs_commit)
+                if path.startswith(abs_commit + os.sep)
+                else os.path.basename(path)
+            )
+            out[rel] = per_col
+    except Exception:  # noqa: BLE001 - any footer surprise → scan path
+        return None
+    return out, total_rows
+
+
 def _collect_commit_stats(
     spark: SparkSession, commit_path: str, cols: list[str], spec: dict | None = None
 ) -> dict:
     """Per-FILE min/max for ``cols`` over one commit directory —
-    O(commit) at write time, and the result is manifest METADATA
-    (files x cols bounds, never rows). Stats keys are paths RELATIVE
-    to the commit dir (equal to the basename for flat commits; for
-    hive-partitioned commits they carry the ``col=val/`` prefix so
-    pruning resolves the right leaf). Partition columns themselves can
-    be stats columns: their value is constant per file and survives
-    the groupBy like any other column. ``spec`` (the commit's partition
-    spec, when hive-partitioned): bounds for spec columns are recorded
-    in the PINNED dtype, never the discovery-inferred one — otherwise
-    a string partition column's stats would hold ints and pruning
-    comparisons against string probes would misfire."""
+    manifest METADATA (files x cols bounds, never rows). Stats keys are
+    paths RELATIVE to the commit dir (equal to the basename for flat
+    commits; for hive-partitioned commits they carry the ``col=val/``
+    prefix so pruning resolves the right leaf). Partition columns
+    themselves can be stats columns: their value is constant per file
+    and survives the groupBy like any other column. ``spec`` (the
+    commit's partition spec, when hive-partitioned): bounds for spec
+    columns are recorded in the PINNED dtype, never the
+    discovery-inferred one — otherwise a string partition column's
+    stats would hold ints and pruning comparisons against string probes
+    would misfire.
+
+    Fast path (guide §1.2: remove whole passes first): for flat commits
+    whose stats columns are footer-safe types, bounds come from parquet
+    FOOTER metadata (:func:`_footer_dir_stats`) — no second Spark scan
+    of the commit. Spec'd commits and non-footer-safe dtypes (floats,
+    decimals, timestamps) keep the O(commit) scan, whose semantics the
+    NaN/decimal guards below are pinned to. A 0-row data file is absent
+    from the scan path's groupBy output and recorded as an all-NULL
+    ``[None, None]`` bound by the footer path — both make pruning skip
+    it, which holds no rows either way."""
+    if spec is None:
+        fast = _footer_dir_stats(commit_path, cols)
+        if fast is not None:
+            return {
+                rel: {
+                    c: [
+                        _json_stat(mn, down=True),
+                        _json_stat(mx, down=False),
+                    ]
+                    for c, (mn, mx, _nulls) in per_col.items()
+                }
+                for rel, per_col in fast[0].items()
+            }
     if spec:
         df = _read_spec_commit(spark, [commit_path], spec)
     else:
@@ -1422,6 +1568,39 @@ def _tombstone_bounds(keys_df: DataFrame) -> dict | None:
             int(r[f"{c}__nulls"] or 0),
         ]
     return out or None
+
+
+def _tombstone_bounds_dir(spark: SparkSession, delete_path: str) -> dict | None:
+    """:func:`_tombstone_bounds` over a WRITTEN tombstone directory.
+
+    Fast path: when every tombstone column is a footer-safe type, the
+    per-column min/max/null-count aggregates come from the parquet
+    footers (:func:`_footer_dir_stats`) — commit-time bounds without a
+    read-back Spark job (guide §1.2). Any other schema (float/double
+    keys with their NaN guard, decimals' directed rounding, non-atomic
+    dtypes) falls back to the read-back aggregate whose semantics those
+    guards are pinned to; so does an all-empty tombstone, whose scan
+    path records explicit ``[None, None, 0]`` bounds."""
+    fast = _footer_dir_stats(delete_path, None)
+    if fast is not None and fast[0]:
+        agg: dict[str, list] = {}
+        for per_col in fast[0].values():
+            for c, (mn, mx, nulls) in per_col.items():
+                cur = agg.setdefault(c, [None, None, 0])
+                if mn is not None and (cur[0] is None or mn < cur[0]):
+                    cur[0] = mn
+                if mx is not None and (cur[1] is None or mx > cur[1]):
+                    cur[1] = mx
+                cur[2] += nulls
+        return {
+            c: [
+                _json_stat(mn, down=True),
+                _json_stat(mx, down=False),
+                int(nulls),
+            ]
+            for c, (mn, mx, nulls) in agg.items()
+        } or None
+    return _tombstone_bounds(spark.read.parquet(delete_path))
 
 
 _log = logging.getLogger("data_spark.io")
@@ -1684,11 +1863,33 @@ _BLOOM_MIN_BITS = _BLOOM_BITS
 _BLOOM_MAX_BITS = 1 << 22
 
 
+def _footer_row_count(commit_path: str) -> int | None:
+    """Total rows under a parquet file or directory from footer
+    metadata (no Spark job); None when unreadable."""
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        if os.path.isfile(commit_path):
+            return pq.ParquetFile(commit_path).metadata.num_rows
+        total = 0
+        seen = False
+        for dp, _dirs, fs in os.walk(commit_path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+                    seen = True
+        return total if seen else None
+    except Exception:  # noqa: BLE001 - fall back to a count job
+        return None
+
+
 def _auto_bloom_bits(spark: SparkSession, commit_path: str) -> int:
     n_files = 0
     for dp, _dirs, fs in os.walk(commit_path):
         n_files += sum(1 for f in fs if f.endswith(".parquet"))
-    rows = spark.read.parquet(commit_path).count()
+    rows = _footer_row_count(commit_path)
+    if rows is None:
+        rows = spark.read.parquet(commit_path).count()
     per_file = rows / max(n_files, 1)
     bits = _BLOOM_MIN_BITS
     while bits < per_file * 10 and bits < _BLOOM_MAX_BITS:
@@ -2188,11 +2389,10 @@ def delete_versioned(
         os.path.join(table_path, "deletes", delete_dir)
     )
     # bounds from the WRITTEN tombstone (tiny), not the caller's frame,
-    # whose lineage may be arbitrarily expensive to re-evaluate
-    bounds = _tombstone_bounds(
-        keys_df.sparkSession.read.parquet(
-            os.path.join(table_path, "deletes", delete_dir)
-        )
+    # whose lineage may be arbitrarily expensive to re-evaluate —
+    # footer metadata when the key dtypes allow, read-back scan otherwise
+    bounds = _tombstone_bounds_dir(
+        keys_df.sparkSession, os.path.join(table_path, "deletes", delete_dir)
     )
     probe_v = branch_head(table_path, branch)
     if probe_v is not None:
@@ -2323,11 +2523,10 @@ def merge_versioned(
     source.select(*keys).dropDuplicates().write.mode("overwrite").parquet(
         os.path.join(table_path, "deletes", delete_dir)
     )
-    # bounds from the WRITTEN tombstone (tiny), not the source lineage
-    key_bounds = _tombstone_bounds(
-        source.sparkSession.read.parquet(
-            os.path.join(table_path, "deletes", delete_dir)
-        )
+    # bounds from the WRITTEN tombstone (tiny), not the source lineage —
+    # footer metadata when the key dtypes allow, read-back scan otherwise
+    key_bounds = _tombstone_bounds_dir(
+        source.sparkSession, os.path.join(table_path, "deletes", delete_dir)
     )
     warn_v = branch_head(table_path, branch)
     if warn_v is None and branch != "main":

@@ -58,6 +58,7 @@ def run_batch(
     near_dup_threshold: float = 0.7,
     num_buckets: int = 16,
     refresh_manifest: bool = True,
+    measure_reads: bool = True,
 ) -> dict:
     """Run ONE incremental batch of ``source`` (doc_id, text, ...)
     through scan → near-dup gate → bucketed merge → manifest refresh.
@@ -83,12 +84,30 @@ def run_batch(
         if not os.path.exists(store_path):
             return 0
         if refresh_manifest and os.path.exists(manifest_path):
-            row = (
-                spark.read.parquet(manifest_path)
-                .agg(F.sum("n_rows").alias("n"))
-                .collect()[0]
-            )
-            return int(row["n"] or 0)
+            # the manifest is metadata-sized (one row per store file):
+            # sum it driver-side from the parquet footers' own rows —
+            # no Spark job (guide §1.2); identical to the former
+            # spark.read.agg(sum(n_rows)) by the parquet contract
+            try:
+                import pyarrow.parquet as pq  # noqa: PLC0415
+
+                total = 0
+                for dp, _dirs, fs in os.walk(manifest_path):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            tbl = pq.read_table(
+                                os.path.join(dp, f), columns=["n_rows"]
+                            )
+                            col = tbl.column("n_rows").to_pylist()
+                            total += sum(v for v in col if v is not None)
+                return int(total)
+            except Exception:  # noqa: BLE001 - fall back to a Spark agg
+                row = (
+                    spark.read.parquet(manifest_path)
+                    .agg(F.sum("n_rows").alias("n"))
+                    .collect()[0]
+                )
+                return int(row["n"] or 0)
         return spark.read.parquet(store_path).count()
 
     # 1. incremental scan: never-processed rows only
@@ -138,12 +157,17 @@ def run_batch(
         )
         if os.path.exists(store_path):
             metrics["store_buckets_touched"] = len(touched)
-            metrics["store_rows_read"] = (
-                spark.read.option("basePath", store_path)
-                .parquet(store_path)
-                .filter(F.col(BUCKET_COL).isin(touched))
-                .count()
-            )
+            if measure_reads:
+                # instrumentation, not pipeline work: the O(delta)
+                # evidence test_incremental_e2e pins. Callers that only
+                # need the pipeline result (run_demo / the bench gate)
+                # skip this count job per batch (guide §1.2).
+                metrics["store_rows_read"] = (
+                    spark.read.option("basePath", store_path)
+                    .parquet(store_path)
+                    .filter(F.col(BUCKET_COL).isin(touched))
+                    .count()
+                )
         merge_batch_into_bucketed(
             survivors, store_path, keys=["doc_id"], num_buckets=num_buckets
         )
@@ -194,6 +218,10 @@ def run_demo(
             batch_limit=batch_limit,
             num_buckets=num_buckets,
             near_dup_threshold=near_dup_threshold,
+            # the demo/gate shape never reports store_rows_read — skip
+            # its instrumentation count (test_incremental_e2e measures
+            # it through run_batch directly)
+            measure_reads=False,
         )
         rows.append(
             (

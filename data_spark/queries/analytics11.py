@@ -147,12 +147,18 @@ def pipe_stream_cdf_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
         # one availableNow batch may carry several versions; apply them
         # in commit order so a key's upsert/delete sequence replays
-        # faithfully (the per-version frames are tiny: changed rows)
-        versions = sorted(
-            r["_commit_version"]
-            for r in batch_df.select("_commit_version").distinct().collect()
+        # faithfully (the per-version frames are tiny: changed rows).
+        # ONE distinct-pairs collect serves both the version schedule
+        # and the change-type audit — the per-version
+        # distinct-per-column collects this replaces were 1 + V driver
+        # round trips per batch (guide §1.2: fewer passes first)
+        pairs = (
+            batch_df.select("_commit_version", "_change_type")
+            .distinct()
+            .collect()
         )
-        for v in versions:
+        seen_types.update(r["_change_type"] for r in pairs)
+        for v in sorted({r["_commit_version"] for r in pairs}):
             b = batch_df.filter(F.col("_commit_version") == v)
             ups = b.filter(
                 F.col("_change_type").isin("insert", "update_postimage")
@@ -161,10 +167,6 @@ def pipe_stream_cdf_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_del", F.lit(True)
             )
             src = ups.unionByName(dels).drop("_change_type", "_commit_version")
-            seen_types.update(
-                r["_change_type"]
-                for r in b.select("_change_type").distinct().collect()
-            )
             merge_versioned(src, down, keys=["o_orderkey"], delete_col="is_del")
 
     register(spark)
@@ -188,13 +190,22 @@ def pipe_stream_cdf_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"change types never streamed: {sorted(missing)}")
 
     got = read_versioned(spark, down)
-    # CDC replication invariant: the fold reproduced the upstream head
+    # CDC replication invariant: the fold reproduced the upstream head.
+    # One signed-multiset pass (strictly stronger than the former
+    # count-compare + one-sided anti-join, and 1 job instead of 3):
+    # every (row, +1/-1) group must cancel exactly
     want = read_versioned(spark, up)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-    if (
-        got.count() != want.count()
-        or got.join(want, cols, "left_anti").count() != 0
-    ):
+    mismatch = (
+        got.select(*cols)
+        .withColumn("__side", F.lit(1))
+        .unionByName(want.select(*cols).withColumn("__side", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__side").alias("__d"))
+        .filter(F.col("__d") != 0)
+        .count()
+    )
+    if mismatch != 0:
         raise AssertionError("folded downstream != upstream head snapshot")
     return got.select(
         "o_orderkey",

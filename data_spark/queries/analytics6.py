@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_spark.queries.common import run_scratch_dir, t
+from data_spark.queries.common import run_scratch_dir, stage_era_files, t, table_rows
 
 QUERIES = {}
 ORACLE = {}
@@ -863,20 +863,9 @@ def pipe_stream_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("1994-07-01", "1996-07-01"),
         ("1996-07-01", "3000-01-01"),
     ]
-    for i, (lo, hi) in enumerate(eras):
-        staged = os.path.join(work, f"stage{i}")
-        (
-            log.filter((F.col("seq_ts") >= lo) & (F.col("seq_ts") < hi))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staged)
-        )
-        part = next(
-            n for n in os.listdir(staged) if n.endswith(".parquet")
-        )
-        dst = os.path.join(src, f"era{i}.parquet")
-        shutil.copy(os.path.join(staged, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    # ONE partitioned write stages all three era files (one scan of the
+    # log instead of one filtered scan per era — guide §1.2/§2.4)
+    stage_era_files(log, "seq_ts", eras, src, os.path.join(work, "stage"))
 
     schema = spark.read.parquet(src).schema
     stream = (
@@ -1242,7 +1231,7 @@ def g_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    n_parts = sized_partitions(edges, 2 * t(spark, sf_dir, "lineitem").count())
+    n_parts = sized_partitions(edges, 2 * table_rows(spark, sf_dir, "lineitem"))
     sym = truncate_lineage(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1689,7 +1678,7 @@ def d_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["pooled_val", "doc_id"],
         out="pr",
     ).select("pooled_val", "pr").transform(truncate_lineage)
-    n_total = d.count()
+    n_total = table_rows(spark, sf_dir, "documents")  # footer metadata, no count job
     # ceil(r*N/m) in pure BIGINT arithmetic — a float division here
     # would lose rank exactness once r*N passes 2^53
     target = ranked.withColumn(

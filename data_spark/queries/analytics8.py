@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_spark.queries.common import run_scratch_dir, t
+from data_spark.queries.common import run_scratch_dir, t, stage_era_files
 
 QUERIES = {}
 ORACLE = {}
@@ -543,18 +543,9 @@ def pipe_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(work, side)
         os.makedirs(src)
         srcs[side] = src
-        for i, (lo, hi) in enumerate(eras):
-            staged = os.path.join(work, f"stage_{side}{i}")
-            (
-                df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(staged)
-            )
-            part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
-            dst = os.path.join(src, f"era{i}.parquet")
-            shutil.copy(os.path.join(staged, part), dst)
-            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        # one partitioned write per side instead of one filtered
+        # scan+write per era (3 jobs → 1, guide §1.2/§2.4)
+        stage_era_files(df, ts_col, eras, src, os.path.join(work, f"stage_{side}"))
 
     v_schema = views.schema
     c_schema = clicks.schema

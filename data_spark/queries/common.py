@@ -33,6 +33,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a base table for SIZING decisions (partition
+    counts, batch limits): parquet footer metadata when readable — no
+    Spark job — else a count job. Equal to ``t(...).count()`` by the
+    parquet contract (footer num_rows is exact)."""
+    import os  # noqa: PLC0415
+
+    from data_spark.io import _footer_row_count  # noqa: PLC0415
+
+    n = _footer_row_count(os.path.join(sf_dir, f"{name}.parquet"))
+    return n if n is not None else t(spark, sf_dir, name).count()
+
+
 def dsum(col: Column) -> Column:
     """Order-independent SUM over doubles (exact decimal accumulation)."""
     return F.sum(col.cast("decimal(38,6)")).cast("double")
@@ -52,6 +65,62 @@ def ts_str(col: Column) -> Column:
 SQL_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
 SQL_DAVG = "(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"
 SQL_TS = "strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+def stage_era_files(
+    df: DataFrame, ts_col: str, eras: list, src_dir: str, staged: str
+) -> None:
+    """Stage ``df`` as ONE parquet file per time era under ``src_dir``
+    (``era<i>.parquet``, mtimes forced ascending so a file stream
+    replays them in event order) with a single partitioned write
+    instead of one filtered scan+write per era (guide §1.2/§2.4).
+
+    ``eras`` is the [lo, hi) list the per-era filters used; they tile
+    the whole domain, so assignment is the chain of upper bounds with
+    the last era as the catch-all — row-for-row identical to the
+    original filters. ``partitionBy`` drops the helper column, so each
+    staged file keeps ``df``'s schema; ``coalesce(1)`` keeps the
+    one-file-per-era layout ``maxFilesPerTrigger=1`` relies on. An era
+    with no rows still publishes an (empty, schema-carrying) file —
+    exactly what its filtered write produced — so the stream's batch
+    structure is unchanged."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    n = len(eras)
+    w = F.when(F.col(ts_col) < F.lit(eras[0][1]), 0)
+    for i in range(1, n - 1):
+        w = w.when(F.col(ts_col) < F.lit(eras[i][1]), i)
+    era_col = w.otherwise(n - 1)
+    (
+        df.withColumn("__era", era_col)
+        .coalesce(1)
+        .write.partitionBy("__era")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    empty_part = None
+    for i in range(n):
+        part_dir = os.path.join(staged, f"__era={i}")
+        if os.path.isdir(part_dir):
+            src_file = os.path.join(
+                part_dir,
+                next(p for p in os.listdir(part_dir) if p.endswith(".parquet")),
+            )
+        else:
+            if empty_part is None:
+                ep_dir = os.path.join(staged, "__empty")
+                df.limit(0).coalesce(1).write.mode("overwrite").parquet(ep_dir)
+                empty_part = os.path.join(
+                    ep_dir,
+                    next(
+                        p for p in os.listdir(ep_dir) if p.endswith(".parquet")
+                    ),
+                )
+            src_file = empty_part
+        dst = os.path.join(src_dir, f"era{i}.parquet")
+        shutil.copy(src_file, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
 
 
 def run_scratch_dir(prefix: str, sf_dir: str, max_age_s: int = 1800) -> str:

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from data_spark.io import write_bucketed
 from data_spark.operators.dedup import _words, ngrams_from_words
 from data_spark.plans.lineage import truncate_lineage
-from data_spark.queries.common import SQL_DSUM, dsum, run_scratch_dir, t
+from data_spark.queries.common import SQL_DSUM, dsum, run_scratch_dir, t, table_rows
 
 QUERIES = {}
 ORACLE = {}
@@ -563,12 +563,29 @@ def m_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = None
     for v in (0, 1, 2, 3):
         cur = read_versioned(spark, base, v).select("o_orderkey")
-        n = cur.count()
         if prev is None:
+            n = cur.count()
             added, removed = n, 0
         else:
-            added = cur.join(prev, "o_orderkey", "left_anti").count()
-            removed = prev.join(cur, "o_orderkey", "left_anti").count()
+            # ONE full-outer aggregate per version pair instead of a
+            # count + two anti-join counts (3 jobs → 1, guide §1.2):
+            # keys are unique per snapshot, so count-if-only-on-one-side
+            # equals the anti-join counts exactly
+            r = (
+                cur.withColumn("__c", F.lit(1))
+                .join(
+                    prev.withColumn("__p", F.lit(1)),
+                    "o_orderkey",
+                    "full_outer",
+                )
+                .agg(
+                    F.count("__c").alias("n"),
+                    F.count(F.when(F.col("__p").isNull(), 1)).alias("added"),
+                    F.count(F.when(F.col("__c").isNull(), 1)).alias("removed"),
+                )
+                .first()
+            )
+            n, added, removed = r["n"], r["added"], r["removed"]
         rows.append((v, n, added, removed))
         prev = cur
     return spark.createDataFrame(
@@ -627,7 +644,7 @@ def pipe_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = run_scratch_dir("incr_e2e", sf_dir)
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
-    n = d.count()
+    n = table_rows(spark, sf_dir, "documents")  # footer metadata, no count job
     variants = d.select(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" v2 dup")).alias("text"),

@@ -21,7 +21,7 @@ from data_spark.operators.ranking import (
     tfidf_terms,
 )
 from data_spark.plans.lineage import sized_partitions, truncate_lineage
-from data_spark.queries.common import SQL_DSUM, dsum, t
+from data_spark.queries.common import SQL_DSUM, dsum, t, table_rows
 
 QUERIES = {}
 ORACLE = {}
@@ -364,7 +364,7 @@ def g_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise launch hundreds of near-empty tasks — and capped at the
     # session's shuffle parallelism so a 1000-executor job still spreads
     # a 100 TB edge set (test_ranking: partition-scaling assertion).
-    n_parts = sized_partitions(edges, 2 * t(spark, sf_dir, "lineitem").count())
+    n_parts = sized_partitions(edges, 2 * table_rows(spark, sf_dir, "lineitem"))
     sym = truncate_lineage(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
