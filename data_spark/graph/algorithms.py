@@ -101,10 +101,11 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.transform(truncate_lineage)
-    # Materialize the result, then release the cached link/vertex blocks:
+    # Materialize the result (eager: the lazy in-loop marks cascade here,
+    # while verts/links are still cached), then release the cached blocks:
     # long-lived sessions (bench/driver) run many queries, so leaked
     # cache blocks accumulate across queries (ADVICE r2).
-    ranks = ranks.transform(truncate_lineage)
+    ranks = truncate_lineage(ranks, eager=True)
     verts.unpersist()
     links.unpersist()
     return ranks
@@ -142,7 +143,7 @@ def triangle_count(
         F.coalesce(F.sum(F.size(F.array_intersect("na", "nb"))), F.lit(0))
         .cast("bigint")
         .alias("triangles")
-    ).transform(truncate_lineage)
+    ).transform(lambda d: truncate_lineage(d, eager=True))
     oriented.unpersist()
     und.unpersist()
     return out
@@ -251,7 +252,8 @@ def local_clustering(
             .otherwise(F.lit(0.0))
             .alias("coeff"),
         )
-        .transform(truncate_lineage)  # materialize before unpersisting
+        # eager: materialize before unpersisting the cached edge frames
+        .transform(lambda d: truncate_lineage(d, eager=True))
     )
     oriented.unpersist()
     und.unpersist()
@@ -334,7 +336,7 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} "
             f"iterations (labels still changing); raise max_iterations"
         )
-    sym.unpersist()  # labels is already eagerly checkpointed
+    sym.unpersist()  # labels was materialized by the last fingerprint()
     return labels
 
 
@@ -439,7 +441,9 @@ def hits(
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
             F.coalesce("auth", F.lit(0.0)).alias("auth"),
         )
-        .transform(truncate_lineage)
+        # eager: the lazy per-half-step marks cascade here, while
+        # verts/e_u/e_v are still cached
+        .transform(lambda d: truncate_lineage(d, eager=True))
     )
     verts.unpersist()
     e_u.unpersist()

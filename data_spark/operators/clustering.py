@@ -108,10 +108,13 @@ def kmeans_fit(
             centroids.select("cluster", F.col("cent").alias("prev"))
             .join(new_cents, "cluster", "left")
             .select("cluster", F.coalesce("cent", "prev").alias("cent"))
-            .transform(truncate_lineage)
+            # eager on the last round: the lazy marks must cascade while
+            # the vecs cache is still alive
+            .transform(lambda d, e=(_ == iterations - 1): truncate_lineage(d, eager=e))
         )
-    # centroids is already materialized; free the cached corpus so
-    # blocks don't accumulate across queries in a long-lived session.
+    # centroids materialized by the last round's eager truncate; free the
+    # cached corpus so blocks don't accumulate across queries in a
+    # long-lived session.
     vecs.unpersist()
     return centroids
 

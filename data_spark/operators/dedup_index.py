@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from data_spark.io import recover_partitioned_root
 from data_spark.operators.dedup import minhash_band_buckets, minhash_signatures
+from data_spark.plans.lineage import truncate_lineage
 
 NUM_BUCKET_DIRS = 64
 
@@ -45,17 +46,39 @@ def _signed_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
-    sig = minhash_signatures(
-        docs,
-        text_col,
-        id_col,
-        num_hashes=meta["num_hashes"],
-        shingle_width=meta["shingle_width"],
+    # Lazily truncate the signature frame: shingle+sign is the expensive
+    # pass (explode + num_hashes aggs over the corpus text) and every
+    # caller consumes it at least twice (sig write + bucket write, or
+    # probe sig-join + bucket collect/join). The mark materializes once
+    # on the first action; without it each consumer re-shingles.
+    sig = truncate_lineage(
+        minhash_signatures(
+            docs,
+            text_col,
+            id_col,
+            num_hashes=meta["num_hashes"],
+            shingle_width=meta["shingle_width"],
+        )
     )
     buckets = minhash_band_buckets(
         sig, meta["bands"], meta["num_hashes"] // meta["bands"]
     ).withColumn("bucket_p", F.pmod(F.col("bucket"), F.lit(NUM_BUCKET_DIRS)))
     return sig, buckets.select("doc_id", "band", "bucket", "bucket_p")
+
+
+def signed_batch(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Sign + bucket ``docs`` once with the index's own parameters, for
+    reuse across ``probe_near_dups`` and ``append_to_minhash_index``
+    (their ``signed=`` argument): an ingest batch that probes first and
+    appends the survivors pays ONE shingle+sign pass, not two."""
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    return _signed_buckets(docs, meta, text_col, id_col)
 
 
 def build_minhash_index(
@@ -91,13 +114,18 @@ def append_to_minhash_index(
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    signed: tuple[DataFrame, DataFrame] | None = None,
 ) -> None:
     """O(|delta|) maintenance: sign + bucket only the new documents and
     append into the existing partition layout — the indexed corpus is
-    never re-read."""
-    with open(os.path.join(index_path, "meta.json")) as f:
-        meta = json.load(f)
-    sig, buckets = _signed_buckets(delta, meta, text_col, id_col)
+    never re-read. ``signed``: pre-computed (sig, buckets) for exactly
+    ``delta`` (see ``signed_batch``) to skip re-shingling."""
+    if signed is not None:
+        sig, buckets = signed
+    else:
+        with open(os.path.join(index_path, "meta.json")) as f:
+            meta = json.load(f)
+        sig, buckets = _signed_buckets(delta, meta, text_col, id_col)
     sig.write.mode("append").parquet(os.path.join(index_path, "signatures"))
     (
         buckets.write.mode("append")
@@ -113,6 +141,7 @@ def probe_near_dups(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    signed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup lookup for a probe batch against the indexed corpus:
 
@@ -127,14 +156,19 @@ def probe_near_dups(
 
     Returns (probe_id, index_doc_id, est_jaccard) with est_jaccard >=
     ``threshold``. Self-hits (same id) are excluded so a probe batch
-    that was itself appended earlier reports only its OTHER dups."""
+    that was itself appended earlier reports only its OTHER dups.
+    ``signed``: pre-computed (sig, buckets) for exactly ``probe_docs``
+    (see ``signed_batch``) to skip re-shingling."""
     with open(os.path.join(index_path, "meta.json")) as f:
         meta = json.load(f)
-    sig, buckets = _signed_buckets(probe_docs, meta, text_col, id_col)
-    psig = sig.withColumnRenamed("doc_id", "probe_id").localCheckpoint(eager=True)
-    pbuckets = (
-        buckets.withColumnRenamed("doc_id", "probe_id").localCheckpoint(eager=True)
-    )
+    if signed is not None:
+        sig, buckets = signed
+    else:
+        sig, buckets = _signed_buckets(probe_docs, meta, text_col, id_col)
+    # sig is lazily truncated by _signed_buckets — the bucket collect
+    # below materializes it; the rename projections need no extra copy
+    psig = sig.withColumnRenamed("doc_id", "probe_id")
+    pbuckets = truncate_lineage(buckets.withColumnRenamed("doc_id", "probe_id"))
     probed_dirs = [
         r["bucket_p"] for r in pbuckets.select("bucket_p").distinct().collect()
     ]

@@ -136,7 +136,9 @@ def pq_fit(
             codebooks.select("sub", "code", F.col("cent").alias("prev"))
             .join(new_cents, ["sub", "code"], "left")
             .select("sub", "code", F.coalesce("cent", "prev").alias("cent"))
-            .transform(truncate_lineage)
+            # eager on the last round: the lazy marks must cascade while
+            # the subvecs cache is still alive
+            .transform(lambda d, e=(_ == iterations - 1): truncate_lineage(d, eager=e))
         )
     subvecs.unpersist()
     return codebooks

@@ -45,6 +45,7 @@ from data_spark.operators.dedup_index import (
     append_to_minhash_index,
     build_minhash_index,
     probe_near_dups,
+    signed_batch,
 )
 from data_spark.streaming.incremental import ProcessedLog, load_unprocessed
 from data_spark.streaming.jobs import BUCKET_COL, merge_batch_into_bucketed
@@ -125,16 +126,35 @@ def run_batch(
         return metrics
 
     # 2. near-dup gate against ALL history via the persistent index —
-    # probe cost is bounded by the delta's own bucket set
+    # probe cost is bounded by the delta's own bucket set. Sign+bucket
+    # the delta ONCE (signed_batch) and share the frames between the
+    # probe and the survivors' append: signatures are deterministic per
+    # doc, so filtering the delta's signed frames to surviving ids is
+    # exactly re-signing the survivors, minus the second shingle pass.
     if os.path.exists(os.path.join(index_path, "meta.json")):
+        signed_sig, signed_buckets = signed_batch(delta, index_path)
         dup_ids = (
-            probe_near_dups(spark, index_path, delta, threshold=near_dup_threshold)
+            probe_near_dups(
+                spark,
+                index_path,
+                delta,
+                threshold=near_dup_threshold,
+                signed=(signed_sig, signed_buckets),
+            )
             .select(F.col("probe_id").alias("doc_id"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         survivors = delta.join(dup_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
         metrics["near_dups_dropped"] = delta_rows - survivors.count()
-        append_to_minhash_index(survivors, index_path)
+        append_to_minhash_index(
+            survivors,
+            index_path,
+            signed=(
+                signed_sig.join(dup_ids, "doc_id", "left_anti"),
+                signed_buckets.join(dup_ids, "doc_id", "left_anti"),
+            ),
+        )
     else:
         survivors = delta
         build_minhash_index(survivors, index_path)

@@ -30,9 +30,24 @@ from pyspark.sql import DataFrame
 ROWS_PER_EDGE_PARTITION = 1_000_000
 
 
-def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+def truncate_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
     """Cut ``df``'s lineage: reliable ``checkpoint()`` when the session
-    has a checkpoint dir configured, else ``localCheckpoint()``."""
+    has a checkpoint dir configured, else ``localCheckpoint()``.
+
+    Lazy by default (``eager=False``): the plan is cut immediately — the
+    returned frame scans the marked RDD, so per-iteration plan growth and
+    Catalyst barriers behave exactly as with an eager checkpoint — but the
+    blocks materialize during the NEXT action instead of a dedicated job.
+    In convergence loops that action is the fingerprint aggregate the loop
+    runs anyway, and in one-shot barriers it is the query's own sink, so
+    the dedicated materialization job is pure overhead (measured 5-19%
+    of wall on the iterative graph tier at sf0.1, interleaved A/B).
+
+    Pass ``eager=True`` only where the checkpoint must be POPULATED while
+    an upstream ``.cache()`` is still alive — the materialize-before-
+    unpersist sites (pagerank/HITS finals, k-means/PQ codebook loops).
+    There a lazy mark would defer materialization past the ``unpersist()``,
+    and every marked layer would recompute the base from source."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
         return df.checkpoint(eager=eager)
