@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_spark.queries.common import run_scratch_dir, t
+from data_spark.queries.common import run_scratch_dir, t, table_rows
+from data_spark.streaming.jobs import stream_state_scope
 
 QUERIES = {}
 ORACLE = {}
@@ -170,20 +171,23 @@ def pipe_stream_cdf_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_versioned(src, down, keys=["o_orderkey"], delete_col="is_del")
 
     register(spark)
-    q = (
-        spark.readStream.format("versioned_table")
-        .option("path", up)
-        .option("read_changes", "true")
-        .option("starting_version", str(v0))
-        .load()
-        .writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("pipe_stream_cdf_e2e: stream did not drain in 300s")
+    # shuffle partitions for the foreachBatch merges sized to the staged
+    # stream volume (footer count), not the session constant
+    with stream_state_scope(spark, table_rows(spark, sf_dir, "orders")):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", up)
+            .option("read_changes", "true")
+            .option("starting_version", str(v0))
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("pipe_stream_cdf_e2e: stream did not drain in 300s")
 
     missing = {"insert", "update_preimage", "update_postimage", "delete"} - seen_types
     if missing:

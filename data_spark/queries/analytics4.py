@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_spark.operators.dedup import _portable_hash60, _words
-from data_spark.queries.common import run_scratch_dir, t
+from data_spark.queries.common import run_scratch_dir, t, table_rows
 
 QUERIES = {}
 ORACLE = {}
@@ -854,7 +854,11 @@ def pipe_stream_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from data_spark.streaming.jobs import hist_state_sink, read_ks_drift
+    from data_spark.streaming.jobs import (
+        hist_state_sink,
+        read_ks_drift,
+        stream_state_scope,
+    )
 
     work = run_scratch_dir("sdrift", sf_dir)
     state = os.path.join(work, "state")
@@ -868,12 +872,15 @@ def pipe_stream_drift_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .select("event_type", F.hour("ts").alias("hr"))
     )
-    q = hist_state_sink(stream, state, ckpt, group_col="event_type", value_col="hr")
-    if not q.awaitTermination(300):
-        # timed out: the reader below would silently consume absent or
-        # partial state — fail loudly instead (ADVICE r6)
-        q.stop()
-        raise TimeoutError("pipe_stream_drift_e2e: stream did not drain within 300s")
+    # fold shuffles sized to the stream volume (footer count), not the
+    # session constant — see stream_state_scope
+    with stream_state_scope(spark, table_rows(spark, sf_dir, "events")):
+        q = hist_state_sink(stream, state, ckpt, group_col="event_type", value_col="hr")
+        if not q.awaitTermination(300):
+            # timed out: the reader below would silently consume absent or
+            # partial state — fail loudly instead (ADVICE r6)
+            q.stop()
+            raise TimeoutError("pipe_stream_drift_e2e: stream did not drain within 300s")
 
     ref = spark.read.parquet(state).agg(F.min("grp")).first()[0]
     return read_ks_drift(spark, state, ref)

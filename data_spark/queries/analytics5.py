@@ -43,7 +43,7 @@ from data_spark.operators.dedup import _portable_hash60
 from data_spark.operators.order import global_row_number
 from data_spark.plans.lineage import truncate_lineage
 from data_spark.queries.analytics4 import _CDC_MOD, _TOKS_SQL, cdc_chunks
-from data_spark.queries.common import run_scratch_dir, t
+from data_spark.queries.common import run_scratch_dir, t, table_rows
 
 QUERIES = {}
 ORACLE = {}
@@ -606,7 +606,11 @@ def pipe_stream_mg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from data_spark.streaming.jobs import mg_state_sink, read_mg_heavy_hitters
+    from data_spark.streaming.jobs import (
+        mg_state_sink,
+        read_mg_heavy_hitters,
+        stream_state_scope,
+    )
 
     work = run_scratch_dir("smg", sf_dir)
     state = os.path.join(work, "state")
@@ -620,14 +624,17 @@ def pipe_stream_mg_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .select("event_type", "user_id")
     )
-    q = mg_state_sink(
-        stream, state, ckpt, keys=["event_type"], item_col="user_id", capacity=_MG_CAP
-    )
-    if not q.awaitTermination(300):
-        # timed out: the reader below would silently consume absent or
-        # partial state — fail loudly instead (ADVICE r6)
-        q.stop()
-        raise TimeoutError("pipe_stream_mg_e2e: stream did not drain within 300s")
+    # fold shuffles sized to the stream volume (footer count), not the
+    # session constant — see stream_state_scope
+    with stream_state_scope(spark, table_rows(spark, sf_dir, "events")):
+        q = mg_state_sink(
+            stream, state, ckpt, keys=["event_type"], item_col="user_id", capacity=_MG_CAP
+        )
+        if not q.awaitTermination(300):
+            # timed out: the reader below would silently consume absent or
+            # partial state — fail loudly instead (ADVICE r6)
+            q.stop()
+            raise TimeoutError("pipe_stream_mg_e2e: stream did not drain within 300s")
     return read_mg_heavy_hitters(spark, state, _MG_CAP)
 
 

@@ -839,7 +839,10 @@ def pipe_stream_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile  # noqa: PLC0415
 
     from data_spark.io import read_versioned  # noqa: PLC0415
-    from data_spark.streaming.jobs import cdc_stream_sink  # noqa: PLC0415
+    from data_spark.streaming.jobs import (  # noqa: PLC0415
+        cdc_stream_sink,
+        stream_state_scope,
+    )
 
     work = run_scratch_dir("scdc", sf_dir)
     src = os.path.join(work, "src")
@@ -873,10 +876,13 @@ def pipe_stream_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = cdc_stream_sink(stream, table, ckpt, keys=["key"])
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("pipe_stream_cdc_e2e: stream did not drain within 300s")
+    # fold shuffles sized to the stream volume (footer count), not the
+    # session constant — see stream_state_scope
+    with stream_state_scope(spark, table_rows(spark, sf_dir, "orders")):
+        q = cdc_stream_sink(stream, table, ckpt, keys=["key"])
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("pipe_stream_cdc_e2e: stream did not drain within 300s")
 
     return (
         read_versioned(spark, table)

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_spark.queries.common import run_scratch_dir, t, stage_era_files
+from data_spark.queries.common import run_scratch_dir, t, stage_era_files, table_rows
 
 QUERIES = {}
 ORACLE = {}
@@ -520,7 +520,10 @@ def pipe_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
-    from data_spark.streaming.jobs import stream_event_time_join  # noqa: PLC0415
+    from data_spark.streaming.jobs import (  # noqa: PLC0415
+        stream_event_time_join,
+        stream_state_scope,
+    )
 
     work = run_scratch_dir("sjoin", sf_dir)
     out = os.path.join(work, "out")
@@ -569,17 +572,20 @@ def pipe_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_watermark="2 hours",
         max_delay="1 hour",
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("pipe_stream_join_e2e: stream did not drain within 300s")
+    # state partitions sized to the staged stream volume (footer count),
+    # not the session constant — see stream_state_scope
+    with stream_state_scope(spark, table_rows(spark, sf_dir, "events")):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("pipe_stream_join_e2e: stream did not drain within 300s")
 
     return (
         spark.read.parquet(out)

@@ -1444,3 +1444,79 @@ def test_merge_stream_sink_maintained_steady_state(spark, tmp_path):
     )
     assert q2.awaitTermination(240)
     assert table_versions(table) == vs
+
+
+def test_stream_state_scope_sizes_and_restores(spark, tmp_path):
+    """stream_state_scope derives the state partition count from the
+    volume estimate (floor / linear / conf cap), applies it inside the
+    scope, restores the session setting on exit — including on error —
+    and a drain run under it produces the same results as without."""
+    from data_spark.streaming.jobs import (
+        ROWS_PER_STATE_PARTITION,
+        stream_state_scope,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    conf_cap = int(prev)
+    # floor for tiny streams
+    with stream_state_scope(spark, 10, floor=3) as parts:
+        assert parts == min(conf_cap, 3)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(parts)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # linear in volume, capped at the session conf (cluster sizing wins)
+    with stream_state_scope(spark, 10**12, floor=3) as parts:
+        assert parts == conf_cap
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    mid = 5 * ROWS_PER_STATE_PARTITION
+    with stream_state_scope(spark, mid, floor=1) as parts:
+        assert parts == min(conf_cap, 5)
+    # restored even when the body raises
+    try:
+        with stream_state_scope(spark, 10, floor=2):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # a windowed-count drain under the scope equals the unscoped run
+    src = str(tmp_path / "ev")
+    _write_events(
+        src,
+        [
+            {"event_id": i, "ts": f"2024-01-01T0{i % 4}:10:00Z", "kind": "a"}
+            for i in range(8)
+        ],
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("kind", StringType()),
+        ]
+    )
+
+    def drain(name, ckpt):
+        stream = spark.readStream.schema(schema).json(src)
+        counts = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "kind")
+            .count()
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["window"]["start"], r["kind"], r["count"])
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    with stream_state_scope(spark, 8):
+        scoped = drain("scoped_counts", "ck1")
+    unscoped = drain("unscoped_counts", "ck2")
+    assert scoped == unscoped and scoped
