@@ -83,29 +83,35 @@ def pagerank(
             F.when(F.col("id") == source, F.lit(1.0 - damping))
             .otherwise(F.lit(0.0))
         )
-    for i in range(iterations):
-        inflow = (
-            links.join(ranks, "id")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = (
-            verts.join(inflow.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    teleport + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
+    # AQE off for the loop AND the final cascade that executes it: the
+    # per-iteration frames are skinny and pre-partitioned on unchanging
+    # keys, so runtime re-planning only adds a round trip per stage
+    # (measured −8% wall at sf0.1, interleaved A/B; see
+    # plans.lineage.iteration_scope)
+    with iteration_scope(edges.sparkSession):
+        for i in range(iterations):
+            inflow = (
+                links.join(ranks, "id")
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow"))
             )
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.transform(truncate_lineage)
-    # Materialize the result (eager: the lazy in-loop marks cascade here,
-    # while verts/links are still cached), then release the cached blocks:
-    # long-lived sessions (bench/driver) run many queries, so leaked
-    # cache blocks accumulate across queries (ADVICE r2).
-    ranks = truncate_lineage(ranks, eager=True)
+            ranks = (
+                verts.join(inflow.withColumnRenamed("dst", "id"), "id", "left")
+                .select(
+                    "id",
+                    (
+                        teleport + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                ranks = ranks.transform(truncate_lineage)
+        # Materialize the result (eager: the lazy in-loop marks cascade
+        # here, while verts/links are still cached), then release the
+        # cached blocks: long-lived sessions (bench/driver) run many
+        # queries, so leaked cache blocks accumulate (ADVICE r2).
+        ranks = truncate_lineage(ranks, eager=True)
     verts.unpersist()
     links.unpersist()
     return ranks
@@ -405,46 +411,50 @@ def hits(
     # ~4× per iteration (measured: 3 iterations = 135 s at sf0.1 vs
     # ~1 s materialized). The frames are skinny (id, double), so the
     # per-half-step truncation is O(|V|) bytes.
-    for i in range(iterations):
-        auth_raw = (
-            e_u.join(hub.withColumnRenamed("id", "u"), "u")
-            .groupBy(F.col("v").alias("id"))
-            .agg(_dsum18(F.col("hub")).alias("raw"))
+    # AQE off for the loop and the final cascade that executes it
+    # (skinny pre-partitioned frames; −14% wall at sf0.1, interleaved
+    # A/B — see plans.lineage.iteration_scope)
+    with iteration_scope(e0.sparkSession):
+        for i in range(iterations):
+            auth_raw = (
+                e_u.join(hub.withColumnRenamed("id", "u"), "u")
+                .groupBy(F.col("v").alias("id"))
+                .agg(_dsum18(F.col("hub")).alias("raw"))
+            )
+            auth = (
+                verts.join(auth_raw, "id", "left")
+                .select("id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+                .transform(truncate_lineage)
+            )
+            a_norm = auth.agg(_dsum18(F.col("raw")).alias("norm"))
+            auth = auth.crossJoin(F.broadcast(a_norm)).select(
+                "id", (F.col("raw") / F.col("norm")).alias("auth")
+            )
+            hub_raw = (
+                e_v.join(auth.withColumnRenamed("id", "v"), "v")
+                .groupBy(F.col("u").alias("id"))
+                .agg(_dsum18(F.col("auth")).alias("raw"))
+            )
+            hub = (
+                verts.join(hub_raw, "id", "left")
+                .select("id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+                .transform(truncate_lineage)
+            )
+            h_norm = hub.agg(_dsum18(F.col("raw")).alias("norm"))
+            hub = hub.crossJoin(F.broadcast(h_norm)).select(
+                "id", (F.col("raw") / F.col("norm")).alias("hub")
+            )
+        out = (
+            hub.join(auth, "id", "outer")
+            .select(
+                "id",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            )
+            # eager: the lazy per-half-step marks cascade here, while
+            # verts/e_u/e_v are still cached
+            .transform(lambda d: truncate_lineage(d, eager=True))
         )
-        auth = (
-            verts.join(auth_raw, "id", "left")
-            .select("id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
-            .transform(truncate_lineage)
-        )
-        a_norm = auth.agg(_dsum18(F.col("raw")).alias("norm"))
-        auth = auth.crossJoin(F.broadcast(a_norm)).select(
-            "id", (F.col("raw") / F.col("norm")).alias("auth")
-        )
-        hub_raw = (
-            e_v.join(auth.withColumnRenamed("id", "v"), "v")
-            .groupBy(F.col("u").alias("id"))
-            .agg(_dsum18(F.col("auth")).alias("raw"))
-        )
-        hub = (
-            verts.join(hub_raw, "id", "left")
-            .select("id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
-            .transform(truncate_lineage)
-        )
-        h_norm = hub.agg(_dsum18(F.col("raw")).alias("norm"))
-        hub = hub.crossJoin(F.broadcast(h_norm)).select(
-            "id", (F.col("raw") / F.col("norm")).alias("hub")
-        )
-    out = (
-        hub.join(auth, "id", "outer")
-        .select(
-            "id",
-            F.coalesce("hub", F.lit(0.0)).alias("hub"),
-            F.coalesce("auth", F.lit(0.0)).alias("auth"),
-        )
-        # eager: the lazy per-half-step marks cascade here, while
-        # verts/e_u/e_v are still cached
-        .transform(lambda d: truncate_lineage(d, eager=True))
-    )
     verts.unpersist()
     e_u.unpersist()
     e_v.unpersist()
