@@ -297,25 +297,14 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit would stay decimal — M·D_c exceeds int64 once M > ~3·10⁹). Labels come from the SAME
     LPA(3) computation the driver already hash-verifies; edges/degrees
     are one extra groupBy each, intra-edge counting is two broadcast-
-    able equi-joins of the label table onto the edge list."""
-    from data_spark.queries.mining import g_label_propagation
+    able equi-joins of the label table onto the edge list. The
+    symmetric edge frame is the SAME lineage-truncated frame LPA
+    iterated over (_lpa_frames), so the three consumers here (M, deg,
+    intra) read the materialized checkpoint instead of re-deriving the
+    lineitem×orders join + two DISTINCTs per consumer."""
+    from data_spark.queries.mining import _lpa_frames
 
-    labels = g_label_propagation(spark, sf_dir)
-    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
-    )
+    sym, labels = _lpa_frames(spark, sf_dir)
     m = sym.agg(F.count(F.lit(1)).cast("bigint").alias("m_directed"))
     deg = sym.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
