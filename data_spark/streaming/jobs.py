@@ -255,6 +255,9 @@ def merge_batch_into_bucketed(
     if not os.path.exists(target_path):
         out = batch.drop(prev_key) if prev_key and prev_key in batch.columns else batch
         staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+        # cluster by the partition column so each bucket dir is written
+        # by one task, not one file per task per dir (guide §6.2)
+        out = out.repartition(num_buckets, BUCKET_COL)
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
         os.rename(staging, target_path)
         return
@@ -292,6 +295,8 @@ def merge_batch_into_bucketed(
     merged = merged.withColumn(BUCKET_COL, _key_bucket(keys, num_buckets))
 
     staging = f"{target_path}__staging_{uuid.uuid4().hex[:8]}"
+    # one task per rewritten bucket dir (see the bootstrap write above)
+    merged = merged.repartition(max(len(touched), 1), BUCKET_COL)
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
     for kb in touched:
         part = f"{BUCKET_COL}={kb}"
