@@ -153,6 +153,11 @@ def pipe_stream_cdf_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and the change-type audit — the per-version
         # distinct-per-column collects this replaces were 1 + V driver
         # round trips per batch (guide §1.2: fewer passes first)
+        # pin the micro-batch once: every consumer below (the pairs
+        # collect plus two merge_versioned passes per version) would
+        # otherwise re-run the Python-datasource partition read — a
+        # JVM<->Python boundary crossing per action (guide §4)
+        batch_df = batch_df.localCheckpoint(eager=True)
         pairs = (
             batch_df.select("_commit_version", "_change_type")
             .distinct()
