@@ -272,7 +272,12 @@ def d_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check, not a row count. The join key (band, k1, k2) keeps the
     shuffle an equi-join; candidates per bucket are bounded by bucket
     occupancy, never all-pairs."""
-    sigs = _spark_signatures(t(spark, sf_dir, "documents"))
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    # one signature pass, not two: the band self-join's sides share the
+    # shingle -> 8-permutation MIN aggregation (same barrier as
+    # d_simhash_exact_pairs)
+    sigs = truncate_lineage(_spark_signatures(t(spark, sf_dir, "documents")))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -390,7 +395,12 @@ def d_simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle check covers sketch construction AND candidate generation
     AND the exact Hamming verify. Candidates are an equi-join on
     (chunk_idx, chunk); nothing all-pairs anywhere."""
-    sigs = _spark_simhash_sigs(t(spark, sf_dir, "documents"))
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    # one signature pass, not two: the chunk self-join's sides are the
+    # same frame, but the explode -> 60-bitsum aggregation otherwise
+    # recomputes per side (same barrier v_hamming_topk uses)
+    sigs = truncate_lineage(_spark_simhash_sigs(t(spark, sf_dir, "documents")))
     chunks = sigs.select(
         "doc_id",
         "sig",

@@ -297,6 +297,12 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
+    # one explode pass, not two: the self-join's sides are identical up
+    # to the shuffle, but the month-explode otherwise recomputes per
+    # side (no exchange reuse across the a/b aliases at runtime)
+    from data_spark.plans.lineage import truncate_lineage  # noqa: PLC0415
+
+    banded = truncate_lineage(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
