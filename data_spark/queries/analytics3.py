@@ -98,6 +98,9 @@ def g_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        # one join+DISTINCT pass, not three: deg and both pair-join
+        # sides consume this frame (same barrier as a_itemcf_recommend)
+        .transform(truncate_lineage)
     )
     deg = (
         e.groupBy("c")

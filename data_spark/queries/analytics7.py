@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_spark.plans.lineage import truncate_lineage
 from data_spark.queries.common import run_scratch_dir, t
 
 QUERIES = {}
@@ -363,6 +364,9 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        # one join+DISTINCT pass, not three: deg and both pair-join
+        # sides consume this frame (same barrier as a_itemcf_recommend)
+        .transform(truncate_lineage)
     )
     deg = (
         e.groupBy("c")
