@@ -2020,11 +2020,15 @@ def _bloom_keep_files(
     Soundness: blooms have no false negatives under the recorded
     convention, and the caller's key semi-join is the row-level
     residual — pruning changes which files OPEN, never which rows
-    match. Probe cost: the distinct keys' (word, mask) requirement
-    lists broadcast against ``files x bits/64`` bloom rows aggregated
-    to one map row per file — O(keys x candidate files) vectorized bit
-    tests with both factors bounded (keys by the cap, files by bounds
-    pruning having already run at stats level on the same manifest)."""
+    match. Probe cost: ONE job over the (tiny) tombstone answers the
+    guards and hands back every distinct key's bit positions (computed
+    by Spark, so build and probe share the hash convention exactly);
+    the keys' (word, mask) requirement lists are assembled driver-side
+    — bounded by the key cap — and broadcast as a local relation
+    against ``files x bits/64`` bloom rows aggregated to one map row
+    per file — O(keys x candidate files) vectorized bit tests with
+    both factors bounded (keys by the cap, files by bounds pruning
+    having already run at stats level on the same manifest)."""
     cfg = manifest.get("bloom")
     if not cfg or cfg.get("hash_version") != _BLOOM_HASH_VERSION:
         return None
@@ -2046,40 +2050,44 @@ def _bloom_keep_files(
         *[F.col(c).cast(cfg["dtypes"][c]).alias(c) for c in cols],
         *[F.col(c).isNull().alias(f"__wasnull_{c}") for c in cols],
     )
-    # ONE aggregate over the (tiny) tombstone answers both guards:
-    # NULL keys (eqNullSafe can match stored NULL rows, which set no
-    # bits) and value-losing casts (probe would hash a different value
-    # than the build did) make pruning unsound -> bail; so does a key
-    # set past the cap. count(DISTINCT cols...) ignoring null rows is
-    # fine — a single bad row already bails.
+    # ONE job over the (tiny) tombstone answers both guards AND yields
+    # each distinct key's bit positions: NULL keys (eqNullSafe can
+    # match stored NULL rows, which set no bits) and value-losing
+    # casts (probe would hash a different value than the build did)
+    # make pruning unsound -> bail; so does a key set past the cap
+    # (limit cap+1 bounds the collect regardless). Grouping keeps
+    # NULL-key groups the old count_distinct ignored, but any such
+    # group is bad and bails, so the outcome is unchanged. Positions
+    # are computed by Spark inside the same job — the hash convention
+    # is never re-implemented in Python.
     bad_row = functools.reduce(
         lambda a, b: a | b,
         [F.col(c).isNull() | F.col(f"__wasnull_{c}") for c in cols],
     )
-    g = probe.agg(
-        F.sum(bad_row.cast("bigint")).alias("bad"),
-        F.count_distinct(*[F.col(c) for c in cols]).alias("nk"),
-    ).first()
-    if (g["bad"] or 0) > 0:
-        return None
-    n_keys = g["nk"]
-    if n_keys == 0 or n_keys > _BLOOM_PROBE_MAX_KEYS:
-        return None
-    keys = probe.select(*cols).dropDuplicates()
     key = F.struct(*[F.col(c) for c in cols])
-    req = (
-        keys.select(
-            key.alias("__key"),
-            F.explode(F.array(*_bloom_positions(key, bits, k))).alias("pos"),
-        )
+    key_rows = (
+        probe.groupBy(*[F.col(c) for c in cols])
+        .agg(F.max(bad_row.cast("int")).alias("__bad"))
         .select(
-            "__key",
-            (F.col("pos") / 64).cast("int").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+            F.col("__bad"),
+            F.array(*_bloom_positions(key, bits, k)).alias("__pos"),
         )
-        .groupBy("__key")
-        .agg(F.collect_list(F.struct("w", "m")).alias("req"))
-        .select("req")
+        .limit(_BLOOM_PROBE_MAX_KEYS + 1)
+        .collect()
+    )
+    if not key_rows or len(key_rows) > _BLOOM_PROBE_MAX_KEYS:
+        return None
+    if any(r["__bad"] for r in key_rows):
+        return None
+
+    def _mask(p: int) -> int:
+        # two's-complement wrap: match Spark's signed-long shiftleft
+        m = 1 << (p % 64)
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    req = spark.createDataFrame(
+        [([(int(p) // 64, _mask(int(p))) for p in r["__pos"]],) for r in key_rows],
+        "req array<struct<w:int,m:bigint>>",
     )
     blooms = (
         spark.read.parquet(*[_commit_bloom_path(table_path, d) for d in dirs])

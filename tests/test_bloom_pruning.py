@@ -456,3 +456,32 @@ def test_where_in_list_membership_probe(spark, tmp_path):
     # an IN list mixing representable values stays exact
     q3 = read_versioned(spark, tp, where="k IN (999998, 999999)")
     assert q3.count() == 0 and len(_data_files(q3)) == 0
+
+
+def test_probe_cap_boundary_single_pass(spark, tmp_path, monkeypatch):
+    """The fused one-job probe (guards + positions in one aggregate,
+    requirement lists assembled driver-side) must keep the cap contract
+    exact: AT the cap it runs and its keep-map recovers every key; ONE
+    distinct key past the cap it bails to the unpruned read; duplicate
+    tombstone rows collapse to distinct keys BEFORE the cap applies."""
+    tp = str(tmp_path / "t")
+    _scattered_table(spark, tp, n=400, commits=2)
+    m = _load_manifest(tp, branch_head(tp, "main"))
+    monkeypatch.setattr(dio, "_BLOOM_PROBE_MAX_KEYS", 4)
+    keys = [1, 102, 203, 304]
+    keep = _bloom_keep_files(spark, tp, m, _tomb(spark, keys))
+    assert keep is not None
+    pruned = read_versioned(spark, tp, _keep_files=keep)
+    got = sorted(
+        r["k"]
+        for r in pruned.join(_tomb(spark, keys), "k", "left_semi").collect()
+    )
+    assert got == keys  # no false negatives through the keep-map
+    assert _bloom_keep_files(spark, tp, m, _tomb(spark, keys + [7])) is None
+    dup = spark.createDataFrame(
+        [(k,) for k in keys for _ in range(3)], "k bigint"
+    )
+    assert _bloom_keep_files(spark, tp, m, dup) is not None
+    # a NULL key row still bails even when distinct keys fit the cap
+    nullish = spark.createDataFrame([(1,), (None,)], "k bigint")
+    assert _bloom_keep_files(spark, tp, m, nullish) is None
