@@ -485,3 +485,19 @@ def test_probe_cap_boundary_single_pass(spark, tmp_path, monkeypatch):
     # a NULL key row still bails even when distinct keys fit the cap
     nullish = spark.createDataFrame([(1,), (None,)], "k bigint")
     assert _bloom_keep_files(spark, tp, m, nullish) is None
+
+
+def test_word_mask_convention_matches_spark(spark):
+    # ADVICE r12: the pos->(word, mask) packing exists twice (Spark
+    # expression on the build side, Python on the probe side). Pin them
+    # value-identical across bit 0, bit 63 (signed two's-complement
+    # wrap) and a word boundary, so a layout change on one side fails
+    # here instead of silently desynchronizing the probe.
+    from data_spark.io import _bloom_word_mask_cols, _bloom_word_mask_py
+
+    df = spark.range(0, 130).selectExpr("CAST(id AS BIGINT) AS pos")
+    w_col, m_col = _bloom_word_mask_cols("pos")
+    rows = df.select("pos", w_col.alias("w"), m_col.alias("m")).collect()
+    assert len(rows) == 130
+    for r in rows:
+        assert _bloom_word_mask_py(int(r["pos"])) == (r["w"], r["m"]), r["pos"]

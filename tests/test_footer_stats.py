@@ -178,3 +178,35 @@ def test_partitioned_commit_keeps_scan_path(spark, tmp_path):
     assert all("part=" in rel for rel in stats)
     ks = sorted(v["k"] for v in stats.values())
     assert ks == [[1, 2], [3, 3]]
+
+
+def test_footer_cap_falls_back_to_scan(spark, tmp_path, monkeypatch):
+    # VERDICT r12 #4: past _FOOTER_DRIVER_MAX_FILES the driver-side
+    # footer loop must bail (None) so callers run the distributed scan;
+    # both paths must agree on the stats they record.
+    import data_spark.io as io_mod
+
+    p = str(tmp_path / "capped")
+    spark.createDataFrame(
+        [(i, f"s{i:03d}") for i in range(40)], "k int, s string"
+    ).repartition(4).write.parquet(p)
+    fast = io_mod._footer_dir_stats(p, ["k", "s"])
+    assert fast is not None
+    footer_stats = {
+        rel: {
+            c: [
+                io_mod._json_stat(mn, down=True),
+                io_mod._json_stat(mx, down=False),
+            ]
+            for c, (mn, mx, _n) in per.items()
+        }
+        for rel, per in fast[0].items()
+    }
+    n_rows_fast = io_mod._footer_row_count(p)
+    monkeypatch.setattr(io_mod, "_FOOTER_DRIVER_MAX_FILES", 2)
+    assert io_mod._footer_dir_stats(p, ["k", "s"]) is None
+    assert io_mod._footer_row_count(p) is None
+    # capped -> _collect_commit_stats takes the scan path; same output
+    scan_stats = io_mod._collect_commit_stats(spark, p, ["k", "s"])
+    assert scan_stats == footer_stats
+    assert n_rows_fast == 40
