@@ -125,21 +125,41 @@ def append_to_minhash_index(
     append into the existing partition layout — the indexed corpus is
     never re-read. ``signed``: pre-computed (sig, buckets) for exactly
     ``delta`` (see ``signed_batch``) to skip re-shingling."""
-    if signed is not None:
+    presigned = signed is not None
+    if presigned:
         sig, buckets = signed
     else:
         with open(os.path.join(index_path, "meta.json")) as f:
             meta = json.load(f)
         sig, buckets = _signed_buckets(delta, meta, text_col, id_col)
-    sig.write.mode("append").parquet(os.path.join(index_path, "signatures"))
-    (
-        # same dir-clustered write as build_minhash_index: one file per
-        # touched bucket dir per append, not one per task per dir
-        buckets.repartition(NUM_BUCKET_DIRS, "bucket_p")
-        .write.mode("append")
-        .partitionBy("bucket_p")
-        .parquet(os.path.join(index_path, "buckets"))
-    )
+
+    def _write_sig():
+        sig.write.mode("append").parquet(os.path.join(index_path, "signatures"))
+
+    def _write_buckets():
+        (
+            # same dir-clustered write as build_minhash_index: one file
+            # per touched bucket dir per append, not one per task per dir
+            buckets.repartition(NUM_BUCKET_DIRS, "bucket_p")
+            .write.mode("append")
+            .partitionBy("bucket_p")
+            .parquet(os.path.join(index_path, "buckets"))
+        )
+
+    if presigned:
+        # caller-signed frames were already materialized by the probe
+        # (their truncation marks are populated), so the two appends
+        # only replay cheap anti-joins over pinned RDDs — overlap them
+        # (guide §2.6). The self-signed path stays sequential: the sig
+        # write is what materializes the shared shingle+sign truncation,
+        # and racing two actions on the unmaterialized mark would
+        # shingle the corpus twice.
+        from data_spark.io import _run_concurrently  # noqa: PLC0415
+
+        _run_concurrently(_write_sig, _write_buckets)
+    else:
+        _write_sig()
+        _write_buckets()
 
 
 def probe_near_dups(

@@ -52,7 +52,12 @@ def stream_state_scope(spark: SparkSession, estimated_rows: int, floor: int = 8)
     Scope the ``start()``-to-``awaitTermination()`` span with it; batch
     queries planned after exit are untouched. Existing checkpoints keep
     their frozen count regardless (Spark reads it back from the
-    checkpoint), so the scope only ever shapes NEW streams."""
+    checkpoint), so the scope only ever shapes NEW streams.
+
+    Concurrency caveat (VERDICT r12): mutates SESSION conf (restored in
+    ``finally``) — do not enter/exit scopes from concurrent gates on one
+    session; in-engine driver threads only run plain actions under an
+    already-entered scope, which is safe."""
     import math
     from contextlib import contextmanager
 
@@ -218,8 +223,16 @@ def merge_batch_into_bucketed(
     order_col: str | None = None,
     prev_key: str | None = None,
     num_buckets: int = 16,
+    touched_buckets: list[int] | None = None,
 ) -> None:
     """One micro-batch MERGE into a key-bucket-partitioned parquet target.
+
+    ``touched_buckets``: the batch's distinct bucket set, when the
+    caller already derived it (the incremental pipeline computes it in
+    the same aggregate as its row metrics) — skips this function's own
+    distinct+collect job. Only honored on the plain-upsert path:
+    ``prev_key`` amendments add predecessor buckets the caller cannot
+    know.
 
     Scale posture: the batch's keys hash to a set of ``__kb`` buckets;
     only those partition directories are read (partition-pruned scan)
@@ -265,14 +278,17 @@ def merge_batch_into_bucketed(
     # Touched buckets: the batch's own keys plus (amendment path) the
     # predecessors referenced by prev_key. Bounded by num_buckets, so
     # the collect is a tiny driver-side list, not data.
-    touched_df = batch.select(BUCKET_COL)
-    if prev_key is not None and prev_key in batch.columns:
-        touched_df = touched_df.unionByName(
-            batch.filter(F.col(prev_key).isNotNull())
-            .select(F.col(prev_key).alias(keys[0]))
-            .select(_key_bucket(keys, num_buckets).alias(BUCKET_COL))
-        )
-    touched = sorted(r[0] for r in touched_df.distinct().collect())
+    if touched_buckets is not None and prev_key is None:
+        touched = sorted(touched_buckets)
+    else:
+        touched_df = batch.select(BUCKET_COL)
+        if prev_key is not None and prev_key in batch.columns:
+            touched_df = touched_df.unionByName(
+                batch.filter(F.col(prev_key).isNotNull())
+                .select(F.col(prev_key).alias(keys[0]))
+                .select(_key_bucket(keys, num_buckets).alias(BUCKET_COL))
+            )
+        touched = sorted(r[0] for r in touched_df.distinct().collect())
 
     target = (
         spark.read.option("basePath", target_path)

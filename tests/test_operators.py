@@ -882,3 +882,36 @@ def test_simhash_paths_agree_on_planted_dups(spark, sf_small):
 
     sigs = {r["doc_id"]: r["sig"] for r in _spark_simhash_sigs(synth).collect()}
     assert sigs[1] == sigs[2] != sigs[3]
+
+
+def test_merge_batch_precomputed_touched_buckets_equal(spark, tmp_path):
+    """Passing the caller-derived bucket set (r13: the incremental
+    pipeline computes it in the same aggregate as its row metrics)
+    must produce exactly the state the self-derived collect does."""
+    from data_spark.streaming.jobs import (
+        _key_bucket,
+        merge_batch_into_bucketed,
+    )
+
+    t_a = str(tmp_path / "self_derived")
+    t_b = str(tmp_path / "precomputed")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k bigint, v double"
+    )
+    batch = spark.createDataFrame(
+        [(3, 300.0), (17, 1700.0), (41, 41.0)], "k bigint, v double"
+    )
+    touched = sorted(
+        r[0]
+        for r in batch.select(_key_bucket(["k"], 4).alias("b")).distinct().collect()
+    )
+    for tgt, tb in ((t_a, None), (t_b, touched)):
+        merge_batch_into_bucketed(base, tgt, keys=["k"], num_buckets=4)
+        merge_batch_into_bucketed(
+            batch, tgt, keys=["k"], num_buckets=4, touched_buckets=tb
+        )
+    snap = lambda p: sorted(  # noqa: E731
+        (r["k"], r["v"]) for r in spark.read.parquet(p).collect()
+    )
+    assert snap(t_a) == snap(t_b)
+    assert (3, 300.0) in snap(t_b) and (41, 41.0) in snap(t_b)
