@@ -89,24 +89,49 @@ def pagerank(
     # (measured −8% wall at sf0.1, interleaved A/B; see
     # plans.lineage.iteration_scope)
     with iteration_scope(edges.sparkSession):
+        # SPARSE loop (guide §1.2/§2.4): the per-iteration state is the
+        # inflow frame (vertices with >=1 in-link) instead of the dense
+        # rank vector, and the rank expression rank = teleport +
+        # d*coalesce(inflow, 0) is inlined into the links join — the
+        # former verts LEFT JOIN per iteration existed only to fill
+        # zeros no contribution ever reads (0/deg contributes exactly
+        # 0.0 to a sum; every links row matches the join either way),
+        # so dropping it removes one join per iteration without moving
+        # a single double: the dense vector is reconstructed once after
+        # the loop.
+        inflow = None
         for i in range(iterations):
-            inflow = (
-                links.join(ranks, "id")
-                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("inflow"))
-            )
+            if inflow is None:
+                contribs = links.join(ranks, "id").select(
+                    "dst", (F.col("rank") / F.col("deg")).alias("c")
+                )
+            else:
+                contribs = links.join(
+                    inflow.withColumnRenamed("dst", "id"), "id", "left"
+                ).select(
+                    "dst",
+                    (
+                        (
+                            teleport
+                            + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                        )
+                        / F.col("deg")
+                    ).alias("c"),
+                )
+            inflow = contribs.groupBy("dst").agg(F.sum("c").alias("inflow"))
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                inflow = inflow.transform(truncate_lineage)
+        if inflow is not None:  # iterations == 0 keeps the init vector
             ranks = (
                 verts.join(inflow.withColumnRenamed("dst", "id"), "id", "left")
                 .select(
                     "id",
                     (
-                        teleport + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                        teleport
+                        + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
                     ).alias("rank"),
                 )
             )
-            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-                ranks = ranks.transform(truncate_lineage)
         # Materialize the result (eager: the lazy in-loop marks cascade
         # here, while verts/links are still cached), then release the
         # cached blocks: long-lived sessions (bench/driver) run many
@@ -415,37 +440,41 @@ def hits(
     # (skinny pre-partitioned frames; −14% wall at sf0.1, interleaved
     # A/B — see plans.lineage.iteration_scope)
     with iteration_scope(e0.sparkSession):
+        # SPARSE half-steps (guide §1.2/§2.4): the loop keeps only the
+        # aggregated raw frames — auth over vertices with >=1 in-edge,
+        # hub over vertices with >=1 out-edge — instead of left-joining
+        # verts to densify after every half-step. Equivalence is exact:
+        # every e_u row's u has an out-edge and every e_v row's v has an
+        # in-edge, so the sparse frame matches every edge the dense one
+        # did; a densified zero contributes exactly +0.0 to the
+        # decimal(38,18) norm and to the next half-step's sums; and the
+        # dense vectors are reconstructed ONCE after the loop with the
+        # same coalesce-to-0.0 the half-steps used (0.0/norm == 0.0).
+        # Two joins per iteration removed from the plan.
         for i in range(iterations):
             auth_raw = (
                 e_u.join(hub.withColumnRenamed("id", "u"), "u")
                 .groupBy(F.col("v").alias("id"))
                 .agg(_dsum18(F.col("hub")).alias("raw"))
-            )
-            auth = (
-                verts.join(auth_raw, "id", "left")
-                .select("id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
                 .transform(truncate_lineage)
             )
-            a_norm = auth.agg(_dsum18(F.col("raw")).alias("norm"))
-            auth = auth.crossJoin(F.broadcast(a_norm)).select(
+            a_norm = auth_raw.agg(_dsum18(F.col("raw")).alias("norm"))
+            auth = auth_raw.crossJoin(F.broadcast(a_norm)).select(
                 "id", (F.col("raw") / F.col("norm")).alias("auth")
             )
             hub_raw = (
                 e_v.join(auth.withColumnRenamed("id", "v"), "v")
                 .groupBy(F.col("u").alias("id"))
                 .agg(_dsum18(F.col("auth")).alias("raw"))
-            )
-            hub = (
-                verts.join(hub_raw, "id", "left")
-                .select("id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
                 .transform(truncate_lineage)
             )
-            h_norm = hub.agg(_dsum18(F.col("raw")).alias("norm"))
-            hub = hub.crossJoin(F.broadcast(h_norm)).select(
+            h_norm = hub_raw.agg(_dsum18(F.col("raw")).alias("norm"))
+            hub = hub_raw.crossJoin(F.broadcast(h_norm)).select(
                 "id", (F.col("raw") / F.col("norm")).alias("hub")
             )
         out = (
-            hub.join(auth, "id", "outer")
+            verts.join(hub, "id", "left")
+            .join(auth, "id", "left")
             .select(
                 "id",
                 F.coalesce("hub", F.lit(0.0)).alias("hub"),
