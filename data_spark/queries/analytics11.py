@@ -156,8 +156,11 @@ def pipe_stream_cdf_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin the micro-batch once: every consumer below (the pairs
         # collect plus two merge_versioned passes per version) would
         # otherwise re-run the Python-datasource partition read — a
-        # JVM<->Python boundary crossing per action (guide §4)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # JVM<->Python boundary crossing per action (guide §4). Lazy
+        # mark (r13): the pairs collect right below is the pin's
+        # materializing action, so the former dedicated checkpoint job
+        # folds into it (guide §1.2)
+        batch_df = batch_df.localCheckpoint(eager=False)
         pairs = (
             batch_df.select("_commit_version", "_change_type")
             .distinct()

@@ -623,8 +623,15 @@ def g_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    # materialize the symmetric edge frame ONCE (guide §1.2; the r12
+    # shared-subplan barrier, applied here in r13): the final plan
+    # consumes it six times (x1 once, x2 twice, x3 three times via the
+    # nested levels) and Catalyst reuses none of it — 24 parquet scans
+    # and 21 exchanges collapse to one edge derivation (plans/r13)
+    edges = truncate_lineage(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+            base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        )
     )
     x = edges.groupBy(F.col("dst").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
