@@ -92,6 +92,13 @@ def iteration_scope(spark):
     When NOT to use: loops whose per-iteration frames are fact-scale or
     skew-prone (AQE's skew-join splitting and coalescing win there) —
     i.e. use it where the loop already pre-partitions its working set.
+
+    Concurrency caveat (VERDICT r12): this mutates SESSION conf (and
+    restores it in ``finally``), so two gates sharing one SparkSession
+    must not run concurrently inside/around a scope — the engine's own
+    driver threads (io._run_concurrently, incremental tail jobs) only
+    ever run plain actions under an already-entered scope, which is
+    safe; what is not safe is entering/exiting scopes from two threads.
     """
     from contextlib import contextmanager
 
