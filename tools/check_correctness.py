@@ -9,11 +9,12 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_spark.session import get_spark  # noqa: E402
 from __spark_entry__ import oracle_sql, queries  # noqa: E402

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_spark.plans.report import explain_text  # noqa: E402
 from data_spark.queries import QUERIES  # noqa: E402

@@ -17,9 +17,10 @@ broadcast by construction — same list test_plans carries).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_spark.plans.report import (  # noqa: E402
     NESTED_LOOP_ALLOWED,

@@ -12,10 +12,11 @@ delta) so fixed per-job overhead is visible next to the seconds.
 from __future__ import annotations
 
 import statistics
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_spark.queries import QUERIES  # noqa: E402
 from data_spark.session import get_spark  # noqa: E402
