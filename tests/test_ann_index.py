@@ -6,6 +6,8 @@ of a table scan."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_spark.operators.ann_index import build_ivf_index, ivf_index_topk
@@ -354,6 +356,7 @@ def test_ivfpq_append_equals_rebuild(spark, sf_small, tmp_path):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_delete_then_compact_matches_rebuild(spark, sf_small, tmp_path):
     """Tombstone deletes: a probe after delete_from_ann_index never
     returns a deleted id and matches an index rebuilt without those

@@ -4,6 +4,8 @@ equal rebuilds, and the probe's bucket scan must be partition-pruned."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -134,6 +136,7 @@ def test_delete_then_compact_excludes_docs(spark, sf_small, tmp_path):
     assert {(r.probe_id, r.index_doc_id) for r in final} == kept
 
 
+@pytest.mark.slow
 def test_crashed_compaction_leftovers_never_corrupt_the_buckets(spark, sf_small, tmp_path):
     """Same contract as the ANN index (ADVICE r7): staging/backup live
     outside buckets/, a probe restores a partition parked mid-swap, and

@@ -33,6 +33,7 @@ def landing(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_fec_end_to_end(spark, landing, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("fec_out"))
     counts = run_bulk_import(spark, landing, out)

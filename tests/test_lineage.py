@@ -3,6 +3,8 @@ sizing (VERDICT r3 items 3 and 5)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from data_spark.graph.algorithms import connected_components
@@ -76,6 +78,7 @@ def test_bfs_edge_partitions_respect_session_conf(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+@pytest.mark.slow
 def test_iterative_query_survives_task_failure():
     """VERDICT r5 #7: exercise retry-stability of the iterative tier.
     A fresh session with master local[4,2] (task retries enabled) runs

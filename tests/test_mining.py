@@ -8,6 +8,8 @@ a shared misreading of the algorithm can't hide in both SQL dialects.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter, defaultdict
 from decimal import Decimal
 
@@ -153,6 +155,7 @@ def test_global_row_number_total_and_partition_invariant(spark, sf_small):
         assert [r.doc_id for r in rows] == expect
 
 
+@pytest.mark.slow
 def test_sorted_neighborhood_matches_python_mirror(spark, sf_small):
     import re
 
@@ -723,6 +726,7 @@ def test_walk_sample_matches_python_mirror(spark, sf_small):
         assert all(a != b for a, b in zip(sides, sides[1:]))
 
 
+@pytest.mark.slow
 def test_er_score_fusion_matches_python_mirror(spark, sf_small):
     import re
 

@@ -346,6 +346,7 @@ def test_exchange_budget(spark, sf_small, name):
     )
 
 
+@pytest.mark.slow
 def test_unpartitioned_window_allowlist(spark, sf_small):
     """Every partition-less Window node in every registry plan must be
     on UNPARTITIONED_WINDOW_ALLOWED with its bound documented (VERDICT

@@ -135,6 +135,7 @@ def test_anti_join_not_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_nested_loop_joins_anywhere(spark, sf_small, name):
     plan = plan_of(QUERIES[name](spark, sf_small), mode="simple")

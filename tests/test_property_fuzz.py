@@ -12,6 +12,10 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from data_spark.io import read_table
 from tools.check_correctness import frame_key
 
+# slow lane (VERDICT r12 #1): the fuzz sweep is full-coverage work,
+# not per-commit signal - run with SPARK_GRAFT_RUN_SLOW=1 / -m slow
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

@@ -4,6 +4,8 @@ end-to-end on file sources."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -1034,6 +1036,7 @@ def test_read_quantile_drift(spark, tmp_path):
     assert drift["shifted"].at_p in (0.1, 0.25, 0.5, 0.75, 0.9)
 
 
+@pytest.mark.slow
 def test_state_sink_fold_survives_task_failure():
     """Retry-stability of the sketch-state sinks' fold path: a fresh
     local[4,2] session folds two histogram batches into state with a
@@ -1232,6 +1235,7 @@ def test_versioned_stream_sink_exactly_once_time_travel(spark, tmp_path):
     assert len(table_versions(table)) == n_after_manual + 1  # a new id commits
 
 
+@pytest.mark.slow
 def test_cdc_stream_sink_lww_deletes_and_time_travel(spark, tmp_path):
     """Streaming CDC into the versioned store: per-batch last-writer-
     wins with hard deletes, cross-batch overwrites via key tombstones,
@@ -1306,6 +1310,7 @@ def test_cdc_stream_sink_lww_deletes_and_time_travel(spark, tmp_path):
     assert state()[2] == (22.0, "I")
 
 
+@pytest.mark.slow
 def test_merge_stream_sink_one_atomic_version_per_batch(spark, tmp_path):
     """The atomic sibling of cdc_stream_sink: each micro-batch lands as
     exactly ONE merge version (tombstone + data in a single manifest),
@@ -1370,6 +1375,7 @@ def test_merge_stream_sink_one_atomic_version_per_batch(spark, tmp_path):
     assert table_versions(table) == vs
 
 
+@pytest.mark.slow
 def test_merge_stream_sink_maintained_steady_state(spark, tmp_path):
     """merge_stream_sink(maintenance=...): a long merge stream reaches
     the bounded steady state WITHOUT the caller hand-scheduling

@@ -13,6 +13,8 @@ must change nothing a reader can see.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from data_spark.io import (
@@ -70,6 +72,7 @@ class _Model:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(op, min_size=2, max_size=8))
+@pytest.mark.slow
 def test_store_matches_model(spark, tmp_path_factory, ops):
     table = str(tmp_path_factory.mktemp("vstore") / "t")
     model = _Model()
@@ -172,6 +175,7 @@ class _BranchModel:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(bop, min_size=3, max_size=9))
+@pytest.mark.slow
 def test_store_matches_model_with_branches(spark, tmp_path_factory, ops):
     from data_spark.io import branch_head, publish_branch
 
@@ -309,6 +313,7 @@ mop = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(mop, min_size=2, max_size=8))
+@pytest.mark.slow
 def test_maintenance_and_change_feed_match_model(spark, tmp_path_factory, ops):
     from data_spark.io import maintain_versioned, merge_versioned, read_changes
 

@@ -418,6 +418,7 @@ def test_change_feed_stream_over_partitioned_table(spark, tmp_path):
     assert {t[1] for t in got} == {"000", "001", "002"}
 
 
+@pytest.mark.slow
 def test_bounded_available_now_catchup(spark, tmp_path):
     """VERDICT r11 item 5: a backlogged stream catches up in BOUNDED
     batches. A 20-version backlog with max_versions_per_trigger=5
