@@ -56,12 +56,26 @@ def main() -> int:
         return time.perf_counter() - t0
 
     tracker = spark.sparkContext.statusTracker()
+
+    def max_job_id() -> int:
+        # Job ids are a GLOBAL sequence; the max id seen in the default
+        # group tracks it whenever the latest action ran group-less.
+        # Counting len(getJobIdsForGroup(None)) instead (the r12 tool)
+        # silently EXCLUDED jobs that carry a job group — Structured
+        # Streaming tags every foreachBatch job with one, so streaming
+        # gates undercounted, and a driver-thread change that drops the
+        # group (threads don't inherit it) showed up as "+12 jobs" when
+        # total work was unchanged (r13, pipe_stream_cdf_e2e 64->76
+        # group-None jobs vs 79->78 total).
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     for name in names:
         fn = QUERIES[name]
         spark.sparkContext.setJobDescription(f"profile:{name}")
-        j0 = len(tracker.getJobIdsForGroup(None))
+        j0 = max_job_id()
         runs = [run(fn) for _ in range(reps)]
-        j1 = len(tracker.getJobIdsForGroup(None))
+        j1 = max_job_id()
         warm = runs[1:] or runs
         print(
             f"{name:32s} cold={runs[0]:7.3f}  warm_min={min(warm):7.3f}  "
